@@ -1,0 +1,508 @@
+"""SAX-style content handler: tag actions, text buffering, block flushing.
+
+Clones the state machine of /root/reference/content_handler.go bit-exactly:
+the asymmetric label push/pop, the flush flag that is only cleared by text
+tokens, byte-length buffer checks, the 80-column line-wrap simulation in
+runes, and Go's Unicode-White_Space trimming (which differs from Python's
+``str.strip``).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+
+import regex as _regex
+
+from .atoms import atom_of
+from .textblock import Label, LabelStack, TextBlock
+
+# Go unicode.IsSpace == Unicode White_Space property. Python str.isspace()
+# also accepts U+001C..001F (and not all of these), so we use an explicit set.
+GO_WHITESPACE = frozenset(
+    "\t\n\v\f\r \x85\xa0 "
+    "           "
+    "    　"
+)
+
+
+def go_trim_space(s: str) -> str:
+    i, n = 0, len(s)
+    while i < n and s[i] in GO_WHITESPACE:
+        i += 1
+    j = n
+    while j > i and s[j - 1] in GO_WHITESPACE:
+        j -= 1
+    return s[i:j]
+
+
+# Anchor sentinel tokens injected into the token buffer around <a> runs
+# (content_handler.go:38-41).
+ANCHOR_TEXT_START = "$<"
+ANCHOR_TEXT_END = ">$"
+
+# Word tokenizer (content_handler.go:237-255; boilerpipe-Java
+# UnicodeTokenizer).  Go's \d is ASCII-only, hence the explicit 0-9.
+_RE_WORD_BOUNDARY = _regex.compile(r"[\p{L}0-9_]+")
+_RE_NOT_WORD_BOUNDARY = _regex.compile(
+    "[⁣]*([\"'\\.,\\!\\@\\-\\:\\;\\$\\?\\(\\)/])[⁣]*"
+)
+_RE_INVISIBLE_SEPARATOR = _regex.compile("[⁣]+")
+_RE_SPACE = _regex.compile("[ ]+")
+_RE_VALID_WORD_CHARACTER = _regex.compile(r"[\p{L}\p{Nd}\p{Nl}\p{No}]")
+
+
+def tokenize(text: str) -> list[str]:
+    text = _RE_WORD_BOUNDARY.sub(
+        lambda m: "⁣" + m.group(0) + "⁣", go_trim_space(text)
+    )
+    text = _RE_NOT_WORD_BOUNDARY.sub(r"\1", text)
+    text = _RE_INVISIBLE_SEPARATOR.sub(" ", text)
+    return _RE_SPACE.split(go_trim_space(text))
+
+
+def is_word(tok: str) -> bool:
+    return _RE_VALID_WORD_CHARACTER.search(tok) is not None
+
+
+def space_remove(s: str) -> tuple[str, bool, bool]:
+    """Collapse runs of Unicode whitespace to single spaces
+    (content_handler.go:154-179). Returns (text, was_first_ws, was_last_ws)."""
+    out: list[str] = []
+    was_first = False
+    was_last = False
+    first = True
+    for ch in s:
+        if ch in GO_WHITESPACE:
+            if first:
+                was_first = True
+            first = False
+            if was_last:
+                continue
+            was_last = True
+            out.append(" ")
+        else:
+            first = False
+            was_last = False
+            out.append(ch)
+    return "".join(out), was_first, was_last
+
+
+# RFC3339 (Go time.RFC3339 layout "2006-01-02T15:04:05Z07:00"; fractional
+# seconds optional, offset 'Z' or ±hh:mm, uppercase only).
+_RFC3339_RE = re.compile(
+    r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})(\.\d+)?"
+    r"(Z|[+-]\d{2}:\d{2})$"
+)
+
+
+def parse_rfc3339(s: str) -> _dt.datetime | None:
+    m = _RFC3339_RE.match(s)
+    if m is None:
+        return None
+    year, month, day, hour, minute, sec = (int(m.group(i)) for i in range(1, 7))
+    frac = m.group(7)
+    micro = 0
+    if frac:
+        micro = int(round(float(frac) * 1e6))
+        if micro >= 1_000_000:
+            micro = 999_999
+    off = m.group(8)
+    if off == "Z":
+        tz = _dt.timezone.utc
+    else:
+        sign = 1 if off[0] == "+" else -1
+        oh, om = int(off[1:3]), int(off[4:6])
+        if oh > 23 or om > 59:
+            return None
+        tz = _dt.timezone(sign * _dt.timedelta(hours=oh, minutes=om))
+    try:
+        return _dt.datetime(year, month, day, hour, minute, sec, micro, tz)
+    except ValueError:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Tag actions (content_handler.go:391-553)
+# ---------------------------------------------------------------------------
+
+
+class TagAction:
+    changes_tag_level = True
+
+    def start(self, h: "ContentHandler") -> bool:
+        return False
+
+    def end(self, h: "ContentHandler") -> bool:
+        return False
+
+
+class TAIgnorable(TagAction):
+    def start(self, h):
+        h.depth_ignoreable += 1
+        return True
+
+    def end(self, h):
+        h.depth_ignoreable -= 1
+        return True
+
+
+class TAAnchor(TagAction):
+    def start(self, h):
+        h.depth_anchor += 1
+        if h.depth_ignoreable == 0:
+            h.add_whitespace_if_necessary()
+            h.token_buffer.append(ANCHOR_TEXT_START)
+            h.token_buffer.append(" ")
+            h.last_was_whitespace = True
+        return False
+
+    def end(self, h):
+        h.depth_anchor -= 1
+        if h.depth_anchor == 0 and h.depth_ignoreable == 0:
+            h.add_whitespace_if_necessary()
+            h.token_buffer.append(ANCHOR_TEXT_END)
+            h.token_buffer.append(" ")
+            h.last_was_whitespace = True
+        return False
+
+
+class TABody(TagAction):
+    def start(self, h):
+        h.flush_block()
+        h.depth_body += 1
+        return False
+
+    def end(self, h):
+        h.flush_block()
+        h.depth_body -= 1
+        return False
+
+
+class TAInlineWhitespace(TagAction):
+    changes_tag_level = False
+
+    def start(self, h):
+        h.add_whitespace_if_necessary()
+        return False
+
+    def end(self, h):
+        h.add_whitespace_if_necessary()
+        return False
+
+
+class TAInlineNoWhitespace(TagAction):
+    changes_tag_level = False
+
+
+class TABlockTagLabel(TagAction):
+    def __init__(self, labels):
+        self.labels = labels
+
+    def start(self, h):
+        h.label_stack.push(*self.labels)
+        return True
+
+    def end(self, h):
+        return True
+
+
+class TAIgnoreableVoid(TagAction):
+    changes_tag_level = False
+
+
+class TATime(TagAction):
+    def start(self, h):
+        return True
+
+    def end(self, h):
+        return True
+
+
+_IGNORABLE = TAIgnorable()
+_VOID = TAIgnoreableVoid()
+_INLINE_NO_WS = TAInlineNoWhitespace()
+
+TAG_ACTION_MAP: dict[str, TagAction] = {
+    "applet": _IGNORABLE,
+    "figcaption": _IGNORABLE,
+    "figure": _IGNORABLE,
+    "noscript": _IGNORABLE,
+    "object": _IGNORABLE,
+    "option": _IGNORABLE,
+    "script": _IGNORABLE,
+    "style": _IGNORABLE,
+    "a": TAAnchor(),
+    "body": TABody(),
+    "abbr": TAInlineWhitespace(),
+    "b": _INLINE_NO_WS,
+    "code": _INLINE_NO_WS,
+    "em": _INLINE_NO_WS,
+    "font": _INLINE_NO_WS,
+    "i": _INLINE_NO_WS,
+    "span": _INLINE_NO_WS,
+    "strike": _INLINE_NO_WS,
+    "strong": _INLINE_NO_WS,
+    "sub": _INLINE_NO_WS,
+    "sup": _INLINE_NO_WS,
+    "tt": _INLINE_NO_WS,
+    "u": _INLINE_NO_WS,
+    "var": _INLINE_NO_WS,
+    "li": TABlockTagLabel([Label.LIST]),
+    "h1": TABlockTagLabel([Label.HEADING, Label.HEADING1]),
+    "h2": TABlockTagLabel([Label.HEADING, Label.HEADING2]),
+    "h3": TABlockTagLabel([Label.HEADING, Label.HEADING3]),
+    "area": _VOID,
+    "base": _VOID,
+    "br": _VOID,
+    "col": _VOID,
+    "embed": _VOID,
+    "hr": _VOID,
+    "img": _VOID,
+    "input": _VOID,
+    "link": _VOID,
+    "menuitem": _VOID,
+    "meta": _VOID,
+    "param": _VOID,
+    "source": _VOID,
+    "track": _VOID,
+    "wbr": _VOID,
+    "time": TATime(),
+}
+
+# Malformed start tags of void elements are skipped entirely by the parse
+# loop (boilerpipe.go:129-134, content_handler.go:556-574).  Note iframe is
+# in this set but not in the tag-action map.
+SHOULD_BE_SELF_CLOSING = frozenset(
+    [
+        "area",
+        "base",
+        "br",
+        "embed",
+        "hr",
+        "iframe",
+        "img",
+        "input",
+        "link",
+        "meta",
+        "param",
+        "source",
+        "track",
+    ]
+)
+
+_MAX_LINE_LENGTH = 80
+
+
+class ContentHandler:
+    def __init__(self):
+        self.title = ""
+        self.time: _dt.datetime | None = None
+
+        self.token_buffer: list[str] = []
+        self.text_buffer: list[str] = []
+
+        self.depth_body = 0
+        self.depth_anchor = 0
+        self.depth_ignoreable = 0
+
+        self.depth_tag = 0
+        self.depth_block_tag = -1
+
+        self.last_was_whitespace = False
+        self.text_element_index = 0
+
+        self.text_blocks: list[TextBlock] = []
+
+        self.last_start_tag = ""
+        self.last_end_tag = ""
+
+        self.offset_blocks = 0
+        self.flush = False
+        self.in_anchor_text = False
+
+        self.label_stack = LabelStack()
+        self.atom_stack: list[str] = []
+
+        self._buffer_src_end = -1
+
+    # -- events ------------------------------------------------------------
+
+    def start_element(self, tok) -> None:
+        a = atom_of(tok.data)
+        self.atom_stack.append(a)
+
+        ta = TAG_ACTION_MAP.get(a) if a else None
+        if ta is not None:
+            if isinstance(ta, TATime):
+                for key, val in tok.attrs:
+                    if key == "datetime":
+                        t = parse_rfc3339(val)
+                        if t is not None:
+                            self.time = t
+                        break
+            if ta.changes_tag_level:
+                self.depth_tag += 1
+            self.flush = ta.start(self) or self.flush
+        else:
+            self.depth_tag += 1
+            self.flush = True
+
+        self.last_start_tag = tok.data
+
+    def end_element(self, tok) -> None:
+        pa = self.atom_stack.pop() if self.atom_stack else ""
+        a = atom_of(tok.data)
+        if pa != a:
+            return  # malformed HTML, missing closing tag
+
+        ta = TAG_ACTION_MAP.get(a) if a else None
+        if ta is not None:
+            self.flush = ta.end(self) or self.flush
+        else:
+            self.flush = True
+
+        if ta is None or ta.changes_tag_level:
+            self.depth_tag -= 1
+
+        if self.flush:
+            self.flush_block()
+        # NB: the flush flag is intentionally NOT cleared here (only
+        # TextToken clears it) — content_handler.go:145-147.
+
+        self.last_end_tag = tok.data
+        self.label_stack.pop()
+
+    def text_token(self, data: str, src_end: int = -1) -> None:
+        self.text_element_index += 1
+
+        if self.flush:
+            self.flush_block()
+            self.flush = False
+
+        if self.depth_ignoreable != 0:
+            return
+        if len(data) == 0:
+            return
+
+        mapped, was_first, was_last = space_remove(data)
+        ch = go_trim_space(mapped)
+
+        if len(ch) == 0:
+            if was_first or was_last:
+                if not self.last_was_whitespace:
+                    self.text_buffer.append(" ")
+                    self.token_buffer.append(" ")
+                self.last_was_whitespace = True
+            else:
+                self.last_was_whitespace = False
+            return
+
+        if was_first and not self.last_was_whitespace:
+            self.text_buffer.append(" ")
+            self.token_buffer.append(" ")
+
+        if self.depth_block_tag == -1:
+            self.depth_block_tag = self.depth_tag
+
+        self.text_buffer.append(ch)
+        self.token_buffer.append(ch)
+        if was_last:
+            self.text_buffer.append(" ")
+            self.token_buffer.append(" ")
+
+        self.last_was_whitespace = was_last
+        self._buffer_src_end = src_end
+
+    def add_whitespace_if_necessary(self) -> None:
+        if not self.last_was_whitespace:
+            self.token_buffer.append(" ")
+            self.text_buffer.append(" ")
+            self.last_was_whitespace = True
+
+    # -- flushing ----------------------------------------------------------
+
+    def flush_block(self) -> None:
+        tok_str = "".join(self.token_buffer)
+
+        if self.depth_body == 0:
+            if self.last_start_tag == "title":
+                title = go_trim_space(tok_str)
+                if title:
+                    self.title = title
+            self.text_buffer = []
+            self.token_buffer = []
+            self._buffer_src_end = -1
+            return
+
+        # Go switches on the buffer's BYTE length: 0 → bail (no reset);
+        # 1 byte (i.e. one ASCII char) + trailing-whitespace flag → reset.
+        if tok_str == "":
+            return
+        if len(tok_str) == 1 and ord(tok_str) < 128 and self.last_was_whitespace:
+            self.text_buffer = []
+            self.token_buffer = []
+            self._buffer_src_end = -1
+            return
+
+        tokens = tokenize(tok_str)
+
+        num_words = 0
+        num_linked_words = 0
+        num_wrapped_lines = 0
+        num_tokens = 0
+        num_words_current_line = 0
+        current_line_length = -1  # don't count the first space
+
+        for tok in tokens:
+            if tok == ANCHOR_TEXT_START:
+                self.in_anchor_text = True
+            elif tok == ANCHOR_TEXT_END:
+                self.in_anchor_text = False
+            elif is_word(tok):
+                num_tokens += 1
+                num_words += 1
+                num_words_current_line += 1
+                if self.in_anchor_text:
+                    num_linked_words += 1
+                tok_length = len(tok)  # rune count
+                current_line_length += tok_length + 1
+                if current_line_length > _MAX_LINE_LENGTH:
+                    num_wrapped_lines += 1
+                    current_line_length = tok_length
+                    num_words_current_line = 1
+            else:
+                num_tokens += 1
+
+        if num_tokens == 0:
+            return
+
+        if num_wrapped_lines == 0:
+            num_words_in_wrapped_lines = num_words
+            num_wrapped_lines = 1
+        else:
+            num_words_in_wrapped_lines = num_words - num_words_current_line
+
+        text = go_trim_space("".join(self.text_buffer))
+        if len(text) > 0:
+            tb = TextBlock()
+            tb.text = text
+            tb.num_words = num_words
+            tb.num_linked_words = num_linked_words
+            tb.num_words_in_wrapped_lines = num_words_in_wrapped_lines
+            tb.num_wrapped_lines = num_wrapped_lines
+            tb.offset_blocks_start = self.offset_blocks
+            tb.offset_blocks_end = self.offset_blocks
+            tb.tag_level = self.depth_block_tag
+            if num_words_in_wrapped_lines == 0:
+                tb.num_words_in_wrapped_lines = num_words
+                tb.num_wrapped_lines = 1
+            tb.add_labels(*self.label_stack.pop_all())
+            tb.src_end = self._buffer_src_end
+            self.text_blocks.append(tb)
+            self.offset_blocks += 1
+
+        self.text_buffer = []
+        self.token_buffer = []
+        self._buffer_src_end = -1
+        self.depth_block_tag = -1
