@@ -1,0 +1,112 @@
+"""Tier-3: Ray Data pipeline equivalence with the pure kernel.
+
+The full Ray job (read parquet → actor-pool map_batches → collect) must
+produce, per row, exactly the kernel's output: same (kind, text, media_ref,
+order) span sequence, same metadata — for single-span, chunked, interleaved
+and sharded-fragment variants of the same documents."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from go_boilerpipe_ray.kernel.spans import extract_from_spans
+from go_boilerpipe_ray.pipelines.article import (
+    extract_dataset,
+    extract_with_size_router,
+    read_spans,
+    reassemble_and_extract,
+)
+from go_boilerpipe_ray.sources.fixtures import (
+    golden7_chunked_table,
+    golden7_interleaved_table,
+    golden7_table,
+    spans_table,
+)
+
+
+def _expected(table):
+    out = {}
+    for doc_id, spans in zip(
+        table.column("doc_id").to_pylist(), table.column("spans").to_pylist()
+    ):
+        res = extract_from_spans(spans)
+        out[doc_id] = res
+    return out
+
+
+def _collect(ds):
+    rows = {}
+    for row in ds.take_all():
+        rows[row["doc_id"]] = row
+    return rows
+
+
+def _assert_matches(actual_rows, expected):
+    assert set(actual_rows) == set(expected)
+    for doc_id, exp in expected.items():
+        act = actual_rows[doc_id]
+        act_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in act["spans"]
+        ]
+        assert act_spans == exp.spans, doc_id
+        assert act["title"] == exp.title
+        assert act["author"] == exp.author
+        assert act["error"] == exp.error
+        assert act["n_blocks_kept"] == exp.n_blocks_kept
+
+
+@pytest.fixture(scope="module")
+def corpus_paths(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("spans")
+    paths = {}
+    for name, table in [
+        ("f1", golden7_table()),
+        ("f2", golden7_chunked_table(3, reverse=True)),
+        ("f3", golden7_interleaved_table(3)),
+    ]:
+        p = os.path.join(d, f"{name}.parquet")
+        pq.write_table(table, p)
+        paths[name] = (p, table)
+    return paths
+
+
+@pytest.mark.parametrize("name", ["f1", "f2", "f3"])
+def test_ray_matches_kernel(corpus_paths, name):
+    path, table = corpus_paths[name]
+    ds = extract_dataset(read_spans(path), batch_size=4)
+    _assert_matches(_collect(ds), _expected(table))
+
+
+def test_size_router_paths_equal(corpus_paths):
+    path, table = corpus_paths["f2"]
+    # Force every doc through the giant path with threshold=0, then the
+    # small path with a huge threshold: identical output either way.
+    ds_giant = extract_with_size_router(read_spans(path), threshold=0)
+    ds_small = extract_with_size_router(read_spans(path), threshold=1 << 40)
+    exp = _expected(table)
+    _assert_matches(_collect(ds_giant), exp)
+    _assert_matches(_collect(ds_small), exp)
+
+
+def test_sharded_fragments_reassemble(corpus_paths, tmp_path):
+    # Split each doc's span list across 3 rows (fragments out of order);
+    # groupby(doc_id) must reassemble to the same result.
+    _, table = corpus_paths["f3"]
+    rows = []
+    for doc_id, spans in zip(
+        table.column("doc_id").to_pylist(), table.column("spans").to_pylist()
+    ):
+        frags = [spans[0::3], spans[2::3], spans[1::3]]
+        for fr in frags:
+            if fr:
+                rows.append((doc_id, fr))
+    frag_table = spans_table(rows)
+    p = os.path.join(tmp_path, "frags.parquet")
+    pq.write_table(frag_table, p)
+
+    ds = reassemble_and_extract(read_spans(p))
+    _assert_matches(_collect(ds), _expected(table))
