@@ -4,13 +4,10 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +17,72 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: deterministic spans corpus derived from the
+    sf0.001 documents table → actor-pool extraction → output dataset of
+    (doc_id, title, author, date, spans, metrics)."""
+    from go_boilerpipe_ray.pipelines.article import extract_dataset, read_spans
+    from go_boilerpipe_ray.sources.fixtures import cached_synthetic_corpus
+
+    path = cached_synthetic_corpus("/root/testdata/sf0.001")
+    return extract_dataset(read_spans(path))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from go_boilerpipe_ray.functions import dedup, relational, similarity, text
+    from go_boilerpipe_ray.pipelines import queries as xq
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction (the engine's core)
+        "extract_titles": xq.extract_titles,
+        "extract_authors": xq.extract_authors,
+        "extract_stats": xq.extract_stats,
+        "extract_golden": xq.extract_golden,
+        # text analysis
+        "token_stats": text.token_stats,
+        "quality_score": text.quality_score,
+        "fingerprint": text.fingerprint,
+        "lang_id": text.lang_id,
+        "rolling_fingerprint": text.rolling_fingerprint,
+        # dedup
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "dedup_simhash": dedup.simhash_signatures,
+        # similarity search
+        "knn_brute": similarity.knn_brute,
+        "knn_lsh": similarity.knn_lsh,
+        "near_dup_embeddings": similarity.near_dup_embeddings,
+        # relational / windows / sessions
+        "agg_lineitem": relational.agg_lineitem,
+        "top_customers": relational.top_customers,
+        "hourly_events": relational.hourly_events,
+        "sessionize": relational.sessionize,
+        "top_events": relational.top_events_by_value,
+        # multimodal plumbing
+        "media_decode": xq.media_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from go_boilerpipe_ray.functions import dedup, relational, similarity, text
+    from go_boilerpipe_ray.pipelines import queries as xq
+
+    return {
+        "extract_titles": xq.EXTRACT_TITLES_SQL,
+        "extract_authors": xq.EXTRACT_AUTHORS_SQL,
+        "token_stats": text.TOKEN_STATS_SQL,
+        "quality_score": text.QUALITY_SQL,
+        "fingerprint": text.FINGERPRINT_SQL,
+        "dedup_exact": dedup.EXACT_DEDUP_SQL,
+        "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
+        "knn_brute": similarity.KNN_SQL,
+        "near_dup_embeddings": similarity.NEAR_DUP_SQL,
+        "agg_lineitem": relational.AGG_LINEITEM_SQL,
+        "top_customers": relational.TOP_CUSTOMERS_SQL,
+        "hourly_events": relational.HOURLY_EVENTS_SQL,
+        "sessionize": relational.SESSIONIZE_SQL,
+        "top_events": relational.TOP_EVENTS_SQL,
+        # rows-only (non-SQL-expressible): extract_stats, extract_golden,
+        # lang_id, rolling_fingerprint, dedup_minhash_lsh, dedup_simhash,
+        # knn_lsh, media_decode
+    }

@@ -1,0 +1,387 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes:
+- Exact dedup never shuffles full text: a content hash is computed in a
+  narrow map_batches, then a small ``groupby(hash).min(doc_id)`` runs on
+  (hash, doc_id) pairs only.
+- N-gram Jaccard uses the inverted-index pattern: distinct (doc, shingle)
+  pairs → groupby(shingle) emits candidate pairs → groupby(pair) counts
+  intersections → sizes joined in → threshold filter.  At 100 TB you would
+  additionally cap shingle document-frequency (drop stop-shingles) and salt
+  hot shingles; the cap is exposed as ``max_df`` (None = exact, used for
+  the oracle-checked query).
+- MinHash/LSH buckets by band signature: only same-bucket candidates are
+  verified, which is the sub-quadratic scale path.
+
+The dedup *inputs* are synthesized from the driver's documents table by a
+deterministic, SQL-expressible expansion (originals ∪ exact copies ∪
+suffix-perturbed copies) so the operators are exercised on corpora that
+actually contain duplicates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+COPY_OFFSET = 1_000_000
+PERTURB_OFFSET = 2_000_000
+PERTURB_SUFFIX = " extra token tail"
+
+
+def dup_corpus(sf_dir: str) -> "ray.data.Dataset":
+    """documents ∪ exact copies (id+1e6) ∪ perturbed copies (id+2e6).
+
+    Deterministic and mirrored exactly by DUP_CORPUS_SQL, so dedup
+    operators run against a corpus with known duplicate structure.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        texts = batch.column("text")
+        out_ids = pa.concat_arrays(
+            [
+                ids.combine_chunks(),
+                pc.add(ids, COPY_OFFSET).combine_chunks(),
+                pc.add(ids, PERTURB_OFFSET).combine_chunks(),
+            ]
+        )
+        perturbed = pc.binary_join_element_wise(
+            texts, pa.array([PERTURB_SUFFIX] * len(texts)), ""
+        )
+        out_texts = pa.concat_arrays(
+            [
+                texts.combine_chunks(),
+                texts.combine_chunks(),
+                perturbed.combine_chunks(),
+            ]
+        )
+        return pa.table({"doc_id": out_ids, "text": out_texts})
+
+    return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DUP_CORPUS_SQL = f"""
+SELECT doc_id, text FROM documents
+UNION ALL SELECT doc_id + {COPY_OFFSET}, text FROM documents
+UNION ALL SELECT doc_id + {PERTURB_OFFSET}, text || '{PERTURB_SUFFIX}' FROM documents
+"""
+
+
+# -- exact dedup ------------------------------------------------------------
+
+
+def _hash_batch(batch: pa.Table) -> pa.Table:
+    hashes = [
+        hashlib.sha1(t.encode("utf-8")).hexdigest()
+        for t in batch.column("text").to_pylist()
+    ]
+    return pa.table(
+        {"text_hash": pa.array(hashes, pa.string()), "doc_id": batch.column("doc_id")}
+    )
+
+
+def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Keep the lowest doc_id per identical text: hash in a narrow stage,
+    shuffle only (hash, id) pairs."""
+    ds = dup_corpus(sf_dir).map_batches(
+        _hash_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    kept = ds.groupby("text_hash").min("doc_id")
+    return kept.select_columns(["min(doc_id)"]).rename_columns({"min(doc_id)": "doc_id"})
+
+
+EXACT_DEDUP_SQL = f"""
+WITH corpus AS ({DUP_CORPUS_SQL})
+SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text
+"""
+
+
+# -- n-gram Jaccard (exact, inverted-index pattern) --------------------------
+
+
+def _shingle_batch(batch: pa.Table, k: int) -> pa.Table:
+    doc_ids: list[int] = []
+    shingles: list[str] = []
+    for doc_id, t in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        toks = _TOKEN_RE.findall(t.lower())
+        seen = set()
+        for i in range(len(toks) - k + 1):
+            seen.add(" ".join(toks[i : i + k]))
+        doc_ids.extend([doc_id] * len(seen))
+        shingles.extend(seen)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "shingle": pa.array(shingles, pa.string()),
+        }
+    )
+
+
+def _pairs_from_group(group: pa.Table) -> pa.Table:
+    ids = sorted(group.column("doc_id").to_pylist())
+    a: list[int] = []
+    b: list[int] = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str, k: int = 3, threshold: float = 0.8, max_df: int | None = None
+) -> "ray.data.Dataset":
+    """All pairs with shingle-set Jaccard >= threshold (exact when
+    max_df=None).  Inverted index: shuffle on shingle, then on pair."""
+    shingled = dup_corpus(sf_dir).map_batches(
+        lambda b: _shingle_batch(b, k), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    sizes_ds = shingled.groupby("doc_id").count()
+    sizes = {
+        r["doc_id"]: r["count()"] for r in sizes_ds.take_all()
+    }  # small side: one int per doc — broadcast below
+
+    def group_pairs(group: pa.Table) -> pa.Table:
+        if max_df is not None and group.num_rows > max_df:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        return _pairs_from_group(group)
+
+    pairs = shingled.groupby("shingle").map_groups(
+        group_pairs, batch_format="pyarrow"
+    )
+    inter = pairs.groupby(["id_a", "id_b"]).count()
+
+    def jaccard_filter(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_pylist()
+        b = batch.column("id_b").to_pylist()
+        c = batch.column("count()").to_pylist()
+        keep_a: list[int] = []
+        keep_b: list[int] = []
+        for ia, ib, ic in zip(a, b, c):
+            union = sizes[ia] + sizes[ib] - ic
+            if union > 0 and ic / union >= threshold:
+                keep_a.append(ia)
+                keep_b.append(ib)
+        return pa.table(
+            {"id_a": pa.array(keep_a, pa.int64()), "id_b": pa.array(keep_b, pa.int64())}
+        )
+
+    return inter.map_batches(jaccard_filter, batch_format="pyarrow")
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH corpus AS ({DUP_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(ts) - 1)) AS r(i)
+  WHERE len(ts) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+"""
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+class MinHasher:
+    """Stateful stage: the permutation coefficients are built once per
+    actor (seeded, deterministic)."""
+
+    def __init__(self, num_hashes: int = 64, k: int = 3, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        # a < 2^29 and 32-bit shingle hashes keep a*x + b < 2^62: exact in
+        # uint64, no Python bigint loop.
+        self.a = rng.randint(1, 1 << 29, size=num_hashes).astype(np.uint64)
+        self.b = rng.randint(0, 1 << 29, size=num_hashes).astype(np.uint64)
+        self.num_hashes = num_hashes
+        self.k = k
+
+    def signature(self, text: str) -> np.ndarray | None:
+        toks = _TOKEN_RE.findall(text.lower())
+        if len(toks) < self.k:
+            return None
+        shingles = {
+            " ".join(toks[i : i + self.k]) for i in range(len(toks) - self.k + 1)
+        }
+        base = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=4).digest(), "big"
+                )
+                for s in shingles
+            ),
+            dtype=np.uint64,
+            count=len(shingles),
+        )
+        # (a*x + b) mod p, min over shingles — fully vectorized.
+        vals = (self.a[:, None] * base[None, :] + self.b[:, None]) % np.uint64(
+            _MERSENNE
+        )
+        return vals.min(axis=1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        sigs: list[list[int]] = []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            sig = self.signature(t)
+            if sig is None:
+                continue
+            ids.append(doc_id)
+            sigs.append([int(x) for x in sig])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sig": pa.array(sigs, pa.list_(pa.int64())),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    sf_dir: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> "ray.data.Dataset":
+    """Candidate pairs via LSH banding, verified by MinHash-estimated
+    Jaccard >= threshold.  Shuffles band-bucket keys, never text."""
+    rows_per_band = num_hashes // bands
+    ds = dup_corpus(sf_dir).map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_hashes": num_hashes, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    def band_keys(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        buckets: list[str] = []
+        sig_out: list[list[int]] = []
+        for doc_id, sig in zip(
+            batch.column("doc_id").to_pylist(), batch.column("sig").to_pylist()
+        ):
+            for band in range(bands):
+                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                key = hashlib.blake2b(
+                    (str(band) + ":" + ",".join(map(str, chunk))).encode(),
+                    digest_size=8,
+                ).hexdigest()
+                ids.append(doc_id)
+                buckets.append(key)
+                sig_out.append(sig)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "bucket": pa.array(buckets, pa.string()),
+                "sig": pa.array(sig_out, pa.list_(pa.int64())),
+            }
+        )
+
+    banded = ds.map_batches(band_keys, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        sigs = group.column("sig").to_pylist()
+        order = np.argsort(ids)
+        a: list[int] = []
+        b: list[int] = []
+        est: list[float] = []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                if ids[i] == ids[j]:
+                    continue
+                sim = float(
+                    np.mean(np.array(sigs[i]) == np.array(sigs[j]))
+                )
+                if sim >= threshold:
+                    a.append(ids[i])
+                    b.append(ids[j])
+                    est.append(sim)
+        return pa.table(
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+                "est_jaccard": pa.array(est, pa.float64()),
+            }
+        )
+
+    pairs = banded.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    # Same pair can surface from multiple bands: dedup on the pair key.
+    deduped = pairs.groupby(["id_a", "id_b"]).max("est_jaccard")
+    return deduped.rename_columns({"max(est_jaccard)": "est_jaccard"})
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+class SimHasher:
+    def __init__(self, bits: int = 64):
+        self.bits = bits
+
+    def simhash(self, text: str) -> int:
+        toks = _TOKEN_RE.findall(text.lower())
+        if not toks:
+            return 0
+        acc = np.zeros(self.bits, dtype=np.int64)
+        for t in toks:
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+            )
+            for b in range(self.bits):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        out = 0
+        for b in range(self.bits):
+            if acc[b] > 0:
+                out |= 1 << b
+        return out & 0x7FFFFFFFFFFFFFFF  # low 63 bits → int64-safe
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = [self.simhash(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "simhash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+def simhash_signatures(sf_dir: str) -> "ray.data.Dataset":
+    return dup_corpus(sf_dir).map_batches(
+        SimHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )

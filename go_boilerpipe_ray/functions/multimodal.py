@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio decode libraries are not available in this container, so the
+decode kernels are STUBBED behind an import-try: when PIL/soundfile are
+absent, a clearly-marked deterministic fake decoder produces stable
+metadata/features from the payload bytes.  Everything Ray-side — schema,
+actor-pool stage shape, batch sizing for large binaries, output layout —
+is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("kind", pa.string()),
+        ("payload", pa.binary()),
+        ("meta_width", pa.int32()),
+        ("meta_height", pa.int32()),
+    ]
+)
+
+
+def synth_media_table(n: int, payload_bytes: int = 4096, seed: int = 42) -> pa.Table:
+    """Deterministic fake media corpus: opaque binary blobs with typed
+    metadata columns."""
+    rng = np.random.RandomState(seed)
+    refs = [f"media://syn/{i}" for i in range(n)]
+    kinds = ["image" if i % 3 else "audio" for i in range(n)]
+    payloads = [rng.bytes(payload_bytes) for _ in range(n)]
+    widths = [int(64 + (i % 16) * 32) for i in range(n)]
+    heights = [int(64 + (i % 9) * 32) for i in range(n)]
+    return pa.table(
+        {
+            "media_ref": pa.array(refs, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta_width": pa.array(widths, pa.int32()),
+            "meta_height": pa.array(heights, pa.int32()),
+        }
+    )
+
+
+class DecodeMedia:
+    """Actor-pool decode/feature stage.
+
+    Real libraries are loaded once per actor in __init__ when available;
+    otherwise ``self.backend == "stub"`` and the decode is a deterministic
+    hash-based fake (NOT a real decode — see module docstring)."""
+
+    def __init__(self, feature_dim: int = 16, target_size: int = 64):
+        self.feature_dim = feature_dim
+        self.target_size = target_size
+        try:
+            import PIL.Image  # noqa: F401
+
+            self.backend = "pil"
+        except ImportError:
+            self.backend = "stub"
+
+    def _decode_stub(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        digest = hashlib.blake2b(payload, digest_size=self.feature_dim * 4).digest()
+        feat = (
+            np.frombuffer(digest, dtype=np.uint32).astype(np.float32)
+            / np.float32(2**32)
+        )
+        h = int.from_bytes(digest[:4], "big")
+        return (64 + h % 512, 64 + (h >> 9) % 512, feat)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths: list[int] = []
+        heights: list[int] = []
+        feats: list[list[float]] = []
+        ok: list[bool] = []
+        for payload in batch.column("payload").to_pylist():
+            if self.backend == "pil":  # pragma: no cover - lib not in container
+                raise NotImplementedError(
+                    "real image decode path requires verifying PIL output "
+                    "formats; this container ships no imaging libraries"
+                )
+            w, h, f = self._decode_stub(payload)
+            widths.append(w)
+            heights.append(h)
+            feats.append([float(x) for x in f])
+            ok.append(True)
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "kind": batch.column("kind"),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "feature": pa.array(feats, pa.list_(pa.float32())),
+                "decoded": pa.array(ok, pa.bool_()),
+            }
+        )
+
+
+def decode_media_dataset(
+    ds: "ray.data.Dataset", batch_size: int = 16, concurrency=(1, 8)
+) -> "ray.data.Dataset":
+    """Large-binary stage sizing: small batch_size so batch × payload size
+    stays in worker heap; payloads never leave the Arrow buffers until the
+    per-row decode."""
+    return ds.map_batches(
+        DecodeMedia,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def frame_sample_refs(ds: "ray.data.Dataset", every_n: int = 10) -> "ray.data.Dataset":
+    """Video frame-sampling plumbing: emit (media_ref, frame_idx) rows for
+    every n-th frame; the actual frame decode is the stubbed stage above."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        refs: list[str] = []
+        idxs: list[int] = []
+        for ref, w in zip(
+            batch.column("media_ref").to_pylist(),
+            batch.column("meta_width").to_pylist(),
+        ):
+            n_frames = max(1, (w or 0) // 8)
+            for i in range(0, n_frames, every_n):
+                refs.append(ref)
+                idxs.append(i)
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+            }
+        )
+
+    return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)

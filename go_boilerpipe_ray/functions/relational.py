@@ -1,0 +1,247 @@
+"""Relational building blocks expressed Ray-Data-first, with DuckDB
+oracles: aggregation with pre-combine, broadcast join, top-k, windowed
+(tumbling) aggregation and sessionization (groupby + map_groups with an
+in-group sort).  These exercise the engine's wide operators on the
+driver's TPC-H-ish tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# -- aggregation ------------------------------------------------------------
+
+
+def agg_lineitem(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-shaped rollup.  Pattern: per-batch partial aggregation
+    (combiner) inside map_batches, then a tiny groupby on the partials —
+    the full shuffle only moves (group, partial) rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("l_orderkey", "count")]
+        )
+        return t.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_price", "p_count"]
+        )
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_orderkey"],
+    )
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    final = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .sum(["p_qty", "p_price", "p_count"])
+        .to_pandas()
+    )
+    out = pa.table(
+        {
+            "l_returnflag": pa.array(final["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(final["l_linestatus"], pa.string()),
+            "sum_qty_x100": pa.array(
+                np.round(final["sum(p_qty)"] * 100).astype("int64"), pa.int64()
+            ),
+            "sum_price_x100": pa.array(
+                np.round(final["sum(p_price)"] * 100).astype("int64"), pa.int64()
+            ),
+            "n_items": pa.array(final["sum(p_count)"].astype("int64"), pa.int64()),
+        }
+    )
+    return out
+
+
+AGG_LINEITEM_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_x100,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_x100,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -- broadcast join + top-k -------------------------------------------------
+
+
+def top_customers(sf_dir: str, k: int = 10) -> pa.Table:
+    """Revenue top-k with a broadcast hash join: the small customer table
+    is put in the object store once and read per task — no shuffle join."""
+    customers = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(customers["c_custkey"], customers["c_name"])))
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        keys = batch.column("o_custkey").to_pylist()
+        names = [lookup.get(key, "") for key in keys]
+        return batch.append_column("c_name", pa.array(names, pa.string()))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
+    agg = (
+        joined.groupby(["o_custkey", "c_name"])
+        .aggregate(
+            ray.data.aggregate.Sum("o_totalprice", alias_name="revenue"),
+            ray.data.aggregate.Count(alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
+    agg = agg.sort_values(
+        ["revenue", "o_custkey"], ascending=[False, True]
+    ).head(k)
+    return pa.table(
+        {
+            "c_custkey": pa.array(agg["o_custkey"].astype("int64"), pa.int64()),
+            "c_name": pa.array(agg["c_name"], pa.string()),
+            "revenue_x100": pa.array(
+                np.round(agg["revenue"] * 100).astype("int64"), pa.int64()
+            ),
+            "n_orders": pa.array(agg["n_orders"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name,
+       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_x100,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY sum(o_totalprice) DESC, c_custkey
+LIMIT 10
+"""
+
+
+# -- tumbling-window aggregate ----------------------------------------------
+
+
+def hourly_events(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour windows per event type: window key derived
+    vectorized in a narrow stage, then groupby-aggregate."""
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return batch.append_column("window_start", hour)
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = (
+        ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            ray.data.aggregate.Count(alias_name="n_events"),
+            ray.data.aggregate.Sum("value", alias_name="sum_value"),
+        )
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "window_start": pa.array(out["window_start"], pa.timestamp("us")),
+            "n_events": pa.array(out["n_events"].astype("int64"), pa.int64()),
+            "sum_value_x100": pa.array(
+                np.round(out["sum_value"] * 100).astype("int64"), pa.int64()
+            ),
+        }
+    )
+
+
+HOURLY_EVENTS_SQL = """
+SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_x100
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+# -- sessionization (stateful per-key, order-dependent) ----------------------
+
+SESSION_GAP_MINUTES = 30
+
+
+def sessionize(sf_dir: str) -> "ray.data.Dataset":
+    """Sessions per user: shuffle on user_id, sort within each group by ts,
+    count gaps > 30 min.  The per-group sort replaces any global sort —
+    the only ordering the operator needs is within a key."""
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+
+    def sessions(group: pa.Table) -> pa.Table:
+        ts = np.sort(
+            pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
+        return pa.table(
+            {
+                "user_id": pa.array([group.column("user_id")[0].as_py()], pa.int64()),
+                "n_events": pa.array([len(ts)], pa.int64()),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+SESSIONIZE_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       count(*) FILTER (
+         WHERE prev_ts IS NULL
+            OR ts - prev_ts > INTERVAL {SESSION_GAP_MINUTES} MINUTE
+       ) AS n_sessions
+FROM ordered
+GROUP BY user_id
+"""
+
+
+# -- sort / limit / sample --------------------------------------------------
+
+
+def top_events_by_value(sf_dir: str, k: int = 100) -> pa.Table:
+    """Global top-k without a global sort: per-batch partial top-k, then a
+    driver-side merge of the bounded candidate set."""
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch, k=min(k, batch.num_rows), sort_keys=[("value", "descending"), ("event_id", "ascending")]
+        )
+        return batch.take(idx).select(["event_id", "value"])
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    cand = ds.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    cand = cand.sort_values(["value", "event_id"], ascending=[False, True]).head(k)
+    return pa.table(
+        {
+            "event_id": pa.array(cand["event_id"].astype("int64"), pa.int64()),
+            "value_micros": pa.array(
+                np.round(cand["value"] * 1e6).astype("int64"), pa.int64()
+            ),
+        }
+    )
+
+
+TOP_EVENTS_SQL = """
+SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS value_micros
+FROM events
+ORDER BY value DESC, event_id
+LIMIT 100
+"""

@@ -1,0 +1,284 @@
+"""Similarity search over the embeddings table.
+
+- ``knn_brute``: exact cosine top-k.  The query matrix is broadcast once
+  (``ray.put``) and read inside every batch task; each batch computes a
+  local top-k (bounded candidates) which are merged driver-side — no
+  all-to-all shuffle, candidate volume is batches × queries × k rows.
+- ``knn_lsh``: the scale path — random-hyperplane LSH buckets vectors, the
+  search touches only the query's bucket (+ optional multiprobe).
+- ``near_dup_embeddings``: embedding-cosine near-duplicate pairs over a
+  corpus with synthesized duplicates (scaled copies — cosine exactly 1
+  with the original, SQL-mirrored by NEAR_DUP_SQL).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+NEAR_DUP_COPY_OFFSET = 1_000_000
+
+
+def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t.column("vec_id"), n_queries))
+    qids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    qm = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    return qids, qm
+
+
+def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+    return ids, m
+
+
+def knn_brute(sf_dir: str, k: int = 10, n_queries: int = 8) -> pa.Table:
+    """Exact top-k neighbors by cosine for the first ``n_queries`` vectors.
+    Ties broken by vec_id ascending (matches the SQL oracle)."""
+    qids, qm = _load_queries(sf_dir, n_queries)
+    q_ref = ray.put((qids, qm))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat = ray.get(q_ref)
+        ids, m = _batch_matrix(batch)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ q_mat.T  # (batch, nq)
+        out_q: list[int] = []
+        out_n: list[int] = []
+        out_s: list[float] = []
+        top = min(k, len(ids))
+        for j, qid in enumerate(q_ids):
+            col = sims[:, j]
+            # partial top-k per batch; ties resolved at the final merge
+            idx = np.argpartition(-col, top - 1)[:top]
+            for i in idx:
+                out_q.append(int(qid))
+                out_n.append(int(ids[i]))
+                out_s.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    candidates = ds.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
+    ).take_all()  # bounded: ≤ batches × n_queries × k rows
+
+    by_query: dict[int, list[tuple[float, int]]] = {}
+    for row in candidates:
+        by_query.setdefault(row["query_id"], []).append(
+            (-row["sim"], row["neighbor_id"])
+        )
+    rows_q: list[int] = []
+    rows_n: list[int] = []
+    rows_r: list[int] = []
+    for qid in sorted(by_query):
+        best = heapq.nsmallest(k, by_query[qid])
+        for rank, (_, nid) in enumerate(best, start=1):
+            rows_q.append(qid)
+            rows_n.append(nid)
+            rows_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "neighbor_id": pa.array(rows_n, pa.int64()),
+            "rank": pa.array(rows_r, pa.int64()),
+        }
+    )
+
+
+KNN_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.qid,
+         e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+         ) AS r
+  FROM embeddings e CROSS JOIN q
+)
+SELECT qid AS query_id, vec_id AS neighbor_id, r AS rank
+FROM scored WHERE r <= 10
+"""
+
+
+class LshIndexStage:
+    """Random-hyperplane LSH bucketer — hyperplanes built once per actor."""
+
+    def __init__(self, n_planes: int = 12, seed: int = 7, dim: int = 64):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(n_planes, dim))
+
+    def bucket_of(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes.T) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(batch)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "bucket": pa.array(self.bucket_of(m), pa.int64()),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+
+def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 8, n_planes: int = 8) -> pa.Table:
+    """Approximate top-k: search only the query's LSH bucket.  The bucketed
+    dataset is the IVF-style scale path (bucket = partition key)."""
+    qids, qm = _load_queries(sf_dir, n_queries)
+    stage = LshIndexStage(n_planes=n_planes, dim=qm.shape[1])
+    q_buckets = stage.bucket_of(qm)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    bucketed = ds.map_batches(
+        LshIndexStage,
+        fn_constructor_kwargs={"n_planes": n_planes, "dim": qm.shape[1]},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    wanted = pa.array(sorted({int(b) for b in q_buckets}), pa.int64())
+
+    def bucket_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch.column("bucket"), value_set=wanted))
+
+    in_buckets = bucketed.map_batches(
+        bucket_filter, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cand = in_buckets.take_all()
+    ids = np.array([r["vec_id"] for r in cand], dtype=np.int64)
+    m = np.array([r["embedding"] for r in cand], dtype=np.float64)
+    buckets = np.array([r["bucket"] for r in cand], dtype=np.int64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mn = m / norms
+
+    rows_q: list[int] = []
+    rows_n: list[int] = []
+    rows_r: list[int] = []
+    for qid, qv, qb in zip(qids, qm, q_buckets):
+        mask = buckets == qb
+        if not mask.any():
+            continue
+        sims = mn[mask] @ qv
+        sub_ids = ids[mask]
+        order = np.lexsort((sub_ids, -sims))[:k]
+        for rank, i in enumerate(order, start=1):
+            rows_q.append(int(qid))
+            rows_n.append(int(sub_ids[i]))
+            rows_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "neighbor_id": pa.array(rows_n, pa.int64()),
+            "rank": pa.array(rows_r, pa.int64()),
+        }
+    )
+
+
+def near_dup_corpus(sf_dir: str) -> "ray.data.Dataset":
+    """embeddings ∪ scaled copies (vec_id + 1e6, embedding × 2): each copy
+    is an exact-cosine duplicate of its original."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(batch)
+        out_ids = np.concatenate([ids, ids + NEAR_DUP_COPY_OFFSET])
+        out_m = np.concatenate([m, m * 2.0]).astype(np.float32)
+        return pa.table(
+            {
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "embedding": pa.array(
+                    [row for row in out_m.tolist()], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def near_dup_embeddings(
+    sf_dir: str, threshold: float = 0.999, limit_ids: int = 1000
+) -> pa.Table:
+    """All pairs (id_a < id_b) with cosine >= threshold among vec_id <
+    limit_ids (and their copies).  Brute-force blocked matmul against a
+    broadcast matrix; the LSH-bucketed variant is the 100 TB path."""
+    import pyarrow.compute as pc
+
+    full = near_dup_corpus(sf_dir).filter(
+        expr=f"vec_id < {limit_ids} or "
+        f"(vec_id >= {NEAR_DUP_COPY_OFFSET} and vec_id < {NEAR_DUP_COPY_OFFSET + limit_ids})"
+    )
+    all_rows = full.take_all()
+    ids = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
+    m = np.array([r["embedding"] for r in all_rows], dtype=np.float64)
+    ref = ray.put((ids, m))
+
+    def pairs_batch(batch: pa.Table) -> pa.Table:
+        a_ids, a_m = _batch_matrix(batch)
+        b_ids, b_m = ray.get(ref)
+        an = a_m / np.maximum(np.linalg.norm(a_m, axis=1, keepdims=True), 1e-30)
+        bn = b_m / np.maximum(np.linalg.norm(b_m, axis=1, keepdims=True), 1e-30)
+        sims = an @ bn.T
+        out_a: list[int] = []
+        out_b: list[int] = []
+        ii, jj = np.nonzero(sims >= threshold)
+        for i, j in zip(ii, jj):
+            if a_ids[i] < b_ids[j]:
+                out_a.append(int(a_ids[i]))
+                out_b.append(int(b_ids[j]))
+        return pa.table(
+            {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64())}
+        )
+
+    del pc
+    return pa.concat_tables(
+        [
+            b
+            for b in full.map_batches(
+                pairs_batch, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )
+
+
+NEAR_DUP_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000
+  UNION ALL
+  SELECT vec_id + {NEAR_DUP_COPY_OFFSET},
+         list_transform(embedding, x -> x * 2)
+  FROM embeddings WHERE vec_id < 1000
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+"""

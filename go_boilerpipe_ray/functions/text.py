@@ -1,0 +1,227 @@
+"""Text analysis operators over the documents table.
+
+All hot-path work is vectorized (pyarrow.compute RE2 kernels) or batched;
+every operator is a narrow map_batches — no shuffles.  SQL-checkable
+operators keep bit-identical semantics with their DuckDB oracles
+(integer counts, not floats, for hash-stable comparison).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# Order defines the deterministic tie-break (first wins on equal scores).
+_LANG_PROFILES = [
+    ("en", {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"}),
+    ("de", {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"}),
+    ("fr", {"le", "la", "les", "et", "est", "un", "une", "dans", "pour"}),
+    ("es", {"el", "la", "los", "las", "es", "un", "una", "en", "por"}),
+]
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def read_documents(sf_dir: str, columns=None) -> "ray.data.Dataset":
+    # Column pruning at the read: only what the operator needs leaves storage.
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=columns or ["doc_id", "text"]
+    )
+
+
+def _token_stats_batch(batch: pa.Table) -> pa.Table:
+    text = batch.column("text")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_tokens": pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()),
+            "n_bpe_tokens": pc.cast(
+                pc.count_substring_regex(text, _BPE_ISH), pa.int64()
+            ),
+            "n_alpha": pc.cast(
+                pc.count_substring_regex(text, "[A-Za-z]"), pa.int64()
+            ),
+            "n_digit": pc.cast(pc.count_substring_regex(text, "[0-9]"), pa.int64()),
+            "n_punct": pc.cast(
+                pc.count_substring_regex(text, r"[^A-Za-z0-9\s]"), pa.int64()
+            ),
+        }
+    )
+
+
+def token_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Character/token counting — fully vectorized RE2 kernels."""
+    return read_documents(sf_dir).map_batches(
+        _token_stats_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _quality_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    n_stop: list[int] = []
+    n_tok: list[int] = []
+    for t in texts:
+        toks = _TOKEN_RE.findall(t.lower())
+        n_tok.append(len(toks))
+        n_stop.append(sum(1 for w in toks if w in STOPWORDS))
+    n_stop_a = pa.array(n_stop, pa.int64())
+    n_tok_a = pa.array(n_tok, pa.int64())
+    # Integer quality score in [0, 1000]: stopword density (floor division
+    # keeps the oracle hash-stable).
+    score = pc.if_else(
+        pc.greater(n_tok_a, 0),
+        pc.divide(pc.multiply(n_stop_a, 1000), pc.max_element_wise(n_tok_a, 1)),
+        pa.scalar(0, pa.int64()),
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens_alnum": n_tok_a,
+            "n_stopwords": n_stop_a,
+            "quality_score": pc.cast(score, pa.int64()),
+        }
+    )
+
+
+def quality_score(sf_dir: str) -> "ray.data.Dataset":
+    return read_documents(sf_dir).map_batches(
+        _quality_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+class LangId:
+    """Stopword-profile + CJK-ratio language heuristic.  Stateful stage:
+    profiles are bound once per actor."""
+
+    def __init__(self):
+        self.profiles = _LANG_PROFILES
+        self.token_re = _TOKEN_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs: list[str] = []
+        confs: list[float] = []
+        for t in batch.column("text").to_pylist():
+            n = len(t)
+            if n == 0:
+                langs.append("und")
+                confs.append(0.0)
+                continue
+            cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
+            if cjk * 4 >= n:
+                langs.append("zh")
+                confs.append(cjk / n)
+                continue
+            toks = self.token_re.findall(t.lower())
+            if not toks:
+                langs.append("und")
+                confs.append(0.0)
+                continue
+            best_lang, best = "und", -1.0
+            for lang, stops in self.profiles:
+                score = sum(1 for w in toks if w in stops) / len(toks)
+                if score > best:
+                    best_lang, best = lang, score
+            langs.append(best_lang if best > 0 else "und")
+            confs.append(max(best, 0.0))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": pa.array(langs, pa.string()),
+                "confidence": pa.array(confs, pa.float64()),
+            }
+        )
+
+
+def lang_id(sf_dir: str) -> "ray.data.Dataset":
+    return read_documents(sf_dir).map_batches(
+        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+
+
+def _fingerprint_batch(batch: pa.Table) -> pa.Table:
+    fps = [
+        hashlib.md5(t.encode("utf-8")).hexdigest()
+        for t in batch.column("text").to_pylist()
+    ]
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "fp": pa.array(fps, pa.string())}
+    )
+
+
+def fingerprint(sf_dir: str) -> "ray.data.Dataset":
+    """Document fingerprint = md5(text) (matches DuckDB md5())."""
+    return read_documents(sf_dir).map_batches(
+        _fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def rolling_fingerprint(sf_dir: str, window: int = 4) -> "ray.data.Dataset":
+    """Karp-Rabin rolling hash over word windows; fingerprint = min hash
+    (a one-permutation sketch).  Not SQL-expressible — rows-only check."""
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        out: list[int] = []
+        for t in batch.column("text").to_pylist():
+            toks = _TOKEN_RE.findall(t.lower())
+            if len(toks) < window:
+                out.append(0)
+                continue
+            base, mod = 1_000_003, (1 << 61) - 1
+            h = 0
+            power = pow(base, window - 1, mod)
+            vals = [zlib.crc32(w.encode("utf-8")) for w in toks]
+            for v in vals[:window]:
+                h = (h * base + v) % mod
+            best = h
+            for i in range(window, len(vals)):
+                h = ((h - vals[i - window] * power) * base + vals[i]) % mod
+                best = min(best, h)
+            out.append(best)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "rolling_fp": pa.array(out, pa.int64())}
+        )
+
+    return read_documents(sf_dir).map_batches(
+        batch_fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# -- DuckDB oracles ---------------------------------------------------------
+
+TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+       len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+       len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+FROM documents
+"""
+
+QUALITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+)
+SELECT doc_id,
+       len(ts) AS n_tokens_alnum,
+       len(list_filter(ts, t -> t IN ('the','a','of','and','to','in','is','it')))
+           AS n_stopwords,
+       CASE WHEN len(ts) > 0
+            THEN (len(list_filter(ts, t -> t IN ('the','a','of','and','to','in','is','it'))) * 1000)
+                 // greatest(len(ts), 1)
+            ELSE 0 END AS quality_score
+FROM toks
+"""
+
+FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"

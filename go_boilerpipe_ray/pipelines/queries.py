@@ -1,0 +1,118 @@
+"""Extraction-pipeline queries over driver sf dirs.
+
+The synthetic spans corpus is derived deterministically from the driver's
+documents table (sources.fixtures.html_for_document), so the <title> the
+extractor must recover is SQL-predictable — an oracle-checked end-to-end
+test of the whole Ray extraction pipeline.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.fixtures import cached_synthetic_corpus
+from .article import extract_dataset, read_spans
+
+
+def _extract_corpus(sf_dir: str, **kwargs):
+    path = cached_synthetic_corpus(sf_dir)
+    return extract_dataset(read_spans(path), **kwargs)
+
+
+def extract_titles(sf_dir: str):
+    """(doc_id:int64, title) recovered by full extraction; oracle predicts
+    the generator's deterministic <title>."""
+
+    def to_int_ids(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(
+            pc.utf8_replace_slice(batch.column("doc_id"), 0, 4, ""), pa.int64()
+        )
+        return pa.table({"doc_id": ids, "title": batch.column("title")})
+
+    return _extract_corpus(sf_dir).map_batches(
+        to_int_ids, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+EXTRACT_TITLES_SQL = r"""
+SELECT doc_id,
+       'Doc ' || doc_id || ': ' ||
+       array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1, 5), ' ')
+       AS title
+FROM documents
+"""
+
+
+def extract_authors(sf_dir: str):
+    """(doc_id, author) — ld+json author.name for every 7th doc, else ''
+    (generator rule mirrored in SQL)."""
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(
+            pc.utf8_replace_slice(batch.column("doc_id"), 0, 4, ""), pa.int64()
+        )
+        return pa.table({"doc_id": ids, "author": batch.column("author")})
+
+    return _extract_corpus(sf_dir).map_batches(
+        to_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+EXTRACT_AUTHORS_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN 'Author ' || (doc_id % 50) ELSE '' END
+       AS author
+FROM documents
+"""
+
+
+def extract_stats(sf_dir: str):
+    """Per-doc extraction metrics (rows-only check: the block structure is
+    the extractor's own output, not SQL-expressible)."""
+    ds = _extract_corpus(sf_dir)
+    return ds.select_columns(
+        ["doc_id", "n_blocks_in", "n_blocks_kept", "words_in", "words_kept", "error"]
+    )
+
+
+def extract_golden(_sf_dir: str):
+    """Full pipeline over the reference's golden corpus (rows-only; the
+    byte-exact oracle is the Tier-1/Tier-3 pytest suite)."""
+    import pyarrow.parquet as pq
+
+    from ..sources.fixtures import golden7_interleaved_table
+
+    import os
+
+    path = "/tmp/gbr_cache/golden7_interleaved.parquet"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(golden7_interleaved_table(3), path)
+
+    def project(batch: pa.Table) -> pa.Table:
+        n_spans = pc.list_value_length(batch.column("spans"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "title": batch.column("title"),
+                "n_spans": pc.cast(n_spans, pa.int64()),
+                "n_blocks_kept": pc.cast(batch.column("n_blocks_kept"), pa.int64()),
+            }
+        )
+
+    return extract_dataset(read_spans(path)).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def media_decode(_sf_dir: str):
+    """Multimodal plumbing demo: synth media table → actor-pool decode
+    stage (stub backend) → features (rows-only; deterministic)."""
+    import ray.data
+
+    from ..functions.multimodal import decode_media_dataset, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(200))
+    out = decode_media_dataset(ds)
+    return out.select_columns(["media_ref", "kind", "width", "height", "decoded"])

@@ -1,0 +1,106 @@
+"""Training-data operators: correctness properties at sf0.001 (the full
+driver-style oracle comparison lives in tools/selfcheck.py and the
+driver's own gate)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def test_exact_dedup_keeps_originals():
+    from go_boilerpipe_ray.functions.dedup import COPY_OFFSET, exact_dedup
+
+    kept = sorted(r["doc_id"] for r in exact_dedup(SF).take_all())
+    # Exact copies (id+1e6) must never be keepers; originals must be.
+    assert all(k < COPY_OFFSET or k >= 2 * COPY_OFFSET for k in kept)
+    # Perturbed docs are distinct texts → kept.
+    assert any(k >= 2 * COPY_OFFSET for k in kept)
+
+
+def test_minhash_recall_vs_exact():
+    from go_boilerpipe_ray.functions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(SF, threshold=0.9).take_all()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(SF, threshold=0.9).take_all()
+    }
+    assert exact, "exact jaccard should find the synthesized duplicates"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall:.3f}"
+
+
+def test_simhash_close_for_near_dups():
+    from go_boilerpipe_ray.functions.dedup import (
+        COPY_OFFSET,
+        PERTURB_OFFSET,
+        simhash_signatures,
+    )
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(SF).take_all()}
+    orig_ids = [d for d in sigs if d < COPY_OFFSET][:50]
+    same = [bin(sigs[d] ^ sigs[d + COPY_OFFSET]).count("1") for d in orig_ids]
+    pert = [bin(sigs[d] ^ sigs[d + PERTURB_OFFSET]).count("1") for d in orig_ids]
+    assert max(same) == 0  # identical text → identical simhash
+    assert np.mean(pert) <= 16  # perturbed copies stay hamming-close
+
+
+def test_knn_lsh_recall_vs_brute():
+    from go_boilerpipe_ray.functions.similarity import knn_brute, knn_lsh
+
+    brute = knn_brute(SF, k=5).to_pandas()
+    approx = knn_lsh(SF, k=5, n_planes=4).to_pandas()
+    # self-neighbor (rank 1) must always be found by LSH (same bucket).
+    for qid in brute["query_id"].unique():
+        top1 = brute[(brute.query_id == qid) & (brute["rank"] == 1)].neighbor_id.iloc[0]
+        assert top1 == qid
+        got = set(approx[approx.query_id == qid].neighbor_id)
+        assert qid in got
+
+
+def test_lang_id_deterministic_and_covering():
+    from go_boilerpipe_ray.functions.text import lang_id
+
+    rows = lang_id(SF).take_all()
+    assert len(rows) == 500
+    assert all(r["lang"] in {"en", "de", "fr", "es", "zh", "und"} for r in rows)
+    rows2 = lang_id(SF).take_all()
+    assert {r["doc_id"]: r["lang"] for r in rows} == {
+        r["doc_id"]: r["lang"] for r in rows2
+    }
+
+
+def test_media_decode_plumbing():
+    import ray.data
+
+    from go_boilerpipe_ray.functions.multimodal import (
+        decode_media_dataset,
+        frame_sample_refs,
+        synth_media_table,
+    )
+
+    media = synth_media_table(50)
+    out = decode_media_dataset(ray.data.from_arrow(media)).take_all()
+    assert len(out) == 50
+    assert all(r["decoded"] for r in out)
+    # Deterministic features (stub backend hashes payload bytes).
+    out2 = decode_media_dataset(ray.data.from_arrow(media)).take_all()
+    f1 = {r["media_ref"]: tuple(r["feature"]) for r in out}
+    f2 = {r["media_ref"]: tuple(r["feature"]) for r in out2}
+    assert f1 == f2
+
+    frames = frame_sample_refs(ray.data.from_arrow(media), every_n=10).take_all()
+    assert len(frames) > 50  # multiple frames per media row
