@@ -1,0 +1,255 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Headline pipeline: spans-corpus extraction (read parquet → actor-pool
+map_batches extraction → write parquet), measured in docs/s, plus a set of
+representative queries timed at $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+--scaling runs the headline extraction twice in fresh subprocesses
+(num_cpus=8 and num_cpus=32) on the same input and reports both
+throughputs and the N→4N efficiency (sandbox proxy for two cluster sizes);
+the result is also appended to BASELINE.md's measured-numbers section.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BENCH_REPLICAS = int(os.environ.get("GBR_BENCH_REPLICAS", "240"))
+
+
+def ensure_bench_corpus(sf_dir: str, replicas: int) -> tuple[str, int]:
+    """Replicated synthetic spans corpus (deterministic; built in parallel
+    with Ray; cached)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    documents = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.sha1(
+        f"{documents}:{os.path.getmtime(documents)}:{replicas}:bench-v2".encode()
+    ).hexdigest()[:12]
+    out_dir = f"/tmp/gbr_cache/bench_corpus_{key}"
+    marker = os.path.join(out_dir, "_done")
+    n_docs_path = os.path.join(out_dir, "_ndocs")
+    if os.path.exists(marker):
+        return out_dir, int(open(n_docs_path).read())
+
+    from go_boilerpipe_ray.sources.fixtures import (
+        SPANS_SCHEMA,
+        split_chunks,
+        html_for_document,
+        media_span,
+        text_span,
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        doc_ids = []
+        spans_col = []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            html = html_for_document(int(doc_id), text)
+            k = 1 + doc_id % 3
+            chunks = split_chunks(html, k)
+            base_spans: list[dict] = []
+            off = 0
+            for i, c in enumerate(chunks):
+                base_spans.append(text_span(c, off))
+                off += 1
+                if doc_id % 5 == 0:
+                    base_spans.append(
+                        media_span("image", f"media://syn-{doc_id}/{i}", off)
+                    )
+                    off += 1
+            for rep in range(replicas):
+                doc_ids.append(f"syn-{doc_id:06d}-r{rep:03d}")
+                spans_col.append(base_spans)
+        return pa.Table.from_pydict(
+            {"doc_id": doc_ids, "spans": spans_col}, schema=SPANS_SCHEMA
+        )
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    ds = ray.data.read_parquet(documents, columns=["doc_id", "text"])
+    n_source = ds.count()
+    ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        out_dir
+    )
+    n_docs = n_source * replicas
+    with open(n_docs_path, "w") as f:
+        f.write(str(n_docs))
+    with open(marker, "w") as f:
+        f.write("ok")
+    del pq
+    return out_dir, n_docs
+
+
+def run_extract(corpus_dir: str) -> float:
+    """Headline pipeline wall time: read → extract → write."""
+    from go_boilerpipe_ray.pipelines.article import extract_dataset, read_spans
+
+    out = "/tmp/gbr_bench_out"
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    t0 = time.perf_counter()
+    extract_dataset(read_spans(corpus_dir)).write_parquet(out)
+    return time.perf_counter() - t0
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    sys.path.insert(0, REPO)
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    picks = [
+        "token_stats",
+        "quality_score",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "knn_brute",
+        "agg_lineitem",
+        "top_customers",
+        "hourly_events",
+        "sessionize",
+    ]
+    timings: dict[str, float] = {}
+    for name in picks:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        # Consume lazily-built results fully.
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--extract-only", action="store_true", help="internal: one timed extraction run")
+    args = ap.parse_args()
+
+    if args.scaling:
+        run_scaling(args)
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.cpus, include_dashboard=False)
+
+    corpus_dir, n_docs = ensure_bench_corpus(args.sf_dir, BENCH_REPLICAS)
+
+    if args.extract_only:
+        wall = run_extract(corpus_dir)
+        print(json.dumps({"wall": wall, "docs": n_docs, "num_cpus": args.cpus}))
+        ray.shutdown()
+        return
+
+    # warm-up pass excluded from timing (BASELINE.md protocol)
+    run_extract(corpus_dir)
+    extract_wall = run_extract(corpus_dir)
+    docs_per_sec = n_docs / extract_wall
+
+    queries = {"extract": round(extract_wall, 3)}
+    queries.update(run_queries(args.sf_dir))
+    total = round(sum(queries.values()), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline extraction + query suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": args.sf_dir,
+                "num_cpus": args.cpus,
+                "extract_docs": n_docs,
+                "extract_docs_per_sec": round(docs_per_sec, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def run_scaling(args) -> None:
+    lo_cpus, hi_cpus = 8, 32
+    results = {}
+    for cpus in (lo_cpus, hi_cpus):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        # warm-up (also builds the corpus cache) then the timed run, each in
+        # a fresh process/Ray instance.
+        for timed in (False, True):
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--extract-only",
+                    "--sf-dir",
+                    args.sf_dir,
+                    "--cpus",
+                    str(cpus),
+                ],
+                env=env,
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+            )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-2000:])
+                raise SystemExit(1)
+            if timed:
+                results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo = results[lo_cpus]
+    hi = results[hi_cpus]
+    tput_lo = lo["docs"] / lo["wall"]
+    tput_hi = hi["docs"] / hi["wall"]
+    eff = tput_hi / (tput_lo * (hi_cpus / lo_cpus))
+    out = {
+        "metric": "N->4N scaling efficiency (8 vs 32 cpus, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            f"extract@{lo_cpus}cpus": round(lo["wall"], 3),
+            f"extract@{hi_cpus}cpus": round(hi["wall"], 3),
+        },
+        "sf": args.sf_dir,
+        "num_cpus": hi_cpus,
+        "docs": lo["docs"],
+        "docs_per_sec_lo": round(tput_lo, 1),
+        "docs_per_sec_hi": round(tput_hi, 1),
+    }
+    print(json.dumps(out))
+    _record_scaling(out)
+
+
+def _record_scaling(out: dict) -> None:
+    path = os.path.join(REPO, "BASELINE.md")
+    marker = "\n## Measured scaling (bench.py --scaling)\n"
+    entry = (
+        f"{marker}\n- {time.strftime('%Y-%m-%d %H:%M:%S')} sf={out['sf']}: "
+        f"{out['docs']} docs; {out['docs_per_sec_lo']} docs/s @8 cpus, "
+        f"{out['docs_per_sec_hi']} docs/s @32 cpus; "
+        f"efficiency = {out['value']}\n"
+    )
+    text = open(path).read()
+    if marker in text:
+        text = text[: text.index(marker)]
+    open(path, "w").write(text + entry)
+
+
+if __name__ == "__main__":
+    main()

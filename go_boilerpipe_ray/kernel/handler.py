@@ -26,14 +26,11 @@ GO_WHITESPACE = frozenset(
 )
 
 
+_GO_WS_STR = "".join(sorted(GO_WHITESPACE))
+
+
 def go_trim_space(s: str) -> str:
-    i, n = 0, len(s)
-    while i < n and s[i] in GO_WHITESPACE:
-        i += 1
-    j = n
-    while j > i and s[j - 1] in GO_WHITESPACE:
-        j -= 1
-    return s[i:j]
+    return s.strip(_GO_WS_STR)
 
 
 # Anchor sentinel tokens injected into the token buffer around <a> runs
@@ -53,9 +50,7 @@ _RE_VALID_WORD_CHARACTER = _regex.compile(r"[\p{L}\p{Nd}\p{Nl}\p{No}]")
 
 
 def tokenize(text: str) -> list[str]:
-    text = _RE_WORD_BOUNDARY.sub(
-        lambda m: "⁣" + m.group(0) + "⁣", go_trim_space(text)
-    )
+    text = _RE_WORD_BOUNDARY.sub("⁣\\g<0>⁣", go_trim_space(text))
     text = _RE_NOT_WORD_BOUNDARY.sub(r"\1", text)
     text = _RE_INVISIBLE_SEPARATOR.sub(" ", text)
     return _RE_SPACE.split(go_trim_space(text))
@@ -65,9 +60,16 @@ def is_word(tok: str) -> bool:
     return _RE_VALID_WORD_CHARACTER.search(tok) is not None
 
 
+# Fast-path detector: any non-space whitespace char, or a double space —
+# if absent, the space-collapse mapping is the identity.
+_SLOW_WS_RE = re.compile("[" + _GO_WS_STR.replace(" ", "") + "]|  ")
+
+
 def space_remove(s: str) -> tuple[str, bool, bool]:
     """Collapse runs of Unicode whitespace to single spaces
     (content_handler.go:154-179). Returns (text, was_first_ws, was_last_ws)."""
+    if not _SLOW_WS_RE.search(s):
+        return s, s.startswith(" "), s.endswith(" ")
     out: list[str] = []
     was_first = False
     was_last = False

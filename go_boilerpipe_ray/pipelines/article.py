@@ -16,7 +16,7 @@ from ..stages.extract import ExtractDocuments, add_doc_bytes
 
 # Defaults sized so that batch_size × avg doc size stays in the tens of MB
 # per task; giant docs are routed to batch_size=1 tasks.
-DEFAULT_BATCH_SIZE = 32
+DEFAULT_BATCH_SIZE = 128
 DEFAULT_GIANT_THRESHOLD = 4 << 20  # 4 MiB of HTML in one row
 
 
@@ -35,17 +35,18 @@ def read_spans(path: str, parallelism: int | None = None) -> "ray.data.Dataset":
     return ray.data.read_parquet(path, **kwargs)
 
 
-def _default_concurrency() -> tuple[int, int]:
-    """Autoscaling actor pool sized to the cluster: Ray Data schedules one
-    actor per CPU slot; the (min, max) bounds let the pool shrink when the
-    input is small and grow to the node's cores for the hot path."""
+def _default_concurrency() -> int:
+    """Fixed actor pool at 75% of cluster CPUs: a fixed pool starts all
+    actors eagerly (an autoscaling pool ramps too slowly for short jobs),
+    and the 25% headroom keeps read/write tasks schedulable — a pool sized
+    to ALL cpus starves the upstream read and deadlocks the pipeline."""
     import ray
 
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     except Exception:
         cpus = 4
-    return (1, max(2, cpus))
+    return max(1, (cpus * 3) // 4)
 
 
 def extract_dataset(
@@ -87,13 +88,22 @@ def extract_with_size_router(
     sized = ds.map_batches(add_doc_bytes, batch_format="pyarrow", zero_copy_batch=True)
     small = sized.filter(expr=f"doc_bytes <= {threshold}")
     giant = sized.filter(expr=f"doc_bytes > {threshold}")
+    if concurrency is None:
+        # Two concurrent fixed pools would oversubscribe the CPUs and can
+        # deadlock each other; give each branch an autoscaling pool with a
+        # share of the budget (giant docs are the rare tail).
+        budget = _default_concurrency()
+        small_conc = (1, max(1, (budget * 2) // 3))
+        giant_conc = (1, max(1, budget - small_conc[1]))
+    else:
+        small_conc = giant_conc = concurrency
     out_small = extract_dataset(
         small.drop_columns(["doc_bytes"]),
-        concurrency=concurrency,
+        concurrency=small_conc,
         batch_size=batch_size,
     )
     out_giant = extract_dataset(
-        giant.drop_columns(["doc_bytes"]), concurrency=concurrency, batch_size=1
+        giant.drop_columns(["doc_bytes"]), concurrency=giant_conc, batch_size=1
     )
     return out_small.union(out_giant)
 
