@@ -1,0 +1,360 @@
+"""Ported reference unit tests + quirk-preservation tests (Tier-2, no Ray).
+
+The [Q] tests pin behaviors that LOOK like bugs but are golden-verified
+live semantics (SURVEY.md §2) — if one of these fails after a "fix", the
+fix is wrong."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from go_boilerpipe_ray.kernel import normurl
+from go_boilerpipe_ray.kernel.document import parse_document
+from go_boilerpipe_ray.kernel.filters import (
+    BoilerplateBlock,
+    DocumentTitleMatchClassifier,
+    ExpandTitleToContent,
+    NumWordsRulesClassifier,
+    TerminatingBlocks,
+    TrailingHeadlineToBoilerplate,
+    _starts_with_number,
+    article_pipeline,
+    block_proximity_fusion_max_distance_one,
+)
+from go_boilerpipe_ray.kernel.handler import parse_rfc3339, tokenize
+from go_boilerpipe_ray.kernel.textblock import Label, LabelStack, TextBlock
+from go_boilerpipe_ray.kernel.document import Document
+
+
+# -- textblock_test.go ------------------------------------------------------
+
+
+def test_label_stack():
+    st = LabelStack()
+    st.push(Label.HEADING, Label.HEADING1, Label.HEADING2)
+    assert len(st) == 3
+    assert st.pop() == Label.HEADING2
+    labels = st.pop_all()
+    assert labels == [Label.HEADING1, Label.HEADING]
+    assert len(st) == 0
+
+
+# -- filter_test.go TestStartsWithNumber ------------------------------------
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("123 comments", True),
+        ("456 users responded in", True),
+        ("abc comments", False),
+        ("def users responded in", False),
+    ],
+)
+def test_starts_with_number(text, expected):
+    assert _starts_with_number(text, " comments", " users responded in") == expected
+
+
+# -- normurl tests ----------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        (
+            "http://powerbrokerconfidential.com/marcus-millichap-close-5430-west-sahara-sandyplace-llc/?utm_source=CALV+News+April+13%2C+2017&utm_campaign=CALV+September+26%2C+2016&utm_medium=email",
+            "http://powerbrokerconfidential.com/marcus-millichap-close-5430-west-sahara-sandyplace-llc",
+        ),
+        ("http://www.google.com/path/", "http://www.google.com/path"),
+        ("https://www.google.com/path/", "https://www.google.com/path"),
+        ("www.google.com/path/", "http://www.google.com/path"),
+        ("www.google.com/", "http://www.google.com/"),
+    ],
+)
+def test_normurl_parse(raw, expected):
+    assert str(normurl.parse(raw)) == expected
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("scheme://host/path/2016/nov/16?query#fragment", dt.datetime(2016, 11, 16, tzinfo=dt.timezone.utc)),
+        ("scheme://host/path/2017-01?query#fragment", dt.datetime(2017, 1, 1, tzinfo=dt.timezone.utc)),
+        ("scheme://host/path/2016-12-15-title?query#fragment", dt.datetime(2016, 12, 15, tzinfo=dt.timezone.utc)),
+    ],
+)
+def test_normurl_date(raw, expected):
+    assert normurl.parse(raw).date() == expected
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("https://vegasinc.lasvegassun.com/business/real-estate/?page=1", "lasvegassun.com"),
+        ("https://lasvegassun.com/business/real-estate/?page=1", "lasvegassun.com"),
+        ("https://.lasvegassun.com/business/real-estate/?page=1", "lasvegassun.com"),
+        (".lasvegassun.com/business/real-estate/?page=1", "lasvegassun.com"),
+    ],
+)
+def test_normurl_root(raw, expected):
+    assert normurl.parse(raw).root() == expected
+
+
+def test_normurl_is_child():
+    root = normurl.parse("https://vegasinc.lasvegassun.com/business/real-estate/")
+    ref = normurl.parse(
+        "https://vegasinc.lasvegassun.com/business/real-estate/2017/sep/06/life-is-good-for-home-sellers-not-so-much-for-buye/"
+    )
+    assert normurl.is_child(root, ref)
+    ref2 = normurl.parse(
+        "https://lasvegassun.com/business/real-estate/2017/sep/06/life-is-good-for-home-sellers-not-so-much-for-buye/"
+    )
+    assert normurl.is_child(root, ref2)
+
+
+# -- RFC3339 ----------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "s,ok",
+    [
+        ("2017-04-20T12:30:15Z", True),
+        ("2017-04-20T12:30:15.5-07:00", True),
+        ("2017-04-20 12:30:15Z", False),  # missing 'T'
+        ("2017-04-20T12:30Z", False),  # missing seconds
+        ("2017-13-20T12:30:15Z", False),  # bad month
+        ("2017-02-30T12:30:15Z", False),  # bad day
+        ("2017-04-20", False),  # date only
+    ],
+)
+def test_parse_rfc3339(s, ok):
+    assert (parse_rfc3339(s) is not None) == ok
+
+
+# -- tokenizer behaviors ----------------------------------------------------
+
+
+def _titles_and_blocks(html):
+    doc = parse_document(html)
+    return doc, [tb.text for tb in doc.text_blocks]
+
+
+def test_rcdata_title_entities_decoded():
+    doc, _ = _titles_and_blocks(
+        "<html><head><title>A &amp; B &ndash; C</title></head><body><p>x y z</p></body></html>"
+    )
+    assert doc.title == "A & B – C"
+
+
+def test_script_content_ignored_and_raw():
+    doc, blocks = _titles_and_blocks(
+        "<html><body><p>before</p><script>if (a < b) { document.write('<div>no</div>'); }</script><p>after</p></body></html>"
+    )
+    assert blocks == ["before", "after"]
+
+
+def test_script_escaped_comment_state():
+    # '</script>' inside <!-- --> double-escape must not end the element.
+    doc, blocks = _titles_and_blocks(
+        "<html><body><p>a</p><script><!-- <script>var x = '</script>'; </script>-->"
+        "</script><p>b</p></body></html>"
+    )
+    assert "a" in blocks and "b" in blocks
+
+
+def test_noscript_is_raw_and_ignorable():
+    _, blocks = _titles_and_blocks(
+        "<html><body><p>keep</p><noscript><p>drop me</p></noscript></body></html>"
+    )
+    assert blocks == ["keep"]
+
+
+def test_malformed_void_start_tag_skipped():
+    # <br> and <img> written as start tags are skipped wholesale; an
+    # <iframe> start tag is skipped but its content is still raw text.
+    # The skipped <br> start tag contributes nothing — not even whitespace
+    # — so the two text tokens concatenate ("onetwo"), exactly as in Go.
+    _, blocks = _titles_and_blocks(
+        "<html><body><p>one<br>two</p><img src='x'><p>three</p></body></html>"
+    )
+    assert blocks == ["onetwo", "three"]
+
+
+def test_mismatched_end_tag_ignored():
+    _, blocks = _titles_and_blocks(
+        "<html><body><div><p>text here</div></p><p>more text</p></body></html>"
+    )
+    # </div> mismatches <p> on the stack: early return, no crash.
+    assert any("text here" in b for b in blocks)
+
+
+def test_anchor_link_density():
+    doc, _ = _titles_and_blocks(
+        "<html><body><p>plain words here <a href='#'>linked words</a></p></body></html>"
+    )
+    tb = doc.text_blocks[0]
+    assert tb.num_words == 5
+    assert tb.num_linked_words == 2
+    assert tb.link_density() == 2 / 5
+
+
+def test_heading_and_list_labels():
+    doc, _ = _titles_and_blocks(
+        "<html><body><h1>Big Heading</h1><ul><li>item one</li></ul></body></html>"
+    )
+    assert doc.text_blocks[0].has_label(Label.HEADING)
+    assert doc.text_blocks[0].has_label(Label.HEADING1)
+    assert doc.text_blocks[1].has_label(Label.LIST)
+
+
+def test_time_datetime_attr():
+    doc, _ = _titles_and_blocks(
+        "<html><body><time datetime='2017-04-20T10:00:00Z'>April 20</time>"
+        "<p>body text</p></body></html>"
+    )
+    assert doc.date == dt.datetime(2017, 4, 20, 10, 0, 0, tzinfo=dt.timezone.utc)
+
+
+def test_ldjson_article_resolution():
+    html = (
+        '<html><head><title>Fallback</title>'
+        '<script type="application/ld+json">{"@type":"WebSite","name":"x"}</script>'
+        '<script type="application/ld+json">{"@type":"Article","headline":"LD Head",'
+        '"datePublished":"2020-05-06T07:08:09Z","author":{"@type":"Person","name":"Ann"}}'
+        "</script></head><body><p>text</p></body></html>"
+    )
+    doc = parse_document(html)
+    assert doc.title == "LD Head"
+    assert doc.author == "Ann"
+    assert doc.date == dt.datetime(2020, 5, 6, 7, 8, 9, tzinfo=dt.timezone.utc)
+
+
+def test_ldjson_article_body_short_circuit():
+    html = (
+        '<html><head><script type="application/ld+json">'
+        '{"@type":"Article","articleBody":"THE BODY"}</script></head>'
+        "<body><p>other text</p></body></html>"
+    )
+    doc = parse_document(html)
+    article_pipeline().process(doc)
+    assert doc.content() == "THE BODY"
+
+
+def test_text_escaping_five_entities():
+    doc = Document()
+    tb = TextBlock()
+    tb.text = "a & b < c > d ' e \" f"
+    tb.is_content = True
+    doc.text_blocks = [tb]
+    assert doc.text(True, False) == "a &amp; b &lt; c &gt; d &#39; e &#34; f"
+
+
+def test_tokenize_unicode_words():
+    toks = tokenize("Hello, world! it's 42 好的")
+    assert "Hello," in toks and "world!" in toks
+    assert "好的" in toks
+
+
+# -- filter quirks [Q] ------------------------------------------------------
+
+
+def _block(words=10, text="some text", linked=0, level=1, labels=(), content=False, offset=0):
+    tb = TextBlock()
+    tb.text = text
+    tb.num_words = words
+    tb.num_linked_words = linked
+    tb.num_words_in_wrapped_lines = words
+    tb.num_wrapped_lines = 1
+    tb.tag_level = level
+    tb.is_content = content
+    tb.offset_blocks_start = offset
+    tb.offset_blocks_end = offset
+    for lab in labels:
+        tb.add_labels(lab)
+    return tb
+
+
+def _doc(*blocks):
+    d = Document()
+    d.text_blocks = list(blocks)
+    return d
+
+
+def test_q_terminating_comment_branch_no_changed_flag():
+    # len<8 + link_density 1.0 + text == "Comment": label added but the
+    # changed flag stays False (filter.go:97-101).
+    tb = _block(words=1, text="Comment", linked=1)
+    doc = _doc(tb)
+    assert TerminatingBlocks().process(doc) is False
+    assert tb.has_label(Label.INDICATES_END_OF_TEXT)
+
+
+def test_q_classifier_single_block_uses_start_sentinel():
+    # One-block doc: next = empty START sentinel; the trailing window never
+    # runs (filter.go:695-718).  A 30-word block with prev=empty(0 words)
+    # and next=empty: curr>16 → content.
+    tb = _block(words=30)
+    doc = _doc(tb)
+    NumWordsRulesClassifier().process(doc)
+    assert tb.is_content is True
+    tb2 = _block(words=10)
+    doc2 = _doc(tb2)
+    NumWordsRulesClassifier().process(doc2)
+    # curr<=16, next<=15, prev<=4 → not content
+    assert tb2.is_content is False
+
+
+def test_q_fusion_distance_always_passes():
+    # Non-adjacent content blocks (offset gap 5) still merge because the
+    # distance uses the SAME block's offsets (filter.go:362).
+    a = _block(words=20, text="aaa", content=True, offset=0)
+    b = _block(words=20, text="bbb", content=True, offset=5)
+    doc = _doc(a, b)
+    assert block_proximity_fusion_max_distance_one().process(doc) is True
+    assert len(doc.text_blocks) == 1
+    assert doc.text_blocks[0].text == "aaa\nbbb"
+    assert doc.text_blocks[0].num_words == 40
+
+
+def test_q_trailing_headline_walks_past_non_content():
+    h = _block(words=5, text="Headline", content=True, labels=[Label.HEADING])
+    junk = _block(words=2, text="junk", content=False)
+    doc = _doc(_block(words=50, content=True), h, junk)
+    assert TrailingHeadlineToBoilerplate().process(doc) is True
+    assert h.is_content is False  # demoted through the trailing non-content
+
+
+def test_q_expand_title_iterates_wrong_range():
+    # title at index 2, content starts at 4 → visits indices 0..1, NOT 2..3
+    # (filter.go:598-605).
+    b0 = _block(words=5, text="b0", labels=[Label.MIGHT_BE_CONTENT])
+    b1 = _block(words=5, text="b1", labels=[Label.MIGHT_BE_CONTENT])
+    title = _block(words=5, text="t", labels=[Label.TITLE])
+    b3 = _block(words=5, text="b3", labels=[Label.MIGHT_BE_CONTENT])
+    b4 = _block(words=50, text="content", content=True)
+    doc = _doc(b0, b1, title, b3, b4)
+    assert ExpandTitleToContent().process(doc) is True
+    assert b0.is_content and b1.is_content
+    assert not b3.is_content  # in the title→content gap, but NOT visited
+
+
+def test_q_title_longest_part_or_comparison():
+    # "aa bb cc | x" → parts ["aa bb cc", "x"]: the first has more words;
+    # a longer-in-bytes part with fewer words can still win via the OR.
+    doc = Document()
+    doc.title = "Short Words | Supercalifragilistic"
+    tb = _block(text="Supercalifragilistic", words=1)
+    doc.text_blocks = [tb]
+    DocumentTitleMatchClassifier().process(doc)
+    assert tb.has_label(Label.TITLE)
+
+
+def test_boilerplate_block_keeps_title():
+    t = _block(text="t", content=False, labels=[Label.TITLE])
+    junk = _block(text="j", content=False)
+    keep = _block(text="k", content=True)
+    doc = _doc(t, junk, keep)
+    assert BoilerplateBlock().process(doc) is True
+    assert doc.text_blocks == [t, keep]
