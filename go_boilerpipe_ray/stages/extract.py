@@ -9,8 +9,6 @@ object is per-actor), per-batch work in ``__call__``.
 
 from __future__ import annotations
 
-import time
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -55,20 +53,25 @@ class ExtractDocuments:
         self._with_lineage = with_lineage
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        t0 = time.perf_counter()
-        doc_ids = batch.column("doc_id").to_pylist()
         spans_col = batch.column("spans").to_pylist()
 
         titles: list[str] = []
         authors: list[str] = []
         dates: list[object] = []
-        out_spans: list[list[dict]] = []
         n_in: list[int] = []
         n_kept: list[int] = []
         w_in: list[int] = []
         w_kept: list[int] = []
         errors: list[str] = []
         lineages: list[list[dict]] = []
+
+        # Flattened output-span columns + list offsets: the list<struct>
+        # column is assembled from flat arrays, no per-span dict objects.
+        span_list_offsets: list[int] = [0]
+        f_kind: list[str] = []
+        f_text: list[str] = []
+        f_ref: list[str] = []
+        f_order: list[int] = []
 
         for spans in spans_col:
             res = extract_from_spans(
@@ -77,12 +80,12 @@ class ExtractDocuments:
             titles.append(res.title)
             authors.append(res.author)
             dates.append(res.date)
-            out_spans.append(
-                [
-                    {"kind": k, "text": t, "media_ref": m, "order": o}
-                    for k, t, m, o in res.spans
-                ]
-            )
+            for k, t, m, o in res.spans:
+                f_kind.append(k)
+                f_text.append(t)
+                f_ref.append(m)
+                f_order.append(o)
+            span_list_offsets.append(len(f_kind))
             n_in.append(res.n_blocks_in)
             n_kept.append(res.n_blocks_kept)
             w_in.append(res.words_in)
@@ -96,12 +99,25 @@ class ExtractDocuments:
                     ]
                 )
 
+        spans_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(f_kind, pa.string()),
+                pa.array(f_text, pa.string()),
+                pa.array(f_ref, pa.string()),
+                pa.array(f_order, pa.int32()),
+            ],
+            fields=list(OUTPUT_SPAN_STRUCT),
+        )
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array(span_list_offsets, pa.int32()), spans_struct
+        )
+
         cols = {
-            "doc_id": pa.array(doc_ids, pa.string()),
+            "doc_id": batch.column("doc_id"),
             "title": pa.array(titles, pa.string()),
             "author": pa.array(authors, pa.string()),
             "date": pa.array(dates, _DATE_TYPE),
-            "spans": pa.array(out_spans, pa.list_(OUTPUT_SPAN_STRUCT)),
+            "spans": spans_arr,
             "n_blocks_in": pa.array(n_in, pa.int32()),
             "n_blocks_kept": pa.array(n_kept, pa.int32()),
             "words_in": pa.array(w_in, pa.int32()),
@@ -110,9 +126,7 @@ class ExtractDocuments:
         }
         if self._with_lineage:
             cols["lineage"] = pa.array(lineages, pa.list_(LINEAGE_STRUCT))
-        out = pa.table(cols)
-        del t0  # wall time is observable via ds.stats(); kept for profiling hooks
-        return out
+        return pa.table(cols)
 
 
 def add_doc_bytes(batch: pa.Table) -> pa.Table:
