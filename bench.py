@@ -189,6 +189,10 @@ def run_scaling(args) -> None:
     for cpus in (lo_cpus, hi_cpus):
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
+        # Larger corpus for scaling runs: fixed per-run costs (actor pool
+        # spin-up, read/write task ramp) must be amortized or they bias the
+        # ratio against the larger "cluster".
+        env.setdefault("GBR_BENCH_REPLICAS", str(BENCH_REPLICAS * 4))
         # warm-up (also builds the corpus cache) then the timed run, each in
         # a fresh process/Ray instance.
         for timed in (False, True):

@@ -104,3 +104,25 @@ def test_media_decode_plumbing():
 
     frames = frame_sample_refs(ray.data.from_arrow(media), every_n=10).take_all()
     assert len(frames) > 50  # multiple frames per media row
+
+
+def test_url_stage():
+    import ray.data
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.urls import normalize_urls
+
+    t = pa.table(
+        {
+            "url": [
+                "http://www.google.com/path/",
+                "scheme://host/path/2016/nov/16?q#f",
+                "www.example.com/a/../b/",
+            ]
+        }
+    )
+    rows = normalize_urls(ray.data.from_arrow(t)).take_all()
+    assert rows[0]["url_norm"] == "http://www.google.com/path"
+    assert rows[1]["url_date"] is not None
+    assert rows[2]["url_norm"] == "http://www.example.com/b"
+    assert rows[2]["url_root"] == "example.com"
