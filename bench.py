@@ -22,7 +22,18 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-BENCH_REPLICAS = int(os.environ.get("GBR_BENCH_REPLICAS", "240"))
+# Corpus sizing: target document counts (replicas adapt to the sf dir's
+# documents-table size).  Scaling runs use 4x so fixed per-run costs (actor
+# pool spin-up, read/write ramp) don't bias the ratio against the larger
+# "cluster".
+TARGET_DOCS = int(os.environ.get("GBR_BENCH_DOCS", "120000"))
+
+
+def _replicas(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    n_source = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    return max(1, TARGET_DOCS // n_source)
 
 
 def ensure_bench_corpus(sf_dir: str, replicas: int) -> tuple[str, int]:
@@ -149,7 +160,7 @@ def main() -> None:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=args.cpus, include_dashboard=False)
 
-    corpus_dir, n_docs = ensure_bench_corpus(args.sf_dir, BENCH_REPLICAS)
+    corpus_dir, n_docs = ensure_bench_corpus(args.sf_dir, _replicas(args.sf_dir))
 
     if args.extract_only:
         wall = run_extract(corpus_dir)
@@ -192,7 +203,7 @@ def run_scaling(args) -> None:
         # Larger corpus for scaling runs: fixed per-run costs (actor pool
         # spin-up, read/write task ramp) must be amortized or they bias the
         # ratio against the larger "cluster".
-        env.setdefault("GBR_BENCH_REPLICAS", str(BENCH_REPLICAS * 4))
+        env.setdefault("GBR_BENCH_DOCS", str(TARGET_DOCS * 4))
         # warm-up (also builds the corpus cache) then the timed run, each in
         # a fresh process/Ray instance.
         for timed in (False, True):
