@@ -1,0 +1,57 @@
+"""Property-based robustness: the kernel must never raise on arbitrary
+input, and span chunking must never change the result (the reference
+swallows all HTML malformations — content_handler.go:129-131)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from go_boilerpipe_ray.kernel.document import parse_document
+from go_boilerpipe_ray.kernel.filters import article_pipeline
+from go_boilerpipe_ray.kernel.spans import content_from_result, extract_from_spans
+from go_boilerpipe_ray.sources.fixtures import split_chunks, text_span
+
+_tag_soup = st.lists(
+    st.sampled_from(
+        list("abc <>/=\"'&;!-?\n\t好⁣")
+        + [
+            "<p>",
+            "</p>",
+            "<a href='x'>",
+            "</a>",
+            "<script>",
+            "</script>",
+            "<title>",
+            "</title>",
+            "<body>",
+            "</body>",
+            "&amp;",
+            "&#x41;",
+            "&notanentity",
+            "<br>",
+            "<!--",
+            "-->",
+            "<time datetime='2020-01-02T03:04:05Z'>",
+        ]
+    ),
+    max_size=120,
+).map("".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_tag_soup)
+def test_kernel_never_raises(html):
+    doc = parse_document(html)
+    article_pipeline().process(doc)
+    doc.content()
+
+
+@settings(max_examples=100, deadline=None)
+@given(_tag_soup, st.integers(min_value=1, max_value=7))
+def test_chunking_invariance(html, k):
+    whole = extract_from_spans([text_span(html, 0)])
+    chunked = extract_from_spans(
+        [text_span(c, i) for i, c in enumerate(split_chunks(html, k))]
+    )
+    assert content_from_result(whole) == content_from_result(chunked)
+    assert whole.title == chunked.title
