@@ -30,6 +30,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ._util import default_pool
+
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 COPY_OFFSET = 1_000_000
@@ -112,43 +114,66 @@ SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text
 
 
 def _shingle_batch(batch: pa.Table, k: int) -> pa.Table:
+    """Distinct (doc_id, shingle-hash) pairs.  Shingles are hashed to
+    int64 so the shuffle moves 8-byte keys, never strings; the SQL oracle
+    joins on the string shingle — identical pairs absent 64-bit
+    collisions."""
     doc_ids: list[int] = []
-    shingles: list[str] = []
+    shingles: list[int] = []
     for doc_id, t in zip(
         batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
     ):
         toks = _TOKEN_RE.findall(t.lower())
-        seen = set()
-        for i in range(len(toks) - k + 1):
-            seen.add(" ".join(toks[i : i + k]))
+        seen = {
+            int.from_bytes(
+                hashlib.blake2b(
+                    " ".join(toks[i : i + k]).encode(), digest_size=8
+                ).digest(),
+                "big",
+            )
+            >> 1
+            for i in range(len(toks) - k + 1)
+        }
         doc_ids.extend([doc_id] * len(seen))
         shingles.extend(seen)
     return pa.table(
         {
             "doc_id": pa.array(doc_ids, pa.int64()),
-            "shingle": pa.array(shingles, pa.string()),
+            "shingle": pa.array(shingles, pa.int64()),
         }
     )
 
 
-def _pairs_from_group(group: pa.Table) -> pa.Table:
-    ids = sorted(group.column("doc_id").to_pylist())
-    a: list[int] = []
-    b: list[int] = []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+_JACCARD_PARTITIONS = 64
 
 
 def ngram_jaccard_pairs(
     sf_dir: str, k: int = 3, threshold: float = 0.8, max_df: int | None = None
 ) -> "ray.data.Dataset":
     """All pairs with shingle-set Jaccard >= threshold (exact when
-    max_df=None).  Inverted index: shuffle on shingle, then on pair."""
-    shingled = dup_corpus(sf_dir).map_batches(
-        lambda b: _shingle_batch(b, k), batch_format="pyarrow", zero_copy_batch=True
+    max_df=None).
+
+    Inverted-index pattern, partition-vectorized: instead of one
+    ``map_groups`` call per shingle (tens of thousands of tiny Python
+    invocations) and a row-level groupby over the candidate pairs, both
+    wide steps shuffle on a *hash partition* key (a bounded number of
+    groups) and run vectorized numpy kernels inside each partition:
+
+      shingles → groupby(shingle % P)   → per-partition pair emission
+      pairs    → groupby(pair-hash % P) → per-partition pair counting
+
+    Two int-keyed shuffles, 2·P UDF calls total, all inner loops numpy.
+    """
+    # The inverted index is consumed twice (sizes + pairs): materialize it
+    # once — (int64, int64) pairs, object-store-resident, spillable.
+    shingled = (
+        dup_corpus(sf_dir)
+        .map_batches(
+            lambda b: _shingle_batch(b, k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
     )
 
     sizes_ds = shingled.groupby("doc_id").count()
@@ -156,34 +181,76 @@ def ngram_jaccard_pairs(
         r["doc_id"]: r["count()"] for r in sizes_ds.take_all()
     }  # small side: one int per doc — broadcast below
 
-    def group_pairs(group: pa.Table) -> pa.Table:
-        if max_df is not None and group.num_rows > max_df:
+    P = _JACCARD_PARTITIONS
+
+    def add_shingle_pk(batch: pa.Table) -> pa.Table:
+        sh = batch.column("shingle").to_numpy(zero_copy_only=False)
+        return batch.append_column("pk", pa.array(sh % P, pa.int32()))
+
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        """Emit candidate pairs for every shingle in this hash partition —
+        sort by shingle, then np.triu_indices per run."""
+        sh = group.column("shingle").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sh))
+        sh, ids = sh[order], ids[order]
+        bounds = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1], True])
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            g = e - s
+            if g < 2 or (max_df is not None and g > max_df):
+                continue
+            ii, jj = np.triu_indices(g, 1)
+            out_a.append(ids[s + ii])
+            out_b.append(ids[s + jj])
+        if not out_a:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
             )
-        return _pairs_from_group(group)
-
-    pairs = shingled.groupby("shingle").map_groups(
-        group_pairs, batch_format="pyarrow"
-    )
-    inter = pairs.groupby(["id_a", "id_b"]).count()
-
-    def jaccard_filter(batch: pa.Table) -> pa.Table:
-        a = batch.column("id_a").to_pylist()
-        b = batch.column("id_b").to_pylist()
-        c = batch.column("count()").to_pylist()
-        keep_a: list[int] = []
-        keep_b: list[int] = []
-        for ia, ib, ic in zip(a, b, c):
-            union = sizes[ia] + sizes[ib] - ic
-            if union > 0 and ic / union >= threshold:
-                keep_a.append(ia)
-                keep_b.append(ib)
         return pa.table(
-            {"id_a": pa.array(keep_a, pa.int64()), "id_b": pa.array(keep_b, pa.int64())}
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
         )
 
-    return inter.map_batches(jaccard_filter, batch_format="pyarrow")
+    pairs = (
+        shingled.map_batches(
+            add_shingle_pk, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("pk")
+        .map_groups(partition_pairs, batch_format="pyarrow")
+    )
+
+    def add_pair_pk(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pk", pa.array((a * 1_000_003 + b) % P, pa.int32())
+        )
+
+    def count_and_filter(group: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"id_a": group.column("id_a"), "id_b": group.column("id_b")}
+        )
+        counted = t.group_by(["id_a", "id_b"]).aggregate([("id_a", "count")])
+        a = counted.column("id_a").to_numpy(zero_copy_only=False)
+        b = counted.column("id_b").to_numpy(zero_copy_only=False)
+        c = counted.column("id_a_count").to_numpy(zero_copy_only=False)
+        na = np.array([sizes[x] for x in a], dtype=np.int64)
+        nb = np.array([sizes[x] for x in b], dtype=np.int64)
+        union = na + nb - c
+        keep = (union > 0) & (c / np.maximum(union, 1) >= threshold)
+        return pa.table(
+            {"id_a": pa.array(a[keep], pa.int64()), "id_b": pa.array(b[keep], pa.int64())}
+        )
+
+    return (
+        pairs.map_batches(add_pair_pk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .map_groups(count_and_filter, batch_format="pyarrow")
+    )
 
 
 NGRAM_JACCARD_SQL = f"""
@@ -285,7 +352,7 @@ def minhash_lsh_pairs(
         fn_constructor_kwargs={"num_hashes": num_hashes, "k": k},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
+        concurrency=default_pool(),
     )
 
     def band_keys(batch: pa.Table) -> pa.Table:
@@ -358,17 +425,20 @@ class SimHasher:
         toks = _TOKEN_RE.findall(text.lower())
         if not toks:
             return 0
-        acc = np.zeros(self.bits, dtype=np.int64)
-        for t in toks:
-            h = int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-            )
-            for b in range(self.bits):
-                acc[b] += 1 if (h >> b) & 1 else -1
-        out = 0
-        for b in range(self.bits):
-            if acc[b] > 0:
-                out |= 1 << b
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                )
+                for t in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        shifts = np.arange(self.bits, dtype=np.uint64)
+        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        acc = (bits * 2 - 1).sum(axis=0)
+        out = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
         return out & 0x7FFFFFFFFFFFFFFF  # low 63 bits → int64-safe
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -383,5 +453,8 @@ class SimHasher:
 
 def simhash_signatures(sf_dir: str) -> "ray.data.Dataset":
     return dup_corpus(sf_dir).map_batches(
-        SimHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        SimHasher,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=default_pool(),
     )

@@ -17,6 +17,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ._util import default_pool
+
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 # Order defines the deterministic tie-break (first wins on equal scores).
@@ -144,7 +146,10 @@ class LangId:
 
 def lang_id(sf_dir: str) -> "ray.data.Dataset":
     return read_documents(sf_dir).map_batches(
-        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        LangId,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=default_pool(),
     )
 
 
