@@ -215,20 +215,16 @@ class Tokenizer:
         s, n = self.src, self.n
         start = self.pos
         i = self.pos
-        while i < n:
-            c = s[i]
-            i += 1
-            if c != "<":
-                continue
-            if i < n and s[i] == "/":
-                back = self._read_raw_end_tag(i + 1)
-                if back >= 0:
-                    i = back
-                    break
-        else:
-            pass
-        if i > n:
-            i = n
+        while True:
+            lt = s.find("</", i)
+            if lt < 0:
+                i = n
+                break
+            back = self._read_raw_end_tag(lt + 2)
+            if back >= 0:
+                i = back
+                break
+            i = lt + 2
         self.pos = i
         self.raw_tag = ""
         return start, i
@@ -239,6 +235,29 @@ class Tokenizer:
         '</script>' inside them does not end the element."""
         s, n = self.src, self.n
         start = self.pos
+
+        # Fast path: if no '<!--' occurs before the first well-formed
+        # '</script' delimiter, the escape states can never engage — jump
+        # straight to the end tag.
+        i = self.pos
+        while True:
+            lt = s.find("</", i)
+            if lt < 0:
+                if s.find("<!--", self.pos) < 0:
+                    self.pos = n
+                    self.raw_tag = ""
+                    return start, n
+                break
+            back = self._read_raw_end_tag(lt + 2)
+            if back >= 0:
+                bang = s.find("<!--", self.pos, back)
+                if bang < 0:
+                    self.pos = back
+                    self.raw_tag = ""
+                    return start, back
+                break
+            i = lt + 2
+
         i = self.pos
 
         def read():
@@ -632,14 +651,11 @@ class Tokenizer:
             text_start = self.pos
             i = self.pos
             tok_kind = None
-            while i < n:
-                c = s[i]
-                i += 1
-                if c != "<":
-                    continue
-                if i >= n:
+            while True:
+                lt_pos = s.find("<", i)
+                if lt_pos < 0 or lt_pos + 1 >= n:
                     break
-                c2 = s[i]
+                c2 = s[lt_pos + 1]
                 if ("a" <= c2 <= "z") or ("A" <= c2 <= "Z"):
                     tok_kind = START_TAG
                 elif c2 == "/":
@@ -647,7 +663,9 @@ class Tokenizer:
                 elif c2 == "!" or c2 == "?":
                     tok_kind = COMMENT
                 else:
-                    continue  # '<' is part of text
+                    i = lt_pos + 1  # '<' is part of text
+                    continue
+                i = lt_pos + 1  # at the dispatch char (lt = i - 1 below)
                 break
             if tok_kind is None:
                 # EOF: trailing text
