@@ -110,3 +110,29 @@ def test_sharded_fragments_reassemble(corpus_paths, tmp_path):
 
     ds = reassemble_and_extract(read_spans(p))
     _assert_matches(_collect(ds), _expected(table))
+
+
+def test_giant_doc_size_router(ray_session, tmp_path):
+    # A genuinely giant doc (repeated body, ~3 MB HTML) plus small docs:
+    # the router must split paths and still match the kernel per-row.
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.sources.fixtures import (
+        spans_table,
+        synthetic_spans_for_document,
+    )
+
+    text = "spark merge filter window batch stream value column " * 600
+    rows = []
+    for doc_id in (3, 9):  # doc 9 giant (giant_every=10 → id%10==9), doc 3 small
+        rows.append(
+            (f"syn-{doc_id:06d}", synthetic_spans_for_document(doc_id, text, giant_every=10))
+        )
+    table = spans_table(rows)
+    giant_bytes = sum(len(s["text"]) for s in table.column("spans")[1].as_py())
+    assert giant_bytes > 1 << 20  # really giant
+
+    p = os.path.join(tmp_path, "giant.parquet")
+    pq.write_table(table, p)
+    ds = extract_with_size_router(read_spans(p), threshold=1 << 20)
+    _assert_matches(_collect(ds), _expected(table))
