@@ -16,6 +16,7 @@ title and textarea RCDATA *are* unescaped).
 
 from __future__ import annotations
 
+import re as _re
 from html.entities import html5 as _HTML5_ENTITIES
 
 TEXT = 0
@@ -182,14 +183,49 @@ class Token:
         return f"Token({self.tt}, {self.data!r}, {self.attrs})"
 
 
-class Tokenizer:
-    """Pull tokenizer over a str; ``__iter__`` yields Tokens until EOF."""
+# One-regex scan of a whole tag (name + attribute soup), encoding exactly
+# the x/net/html readTag character rules: attribute keys end at
+# ws / '/' / '=' / '>' (a leading '=' belongs to the key), quotes only
+# quote in value position after '=', unquoted values end at ws / '>',
+# a quoted value may cross '>'.  Used on the hot path for tags whose
+# attributes nobody reads; script/time fall back to the char parser which
+# also materializes attrs.  Every loop alternative consumes ≥1 char, so
+# the scan cannot stall.
+_WS_CLS = r"[\t\n\r\f ]"
+_FAST_TAG_RE = _re.compile(
+    r"([a-zA-Z][^\t\n\r\f />]*)"  # 1: tag name
+    r"(?:" + _WS_CLS + r"*"
+    r"(?:/"
+    r"|=[^\t\n\r\f /=>]*"
+    r"|[^\t\n\r\f /=>]+"
+    r"(?:" + _WS_CLS + r"*=" + _WS_CLS + r"*"
+    r"(?:\"[^\"]*\"?|'[^']*'?|[^\t\n\r\f >]*)"
+    r")?"
+    r")"
+    r")*"
+    + _WS_CLS + r"*(>?)"  # 2: present iff the tag closed before EOF
+)
 
-    def __init__(self, src: str):
+# Tags whose attributes are actually consumed downstream (script: ld+json
+# type check in parse_document; time: datetime in the handler) — routed to
+# the attribute-materializing char parser.
+_NEED_ATTRS = frozenset(["script", "time"])
+
+
+class Tokenizer:
+    """Pull tokenizer over a str; ``__iter__`` yields Tokens until EOF.
+
+    Fast path note: attribute lists are materialized only for tags in
+    ``_NEED_ATTRS`` (plus anything parsed via the slow path); other tags
+    carry ``attrs == []``.  Pass ``fast=False`` to force the reference
+    char-by-char parser for every tag (used by differential tests)."""
+
+    def __init__(self, src: str, fast: bool = True):
         self.src = src
         self.n = len(src)
         self.pos = 0
         self.raw_tag = ""  # pending raw-text element name
+        self.fast = fast
 
     # -- raw-text ----------------------------------------------------------
 
@@ -693,6 +729,19 @@ class Tokenizer:
                 continue
 
             if tok_kind == START_TAG:
+                if self.fast:
+                    m = _FAST_TAG_RE.match(s, lt + 1)
+                    lname = _ascii_lower(m.group(1))
+                    if lname not in _NEED_ATTRS:
+                        if not m.group(2):
+                            return  # tag truncated at EOF: no token
+                        end = m.end()
+                        self.pos = end
+                        if lname in _RAW_TAGS:
+                            self.raw_tag = lname
+                        tt2 = SELF_CLOSING if s[end - 2] == "/" else START_TAG
+                        yield Token(tt2, lname, [], lt, end)
+                        continue
                 self.pos = i + 1  # one past first name char
                 tok = self._read_start_tag(lt)
                 if tok is None:
@@ -706,6 +755,15 @@ class Tokenizer:
                     return
                 c3 = s[self.pos]
                 if ("a" <= c3 <= "z") or ("A" <= c3 <= "Z"):
+                    if self.fast:
+                        m = _FAST_TAG_RE.match(s, self.pos)
+                        if not m.group(2):
+                            return
+                        self.pos = m.end()
+                        yield Token(
+                            END_TAG, _ascii_lower(m.group(1)), [], lt, self.pos
+                        )
+                        continue
                     self.pos += 1
                     self._read_tag(False)
                     if self._eof_in_tag:

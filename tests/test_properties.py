@@ -55,3 +55,22 @@ def test_chunking_invariance(html, k):
     )
     assert content_from_result(whole) == content_from_result(chunked)
     assert whole.title == chunked.title
+
+
+_attr_soup = st.lists(
+    st.sampled_from(
+        list("ab =/\"'<>&\t\n")
+        + ["<div", "<a href=", "'v'", '"w"', "</div", ">", "/>", "<span a", "=x", "<p/q r=s>"]
+    ),
+    max_size=60,
+).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_attr_soup)
+def test_fast_tag_scan_matches_char_parser(html):
+    from go_boilerpipe_ray.kernel.htmltok import Tokenizer
+
+    fast = [(t.tt, t.data, t.raw_start, t.raw_end) for t in Tokenizer(html, fast=True)]
+    slow = [(t.tt, t.data, t.raw_start, t.raw_end) for t in Tokenizer(html, fast=False)]
+    assert fast == slow
