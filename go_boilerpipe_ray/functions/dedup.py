@@ -345,73 +345,131 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
 ) -> "ray.data.Dataset":
     """Candidate pairs via LSH banding, verified by MinHash-estimated
-    Jaccard >= threshold.  Shuffles band-bucket keys, never text."""
+    Jaccard >= threshold.
+
+    Shuffle discipline: the band shuffle moves only (band-bucket hash,
+    doc_id) int pairs — signatures are broadcast once via ``ray.put`` and
+    read inside the verify tasks (at cluster scale with a signature table
+    too big to broadcast, replace the broadcast with a hash join on
+    doc_id; the shuffle keys stay the same).  Both wide steps are
+    partition-vectorized (bounded group counts, numpy inner loops), like
+    ngram_jaccard_pairs."""
     rows_per_band = num_hashes // bands
-    ds = dup_corpus(sf_dir).map_batches(
+    sigs_ds = dup_corpus(sf_dir).map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_hashes": num_hashes, "k": k},
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=default_pool(),
-    )
+    ).materialize()
+
+    sig_rows = sigs_ds.take_all()
+    sig_map = {r["doc_id"]: np.asarray(r["sig"], dtype=np.int64) for r in sig_rows}
+    sig_ref = ray.put(sig_map)
+    del sig_rows
+
+    P = _JACCARD_PARTITIONS
 
     def band_keys(batch: pa.Table) -> pa.Table:
-        ids: list[int] = []
-        buckets: list[str] = []
-        sig_out: list[list[int]] = []
-        for doc_id, sig in zip(
-            batch.column("doc_id").to_pylist(), batch.column("sig").to_pylist()
-        ):
-            for band in range(bands):
-                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                key = hashlib.blake2b(
-                    (str(band) + ":" + ",".join(map(str, chunk))).encode(),
-                    digest_size=8,
-                ).hexdigest()
-                ids.append(doc_id)
-                buckets.append(key)
-                sig_out.append(sig)
+        ids_in = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = batch.column("sig").to_pylist()
+        if len(ids_in) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "pk": pa.array([], pa.int32()),
+                }
+            )
+        mat = np.asarray(sigs, dtype=np.uint64)  # (n, num_hashes)
+        n = mat.shape[0]
+        buckets = np.empty((n, bands), dtype=np.uint64)
+        mult = np.uint64(1_000_003)
+        for band in range(bands):
+            chunk = mat[:, band * rows_per_band : (band + 1) * rows_per_band]
+            h = np.full(n, np.uint64(band + 1))
+            for col in range(chunk.shape[1]):
+                h = h * mult + chunk[:, col]
+            buckets[:, band] = h
+        out_ids = np.repeat(ids_in, bands)
+        out_buckets = (buckets.reshape(-1) >> np.uint64(1)).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "bucket": pa.array(buckets, pa.string()),
-                "sig": pa.array(sig_out, pa.list_(pa.int64())),
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "bucket": pa.array(out_buckets, pa.int64()),
+                "pk": pa.array((out_buckets % P).astype(np.int32), pa.int32()),
             }
         )
 
-    banded = ds.map_batches(band_keys, batch_format="pyarrow", zero_copy_batch=True)
+    banded = sigs_ds.map_batches(
+        band_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        sigs = group.column("sig").to_pylist()
-        order = np.argsort(ids)
-        a: list[int] = []
-        b: list[int] = []
-        est: list[float] = []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                if ids[i] == ids[j]:
-                    continue
-                sim = float(
-                    np.mean(np.array(sigs[i]) == np.array(sigs[j]))
-                )
-                if sim >= threshold:
-                    a.append(ids[i])
-                    b.append(ids[j])
-                    est.append(sim)
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        bk = group.column("bucket").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bk))
+        bk, ids = bk[order], ids[order]
+        bounds = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1], True])
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            g = e - s
+            if g < 2:
+                continue
+            ii, jj = np.triu_indices(g, 1)
+            out_a.append(ids[s + ii])
+            out_b.append(ids[s + jj])
+        if not out_a:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        keep = a != b
         return pa.table(
             {
-                "id_a": pa.array(a, pa.int64()),
-                "id_b": pa.array(b, pa.int64()),
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+            }
+        )
+
+    pairs = banded.groupby("pk").map_groups(partition_pairs, batch_format="pyarrow")
+
+    def add_pair_pk(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pk", pa.array((a * 1_000_003 + b) % P, pa.int32())
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        sigs = ray.get(sig_ref)
+        a = group.column("id_a").to_numpy(zero_copy_only=False)
+        b = group.column("id_b").to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        est: list[float] = []
+        for ia, ib in uniq:
+            sim = float(np.mean(sigs[ia] == sigs[ib]))
+            if sim >= threshold:
+                out_a.append(int(ia))
+                out_b.append(int(ib))
+                est.append(sim)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
                 "est_jaccard": pa.array(est, pa.float64()),
             }
         )
 
-    pairs = banded.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-    # Same pair can surface from multiple bands: dedup on the pair key.
-    deduped = pairs.groupby(["id_a", "id_b"]).max("est_jaccard")
-    return deduped.rename_columns({"max(est_jaccard)": "est_jaccard"})
+    return (
+        pairs.map_batches(add_pair_pk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .map_groups(verify, batch_format="pyarrow")
+    )
 
 
 # -- SimHash ----------------------------------------------------------------
