@@ -46,21 +46,27 @@ def ensure_bench_corpus(sf_dir: str, replicas: int) -> tuple[str, int]:
 
     documents = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.sha1(
-        f"{documents}:{os.path.getmtime(documents)}:{replicas}:bench-v2".encode()
+        f"{documents}:{os.path.getmtime(documents)}:{replicas}:bench-v3".encode()
     ).hexdigest()[:12]
     out_dir = f"/tmp/gbr_cache/bench_corpus_{key}"
     marker = os.path.join(out_dir, "_done")
     n_docs_path = os.path.join(out_dir, "_ndocs")
     if os.path.exists(marker):
-        return out_dir, int(open(n_docs_path).read())
+        return out_dir, int(open(n_docs_path).read())  # (bytes in _nbytes)
 
     from go_boilerpipe_ray.sources.fixtures import (
         SPANS_SCHEMA,
+        golden_rows,
         split_chunks,
         html_for_document,
         media_span,
         text_span,
     )
+
+    # ~10% of docs are the reference's real 14-82 KB article pages so the
+    # corpus isn't all-tiny synthetic HTML; MB/s is reported alongside
+    # docs/s.
+    goldens = [h for _, h in golden_rows()]
 
     def expand(batch: pa.Table) -> pa.Table:
         doc_ids = []
@@ -68,7 +74,10 @@ def ensure_bench_corpus(sf_dir: str, replicas: int) -> tuple[str, int]:
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            html = html_for_document(int(doc_id), text)
+            if doc_id % 10 == 7:
+                html = goldens[doc_id % len(goldens)]
+            else:
+                html = html_for_document(int(doc_id), text)
             k = 1 + doc_id % 3
             chunks = split_chunks(html, k)
             base_spans: list[dict] = []
@@ -96,6 +105,21 @@ def ensure_bench_corpus(sf_dir: str, replicas: int) -> tuple[str, int]:
         out_dir
     )
     n_docs = n_source * replicas
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc_
+
+    total_bytes = 0
+    for rb in pads.dataset(out_dir).to_batches(columns=["spans"]):
+        total_bytes += int(
+            pc_.sum(
+                pc_.binary_length(
+                    pc_.struct_field(pc_.list_flatten(rb.column("spans")), "text")
+                )
+            ).as_py()
+            or 0
+        )
+    with open(os.path.join(out_dir, "_nbytes"), "w") as f:
+        f.write(str(total_bytes))
     with open(n_docs_path, "w") as f:
         f.write(str(n_docs))
     with open(marker, "w") as f:
@@ -188,6 +212,12 @@ def main() -> None:
                 "num_cpus": args.cpus,
                 "extract_docs": n_docs,
                 "extract_docs_per_sec": round(docs_per_sec, 1),
+                "extract_mb_per_sec": round(
+                    int(open(os.path.join(corpus_dir, "_nbytes")).read())
+                    / extract_wall
+                    / 1e6,
+                    1,
+                ),
             }
         )
     )
