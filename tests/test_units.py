@@ -358,3 +358,95 @@ def test_boilerplate_block_keeps_title():
     doc = _doc(t, junk, keep)
     assert BoilerplateBlock().process(doc) is True
     assert doc.text_blocks == [t, keep]
+
+
+# -- ld+json Go encoding/json semantics -------------------------------------
+
+
+def _parse_ld(*scripts, body="<p>text</p>"):
+    html = (
+        "<html><head>"
+        + "".join(
+            f'<script type="application/ld+json">{s}</script>' for s in scripts
+        )
+        + f"</head><body>{body}</body></html>"
+    )
+    return parse_document(html)
+
+
+def test_ldjson_syntax_error_touches_nothing():
+    doc = _parse_ld('{"@type": "Article", "headline": "A"', '{"@type":"WebSite"}')
+    # First candidate is invalid JSON → skipped entirely; second decodes.
+    assert doc.linked_data.type == "WebSite"
+    assert doc.linked_data.headline == ""
+
+
+def test_ldjson_type_error_keeps_partial_mutation():
+    # headline has the wrong type (number): the field is skipped but the
+    # other fields ARE decoded (Go json.Unmarshal keeps going), and the
+    # candidate is treated as failed — later candidates still scanned.
+    doc = _parse_ld(
+        '{"@type": "Article", "headline": 42, "articleBody": "PARTIAL"}',
+        '{"@type": "WebSite"}',
+    )
+    # Partial mutation from the failed candidate persists...
+    assert doc.linked_data.body == "PARTIAL"
+    # ...and the successful non-Article candidate overwrote @type.
+    assert doc.linked_data.type == "WebSite"
+
+
+def test_ldjson_bad_date_fails_candidate_but_mutates():
+    doc = _parse_ld(
+        '{"@type": "Article", "headline": "H1", "datePublished": "not-a-date"}'
+    )
+    assert doc.linked_data.headline == "H1"  # partial mutation kept
+    assert doc.date is None  # date never set
+
+
+def test_ldjson_non_article_success_overwrites_and_keeps_scanning():
+    doc = _parse_ld(
+        '{"@type": "WebSite", "headline": "SITE"}',
+        '{"@type": "Article", "headline": "ART"}',
+    )
+    assert doc.title == "ART"
+
+
+def test_ldjson_case_insensitive_keys_last_wins():
+    doc = _parse_ld('{"@TYPE": "Article", "HeadLine": "CI", "headline": "CI2"}')
+    assert doc.linked_data.type == "Article"
+    assert doc.title == "CI2"
+
+
+def test_ldjson_null_fields_are_noops():
+    doc = _parse_ld(
+        '{"@type": "Article", "headline": null, "author": null, "datePublished": null}'
+    )
+    assert doc.linked_data.type == "Article"
+    assert doc.title == ""  # falls back to <title> (absent here)
+
+
+def test_has_title_checks_date_bug():
+    # Faithful reference bug: HasTitle() returns whether the DATE is set
+    # (boilerpipe.go:84-86).
+    doc = _parse_ld('{"@type": "Article", "headline": "H"}')
+    assert doc.has_title() is False
+    doc2 = _parse_ld(
+        '{"@type": "Article", "datePublished": "2020-01-01T00:00:00Z"}'
+    )
+    assert doc2.has_title() is True
+
+
+def test_merge_next_label_counts():
+    a = TextBlock()
+    a.text = "a"
+    a.add_labels(Label.LIST, Label.LIST)
+    b = TextBlock()
+    b.text = "b"
+    b.add_labels(Label.LIST, Label.HEADING)
+    b.tag_level = 5
+    a.tag_level = 7
+    a.merge_next(b)
+    assert a.label_map[Label.LIST] == 3  # counts merge, not just presence
+    assert a.label_map[Label.HEADING] == 1
+    assert a.tag_level == 5
+    assert a.text == "a\nb"
