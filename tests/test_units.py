@@ -450,3 +450,32 @@ def test_merge_next_label_counts():
     assert a.label_map[Label.HEADING] == 1
     assert a.tag_level == 5
     assert a.text == "a\nb"
+
+
+def test_filter_registry_and_custom_filter():
+    from go_boilerpipe_ray.kernel.filters import Filter, Pipeline, build_pipeline
+
+    pipe = build_pipeline(
+        ["TerminatingBlocks", "NumWordsRulesClassifier", "BoilerplateBlock"]
+    )
+    assert [f.name for f in pipe.filters] == [
+        "TerminatingBlocks",
+        "NumWordsRulesClassifier",
+        "BoilerplateBlock",
+    ]
+
+    class DropEverything(Filter):
+        name = "DropEverything"
+
+        def process(self, doc):
+            changed = any(tb.is_content for tb in doc.text_blocks)
+            for tb in doc.text_blocks:
+                tb.is_content = False
+            return changed
+
+    doc = parse_document(
+        "<html><body><p>" + "words " * 50 + "</p></body></html>"
+    )
+    custom = Pipeline("Custom", [*pipe.filters, DropEverything()])
+    custom.process(doc)
+    assert doc.content() == ""
