@@ -41,11 +41,11 @@ ANCHOR_TEXT_END = ">$"
 # Word tokenizer (content_handler.go:237-255; boilerpipe-Java
 # UnicodeTokenizer).  Go's \d is ASCII-only, hence the explicit 0-9.
 _RE_WORD_BOUNDARY = _regex.compile(r"[\p{L}0-9_]+")
-_RE_NOT_WORD_BOUNDARY = _regex.compile(
+_RE_NOT_WORD_BOUNDARY = re.compile(
     "[⁣]*([\"'\\.,\\!\\@\\-\\:\\;\\$\\?\\(\\)/])[⁣]*"
 )
-_RE_INVISIBLE_SEPARATOR = _regex.compile("[⁣]+")
-_RE_SPACE = _regex.compile("[ ]+")
+_RE_INVISIBLE_SEPARATOR = re.compile("[⁣]+")
+_RE_SPACE = re.compile("[ ]+")
 _RE_VALID_WORD_CHARACTER = _regex.compile(r"[\p{L}\p{Nd}\p{Nl}\p{No}]")
 
 
