@@ -46,7 +46,7 @@ def ensure_bench_corpus(sf_dir: str, replicas: int) -> tuple[str, int]:
 
     documents = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.sha1(
-        f"{documents}:{os.path.getmtime(documents)}:{replicas}:bench-v3".encode()
+        f"{documents}:{os.path.getmtime(documents)}:{replicas}:bench-v4".encode()
     ).hexdigest()[:12]
     out_dir = f"/tmp/gbr_cache/bench_corpus_{key}"
     marker = os.path.join(out_dir, "_done")
@@ -69,8 +69,7 @@ def ensure_bench_corpus(sf_dir: str, replicas: int) -> tuple[str, int]:
     goldens = [h for _, h in golden_rows()]
 
     def expand(batch: pa.Table) -> pa.Table:
-        doc_ids = []
-        spans_col = []
+        base: list[tuple[int, list[dict]]] = []
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
@@ -90,7 +89,15 @@ def ensure_bench_corpus(sf_dir: str, replicas: int) -> tuple[str, int]:
                         media_span("image", f"media://syn-{doc_id}/{i}", off)
                     )
                     off += 1
-            for rep in range(replicas):
+            base.append((doc_id, base_spans))
+        # Replica-major order: replicas of heavy (real-page) docs interleave
+        # with tiny docs instead of forming contiguous all-heavy runs — a
+        # sorted-by-size corpus turns block-granular tasks into stragglers
+        # and wrecks scaling.
+        doc_ids = []
+        spans_col = []
+        for rep in range(replicas):
+            for doc_id, base_spans in base:
                 doc_ids.append(f"syn-{doc_id:06d}-r{rep:03d}")
                 spans_col.append(base_spans)
         return pa.Table.from_pydict(
@@ -136,7 +143,9 @@ def run_extract(corpus_dir: str) -> float:
     if os.path.isdir(out):
         shutil.rmtree(out)
     t0 = time.perf_counter()
-    extract_dataset(read_spans(corpus_dir)).write_parquet(out)
+    # Fine read granularity (many small blocks) so per-task work variance
+    # from mixed doc sizes load-balances across the pool.
+    extract_dataset(read_spans(corpus_dir, parallelism=512)).write_parquet(out)
     return time.perf_counter() - t0
 
 
