@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -286,12 +287,18 @@ class MinHasher:
     """Stateful stage: the permutation coefficients are built once per
     actor (seeded, deterministic)."""
 
+    # Universal-hash modulus: Mersenne prime 2^31-1.  a*x stays < 2^62
+    # (exact in uint64) and a*x+b genuinely wraps p, so each (a, b) is an
+    # independent pseudo-permutation.  (With a modulus larger than a*x+b
+    # the map is monotone and every "permutation" picks the same minimum —
+    # the estimator degenerates to 0/1.)
+    _P31 = np.uint64((1 << 31) - 1)
+
     def __init__(self, num_hashes: int = 64, k: int = 3, seed: int = 42):
         rng = np.random.RandomState(seed)
-        # a < 2^29 and 32-bit shingle hashes keep a*x + b < 2^62: exact in
-        # uint64, no Python bigint loop.
-        self.a = rng.randint(1, 1 << 29, size=num_hashes).astype(np.uint64)
-        self.b = rng.randint(0, 1 << 29, size=num_hashes).astype(np.uint64)
+        p = int(self._P31)
+        self.a = rng.randint(1, p, size=num_hashes).astype(np.uint64)
+        self.b = rng.randint(0, p, size=num_hashes).astype(np.uint64)
         self.num_hashes = num_hashes
         self.k = k
 
@@ -299,23 +306,21 @@ class MinHasher:
         toks = _TOKEN_RE.findall(text.lower())
         if len(toks) < self.k:
             return None
-        shingles = {
-            " ".join(toks[i : i + self.k]) for i in range(len(toks) - self.k + 1)
-        }
-        base = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b(s.encode(), digest_size=4).digest(), "big"
-                )
-                for s in shingles
-            ),
-            dtype=np.uint64,
-            count=len(shingles),
+        # Shingle hashes as a polynomial over token CRCs (uint64 wraparound)
+        # — no per-shingle string building or digest calls; distinct-set
+        # semantics via np.unique; truncated to 32 bits so a*x+b stays
+        # exact in uint64.
+        c = np.fromiter(
+            (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks)
         )
+        n_sh = len(c) - self.k + 1
+        mult = np.uint64(1_000_003)
+        sh = c[:n_sh].copy()
+        for j in range(1, self.k):
+            sh = sh * mult + c[j : n_sh + j]
+        base = np.unique((sh ^ (sh >> np.uint64(33))) % self._P31)
         # (a*x + b) mod p, min over shingles — fully vectorized.
-        vals = (self.a[:, None] * base[None, :] + self.b[:, None]) % np.uint64(
-            _MERSENNE
-        )
+        vals = (self.a[:, None] * base[None, :] + self.b[:, None]) % self._P31
         return vals.min(axis=1).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
