@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_brute": similarity.knn_brute,
         "knn_lsh": similarity.knn_lsh,
+        "knn_ivf": similarity.knn_ivf,
         "near_dup_embeddings": similarity.near_dup_embeddings,
         # relational / windows / sessions
         "agg_lineitem": relational.agg_lineitem,
@@ -84,5 +85,5 @@ def oracle_sql() -> dict[str, str]:
         "top_events": relational.TOP_EVENTS_SQL,
         # rows-only (non-SQL-expressible): extract_stats, extract_golden,
         # lang_id, rolling_fingerprint, dedup_minhash_lsh, dedup_simhash,
-        # knn_lsh, media_decode
+        # knn_lsh, knn_ivf, media_decode
     }

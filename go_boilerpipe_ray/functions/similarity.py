@@ -282,3 +282,126 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
 """
+
+
+# -- IVF (k-means coarse quantizer) -----------------------------------------
+
+
+class IvfIndexStage:
+    """IVF cell assignment: centroids are broadcast once (``ray.put``) and
+    loaded per actor in __init__ — the canonical stateful-stage shape.
+    At cluster scale the cell id is the partition key for the vector
+    table; queries touch only ``n_probe`` cells."""
+
+    def __init__(self, centroids_ref):
+        import ray as _ray
+
+        self.centroids = _ray.get(centroids_ref)  # (n_cells, dim), unit-norm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(batch)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cells = np.argmax((m / norms) @ self.centroids.T, axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cell": pa.array(cells.astype(np.int64), pa.int64()),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+
+def _train_centroids(
+    sample: np.ndarray, n_cells: int, n_iter: int = 10, seed: int = 11
+) -> np.ndarray:
+    """Seeded spherical k-means on a driver-side sample (the sample is
+    small; training is not distributed — assignment is)."""
+    rng = np.random.RandomState(seed)
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    centroids = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                centroids[c] = v / max(np.linalg.norm(v), 1e-30)
+    return centroids
+
+
+def knn_ivf(
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 8,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2048,
+) -> pa.Table:
+    """Approximate top-k: spherical-kmeans IVF; search only the n_probe
+    cells nearest each query.  Returns (query_id, neighbor_id, rank)."""
+    import ray as _ray
+
+    qids, qm = _load_queries(sf_dir, n_queries)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
+    centroids = _train_centroids(sample, min(n_cells, len(sample)))
+    cref = _ray.put(centroids)
+
+    bucketed = ds.map_batches(
+        IvfIndexStage,
+        fn_constructor_kwargs={"centroids_ref": cref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    q_cells = np.argsort(-(qm @ centroids.T), axis=1)[:, :n_probe]
+    wanted = pa.array(sorted({int(c) for row in q_cells for c in row}), pa.int64())
+
+    def cell_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.is_in(batch.column("cell"), value_set=wanted))
+
+    cand = bucketed.map_batches(
+        cell_filter, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    if not cand:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    ids = np.array([r["vec_id"] for r in cand], dtype=np.int64)
+    m = np.array([r["embedding"] for r in cand], dtype=np.float64)
+    cells = np.array([r["cell"] for r in cand], dtype=np.int64)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+    rows_q: list[int] = []
+    rows_n: list[int] = []
+    rows_r: list[int] = []
+    for qid, qv, probes in zip(qids, qm, q_cells):
+        mask = np.isin(cells, probes)
+        if not mask.any():
+            continue
+        sims = mn[mask] @ qv
+        sub_ids = ids[mask]
+        order = np.lexsort((sub_ids, -sims))[:k]
+        for rank, i in enumerate(order, start=1):
+            rows_q.append(int(qid))
+            rows_n.append(int(sub_ids[i]))
+            rows_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "neighbor_id": pa.array(rows_n, pa.int64()),
+            "rank": pa.array(rows_r, pa.int64()),
+        }
+    )

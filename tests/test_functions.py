@@ -126,3 +126,20 @@ def test_url_stage():
     assert rows[1]["url_date"] is not None
     assert rows[2]["url_norm"] == "http://www.example.com/b"
     assert rows[2]["url_root"] == "example.com"
+
+
+def test_knn_ivf_recall_vs_brute():
+    from go_boilerpipe_ray.functions.similarity import knn_brute, knn_ivf
+
+    brute = knn_brute(SF, k=5).to_pandas()
+    approx = knn_ivf(SF, k=5, n_cells=8, n_probe=8).to_pandas()  # probe all cells
+    # probing every cell = exhaustive search → must exactly match brute force
+    for qid in brute["query_id"].unique():
+        b = list(brute[brute.query_id == qid].sort_values("rank").neighbor_id)
+        a = list(approx[approx.query_id == qid].sort_values("rank").neighbor_id)
+        assert a == b
+    # fewer probes: self must still be found (its own cell is probed first)
+    approx2 = knn_ivf(SF, k=5, n_cells=8, n_probe=2).to_pandas()
+    for qid in brute["query_id"].unique():
+        got = set(approx2[approx2.query_id == qid].neighbor_id)
+        assert qid in got
