@@ -521,3 +521,96 @@ def simhash_signatures(sf_dir: str) -> "ray.data.Dataset":
         zero_copy_batch=True,
         concurrency=default_pool(),
     )
+
+
+# -- incremental dedup (new ingest vs a prior corpus) ------------------------
+
+
+class TextBloom:
+    """Broadcast Bloom filter over text hashes: the prior corpus's
+    membership sketch rides in the object store (one ray.put), new ingest
+    batches test against it locally — no join against the prior corpus.
+    False positives are possible (tunable via n_bits); false negatives are
+    not, so "new" verdicts are definitive and "maybe_dup" rows go to an
+    exact confirmation stage if required."""
+
+    def __init__(self, n_bits: int = 1 << 24, n_hashes: int = 4):
+        self.n_bits = n_bits
+        self.n_hashes = n_hashes
+        self.bits = np.zeros(n_bits // 64 + 1, dtype=np.uint64)
+
+    @staticmethod
+    def _hash64(texts: list[str]) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
+                )
+                for t in texts
+            ),
+            dtype=np.uint64,
+            count=len(texts),
+        )
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        # double hashing: pos_i = h1 + i*h2 mod n_bits
+        h1 = h % np.uint64(self.n_bits)
+        h2 = (h >> np.uint64(33)) | np.uint64(1)
+        idx = np.arange(self.n_hashes, dtype=np.uint64)
+        return (h1[:, None] + idx[None, :] * h2[:, None]) % np.uint64(self.n_bits)
+
+    def add_texts(self, texts: list[str]) -> None:
+        if not texts:
+            return
+        pos = self._positions(self._hash64(texts)).reshape(-1)
+        np.bitwise_or.at(
+            self.bits, pos // 64, np.uint64(1) << (pos % np.uint64(64))
+        )
+
+    def contains_texts(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(self._hash64(texts))
+        got = (self.bits[pos // 64] >> (pos % np.uint64(64))) & np.uint64(1)
+        return got.all(axis=1)
+
+
+def build_text_bloom(ds: "ray.data.Dataset", n_bits: int = 1 << 24) -> TextBloom:
+    """Aggregate a Bloom sketch over a corpus: per-batch partial sketches
+    OR-merged on the driver (a sketch is ~2 MB — the merge is trivial; at
+    extreme scale use a tree reduce over partial sketches)."""
+    bloom = TextBloom(n_bits=n_bits)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        b = TextBloom(n_bits=n_bits)
+        b.add_texts(batch.column("text").to_pylist())
+        packed = b.bits.tobytes()
+        return pa.table({"sketch": pa.array([packed], pa.binary())})
+
+    for row in (
+        ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    ):
+        bloom.bits |= np.frombuffer(row["sketch"], dtype=np.uint64)
+    return bloom
+
+
+def incremental_dedup(
+    new_ds: "ray.data.Dataset", bloom: TextBloom
+) -> "ray.data.Dataset":
+    """Classify a new ingest against a prior corpus sketch:
+    status = 'new' (definitely unseen) | 'maybe_dup' (Bloom hit)."""
+    bloom_ref = ray.put(bloom)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        bl = ray.get(bloom_ref)
+        texts = batch.column("text").to_pylist()
+        hits = bl.contains_texts(texts)
+        status = pa.array(
+            ["maybe_dup" if h else "new" for h in hits], pa.string()
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "status": status})
+
+    return new_ds.map_batches(
+        classify, batch_format="pyarrow", zero_copy_batch=True
+    )

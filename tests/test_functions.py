@@ -143,3 +143,26 @@ def test_knn_ivf_recall_vs_brute():
     for qid in brute["query_id"].unique():
         got = set(approx2[approx2.query_id == qid].neighbor_id)
         assert qid in got
+
+
+def test_incremental_bloom_dedup():
+    import ray.data
+
+    from go_boilerpipe_ray.functions.dedup import (
+        PERTURB_OFFSET,
+        build_text_bloom,
+        dup_corpus,
+        incremental_dedup,
+    )
+
+    prior = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    bloom = build_text_bloom(prior)
+    # New ingest = originals + exact copies + perturbed: copies must be
+    # flagged maybe_dup (no false negatives); perturbed are genuinely new
+    # (allow a tiny Bloom false-positive rate).
+    out = {r["doc_id"]: r["status"] for r in incremental_dedup(dup_corpus(SF), bloom).take_all()}
+    originals = [d for d in out if d < 1_000_000]
+    assert all(out[d] == "maybe_dup" for d in originals)
+    perturbed = [d for d in out if d >= PERTURB_OFFSET]
+    fp = sum(1 for d in perturbed if out[d] == "maybe_dup")
+    assert fp / len(perturbed) < 0.01
