@@ -46,14 +46,16 @@ _RE_NOT_WORD_BOUNDARY = re.compile(
 )
 _RE_INVISIBLE_SEPARATOR = re.compile("[⁣]+")
 _RE_SPACE = re.compile("[ ]+")
+_RE_SEP_OR_SPACE = re.compile("[\u2063 ]+")
 _RE_VALID_WORD_CHARACTER = _regex.compile(r"[\p{L}\p{Nd}\p{Nl}\p{No}]")
 
 
 def tokenize(text: str) -> list[str]:
     text = _RE_WORD_BOUNDARY.sub("⁣\\g<0>⁣", go_trim_space(text))
     text = _RE_NOT_WORD_BOUNDARY.sub(r"\1", text)
-    text = _RE_INVISIBLE_SEPARATOR.sub(" ", text)
-    return _RE_SPACE.split(go_trim_space(text))
+    # Equivalent to: separator runs -> ' ', TrimSpace, split on spaces —
+    # one regex pass instead of two (buffer whitespace is all ' ' already).
+    return _RE_SEP_OR_SPACE.split(text.strip("\u2063 "))
 
 
 def is_word(tok: str) -> bool:
