@@ -479,3 +479,140 @@ def test_filter_registry_and_custom_filter():
     custom = Pipeline("Custom", [*pipe.filters, DropEverything()])
     custom.process(doc)
     assert doc.content() == ""
+
+
+# -- F4 branch coverage: classifier thresholds, wraps, expansions -----------
+
+
+def test_line_wrap_80_cols_and_text_density():
+    # 30 words x 7 chars (+space) = 8 cols/word → wraps at 10 words/line.
+    words = " ".join(["abcdefg"] * 30)
+    doc = parse_document(f"<html><body><p>{words}</p></body></html>")
+    tb = doc.text_blocks[0]
+    assert tb.num_words == 30
+    assert tb.num_wrapped_lines == 2  # 2 full 80-col lines + partial last
+    assert tb.num_words_in_wrapped_lines == 20  # words on full lines only
+    assert tb.text_density() == 10.0
+
+
+def test_line_wrap_counts_runes_not_bytes():
+    # CJK chars are 3 UTF-8 bytes but 1 rune: wrap math must use runes.
+    words = " ".join(["好好好好好好好"] * 30)  # 7 runes per word
+    doc = parse_document(f"<html><body><p>{words}</p></body></html>")
+    tb = doc.text_blocks[0]
+    assert tb.num_wrapped_lines == 2
+    assert tb.num_words_in_wrapped_lines == 20
+
+
+def test_ignore_blocks_after_content_threshold():
+    from go_boilerpipe_ray.kernel.filters import IgnoreBlocksAfterContent
+
+    # Terminator seen but running full-text word sum < 60 → nothing cut.
+    small = _block(words=30, content=True)
+    small.num_words_in_wrapped_lines = 30
+    small.num_wrapped_lines = 3  # density 10 ≥ 9 → counts fully
+    term = _block(words=3, text="comments!", labels=[Label.INDICATES_END_OF_TEXT])
+    tail = _block(words=20, content=True)
+    doc = _doc(small, term, tail)
+    assert IgnoreBlocksAfterContent().process(doc) is False
+    assert tail.is_content
+
+    # Sum ≥ 60 → terminator block and everything after go non-content.
+    big = _block(words=80, content=True)
+    big.num_words_in_wrapped_lines = 80
+    big.num_wrapped_lines = 8
+    term2 = _block(words=3, text="comments!", labels=[Label.INDICATES_END_OF_TEXT])
+    tail2 = _block(words=20, content=True)
+    doc2 = _doc(big, term2, tail2)
+    assert IgnoreBlocksAfterContent().process(doc2) is True
+    assert not tail2.is_content and big.is_content
+
+
+def test_low_density_blocks_do_not_count_toward_cut():
+    from go_boilerpipe_ray.kernel.filters import IgnoreBlocksAfterContent
+
+    # density < 9 → getNumFullTextWords is 0 even with many words.
+    sparse = _block(words=100, content=True)
+    sparse.num_words_in_wrapped_lines = 40
+    sparse.num_wrapped_lines = 10  # density 4
+    term = _block(words=3, text="comments!", labels=[Label.INDICATES_END_OF_TEXT])
+    doc = _doc(sparse, term)
+    assert IgnoreBlocksAfterContent().process(doc) is False
+
+
+def test_keep_largest_blocks_percent_tiers():
+    from go_boilerpipe_ray.kernel.filters import KeepLargestBlocks
+
+    # max ≥ 1000 → keep content blocks with ≥ 0.25·max words.
+    a = _block(words=1200, content=True, level=2)
+    b = _block(words=400, content=True, level=2)   # ≥ 300 → kept
+    c = _block(words=200, content=True, level=2)   # < 300 → dropped
+    doc = _doc(a, b, c)
+    KeepLargestBlocks(expand_to_same_level_text=False).process(doc)
+    assert a.is_content and b.is_content and not c.is_content
+    assert a.has_label(Label.VERY_LIKELY_CONTENT)
+    assert b.has_label(Label.MIGHT_BE_CONTENT)
+
+
+def test_keep_largest_blocks_tag_level_expansion():
+    from go_boilerpipe_ray.kernel.filters import KeepLargestBlocks
+
+    # Blocks at the same tag level with ≥150 words become content; the
+    # scans run from the document START forward and END backward, each
+    # stopping at the first lower-level block — so only a block fenced by
+    # lower-level barriers on BOTH sides stays untouched.
+    big = _block(words=300, content=True, level=3)
+    same_level = _block(words=200, content=False, level=3)
+    b1 = _block(words=10, content=False, level=2)
+    beyond = _block(words=200, content=False, level=3)
+    b2 = _block(words=10, content=False, level=2)
+    doc = _doc(b1, beyond, b2, big, same_level)
+    KeepLargestBlocks().process(doc)
+    assert same_level.is_content       # same level, ≥150 words (backward scan)
+    assert not beyond.is_content       # fenced by lower-level barriers
+
+
+def test_list_at_end():
+    from go_boilerpipe_ray.kernel.filters import ListAtEnd
+
+    main = _block(words=300, content=True, level=2, labels=[Label.VERY_LIKELY_CONTENT])
+    li1 = _block(words=5, level=3, labels=[Label.MIGHT_BE_CONTENT, Label.LIST])
+    li2 = _block(words=5, level=3, labels=[Label.MIGHT_BE_CONTENT, Label.LIST])
+    linky = _block(words=5, linked=5, level=3, labels=[Label.MIGHT_BE_CONTENT, Label.LIST])
+    doc = _doc(main, li1, li2, linky)
+    assert ListAtEnd().process(doc) is True
+    assert li1.is_content and li2.is_content
+    assert not linky.is_content  # link density 1.0 disqualifies
+
+
+def test_large_block_same_tag_level_to_content():
+    from go_boilerpipe_ray.kernel.filters import (
+        KeepLargestBlocks,
+        LargeBlockSameTagLevelToContent,
+    )
+
+    big = _block(words=300, content=True, level=2)
+    other = _block(words=150, content=False, level=2)
+    small = _block(words=50, content=False, level=2)
+    off_level = _block(words=150, content=False, level=4)
+    doc = _doc(big, other, small, off_level)
+    KeepLargestBlocks(expand_to_same_level_text=False).process(doc)
+    assert LargeBlockSameTagLevelToContent().process(doc) is True
+    assert other.is_content
+    assert not small.is_content and not off_level.is_content
+
+
+def test_classifier_link_density_thresholds():
+    # curr link density > 1/3 → never content, regardless of words.
+    linky = _block(words=60, linked=30)
+    doc = _doc(linky)
+    NumWordsRulesClassifier().process(doc)
+    assert not linky.is_content
+
+    # prev linky (> 0.555): curr needs > 40 words or next > 17.
+    prev = _block(words=10, linked=9)
+    curr = _block(words=41)
+    nxt = _block(words=5)
+    doc2 = _doc(prev, curr, nxt)
+    NumWordsRulesClassifier().process(doc2)
+    assert curr.is_content
