@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": relational.top_customers,
         "hourly_events": relational.hourly_events,
         "sessionize": relational.sessionize,
+        "sliding_events": relational.sliding_events,
         "top_events": relational.top_events_by_value,
         # multimodal plumbing
         "media_decode": xq.media_decode,
@@ -82,6 +83,7 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": relational.TOP_CUSTOMERS_SQL,
         "hourly_events": relational.HOURLY_EVENTS_SQL,
         "sessionize": relational.SESSIONIZE_SQL,
+        "sliding_events": relational.SLIDING_EVENTS_SQL,
         "top_events": relational.TOP_EVENTS_SQL,
         # rows-only (non-SQL-expressible): extract_stats, extract_golden,
         # lang_id, rolling_fingerprint, dedup_minhash_lsh, dedup_simhash,

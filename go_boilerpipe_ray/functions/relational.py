@@ -245,3 +245,75 @@ FROM events
 ORDER BY value DESC, event_id
 LIMIT 100
 """
+
+
+# -- sliding-window aggregate ------------------------------------------------
+
+SLIDE_MINUTES = 15
+WINDOW_MINUTES = 60
+
+
+def sliding_events(sf_dir: str) -> pa.Table:
+    """1-hour windows sliding every 15 minutes, per event type.  Each row
+    lands in windows/slide = 4 windows: a vectorized flat-map replicates
+    the row per window start, then a plain groupby-aggregate — no
+    order-dependent state, so the shuffle stays a bounded keyed exchange."""
+    slide_us = SLIDE_MINUTES * 60 * 1_000_000
+    per_row = WINDOW_MINUTES // SLIDE_MINUTES
+
+    def assign_windows(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        etype = batch.column("event_type").to_numpy(zero_copy_only=False)
+        value = batch.column("value").to_numpy(zero_copy_only=False)
+        base = (ts // slide_us) * slide_us  # latest slide boundary ≤ ts
+        offsets = (np.arange(per_row) * slide_us)[None, :]
+        starts = (base[:, None] - offsets).reshape(-1)
+        return pa.table(
+            {
+                "event_type": pa.array(np.repeat(etype, per_row)),
+                "window_start": pa.array(starts, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "value": pa.array(np.repeat(value, per_row), pa.float64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = (
+        ds.map_batches(assign_windows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            ray.data.aggregate.Count(alias_name="n_events"),
+            ray.data.aggregate.Sum("value", alias_name="sum_value"),
+        )
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "window_start": pa.array(out["window_start"], pa.timestamp("us")),
+            "n_events": pa.array(out["n_events"].astype("int64"), pa.int64()),
+            "sum_value_x100": pa.array(
+                np.round(out["sum_value"] * 100).astype("int64"), pa.int64()
+            ),
+        }
+    )
+
+
+SLIDING_EVENTS_SQL = f"""
+WITH slides AS (SELECT unnest(range(0, {WINDOW_MINUTES // SLIDE_MINUTES})) AS i),
+assigned AS (
+  SELECT event_type,
+         to_timestamp((epoch_us(ts) // ({SLIDE_MINUTES} * 60 * 1000000))
+                      * ({SLIDE_MINUTES} * 60 * 1000000) / 1000000.0)
+           - i * INTERVAL {SLIDE_MINUTES} MINUTE AS window_start,
+         value
+  FROM events CROSS JOIN slides
+)
+SELECT event_type,
+       CAST(window_start AS TIMESTAMP) AS window_start,
+       count(*) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_x100
+FROM assigned
+GROUP BY event_type, window_start
+"""
