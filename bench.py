@@ -293,16 +293,16 @@ def run_scaling(args) -> None:
 def _record_scaling(out: dict) -> None:
     path = os.path.join(REPO, "BASELINE.md")
     marker = "\n## Measured scaling (bench.py --scaling)\n"
-    entry = (
-        f"{marker}\n- {time.strftime('%Y-%m-%d %H:%M:%S')} sf={out['sf']}: "
+    line = (
+        f"- {time.strftime('%Y-%m-%d %H:%M:%S')} sf={out['sf']}: "
         f"{out['docs']} docs; {out['docs_per_sec_lo']} docs/s @8 cpus, "
         f"{out['docs_per_sec_hi']} docs/s @32 cpus; "
         f"efficiency = {out['value']}\n"
     )
     text = open(path).read()
-    if marker in text:
-        text = text[: text.index(marker)]
-    open(path, "w").write(text + entry)
+    if marker not in text:
+        text += marker + "\n"
+    open(path, "w").write(text + line)
 
 
 if __name__ == "__main__":
