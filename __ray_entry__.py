@@ -12,8 +12,38 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _ensure_workers_can_import() -> None:
+    """Ray workers inherit the driver's cwd; when the driver initialised
+    Ray from a different directory they cannot import go_boilerpipe_ray
+    and every task dies on deserialization.  Defense: register the whole
+    package for cloudpickle by-value serialization so tasks carry the
+    code with them.  Skipped on the normal path (driver cwd == repo)."""
+    if os.path.realpath(os.getcwd()) == os.path.realpath(_REPO):
+        return
+    try:
+        from ray import cloudpickle
+
+        import go_boilerpipe_ray  # noqa: F401 - force package import
+        from go_boilerpipe_ray import functions, kernel, pipelines, sources, stages, state  # noqa: F401
+
+        for name, mod in list(sys.modules.items()):
+            if name.startswith("go_boilerpipe_ray") and mod is not None:
+                try:
+                    cloudpickle.register_pickle_by_value(mod)
+                except Exception:
+                    pass
+    except Exception:
+        pass
 
 
 def entry() -> Any:
@@ -23,6 +53,7 @@ def entry() -> Any:
     from go_boilerpipe_ray.pipelines.article import extract_dataset, read_spans
     from go_boilerpipe_ray.sources.fixtures import cached_synthetic_corpus
 
+    _ensure_workers_can_import()
     path = cached_synthetic_corpus("/root/testdata/sf0.001")
     return extract_dataset(read_spans(path))
 
@@ -31,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from go_boilerpipe_ray.functions import dedup, relational, similarity, text
     from go_boilerpipe_ray.pipelines import queries as xq
 
+    _ensure_workers_can_import()
     return {
         # extraction (the engine's core)
         "extract_titles": xq.extract_titles,
