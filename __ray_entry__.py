@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": relational.sessionize,
         "sliding_events": relational.sliding_events,
         "top_events": relational.top_events_by_value,
+        "click_values": relational.click_values,
+        "distinct_event_types": relational.distinct_event_types,
         # multimodal plumbing
         "media_decode": xq.media_decode,
     }
@@ -117,6 +119,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": relational.SESSIONIZE_SQL,
         "sliding_events": relational.SLIDING_EVENTS_SQL,
         "top_events": relational.TOP_EVENTS_SQL,
+        "click_values": relational.CLICK_VALUES_SQL,
+        "distinct_event_types": relational.DISTINCT_EVENT_TYPES_SQL,
         # rows-only (non-SQL-expressible): extract_stats, extract_golden,
         # lang_id, rolling_fingerprint, dedup_minhash_lsh, dedup_simhash,
         # knn_lsh, knn_ivf, media_decode

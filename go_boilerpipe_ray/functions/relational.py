@@ -317,3 +317,49 @@ SELECT event_type,
 FROM assigned
 GROUP BY event_type, window_start
 """
+
+
+# -- filter + project (predicate pushdown) -----------------------------------
+
+
+def click_values(sf_dir: str) -> "ray.data.Dataset":
+    """Filter + project with the predicate pushed to the parquet read:
+    only matching row groups/columns leave storage."""
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+        filter=(pads.field("event_type") == "click"),
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "value_x100": pc.cast(
+                    pc.round(pc.multiply(batch.column("value"), 100)), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CLICK_VALUES_SQL = """
+SELECT event_id, CAST(round(value * 100) AS BIGINT) AS value_x100
+FROM events WHERE event_type = 'click'
+"""
+
+
+def distinct_event_types(sf_dir: str) -> "ray.data.Dataset":
+    """Set op: distinct keys via groupby-count (the scalable distinct)."""
+    out = (
+        _read(sf_dir, "events", ["event_type"])
+        .groupby("event_type")
+        .count()
+    )
+    return out.select_columns(["event_type"])
+
+
+DISTINCT_EVENT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
