@@ -11,10 +11,9 @@ from __future__ import annotations
 import datetime as _dt
 import json
 
-from . import htmltok
 from .atoms import atom_of
-from .handler import SHOULD_BE_SELF_CLOSING, ContentHandler, go_trim_space, parse_rfc3339
-from .htmltok import COMMENT, DOCTYPE, END_TAG, SELF_CLOSING, START_TAG, TEXT, Tokenizer
+from .handler import SHOULD_BE_SELF_CLOSING, ContentHandler, parse_rfc3339
+from .htmltok import END_TAG, START_TAG, TEXT, Tokenizer
 from .textblock import TextBlock
 
 
