@@ -4,12 +4,13 @@ Scale design notes:
 - Exact dedup never shuffles full text: a content hash is computed in a
   narrow map_batches, then a small ``groupby(hash).min(doc_id)`` runs on
   (hash, doc_id) pairs only.
-- N-gram Jaccard uses the inverted-index pattern: distinct (doc, shingle)
-  pairs → groupby(shingle) emits candidate pairs → groupby(pair) counts
-  intersections → sizes joined in → threshold filter.  At 100 TB you would
-  additionally cap shingle document-frequency (drop stop-shingles) and salt
-  hot shingles; the cap is exposed as ``max_df`` (None = exact, used for
-  the oracle-checked query).
+- N-gram Jaccard uses the inverted-index pattern, partition-vectorized:
+  distinct (doc, shingle-hash) int pairs → hash-partitioned pair emission
+  → hash-partitioned pair counting + threshold filter, with doc sizes
+  broadcast.  At 100 TB you would additionally cap shingle
+  document-frequency (drop stop-shingles) and salt hot shingles; the cap
+  is exposed as ``max_df`` (None = exact, used for the oracle-checked
+  query).
 - MinHash/LSH buckets by band signature: only same-bucket candidates are
   verified, which is the sub-quadratic scale path.
 
