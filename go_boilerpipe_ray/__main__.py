@@ -23,7 +23,11 @@ def _extract(args) -> int:
     from .kernel.normurl import parse as url_parse
 
     if args.path:
-        html = open(args.path, encoding="utf-8", errors="replace").read()
+        try:
+            html = open(args.path, encoding="utf-8", errors="replace").read()
+        except OSError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 1
     else:
         html = sys.stdin.read()
 

@@ -42,3 +42,9 @@ def test_cli_lineage_lists_all_filters():
     assert p.returncode == 0, p.stderr
     out = json.loads(p.stdout)
     assert len(out["lineage"]) == 12
+
+
+def test_cli_missing_file_clean_error():
+    p = _run(["extract", "/nonexistent.html"])
+    assert p.returncode == 1
+    assert p.stderr.startswith("error:")
