@@ -31,8 +31,17 @@ def agg_lineitem(sf_dir: str) -> pa.Table:
         t = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("l_orderkey", "count")]
         )
-        return t.rename_columns(
-            ["l_returnflag", "l_linestatus", "p_qty", "p_price", "p_count"]
+        # Select by NAME, not position: pyarrow's key-vs-aggregate column
+        # ordering is version-dependent (older releases emitted aggregates
+        # before keys), and a positional rename would silently mislabel.
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "p_qty": t.column("l_quantity_sum"),
+                "p_price": t.column("l_extendedprice_sum"),
+                "p_count": t.column("l_orderkey_count"),
+            }
         )
 
     ds = _read(
@@ -78,14 +87,25 @@ GROUP BY l_returnflag, l_linestatus
 def top_customers(sf_dir: str, k: int = 10) -> pa.Table:
     """Revenue top-k with a broadcast hash join: the small customer table
     is put in the object store once and read per task — no shuffle join."""
-    customers = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(customers["c_custkey"], customers["c_name"])))
+    import pyarrow.parquet as pq
+
+    customers = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    # Broadcast the small side ONCE as Arrow arrays; the per-batch probe is
+    # a vectorized pc.index_in + take (no per-row Python lookup loop).
+    lookup_ref = ray.put(
+        (
+            customers.column("c_custkey").combine_chunks(),
+            customers.column("c_name").combine_chunks(),
+        )
+    )
 
     def join_batch(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        keys = batch.column("o_custkey").to_pylist()
-        names = [lookup.get(key, "") for key in keys]
-        return batch.append_column("c_name", pa.array(names, pa.string()))
+        keys, names = ray.get(lookup_ref)
+        idx = pc.index_in(batch.column("o_custkey"), value_set=keys)
+        joined = pc.fill_null(pc.take(names, idx), "")
+        return batch.append_column("c_name", joined)
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     joined = orders.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)

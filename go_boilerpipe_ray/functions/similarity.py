@@ -60,8 +60,12 @@ def knn_brute(sf_dir: str, k: int = 10, n_queries: int = 8) -> pa.Table:
         top = min(k, len(ids))
         for j, qid in enumerate(q_ids):
             col = sims[:, j]
-            # partial top-k per batch; ties resolved at the final merge
-            idx = np.argpartition(-col, top - 1)[:top]
+            # Partial top-k per batch under the SAME total order as the
+            # final merge, (-sim, vec_id): a plain argpartition picks
+            # arbitrarily among candidates tied at the k-th score
+            # boundary and can drop a tied neighbor with lower vec_id
+            # that the merge then can't recover.
+            idx = np.lexsort((ids, -col))[:top]
             for i in idx:
                 out_q.append(int(qid))
                 out_n.append(int(ids[i]))

@@ -70,15 +70,18 @@ def _unmarshal_linked_data(s: str, art: LinkedDataArticle) -> bool:
             ok = _assign_str(art, "body", val) and ok
         elif lk == "datepublished":
             if val is None:
-                continue
+                continue  # time.Time.UnmarshalJSON("null") is a no-op
+            # time.Time implements json.Unmarshaler; an error returned by
+            # UnmarshalJSON (non-string input or bad RFC3339) propagates up
+            # and ABORTS the whole object decode — keys after the bad date
+            # are never processed — unlike plain type errors which are
+            # saved via d.saveError and decoding continues.
             if not isinstance(val, str):
-                ok = False
-                continue
+                return False
             t = parse_rfc3339(val)
             if t is None:
-                ok = False
-            else:
-                art.date_published = t
+                return False
+            art.date_published = t
         elif lk == "author":
             if val is None:
                 continue

@@ -133,10 +133,21 @@ def date_from_url(s: str) -> _dt.datetime | None:
             if month is None:
                 continue
         day = int(groups[2]) if len(groups) > 2 else 1
+        # Go time.Date NORMALIZES out-of-range components instead of
+        # erroring (normurl.go:289: /2016-13-40 → 2017-02-09): month
+        # rolls into the year, then day-1 days are added to the 1st of
+        # that month.  Go also returns on the first matching regex — no
+        # fall-through to later patterns on a weird date.
+        year += (month - 1) // 12
+        month = (month - 1) % 12 + 1
         try:
-            return _dt.datetime(year, month, day, tzinfo=_dt.timezone.utc)
-        except ValueError:
-            continue
+            return _dt.datetime(
+                year, month, 1, tzinfo=_dt.timezone.utc
+            ) + _dt.timedelta(days=day - 1)
+        except (ValueError, OverflowError):
+            # Normalized date is outside datetime's year range [1, 9999]
+            # (Go's time.Time can represent it; Python cannot).
+            return None
     return None
 
 

@@ -65,6 +65,49 @@ def test_resume_produces_identical_union(ray_session, tmp_path):
     assert m3.pending() == []
 
 
+def test_crash_mid_run_persists_completed_groups(ray_session, tmp_path, monkeypatch):
+    """A job killed between commit groups keeps the finished groups'
+    partitions in the manifest (incremental save), and a plain re-run
+    completes only the rest — no hand-editing of the manifest."""
+    import go_boilerpipe_ray.pipelines.article as article_mod
+
+    spans_path = os.path.join(tmp_path, "spans.parquet")
+    pq.write_table(golden7_chunked_table(2), spans_path)
+
+    full_dir = os.path.join(tmp_path, "out_full")
+    run_partitioned_extract(spans_path, full_dir, num_partitions=4)
+    full = _canon(read_output(full_dir))
+
+    crash_dir = os.path.join(tmp_path, "out_crash")
+    real_extract = article_mod.extract_dataset
+    calls = {"n": 0}
+
+    def extract_then_die(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second commit group = the "kill"
+            raise RuntimeError("simulated mid-run kill")
+        return real_extract(*args, **kwargs)
+
+    monkeypatch.setattr(article_mod, "extract_dataset", extract_then_die)
+    try:
+        run_partitioned_extract(
+            spans_path, crash_dir, num_partitions=4, checkpoint_groups=2
+        )
+    except RuntimeError:
+        pass
+
+    # The first group's partitions survived the crash in the manifest.
+    m = Manifest.load_or_create(crash_dir, 4)
+    assert 0 < len(m.completed) < 4
+
+    monkeypatch.setattr(article_mod, "extract_dataset", real_extract)
+    m2 = run_partitioned_extract(
+        spans_path, crash_dir, num_partitions=4, checkpoint_groups=2
+    )
+    assert m2.pending() == []
+    assert _canon(read_output(crash_dir)) == full
+
+
 def test_metrics_rollup(ray_session, tmp_path):
     spans_path = os.path.join(tmp_path, "spans.parquet")
     pq.write_table(golden7_chunked_table(2), spans_path)

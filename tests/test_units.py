@@ -83,6 +83,11 @@ def test_normurl_parse(raw, expected):
         ("scheme://host/path/2016/nov/16?query#fragment", dt.datetime(2016, 11, 16, tzinfo=dt.timezone.utc)),
         ("scheme://host/path/2017-01?query#fragment", dt.datetime(2017, 1, 1, tzinfo=dt.timezone.utc)),
         ("scheme://host/path/2016-12-15-title?query#fragment", dt.datetime(2016, 12, 15, tzinfo=dt.timezone.utc)),
+        # Go time.Date normalizes out-of-range components (normurl.go:289)
+        ("scheme://host/path/2016-13-40", dt.datetime(2017, 2, 9, tzinfo=dt.timezone.utc)),
+        ("scheme://host/path/2016/feb/31", dt.datetime(2016, 3, 2, tzinfo=dt.timezone.utc)),
+        ("scheme://host/path/2016-05-00", dt.datetime(2016, 4, 30, tzinfo=dt.timezone.utc)),
+        ("scheme://host/path/2016-00-15", dt.datetime(2015, 12, 15, tzinfo=dt.timezone.utc)),
     ],
 )
 def test_normurl_date(raw, expected):
@@ -401,6 +406,29 @@ def test_ldjson_bad_date_fails_candidate_but_mutates():
     )
     assert doc.linked_data.headline == "H1"  # partial mutation kept
     assert doc.date is None  # date never set
+
+
+def test_ldjson_bad_date_aborts_remaining_keys():
+    # time.Time.UnmarshalJSON failure propagates and stops the object
+    # decode — keys AFTER the bad date are never processed (unlike plain
+    # type errors, which Go saves and keeps decoding past).
+    doc = _parse_ld(
+        '{"@type": "Article", "datePublished": "not-a-date",'
+        ' "headline": "AFTER", "articleBody": "BODY-AFTER"}'
+    )
+    assert doc.linked_data.headline == ""  # never reached
+    assert doc.linked_data.body == ""  # never reached
+    assert doc.date is None
+
+
+def test_ldjson_nonstring_date_aborts_remaining_keys():
+    # A numeric datePublished also goes through time.Time.UnmarshalJSON
+    # ("input must be a JSON string") — same abort semantics.
+    doc = _parse_ld(
+        '{"@type": "Article", "datePublished": 123, "headline": "AFTER"}'
+    )
+    assert doc.linked_data.headline == ""
+    assert doc.date is None
 
 
 def test_ldjson_non_article_success_overwrites_and_keeps_scanning():
