@@ -9,3 +9,36 @@ def default_pool() -> int:
     from ..pipelines.article import _default_concurrency
 
     return _default_concurrency()
+
+
+def _strip_schema_metadata(batch):
+    return batch.replace_schema_metadata(None)
+
+
+def read_parquet_clean(path: str, **kwargs):
+    """``ray.data.read_parquet`` that drops writer schema metadata.
+
+    Parquet written by pandas embeds a ``b'pandas'`` metadata blob;
+    pyarrow schemas carrying it are UNHASHABLE, which defeats Ray's
+    block-schema dedup (``unify_schemas`` logs "Failed to hash the
+    schemas ... unhashable type: 'dict'" and keeps every schema copy).
+    Stripping is zero-copy and fuses into the read stage."""
+    import ray.data
+
+    return ray.data.read_parquet(path, **kwargs).map_batches(
+        _strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def wide_partitions(floor: int = 64) -> int:
+    """Partition count for hash-partitioned wide stages: scales with the
+    cluster (2× CPUs) so a 256-node cluster isn't capped at a constant,
+    with a floor that keeps per-partition group counts bounded on small
+    clusters.  Result is deterministic for a given cluster size."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    return max(floor, 2 * cpus)

@@ -5,14 +5,17 @@ Scale design notes:
   narrow map_batches, then a small ``groupby(hash).min(doc_id)`` runs on
   (hash, doc_id) pairs only.
 - N-gram Jaccard uses the inverted-index pattern, partition-vectorized:
-  distinct (doc, shingle-hash) int pairs → hash-partitioned pair emission
-  → hash-partitioned pair counting + threshold filter, with doc sizes
-  broadcast.  At 100 TB you would additionally cap shingle
-  document-frequency (drop stop-shingles) and salt hot shingles; the cap
-  is exposed as ``max_df`` (None = exact, used for the oracle-checked
-  query).
+  distinct (doc, shingle-hash, n_sh) int rows → hash-partitioned pair
+  emission → hash-partitioned pair counting + threshold filter.  The
+  Jaccard denominators travel in the rows themselves — no size broadcast
+  or driver materialization at any corpus size.  At 100 TB you would
+  additionally cap shingle document-frequency (drop stop-shingles) and
+  salt hot shingles; the cap is exposed as ``max_df`` (None = exact,
+  used for the oracle-checked query).
 - MinHash/LSH buckets by band signature: only same-bucket candidates are
-  verified, which is the sub-quadratic scale path.
+  verified (sub-quadratic), and the verify step is a distributed
+  repartition join of candidate pairs against the signature dataset —
+  the signature table never collapses onto the driver.
 
 The dedup *inputs* are synthesized from the driver's documents table by a
 deterministic, SQL-expressible expansion (originals ∪ exact copies ∪
@@ -32,7 +35,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ._util import default_pool
+from ._util import default_pool, wide_partitions
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
@@ -47,7 +50,9 @@ def dup_corpus(sf_dir: str) -> "ray.data.Dataset":
     Deterministic and mirrored exactly by DUP_CORPUS_SQL, so dedup
     operators run against a corpus with known duplicate structure.
     """
-    ds = ray.data.read_parquet(
+    from ._util import read_parquet_clean
+
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -116,12 +121,16 @@ SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text
 
 
 def _shingle_batch(batch: pa.Table, k: int) -> pa.Table:
-    """Distinct (doc_id, shingle-hash) pairs.  Shingles are hashed to
+    """Distinct (doc_id, shingle-hash, n_sh) rows.  Shingles are hashed to
     int64 so the shuffle moves 8-byte keys, never strings; the SQL oracle
     joins on the string shingle — identical pairs absent 64-bit
-    collisions."""
+    collisions.  Each row also carries the document's distinct-shingle
+    count ``n_sh`` so the Jaccard denominator travels WITH the data —
+    downstream stages never need a size lookup table (no broadcast, no
+    join, no driver materialization at any corpus size)."""
     doc_ids: list[int] = []
     shingles: list[int] = []
+    n_shingles: list[int] = []
     for doc_id, t in zip(
         batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
     ):
@@ -138,15 +147,14 @@ def _shingle_batch(batch: pa.Table, k: int) -> pa.Table:
         }
         doc_ids.extend([doc_id] * len(seen))
         shingles.extend(seen)
+        n_shingles.extend([len(seen)] * len(seen))
     return pa.table(
         {
             "doc_id": pa.array(doc_ids, pa.int64()),
             "shingle": pa.array(shingles, pa.int64()),
+            "n_sh": pa.array(n_shingles, pa.int64()),
         }
     )
-
-
-_JACCARD_PARTITIONS = 64
 
 
 def ngram_jaccard_pairs(
@@ -162,28 +170,21 @@ def ngram_jaccard_pairs(
     groups) and run vectorized numpy kernels inside each partition:
 
       shingles → groupby(shingle % P)   → per-partition pair emission
-      pairs    → groupby(pair-hash % P) → per-partition pair counting
+      pairs    → groupby(pair-hash % P) → per-partition count + filter
 
-    Two int-keyed shuffles, 2·P UDF calls total, all inner loops numpy.
-    """
-    # The inverted index is consumed twice (sizes + pairs): materialize it
-    # once — (int64, int64) pairs, object-store-resident, spillable.
-    shingled = (
-        dup_corpus(sf_dir)
-        .map_batches(
-            lambda b: _shingle_batch(b, k),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .materialize()
+    The Jaccard denominators (per-doc distinct-shingle counts) are
+    computed at shingling time and CARRIED in the data rows, so the
+    threshold filter needs no size lookup — no broadcast table, no join,
+    nothing driver-side, at any corpus size.  Two int-keyed shuffles,
+    2·P UDF calls total, all inner loops numpy; P scales with cluster
+    CPUs (wide_partitions)."""
+    shingled = dup_corpus(sf_dir).map_batches(
+        lambda b: _shingle_batch(b, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
-    sizes_ds = shingled.groupby("doc_id").count()
-    sizes = {
-        r["doc_id"]: r["count()"] for r in sizes_ds.take_all()
-    }  # small side: one int per doc — broadcast below
-
-    P = _JACCARD_PARTITIONS
+    P = wide_partitions()
 
     def add_shingle_pk(batch: pa.Table) -> pa.Table:
         sh = batch.column("shingle").to_numpy(zero_copy_only=False)
@@ -191,14 +192,18 @@ def ngram_jaccard_pairs(
 
     def partition_pairs(group: pa.Table) -> pa.Table:
         """Emit candidate pairs for every shingle in this hash partition —
-        sort by shingle, then np.triu_indices per run."""
+        sort by shingle, then np.triu_indices per run.  Each pair carries
+        both documents' shingle-set sizes."""
         sh = group.column("shingle").to_numpy(zero_copy_only=False)
         ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        ns = group.column("n_sh").to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, sh))
-        sh, ids = sh[order], ids[order]
+        sh, ids, ns = sh[order], ids[order], ns[order]
         bounds = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1], True])
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
+        out_na: list[np.ndarray] = []
+        out_nb: list[np.ndarray] = []
         for s, e in zip(bounds[:-1], bounds[1:]):
             g = e - s
             if g < 2 or (max_df is not None and g > max_df):
@@ -206,14 +211,23 @@ def ngram_jaccard_pairs(
             ii, jj = np.triu_indices(g, 1)
             out_a.append(ids[s + ii])
             out_b.append(ids[s + jj])
+            out_na.append(ns[s + ii])
+            out_nb.append(ns[s + jj])
         if not out_a:
             return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "n_a": pa.array([], pa.int64()),
+                    "n_b": pa.array([], pa.int64()),
+                }
             )
         return pa.table(
             {
                 "id_a": pa.array(np.concatenate(out_a), pa.int64()),
                 "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "n_a": pa.array(np.concatenate(out_na), pa.int64()),
+                "n_b": pa.array(np.concatenate(out_nb), pa.int64()),
             }
         )
 
@@ -233,19 +247,19 @@ def ngram_jaccard_pairs(
         )
 
     def count_and_filter(group: pa.Table) -> pa.Table:
-        t = pa.table(
-            {"id_a": group.column("id_a"), "id_b": group.column("id_b")}
+        counted = (
+            group.select(["id_a", "id_b", "n_a", "n_b"])
+            .group_by(["id_a", "id_b"])
+            .aggregate([("id_a", "count"), ("n_a", "min"), ("n_b", "min")])
         )
-        counted = t.group_by(["id_a", "id_b"]).aggregate([("id_a", "count")])
-        a = counted.column("id_a").to_numpy(zero_copy_only=False)
-        b = counted.column("id_b").to_numpy(zero_copy_only=False)
         c = counted.column("id_a_count").to_numpy(zero_copy_only=False)
-        na = np.array([sizes[x] for x in a], dtype=np.int64)
-        nb = np.array([sizes[x] for x in b], dtype=np.int64)
+        na = counted.column("n_a_min").to_numpy(zero_copy_only=False)
+        nb = counted.column("n_b_min").to_numpy(zero_copy_only=False)
         union = na + nb - c
         keep = (union > 0) & (c / np.maximum(union, 1) >= threshold)
+        kept = counted.filter(pa.array(keep))
         return pa.table(
-            {"id_a": pa.array(a[keep], pa.int64()), "id_b": pa.array(b[keep], pa.int64())}
+            {"id_a": kept.column("id_a"), "id_b": kept.column("id_b")}
         )
 
     return (
@@ -354,12 +368,22 @@ def minhash_lsh_pairs(
     Jaccard >= threshold.
 
     Shuffle discipline: the band shuffle moves only (band-bucket hash,
-    doc_id) int pairs — signatures are broadcast once via ``ray.put`` and
-    read inside the verify tasks (at cluster scale with a signature table
-    too big to broadcast, replace the broadcast with a hash join on
-    doc_id; the shuffle keys stay the same).  Both wide steps are
-    partition-vectorized (bounded group counts, numpy inner loops), like
-    ngram_jaccard_pairs."""
+    doc_id) int pairs; the verify step is a DISTRIBUTED repartition join
+    of the deduplicated candidate pairs against the signature dataset,
+    keyed on doc id — each pair splits into two half-rows (one per side),
+    the halves meet their signature inside a doc-hash partition, then
+    reunite in a pair-hash partition where the estimate is computed
+    vectorized.  The signature table never collapses onto the driver (at
+    10^12 documents a 512-byte/doc broadcast is petabytes; here each
+    signature is shuffled a bounded number of times).  The join is
+    expressed as union + groupby(pk).map_groups rather than Dataset.join
+    because Ray's hash-join spins up an aggregator actor pool per join
+    (num_partitions actors) whose spin-up dominates at small scale and
+    whose partition count is resource-capped; the sort-shuffle map_groups
+    path expresses the same partitioned hash join with plain tasks and
+    the module's one partitioning discipline (pk = key % P).  All wide
+    steps stay partition-vectorized (bounded group counts, numpy inner
+    loops), like ngram_jaccard_pairs."""
     rows_per_band = num_hashes // bands
     sigs_ds = dup_corpus(sf_dir).map_batches(
         MinHasher,
@@ -369,12 +393,7 @@ def minhash_lsh_pairs(
         concurrency=default_pool(),
     ).materialize()
 
-    sig_rows = sigs_ds.take_all()
-    sig_map = {r["doc_id"]: np.asarray(r["sig"], dtype=np.int64) for r in sig_rows}
-    sig_ref = ray.put(sig_map)
-    del sig_rows
-
-    P = _JACCARD_PARTITIONS
+    P = wide_partitions()
 
     def band_keys(batch: pa.Table) -> pa.Table:
         ids_in = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -449,32 +468,138 @@ def minhash_lsh_pairs(
             "pk", pa.array((a * 1_000_003 + b) % P, pa.int32())
         )
 
-    def verify(group: pa.Table) -> pa.Table:
-        sigs = ray.get(sig_ref)
+    def dedupe_pairs(group: pa.Table) -> pa.Table:
+        """A pair can surface from several bands; keep it once.  pk is a
+        function of (id_a, id_b), so per-partition dedup is global."""
         a = group.column("id_a").to_numpy(zero_copy_only=False)
         b = group.column("id_b").to_numpy(zero_copy_only=False)
         uniq = np.unique(np.stack([a, b], axis=1), axis=0)
-        out_a: list[int] = []
-        out_b: list[int] = []
-        est: list[float] = []
-        for ia, ib in uniq:
-            sim = float(np.mean(sigs[ia] == sigs[ib]))
-            if sim >= threshold:
-                out_a.append(int(ia))
-                out_b.append(int(ib))
-                est.append(sim)
         return pa.table(
             {
-                "id_a": pa.array(out_a, pa.int64()),
-                "id_b": pa.array(out_b, pa.int64()),
-                "est_jaccard": pa.array(est, pa.float64()),
+                "id_a": pa.array(uniq[:, 0], pa.int64()),
+                "id_b": pa.array(uniq[:, 1], pa.int64()),
             }
         )
 
-    return (
+    candidates = (
         pairs.map_batches(add_pair_pk, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("pk")
-        .map_groups(verify, batch_format="pyarrow")
+        .map_groups(dedupe_pairs, batch_format="pyarrow")
+    )
+
+    # -- distributed verify: repartition join on doc id -----------------
+    def _empty_sigs(n: int) -> pa.ListArray:
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, dtype=np.int32)), pa.array([], pa.int64())
+        )
+
+    def pair_halves(batch: pa.Table) -> pa.Table:
+        """Each candidate pair becomes two half-rows, keyed by one side's
+        doc id, so the halves can pick up their signature in the doc-hash
+        partition they shuffle to."""
+        a = batch.column("id_a").combine_chunks()
+        b = batch.column("id_b").combine_chunks()
+        n = batch.num_rows
+        key = pa.concat_arrays([a, b])
+        return pa.table(
+            {
+                "key": key,
+                "id_a": pa.concat_arrays([a, a]),
+                "id_b": pa.concat_arrays([b, b]),
+                "sig": _empty_sigs(2 * n),
+                "is_sig": pa.array(np.zeros(2 * n, dtype=bool)),
+                "kp": pa.array(
+                    (key.to_numpy(zero_copy_only=False) % P).astype(np.int32)
+                ),
+            }
+        )
+
+    def sig_role(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column("doc_id"),
+                "id_a": pa.array(np.zeros(n, dtype=np.int64)),
+                "id_b": pa.array(np.zeros(n, dtype=np.int64)),
+                "sig": batch.column("sig"),
+                "is_sig": pa.array(np.ones(n, dtype=bool)),
+                "kp": pa.array((ids % P).astype(np.int32)),
+            }
+        )
+
+    halves = candidates.map_batches(
+        pair_halves, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        sigs_ds.map_batches(sig_role, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def attach_sig(group: pa.Table) -> pa.Table:
+        """Inside a doc-hash partition: give every pair half-row its
+        key's signature via a sorted-key binary search (vectorized)."""
+        is_sig = group.column("is_sig").to_numpy(zero_copy_only=False)
+        keys = group.column("key").to_numpy(zero_copy_only=False)
+        # flatten() respects offsets; non-sig rows hold empty lists, so
+        # the value buffer is exactly the sig rows' matrix in row order.
+        vals = np.asarray(group.column("sig").combine_chunks().flatten())
+        mat = vals.reshape(-1, num_hashes)
+        sig_keys = keys[is_sig]
+        order = np.argsort(sig_keys)
+        skeys, smat = sig_keys[order], mat[order]
+        sel = ~is_sig
+        pkeys = keys[sel]
+        pos = np.clip(np.searchsorted(skeys, pkeys), 0, max(len(skeys) - 1, 0))
+        valid = len(skeys) > 0 and (skeys[pos] == pkeys)
+        if isinstance(valid, bool):  # empty sig side
+            valid = np.zeros(len(pkeys), dtype=bool)
+        looked = smat[pos[valid]] if valid.any() else np.empty(
+            (0, num_hashes), dtype=smat.dtype if len(smat) else np.int64
+        )
+        id_a = group.column("id_a").to_numpy(zero_copy_only=False)[sel][valid]
+        id_b = group.column("id_b").to_numpy(zero_copy_only=False)[sel][valid]
+        offs = pa.array((np.arange(len(id_a) + 1) * num_hashes).astype(np.int32))
+        return pa.table(
+            {
+                "id_a": pa.array(id_a, pa.int64()),
+                "id_b": pa.array(id_b, pa.int64()),
+                "sig": pa.ListArray.from_arrays(
+                    offs, pa.array(looked.reshape(-1), pa.int64())
+                ),
+                "pp": pa.array(
+                    ((id_a * 1_000_003 + id_b) % P).astype(np.int32)
+                ),
+            }
+        )
+
+    attached = halves.groupby("kp").map_groups(attach_sig, batch_format="pyarrow")
+
+    def combine_and_estimate(group: pa.Table) -> pa.Table:
+        """Inside a pair-hash partition the two halves of each pair are
+        adjacent after a (id_a, id_b) sort; the estimate is the mean
+        signature agreement — symmetric, so half order is irrelevant."""
+        a = group.column("id_a").to_numpy(zero_copy_only=False)
+        b = group.column("id_b").to_numpy(zero_copy_only=False)
+        mat = np.asarray(group.column("sig").combine_chunks().flatten()).reshape(
+            -1, num_hashes
+        )
+        order = np.lexsort((b, a))
+        a, b, mat = a[order], b[order], mat[order]
+        if len(a) % 2 or not (
+            np.array_equal(a[0::2], a[1::2]) and np.array_equal(b[0::2], b[1::2])
+        ):
+            raise ValueError("pair halves misaligned in verify partition")
+        est = (mat[0::2] == mat[1::2]).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(a[0::2][keep], pa.int64()),
+                "id_b": pa.array(b[0::2][keep], pa.int64()),
+                "est_jaccard": pa.array(est[keep], pa.float64()),
+            }
+        )
+
+    return attached.groupby("pp").map_groups(
+        combine_and_estimate, batch_format="pyarrow"
     )
 
 

@@ -16,7 +16,9 @@ import ray.data
 
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ._util import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # -- aggregation ------------------------------------------------------------
@@ -347,7 +349,9 @@ def click_values(sf_dir: str) -> "ray.data.Dataset":
     only matching row groups/columns leave storage."""
     import pyarrow.dataset as pads
 
-    ds = ray.data.read_parquet(
+    from ._util import read_parquet_clean
+
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "event_type", "value"],
         filter=(pads.field("event_type") == "click"),

@@ -21,6 +21,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ._util import read_parquet_clean
+
 NEAR_DUP_COPY_OFFSET = 1_000_000
 
 
@@ -78,7 +80,7 @@ def knn_brute(sf_dir: str, k: int = 10, n_queries: int = 8) -> pa.Table:
             }
         )
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     candidates = ds.map_batches(
@@ -155,7 +157,7 @@ def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 8, n_planes: int = 8) -> 
     stage = LshIndexStage(n_planes=n_planes, dim=qm.shape[1])
     q_buckets = stage.bucket_of(qm)
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     bucketed = ds.map_batches(
@@ -209,7 +211,7 @@ def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 8, n_planes: int = 8) -> 
 def near_dup_corpus(sf_dir: str) -> "ray.data.Dataset":
     """embeddings ∪ scaled copies (vec_id + 1e6, embedding × 2): each copy
     is an exact-cosine duplicate of its original."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
@@ -348,7 +350,7 @@ def knn_ivf(
 
     qids, qm = _load_queries(sf_dir, n_queries)
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     sample_rows = ds.limit(sample_size).take_all()

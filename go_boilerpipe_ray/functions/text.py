@@ -35,7 +35,9 @@ _BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 def read_documents(sf_dir: str, columns=None) -> "ray.data.Dataset":
     # Column pruning at the read: only what the operator needs leaves storage.
-    return ray.data.read_parquet(
+    from ._util import read_parquet_clean
+
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=columns or ["doc_id", "text"]
     )
 
