@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import heapq
+import logging
 
 import numpy as np
 import pyarrow as pa
@@ -22,6 +23,8 @@ import ray
 import ray.data
 
 from ._util import read_parquet_clean
+
+_logger = logging.getLogger(__name__)
 
 NEAR_DUP_COPY_OFFSET = 1_000_000
 
@@ -42,6 +45,40 @@ def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
     m = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
     return ids, m
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _rank_merge(cand_rows: list[dict], k: int) -> pa.Table:
+    """Driver-side merge of BOUNDED per-partition top-k candidates into
+    final (query_id, neighbor_id, rank) rows, under the total order
+    (-sim, neighbor_id) — the same order every partition used for its
+    local truncation, so the merge can never need a dropped row."""
+    by_query: dict[int, list[tuple[float, int]]] = {}
+    for row in cand_rows:
+        by_query.setdefault(row["query_id"], []).append(
+            (-row["sim"], row["neighbor_id"])
+        )
+    rows_q: list[int] = []
+    rows_n: list[int] = []
+    rows_r: list[int] = []
+    for qid in sorted(by_query):
+        best = heapq.nsmallest(k, by_query[qid])
+        for rank, (_, nid) in enumerate(best, start=1):
+            rows_q.append(qid)
+            rows_n.append(nid)
+            rows_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "neighbor_id": pa.array(rows_n, pa.int64()),
+            "rank": pa.array(rows_r, pa.int64()),
+        }
+    )
 
 
 def knn_brute(sf_dir: str, k: int = 10, n_queries: int = 8) -> pa.Table:
@@ -86,28 +123,7 @@ def knn_brute(sf_dir: str, k: int = 10, n_queries: int = 8) -> pa.Table:
     candidates = ds.map_batches(
         local_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
     ).take_all()  # bounded: ≤ batches × n_queries × k rows
-
-    by_query: dict[int, list[tuple[float, int]]] = {}
-    for row in candidates:
-        by_query.setdefault(row["query_id"], []).append(
-            (-row["sim"], row["neighbor_id"])
-        )
-    rows_q: list[int] = []
-    rows_n: list[int] = []
-    rows_r: list[int] = []
-    for qid in sorted(by_query):
-        best = heapq.nsmallest(k, by_query[qid])
-        for rank, (_, nid) in enumerate(best, start=1):
-            rows_q.append(qid)
-            rows_n.append(nid)
-            rows_r.append(rank)
-    return pa.table(
-        {
-            "query_id": pa.array(rows_q, pa.int64()),
-            "neighbor_id": pa.array(rows_n, pa.int64()),
-            "rank": pa.array(rows_r, pa.int64()),
-        }
-    )
+    return _rank_merge(candidates, k)
 
 
 KNN_SQL = """
@@ -151,11 +167,18 @@ class LshIndexStage:
 
 
 def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 8, n_planes: int = 8) -> pa.Table:
-    """Approximate top-k: search only the query's LSH bucket.  The bucketed
-    dataset is the IVF-style scale path (bucket = partition key)."""
+    """Approximate top-k: search only the query's LSH bucket.
+
+    Distributed scoring: candidate vectors shuffle to their bucket group
+    (bucket = partition key, the IVF-style scale path) and each group
+    computes its queries' local top-k vectorized, tie-aware under
+    (-sim, vec_id).  Only the bounded (query, neighbor, sim) candidate
+    rows — ≤ buckets × queries × k — reach the driver merge; the raw
+    vectors never do."""
     qids, qm = _load_queries(sf_dir, n_queries)
     stage = LshIndexStage(n_planes=n_planes, dim=qm.shape[1])
     q_buckets = stage.bucket_of(qm)
+    q_ref = ray.put((qids, qm, q_buckets))
 
     ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -177,35 +200,39 @@ def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 8, n_planes: int = 8) -> 
     in_buckets = bucketed.map_batches(
         bucket_filter, batch_format="pyarrow", zero_copy_batch=True
     )
-    cand = in_buckets.take_all()
-    ids = np.array([r["vec_id"] for r in cand], dtype=np.int64)
-    m = np.array([r["embedding"] for r in cand], dtype=np.float64)
-    buckets = np.array([r["bucket"] for r in cand], dtype=np.int64)
-    norms = np.linalg.norm(m, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    mn = m / norms
 
-    rows_q: list[int] = []
-    rows_n: list[int] = []
-    rows_r: list[int] = []
-    for qid, qv, qb in zip(qids, qm, q_buckets):
-        mask = buckets == qb
-        if not mask.any():
-            continue
-        sims = mn[mask] @ qv
-        sub_ids = ids[mask]
-        order = np.lexsort((sub_ids, -sims))[:k]
-        for rank, i in enumerate(order, start=1):
-            rows_q.append(int(qid))
-            rows_n.append(int(sub_ids[i]))
-            rows_r.append(rank)
-    return pa.table(
-        {
-            "query_id": pa.array(rows_q, pa.int64()),
-            "neighbor_id": pa.array(rows_n, pa.int64()),
-            "rank": pa.array(rows_r, pa.int64()),
-        }
+    def score_bucket(group: pa.Table) -> pa.Table:
+        q_ids, q_mat, q_b = ray.get(q_ref)
+        bucket = group.column("bucket")[0].as_py()
+        sel = np.flatnonzero(q_b == bucket)
+        ids, m = _batch_matrix(group)
+        mn = _normalize(m)
+        sims = mn @ q_mat[sel].T  # (group, |sel|)
+        out_q: list[int] = []
+        out_n: list[int] = []
+        out_s: list[float] = []
+        top = min(k, len(ids))
+        for j, qi in enumerate(sel):
+            col = sims[:, j]
+            idx = np.lexsort((ids, -col))[:top]
+            for i in idx:
+                out_q.append(int(q_ids[qi]))
+                out_n.append(int(ids[i]))
+                out_s.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand = (
+        in_buckets.groupby("bucket")
+        .map_groups(score_bucket, batch_format="pyarrow")
+        .take_all()
     )
+    return _rank_merge(cand, k)
 
 
 def near_dup_corpus(sf_dir: str) -> "ray.data.Dataset":
@@ -231,48 +258,89 @@ def near_dup_corpus(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def near_dup_embeddings(
-    sf_dir: str, threshold: float = 0.999, limit_ids: int = 1000
-) -> pa.Table:
-    """All pairs (id_a < id_b) with cosine >= threshold among vec_id <
-    limit_ids (and their copies).  Brute-force blocked matmul against a
-    broadcast matrix; the LSH-bucketed variant is the 100 TB path."""
-    import pyarrow.compute as pc
+class MultiprobeLshStage(LshIndexStage):
+    """Random-hyperplane LSH with 1-bit multiprobe: each vector is
+    emitted into its own bucket plus every one-bit-flip bucket, so two
+    vectors whose sign patterns differ in at most one hyperplane still
+    co-locate in at least one bucket.  Candidate generation therefore
+    tolerates a near-dup pair straddling a single hyperplane; pairs are
+    still cosine-VERIFIED exactly inside the bucket group."""
 
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(batch)
+        b = self.bucket_of(m)
+        n = len(ids)
+        n_pl = self.planes.shape[0]
+        buckets = np.concatenate([b] + [b ^ (1 << p) for p in range(n_pl)])
+        take_idx = pa.array(np.tile(np.arange(n), n_pl + 1))
+        return pa.table(
+            {
+                "vec_id": pa.array(np.tile(ids, n_pl + 1), pa.int64()),
+                "bucket": pa.array(buckets, pa.int64()),
+                "embedding": batch.column("embedding").take(take_idx),
+            }
+        )
+
+
+def near_dup_embeddings(
+    sf_dir: str, threshold: float = 0.999, limit_ids: int = 1000, n_planes: int = 8
+) -> "ray.data.Dataset":
+    """All pairs (id_a < id_b) with cosine >= threshold among vec_id <
+    limit_ids (and their copies).
+
+    LSH-bucketed pair generation — the 100 TB path: vectors shuffle to
+    their (multiprobe) buckets, pairs are generated AND cosine-verified
+    vectorized inside each bucket group, then deduplicated with a keyed
+    groupby.  No all-pairs matmul, no corpus materialization on the
+    driver.  The synthesized duplicates are exact-direction copies, so
+    they always share a bucket; organic pairs at the threshold are
+    caught unless they straddle 2+ hyperplanes (the verify step never
+    false-positives)."""
+    _logger.info(
+        "near_dup_embeddings: coverage capped at vec_id < %d "
+        "(mirrors NEAR_DUP_SQL; raise limit_ids to widen)",
+        limit_ids,
+    )
     full = near_dup_corpus(sf_dir).filter(
         expr=f"vec_id < {limit_ids} or "
         f"(vec_id >= {NEAR_DUP_COPY_OFFSET} and vec_id < {NEAR_DUP_COPY_OFFSET + limit_ids})"
     )
-    all_rows = full.take_all()
-    ids = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
-    m = np.array([r["embedding"] for r in all_rows], dtype=np.float64)
-    ref = ray.put((ids, m))
 
-    def pairs_batch(batch: pa.Table) -> pa.Table:
-        a_ids, a_m = _batch_matrix(batch)
-        b_ids, b_m = ray.get(ref)
-        an = a_m / np.maximum(np.linalg.norm(a_m, axis=1, keepdims=True), 1e-30)
-        bn = b_m / np.maximum(np.linalg.norm(b_m, axis=1, keepdims=True), 1e-30)
-        sims = an @ bn.T
-        out_a: list[int] = []
-        out_b: list[int] = []
+    import pyarrow.parquet as pq
+
+    dim = len(
+        pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+        .read_row_group(0, columns=["embedding"])
+        .column("embedding")[0]
+    )
+    bucketed = full.map_batches(
+        MultiprobeLshStage,
+        fn_constructor_kwargs={"n_planes": n_planes, "dim": dim},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(group)
+        mn = _normalize(m)
+        sims = mn @ mn.T
         ii, jj = np.nonzero(sims >= threshold)
-        for i, j in zip(ii, jj):
-            if a_ids[i] < b_ids[j]:
-                out_a.append(int(a_ids[i]))
-                out_b.append(int(b_ids[j]))
+        keep = ids[ii] < ids[jj]
         return pa.table(
-            {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64())}
+            {
+                "id_a": pa.array(ids[ii][keep], pa.int64()),
+                "id_b": pa.array(ids[jj][keep], pa.int64()),
+            }
         )
 
-    del pc
-    return pa.concat_tables(
-        [
-            b
-            for b in full.map_batches(
-                pairs_batch, batch_format="pyarrow", zero_copy_batch=True
-            ).iter_batches(batch_format="pyarrow")
-        ]
+    pairs = bucketed.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    # A pair is rediscovered in up to 1 + n_planes shared buckets —
+    # dedupe with a keyed groupby (distributed, not a driver set).
+    return (
+        pairs.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
     )
 
 
@@ -368,46 +436,51 @@ def knn_ivf(
 
     q_cells = np.argsort(-(qm @ centroids.T), axis=1)[:, :n_probe]
     wanted = pa.array(sorted({int(c) for row in q_cells for c in row}), pa.int64())
+    q_ref = _ray.put((qids, qm, q_cells))
 
     def cell_filter(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
 
         return batch.filter(_pc.is_in(batch.column("cell"), value_set=wanted))
 
-    cand = bucketed.map_batches(
+    filtered = bucketed.map_batches(
         cell_filter, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-    if not cand:
+    )
+
+    def score_cell(group: pa.Table) -> pa.Table:
+        """Distributed per-cell scoring: local tie-aware top-k for every
+        query probing this cell; the per-cell truncation uses the same
+        total order (-sim, vec_id) as the final merge, so merging the
+        n_probe cells' candidates reproduces the exact probed-set
+        ranking."""
+        q_ids, q_mat, q_c = ray.get(q_ref)
+        cell = group.column("cell")[0].as_py()
+        sel = np.flatnonzero((q_c == cell).any(axis=1))
+        ids, m = _batch_matrix(group)
+        mn = _normalize(m)
+        sims = mn @ q_mat[sel].T
+        out_q: list[int] = []
+        out_n: list[int] = []
+        out_s: list[float] = []
+        top = min(k, len(ids))
+        for j, qi in enumerate(sel):
+            col = sims[:, j]
+            idx = np.lexsort((ids, -col))[:top]
+            for i in idx:
+                out_q.append(int(q_ids[qi]))
+                out_n.append(int(ids[i]))
+                out_s.append(float(col[i]))
         return pa.table(
             {
-                "query_id": pa.array([], pa.int64()),
-                "neighbor_id": pa.array([], pa.int64()),
-                "rank": pa.array([], pa.int64()),
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
             }
         )
-    ids = np.array([r["vec_id"] for r in cand], dtype=np.int64)
-    m = np.array([r["embedding"] for r in cand], dtype=np.float64)
-    cells = np.array([r["cell"] for r in cand], dtype=np.int64)
-    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
 
-    rows_q: list[int] = []
-    rows_n: list[int] = []
-    rows_r: list[int] = []
-    for qid, qv, probes in zip(qids, qm, q_cells):
-        mask = np.isin(cells, probes)
-        if not mask.any():
-            continue
-        sims = mn[mask] @ qv
-        sub_ids = ids[mask]
-        order = np.lexsort((sub_ids, -sims))[:k]
-        for rank, i in enumerate(order, start=1):
-            rows_q.append(int(qid))
-            rows_n.append(int(sub_ids[i]))
-            rows_r.append(rank)
-    return pa.table(
-        {
-            "query_id": pa.array(rows_q, pa.int64()),
-            "neighbor_id": pa.array(rows_n, pa.int64()),
-            "rank": pa.array(rows_r, pa.int64()),
-        }
+    cand = (
+        filtered.groupby("cell")
+        .map_groups(score_cell, batch_format="pyarrow")
+        .take_all()
     )
+    return _rank_merge(cand, k)
