@@ -106,7 +106,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_titles": xq.EXTRACT_TITLES_SQL,
         "extract_authors": xq.EXTRACT_AUTHORS_SQL,
+        "extract_stats": xq.EXTRACT_STATS_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
+        "lang_id": text.LANG_ID_SQL,
         "quality_score": text.QUALITY_SQL,
         "fingerprint": text.FINGERPRINT_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
@@ -121,7 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "top_events": relational.TOP_EVENTS_SQL,
         "click_values": relational.CLICK_VALUES_SQL,
         "distinct_event_types": relational.DISTINCT_EVENT_TYPES_SQL,
-        # rows-only (non-SQL-expressible): extract_stats, extract_golden,
-        # lang_id, rolling_fingerprint, dedup_minhash_lsh, dedup_simhash,
+        # rows-only (non-SQL-expressible): extract_golden,
+        # rolling_fingerprint, dedup_minhash_lsh, dedup_simhash,
         # knn_lsh, knn_ivf, media_decode
     }

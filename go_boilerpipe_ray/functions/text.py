@@ -113,35 +113,38 @@ class LangId:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         langs: list[str] = []
-        confs: list[float] = []
+        confs: list[int] = []
         for t in batch.column("text").to_pylist():
             n = len(t)
             if n == 0:
                 langs.append("und")
-                confs.append(0.0)
+                confs.append(0)
                 continue
             cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
             if cjk * 4 >= n:
                 langs.append("zh")
-                confs.append(cjk / n)
+                confs.append(cjk * 1000 // n)
                 continue
             toks = self.token_re.findall(t.lower())
             if not toks:
                 langs.append("und")
-                confs.append(0.0)
+                confs.append(0)
                 continue
-            best_lang, best = "und", -1.0
+            # Integer scoring: profiles share the denominator (len(toks)),
+            # so the argmax compares raw stopword counts; the confidence is
+            # a floor-divided permille — hash-stable vs the SQL oracle.
+            best_lang, best = "und", -1
             for lang, stops in self.profiles:
-                score = sum(1 for w in toks if w in stops) / len(toks)
+                score = sum(1 for w in toks if w in stops)
                 if score > best:
                     best_lang, best = lang, score
             langs.append(best_lang if best > 0 else "und")
-            confs.append(max(best, 0.0))
+            confs.append(max(best, 0) * 1000 // len(toks))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "lang": pa.array(langs, pa.string()),
-                "confidence": pa.array(confs, pa.float64()),
+                "conf_x1000": pa.array(confs, pa.int64()),
             }
         )
 
@@ -232,3 +235,32 @@ FROM toks
 """
 
 FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+# Mirrors LangId exactly for ASCII corpora (the CJK branch never fires:
+# cjk_count = 0 < n/4).  All four profiles share the token-count
+# denominator, so the Python argmax over ratios equals an argmax over raw
+# counts with first-profile-wins ties — the CASE chain below.
+LANG_ID_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+),
+c AS (
+  SELECT doc_id, len(ts) AS n,
+    len(list_filter(ts, t -> t IN ('the','and','of','to','a','in','is','that','it','for'))) AS c_en,
+    len(list_filter(ts, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','zu'))) AS c_de,
+    len(list_filter(ts, t -> t IN ('le','la','les','et','est','un','une','dans','pour'))) AS c_fr,
+    len(list_filter(ts, t -> t IN ('el','la','los','las','es','un','una','en','por'))) AS c_es
+  FROM toks
+)
+SELECT doc_id,
+  CASE
+    WHEN n = 0 OR greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+    WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+    WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+    WHEN c_fr >= c_es THEN 'fr'
+    ELSE 'es'
+  END AS lang,
+  CASE WHEN n = 0 THEN 0
+       ELSE greatest(c_en, c_de, c_fr, c_es) * 1000 // n END AS conf_x1000
+FROM c
+"""

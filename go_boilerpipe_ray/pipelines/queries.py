@@ -68,12 +68,60 @@ FROM documents
 
 
 def extract_stats(sf_dir: str):
-    """Per-doc extraction metrics (rows-only check: the block structure is
-    the extractor's own output, not SQL-expressible)."""
-    ds = _extract_corpus(sf_dir)
-    return ds.select_columns(
-        ["doc_id", "n_blocks_in", "n_blocks_kept", "words_in", "words_kept", "error"]
+    """Per-doc extraction metrics, oracle-checked end-to-end: the
+    generator's block structure is a pure function of the document's
+    whitespace token count, so EXTRACT_STATS_SQL predicts every metric —
+    including words_kept, whose piecewise delta encodes exactly which
+    boilerplate blocks (nav links, trailing comment prompts) the filter
+    chain merges into the content block at each document length."""
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(
+            pc.utf8_replace_slice(batch.column("doc_id"), 0, 4, ""), pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_blocks_in": pc.cast(batch.column("n_blocks_in"), pa.int64()),
+                "n_blocks_kept": pc.cast(batch.column("n_blocks_kept"), pa.int64()),
+                "words_in": pc.cast(batch.column("words_in"), pa.int64()),
+                "words_kept": pc.cast(batch.column("words_kept"), pa.int64()),
+                "error": batch.column("error"),
+            }
+        )
+
+    return _extract_corpus(sf_dir).map_batches(
+        to_rows, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# The synthetic article wraps the document text in a fixed template (nav,
+# h1 title, 40-word paragraphs, comment prompts, footer), so every metric
+# is a function of n_words = count of \S+ tokens (valid for n_words >= 5;
+# the driver corpora are 10..100):
+#   n_blocks_in  = ceil(n_words/40) + 6   (nav, h1, 2 comments, 2 footer)
+#   n_blocks_kept = 1                     (proximity fusion merges content)
+#   words_in     = n_words + 33           (all template words)
+#   words_kept   = n_words + delta, delta per the measured filter-chain
+#                  piecewise (which boilerplate neighbors get merged):
+#                  5-17→10, 18-40→16, 41-44→13, 45-59→16, 60+→13.
+EXTRACT_STATS_SQL = r"""
+WITH w AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_words FROM documents
+)
+SELECT doc_id,
+       CAST(ceil(n_words / 40.0) + 6 AS BIGINT) AS n_blocks_in,
+       CAST(1 AS BIGINT) AS n_blocks_kept,
+       CAST(n_words + 33 AS BIGINT) AS words_in,
+       CAST(n_words + CASE
+            WHEN n_words >= 60 THEN 13
+            WHEN n_words >= 45 THEN 16
+            WHEN n_words >= 41 THEN 13
+            WHEN n_words >= 18 THEN 16
+            ELSE 10 END AS BIGINT) AS words_kept,
+       '' AS error
+FROM w
+"""
 
 
 def extract_golden(_sf_dir: str):
@@ -87,8 +135,12 @@ def extract_golden(_sf_dir: str):
 
     path = "/tmp/gbr_cache/golden7_interleaved.parquet"
     if not os.path.exists(path):
+        # Atomic publish (write-to-temp + rename): a concurrent driver
+        # must never read a half-written file through the exists-check.
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        pq.write_table(golden7_interleaved_table(3), path)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(golden7_interleaved_table(3), tmp)
+        os.replace(tmp, path)
 
     def project(batch: pa.Table) -> pa.Table:
         n_spans = pc.list_value_length(batch.column("spans"))

@@ -25,6 +25,36 @@ def test_exact_dedup_keeps_originals():
     assert any(k >= 2 * COPY_OFFSET for k in kept)
 
 
+def test_wide_partitions_scale_with_cluster():
+    import ray
+
+    from go_boilerpipe_ray.functions._util import wide_partitions
+
+    cpus = int(ray.cluster_resources().get("CPU", 0))
+    assert cpus > 0
+    # Never fewer partitions than CPUs (a 256-node cluster must not be
+    # capped at a constant), and the floor holds on small clusters.
+    assert wide_partitions() >= max(64, cpus)
+    assert wide_partitions(floor=1) == 2 * cpus
+
+
+def test_jaccard_invariant_to_partition_count(monkeypatch):
+    """The pair set must not depend on the hash-partition count (pure
+    partitioning detail) — pins the oracle at a non-default P."""
+    import go_boilerpipe_ray.functions.dedup as dd
+
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in dd.ngram_jaccard_pairs(SF, threshold=0.9).take_all()
+    }
+    monkeypatch.setattr(dd, "wide_partitions", lambda floor=64: 7)
+    alt = {
+        (r["id_a"], r["id_b"])
+        for r in dd.ngram_jaccard_pairs(SF, threshold=0.9).take_all()
+    }
+    assert base == alt and base
+
+
 def test_minhash_recall_vs_exact():
     from go_boilerpipe_ray.functions.dedup import (
         minhash_lsh_pairs,
