@@ -161,26 +161,25 @@ def parse_document(html: str) -> Document:
     in_ldjson = False
     ldjson: list[str] = []
 
-    for tok in Tokenizer(html):
-        tt = tok.tt
+    for tt, data, attrs, _raw_start, raw_end in Tokenizer(html):
         if tt == TEXT:
             if in_ldjson:
-                ldjson.append(tok.data)
-            h.text_token(tok.data, tok.raw_end)
+                ldjson.append(data)
+            h.text_token(data, raw_end)
         elif tt == START_TAG:
-            a = atom_of(tok.data)
+            a = atom_of(data)
             if a in SHOULD_BE_SELF_CLOSING:
                 # Malformed start tag of a void element: skip.
                 continue
             if a == "script":
-                for key, val in tok.attrs:
+                for key, val in attrs:
                     if key == "type" and val == "application/ld+json":
                         in_ldjson = True
-            h.start_element(tok)
+            h.start_element(data, attrs, a)
         elif tt == END_TAG:
             if in_ldjson:
                 in_ldjson = False
-            h.end_element(tok)
+            h.end_element(data)
         # SELF_CLOSING / COMMENT / DOCTYPE: ignored.
 
     h.flush_block()

@@ -40,26 +40,105 @@ ANCHOR_TEXT_END = ">$"
 
 # Word tokenizer (content_handler.go:237-255; boilerpipe-Java
 # UnicodeTokenizer).  Go's \d is ASCII-only, hence the explicit 0-9.
+#
+# The reference implements this as three regex passes: wrap every word
+# run [\p{L}0-9_]+ in U+2063 invisible separators, delete separator
+# runs adjacent to the punctuation set, then split on separator/space
+# runs.  ``tokenize`` below is a single-split equivalent: token
+# boundaries are exactly (a) space/U+2063 runs and (b) word-run edges
+# whose adjacent non-word character is NOT in the punctuation set.  The
+# glue scanner walks the split-with-capture parts applying (b) directly
+# — one regex pass, no per-match template expansion.  The literal
+# 3-pass transcription survives as _tokenize_reference below and is
+# differentially tested against this on random inputs.
 _RE_WORD_BOUNDARY = _regex.compile(r"[\p{L}0-9_]+")
+_RE_WORD_SPLIT = _regex.compile(r"([\p{L}0-9_]+)")
 _RE_NOT_WORD_BOUNDARY = re.compile(
     "[⁣]*([\"'\\.,\\!\\@\\-\\:\\;\\$\\?\\(\\)/])[⁣]*"
 )
+_PUNCT_GLUE = frozenset("\"'.,!@-:;$?()/")
+# Input-text U+2063 runs adjacent to glue punctuation vanish exactly as
+# the inserted separators do (rule (b) applied to literal input).
+_RE_SEP_NEAR_PUNCT = re.compile(
+    "[⁣]+(?=[\"'.,!@\\-:;$?()/])|(?<=[\"'.,!@\\-:;$?()/])[⁣]+"
+)
 _RE_INVISIBLE_SEPARATOR = re.compile("[⁣]+")
 _RE_SPACE = re.compile("[ ]+")
-_RE_SEP_OR_SPACE = re.compile("[\u2063 ]+")
+_RE_SEP_OR_SPACE = re.compile("[⁣ ]+")
 _RE_VALID_WORD_CHARACTER = _regex.compile(r"[\p{L}\p{Nd}\p{Nl}\p{No}]")
 
 
-def tokenize(text: str) -> list[str]:
+def _tokenize_reference(text: str) -> list[str]:
+    """Literal transcription of the reference's 3-pass tokenizer —
+    retained as the differential-test oracle for ``tokenize``."""
     text = _RE_WORD_BOUNDARY.sub("⁣\\g<0>⁣", go_trim_space(text))
     text = _RE_NOT_WORD_BOUNDARY.sub(r"\1", text)
-    # Equivalent to: separator runs -> ' ', TrimSpace, split on spaces —
-    # one regex pass instead of two (buffer whitespace is all ' ' already).
-    return _RE_SEP_OR_SPACE.split(text.strip("\u2063 "))
+    return _RE_SEP_OR_SPACE.split(text.strip("⁣ "))
+
+
+def tokenize(text: str) -> list[str]:
+    parts = _RE_WORD_SPLIT.split(go_trim_space(text))
+    tokens: list[str] = []
+    cur = ""
+    for i, part in enumerate(parts):
+        if not part:
+            continue
+        if i & 1:  # word run
+            if cur and cur[-1] in _PUNCT_GLUE:
+                cur += part
+            else:
+                if cur:
+                    tokens.append(cur)
+                cur = part
+            continue
+        # Non-word segment: space (and literal U+2063) runs split; a
+        # chunk glues to the neighboring word run iff its edge char is
+        # glue punctuation.
+        if "⁣" in part:
+            part = _RE_SEP_NEAR_PUNCT.sub("", part)
+            chunks = _RE_SEP_OR_SPACE.split(part)
+        elif " " in part:
+            chunks = part.split(" ")
+        else:
+            if cur and part[0] in _PUNCT_GLUE:
+                cur += part
+            else:
+                if cur:
+                    tokens.append(cur)
+                cur = part
+            continue
+        for j, c in enumerate(chunks):
+            if j and cur:
+                tokens.append(cur)
+                cur = ""
+            if not c:
+                continue
+            if cur and c[0] in _PUNCT_GLUE:
+                cur += c
+            else:
+                if cur:
+                    tokens.append(cur)
+                cur = c
+    if cur:
+        tokens.append(cur)
+    # The reference split returns [''] for input that trims to nothing —
+    # flush_block counts that artifact as one (non-word) token.
+    return tokens if tokens else [""]
+
+
+_IS_WORD_CACHE: dict[str, bool] = {}
 
 
 def is_word(tok: str) -> bool:
-    return _RE_VALID_WORD_CHARACTER.search(tok) is not None
+    # Natural text reuses tokens heavily; memoize the Unicode-class regex
+    # probe (bounded: cleared if it ever grows past 64k entries).
+    r = _IS_WORD_CACHE.get(tok)
+    if r is None:
+        if len(_IS_WORD_CACHE) > 65536:
+            _IS_WORD_CACHE.clear()
+        r = _RE_VALID_WORD_CHARACTER.search(tok) is not None
+        _IS_WORD_CACHE[tok] = r
+    return r
 
 
 # Fast-path detector: any non-space whitespace char, or a double space —
@@ -67,29 +146,23 @@ def is_word(tok: str) -> bool:
 _SLOW_WS_RE = re.compile("[" + _GO_WS_STR.replace(" ", "") + "]|  ")
 
 
+_WS_TO_SPACE = {ord(c): " " for c in GO_WHITESPACE}
+_RE_MULTISPACE = re.compile(" {2,}")
+
+
 def space_remove(s: str) -> tuple[str, bool, bool]:
     """Collapse runs of Unicode whitespace to single spaces
-    (content_handler.go:154-179). Returns (text, was_first_ws, was_last_ws)."""
+    (content_handler.go:154-179). Returns (text, was_first_ws, was_last_ws).
+
+    Vectorized equivalent of the reference's per-rune loop: map every
+    whitespace rune to ' ' (C-speed translate), then collapse runs with
+    one regex sub — the flags fall out of the ends of the mapped string."""
     if not _SLOW_WS_RE.search(s):
         return s, s.startswith(" "), s.endswith(" ")
-    out: list[str] = []
-    was_first = False
-    was_last = False
-    first = True
-    for ch in s:
-        if ch in GO_WHITESPACE:
-            if first:
-                was_first = True
-            first = False
-            if was_last:
-                continue
-            was_last = True
-            out.append(" ")
-        else:
-            first = False
-            was_last = False
-            out.append(ch)
-    return "".join(out), was_first, was_last
+    t = s.translate(_WS_TO_SPACE)
+    if "  " in t:
+        t = _RE_MULTISPACE.sub(" ", t)
+    return t, t.startswith(" "), t.endswith(" ")
 
 
 # RFC3339 (Go time.RFC3339 layout "2006-01-02T15:04:05Z07:00"; fractional
@@ -332,14 +405,14 @@ class ContentHandler:
 
     # -- events ------------------------------------------------------------
 
-    def start_element(self, tok) -> None:
-        a = atom_of(tok.data)
+    def start_element(self, name: str, attrs, atom: str | None = None) -> None:
+        a = atom_of(name) if atom is None else atom
         self.atom_stack.append(a)
 
         ta = TAG_ACTION_MAP.get(a) if a else None
         if ta is not None:
             if isinstance(ta, TATime):
-                for key, val in tok.attrs:
+                for key, val in attrs:
                     if key == "datetime":
                         t = parse_rfc3339(val)
                         if t is not None:
@@ -352,11 +425,11 @@ class ContentHandler:
             self.depth_tag += 1
             self.flush = True
 
-        self.last_start_tag = tok.data
+        self.last_start_tag = name
 
-    def end_element(self, tok) -> None:
+    def end_element(self, name: str) -> None:
         pa = self.atom_stack.pop() if self.atom_stack else ""
-        a = atom_of(tok.data)
+        a = atom_of(name)
         if pa != a:
             return  # malformed HTML, missing closing tag
 
@@ -374,7 +447,7 @@ class ContentHandler:
         # NB: the flush flag is intentionally NOT cleared here (only
         # TextToken clears it) — content_handler.go:145-147.
 
-        self.last_end_tag = tok.data
+        self.last_end_tag = name
         self.label_stack.pop()
 
     def text_token(self, data: str, src_end: int = -1) -> None:
@@ -390,7 +463,7 @@ class ContentHandler:
             return
 
         mapped, was_first, was_last = space_remove(data)
-        ch = go_trim_space(mapped)
+        ch = mapped.strip(" ")  # mapped whitespace is all ' ' already
 
         if len(ch) == 0:
             if was_first or was_last:
@@ -427,6 +500,12 @@ class ContentHandler:
     # -- flushing ----------------------------------------------------------
 
     def flush_block(self) -> None:
+        if not self.token_buffer:
+            # Empty buffer: every path below is a no-op (the title is only
+            # set from a non-empty trimmed buffer; resets reset nothing).
+            if self.depth_body == 0:
+                self._buffer_src_end = -1
+            return
         tok_str = "".join(self.token_buffer)
 
         if self.depth_body == 0:

@@ -20,6 +20,12 @@ from dataclasses import dataclass, field
 from .document import escape_string, parse_document
 from .filters import LoggingPipeline, Pipeline, article_pipeline
 
+# The article filter chain is configuration-only after construction (no
+# per-document state), so the default pipeline is built once per process
+# instead of once per document — at ~1 KB/doc corpora the construction of
+# 15 filter objects per document is measurable overhead.
+_DEFAULT_PIPELINE = article_pipeline()
+
 
 @dataclass
 class ExtractResult:
@@ -74,7 +80,7 @@ def extract_from_spans(
 
     try:
         doc = parse_document(html)
-        pipe = pipeline if pipeline is not None else article_pipeline()
+        pipe = pipeline if pipeline is not None else _DEFAULT_PIPELINE
         if with_lineage:
             pipe = LoggingPipeline(pipe)
         res.n_blocks_in = len(doc.text_blocks)

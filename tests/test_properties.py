@@ -71,6 +71,23 @@ _attr_soup = st.lists(
 def test_fast_tag_scan_matches_char_parser(html):
     from go_boilerpipe_ray.kernel.htmltok import Tokenizer
 
-    fast = [(t.tt, t.data, t.raw_start, t.raw_end) for t in Tokenizer(html, fast=True)]
-    slow = [(t.tt, t.data, t.raw_start, t.raw_end) for t in Tokenizer(html, fast=False)]
+    fast = [(t[0], t[1], t[3], t[4]) for t in Tokenizer(html, fast=True)]
+    slow = [(t[0], t[1], t[3], t[4]) for t in Tokenizer(html, fast=False)]
     assert fast == slow
+
+
+# Alphabet exercising every tokenize() path: word chars (incl. Unicode
+# letters), glue punctuation, other symbols, spaces, and the literal
+# U+2063 invisible separator the reference's 3-pass tokenizer inserts.
+_tok_text = st.text(
+    alphabet=list("abcXYZ019_ .,-!@:;$?()/'\"%€~<>$⁣\t 　é漢"),
+    max_size=60,
+)
+
+
+@given(_tok_text)
+@settings(max_examples=400, deadline=None)
+def test_tokenize_matches_reference_3pass(text):
+    from go_boilerpipe_ray.kernel.handler import _tokenize_reference, tokenize
+
+    assert tokenize(text) == _tokenize_reference(text)
