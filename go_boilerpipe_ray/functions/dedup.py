@@ -25,6 +25,7 @@ actually contain duplicates.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 import zlib
@@ -35,7 +36,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ._util import default_pool, wide_partitions
+from ._util import wide_partitions
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
@@ -357,6 +358,20 @@ class MinHasher:
         )
 
 
+@functools.lru_cache(maxsize=8)
+def _cached_minhasher(num_hashes: int, k: int) -> "MinHasher":
+    return MinHasher(num_hashes=num_hashes, k=k)
+
+
+def _signature_batch(batch: pa.Table, num_hashes: int, k: int) -> pa.Table:
+    """Task-form signature stage: MinHasher state (seeded permutation
+    coefficients) is microseconds to build, so an elastic task pool with a
+    per-worker lru_cache beats spinning up a fixed actor pool for short
+    jobs — the actor-pool shape is reserved for stages with genuinely
+    expensive state (the extraction kernel)."""
+    return _cached_minhasher(num_hashes, k)(batch)
+
+
 def minhash_lsh_pairs(
     sf_dir: str,
     num_hashes: int = 64,
@@ -386,11 +401,10 @@ def minhash_lsh_pairs(
     loops), like ngram_jaccard_pairs."""
     rows_per_band = num_hashes // bands
     sigs_ds = dup_corpus(sf_dir).map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_hashes": num_hashes, "k": k},
+        _signature_batch,
+        fn_kwargs={"num_hashes": num_hashes, "k": k},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=default_pool(),
     ).materialize()
 
     P = wide_partitions()
@@ -452,28 +466,12 @@ def minhash_lsh_pairs(
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
         keep = a != b
-        return pa.table(
-            {
-                "id_a": pa.array(a[keep], pa.int64()),
-                "id_b": pa.array(b[keep], pa.int64()),
-            }
-        )
-
-    pairs = banded.groupby("pk").map_groups(partition_pairs, batch_format="pyarrow")
-
-    def add_pair_pk(batch: pa.Table) -> pa.Table:
-        a = batch.column("id_a").to_numpy(zero_copy_only=False)
-        b = batch.column("id_b").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "pk", pa.array((a * 1_000_003 + b) % P, pa.int32())
-        )
-
-    def dedupe_pairs(group: pa.Table) -> pa.Table:
-        """A pair can surface from several bands; keep it once.  pk is a
-        function of (id_a, id_b), so per-partition dedup is global."""
-        a = group.column("id_a").to_numpy(zero_copy_only=False)
-        b = group.column("id_b").to_numpy(zero_copy_only=False)
-        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+        # Dedupe within this bucket partition (two docs can collide in
+        # several buckets of the same partition); cross-partition
+        # duplicates — the same pair via different bands — survive until
+        # the verify partition dedupes them, which saves a whole keyed
+        # shuffle over a dedicated dedup stage.
+        uniq = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)
         return pa.table(
             {
                 "id_a": pa.array(uniq[:, 0], pa.int64()),
@@ -481,10 +479,8 @@ def minhash_lsh_pairs(
             }
         )
 
-    candidates = (
-        pairs.map_batches(add_pair_pk, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("pk")
-        .map_groups(dedupe_pairs, batch_format="pyarrow")
+    candidates = banded.groupby("pk").map_groups(
+        partition_pairs, batch_format="pyarrow"
     )
 
     # -- distributed verify: repartition join on doc id -----------------
@@ -501,11 +497,14 @@ def minhash_lsh_pairs(
         b = batch.column("id_b").combine_chunks()
         n = batch.num_rows
         key = pa.concat_arrays([a, b])
+        side = np.zeros(2 * n, dtype=np.int8)
+        side[n:] = 1
         return pa.table(
             {
                 "key": key,
                 "id_a": pa.concat_arrays([a, a]),
                 "id_b": pa.concat_arrays([b, b]),
+                "side": pa.array(side),
                 "sig": _empty_sigs(2 * n),
                 "is_sig": pa.array(np.zeros(2 * n, dtype=bool)),
                 "kp": pa.array(
@@ -522,6 +521,7 @@ def minhash_lsh_pairs(
                 "key": batch.column("doc_id"),
                 "id_a": pa.array(np.zeros(n, dtype=np.int64)),
                 "id_b": pa.array(np.zeros(n, dtype=np.int64)),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
                 "sig": batch.column("sig"),
                 "is_sig": pa.array(np.ones(n, dtype=bool)),
                 "kp": pa.array((ids % P).astype(np.int32)),
@@ -557,11 +557,13 @@ def minhash_lsh_pairs(
         )
         id_a = group.column("id_a").to_numpy(zero_copy_only=False)[sel][valid]
         id_b = group.column("id_b").to_numpy(zero_copy_only=False)[sel][valid]
+        side = group.column("side").to_numpy(zero_copy_only=False)[sel][valid]
         offs = pa.array((np.arange(len(id_a) + 1) * num_hashes).astype(np.int32))
         return pa.table(
             {
                 "id_a": pa.array(id_a, pa.int64()),
                 "id_b": pa.array(id_b, pa.int64()),
+                "side": pa.array(side),
                 "sig": pa.ListArray.from_arrays(
                     offs, pa.array(looked.reshape(-1), pa.int64())
                 ),
@@ -574,16 +576,23 @@ def minhash_lsh_pairs(
     attached = halves.groupby("kp").map_groups(attach_sig, batch_format="pyarrow")
 
     def combine_and_estimate(group: pa.Table) -> pa.Table:
-        """Inside a pair-hash partition the two halves of each pair are
-        adjacent after a (id_a, id_b) sort; the estimate is the mean
+        """Inside a pair-hash partition: drop cross-band duplicate halves
+        (first occurrence per (id_a, id_b, side) — a duplicate half
+        carries the identical signature), then the two halves of each
+        pair are adjacent after the sort; the estimate is the mean
         signature agreement — symmetric, so half order is irrelevant."""
         a = group.column("id_a").to_numpy(zero_copy_only=False)
         b = group.column("id_b").to_numpy(zero_copy_only=False)
+        sd = group.column("side").to_numpy(zero_copy_only=False)
         mat = np.asarray(group.column("sig").combine_chunks().flatten()).reshape(
             -1, num_hashes
         )
-        order = np.lexsort((b, a))
-        a, b, mat = a[order], b[order], mat[order]
+        order = np.lexsort((sd, b, a))
+        a, b, sd, mat = a[order], b[order], sd[order], mat[order]
+        first = np.r_[
+            True, (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (sd[1:] != sd[:-1])
+        ]
+        a, b, mat = a[first], b[first], mat[first]
         if len(a) % 2 or not (
             np.array_equal(a[0::2], a[1::2]) and np.array_equal(b[0::2], b[1::2])
         ):
@@ -640,12 +649,19 @@ class SimHasher:
         )
 
 
+@functools.lru_cache(maxsize=2)
+def _cached_simhasher(bits: int) -> "SimHasher":
+    return SimHasher(bits=bits)
+
+
+def _simhash_batch(batch: pa.Table) -> pa.Table:
+    return _cached_simhasher(64)(batch)
+
+
 def simhash_signatures(sf_dir: str) -> "ray.data.Dataset":
+    # Task pool, not actor pool: SimHasher holds no expensive state.
     return dup_corpus(sf_dir).map_batches(
-        SimHasher,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=default_pool(),
+        _simhash_batch, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

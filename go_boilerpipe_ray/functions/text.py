@@ -17,8 +17,6 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ._util import default_pool
-
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 # Order defines the deterministic tie-break (first wins on equal scores).
@@ -104,8 +102,8 @@ def quality_score(sf_dir: str) -> "ray.data.Dataset":
 
 
 class LangId:
-    """Stopword-profile + CJK-ratio language heuristic.  Stateful stage:
-    profiles are bound once per actor."""
+    """Stopword-profile + CJK-ratio language heuristic; the profile
+    tables are module state shared by every task."""
 
     def __init__(self):
         self.profiles = _LANG_PROFILES
@@ -149,12 +147,17 @@ class LangId:
         )
 
 
+_LANG_ID_STAGE = LangId()
+
+
+def _lang_id_batch(batch: pa.Table) -> pa.Table:
+    return _LANG_ID_STAGE(batch)
+
+
 def lang_id(sf_dir: str) -> "ray.data.Dataset":
+    # Task pool, not actor pool: the profile table is tiny module state.
     return read_documents(sf_dir).map_batches(
-        LangId,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=default_pool(),
+        _lang_id_batch, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
