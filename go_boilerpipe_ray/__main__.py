@@ -1,11 +1,14 @@
 """CLI mirroring the reference's ``boilerpipe extract`` command
-(cmd/boilerpipe/extract.go): local file or stdin → JSON
-{title, author, date, content} on stdout.  HTTP fetching (A2) and the
-serve UI (A4) are out of scope (SURVEY §7.5); ``--lineage`` exposes the
-LoggingPipeline per-filter log the serve UI displayed.
+(cmd/boilerpipe/extract.go): local file, URL or stdin → JSON
+{title, author, date, content} on stdout.  The argument dispatch follows
+extract.go:48-79: no argument = stdin; an existing path = local file;
+anything else = URL, fetched with a cookie-jar HTTP client
+(extract.go:84-106; responses with status >= 400 are errors).  The serve
+UI (A4) stays out of scope; ``--lineage`` exposes the LoggingPipeline
+per-filter log the serve UI displayed.
 
 Usage:
-    python -m go_boilerpipe_ray extract [path]      # path omitted = stdin
+    python -m go_boilerpipe_ray extract [path_or_url]   # omitted = stdin
     python -m go_boilerpipe_ray extract --lineage f.html
     python -m go_boilerpipe_ray run <spans.parquet> <out_dir>  # Ray job
 """
@@ -14,7 +17,31 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+
+def _http_get(url: str) -> str:
+    """Cookie-jar HTTP GET (extract.go:84-106): the jar carries cookies
+    across redirects; status >= 400 is an error like the reference's
+    check (urllib raises HTTPError for those — message kept in the same
+    shape)."""
+    import http.cookiejar
+    import urllib.error
+    import urllib.request
+
+    jar = http.cookiejar.CookieJar()
+    opener = urllib.request.build_opener(urllib.request.HTTPCookieProcessor(jar))
+    try:
+        with opener.open(url) as resp:
+            charset = resp.headers.get_content_charset() or "utf-8"
+            return resp.read().decode(charset, errors="replace")
+    except urllib.error.HTTPError as exc:
+        raise OSError(f"received HTTP response {exc.code} {exc.reason}") from exc
+    except urllib.error.URLError as exc:
+        raise OSError(f"{exc.reason}") from exc
+    except ValueError as exc:  # not a URL at all (unknown url type)
+        raise OSError(str(exc)) from exc
 
 
 def _extract(args) -> int:
@@ -22,12 +49,22 @@ def _extract(args) -> int:
     from .kernel.filters import LoggingPipeline, article_pipeline
     from .kernel.normurl import parse as url_parse
 
+    src_url = args.url
     if args.path:
-        try:
-            html = open(args.path, encoding="utf-8", errors="replace").read()
-        except OSError as exc:
-            print(f"error: {exc}", file=sys.stderr)
-            return 1
+        if os.path.exists(args.path):
+            try:
+                html = open(args.path, encoding="utf-8", errors="replace").read()
+            except OSError as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 1
+        else:
+            # Not a local file: treat as a URL (extract.go:64-78).
+            try:
+                html = _http_get(args.path)
+            except OSError as exc:
+                print(f"error getting document: {exc}", file=sys.stderr)
+                return 1
+            src_url = src_url or args.path
     else:
         html = sys.stdin.read()
 
@@ -38,8 +75,8 @@ def _extract(args) -> int:
     pipe.process(doc)
 
     date = doc.date
-    if args.url:
-        u = url_parse(args.url)
+    if src_url:
+        u = url_parse(src_url)
         date = u.date() or date
 
     out = {
@@ -93,7 +130,7 @@ def main() -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     ex = sub.add_parser("extract", help="extract one HTML document to JSON")
-    ex.add_argument("path", nargs="?", help="HTML file (default: stdin)")
+    ex.add_argument("path", nargs="?", help="HTML file or URL (default: stdin)")
     ex.add_argument("--url", help="source URL (date derivation, like the CLI)")
     ex.add_argument("--indent", action="store_true")
     ex.add_argument("--lineage", action="store_true", help="per-filter change log")

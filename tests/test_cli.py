@@ -45,6 +45,89 @@ def test_cli_lineage_lists_all_filters():
 
 
 def test_cli_missing_file_clean_error():
+    # A nonexistent path is treated as a URL (extract.go:55-78) and the
+    # fetch failure is a clean error, mirroring "Error getting document".
     p = _run(["extract", "/nonexistent.html"])
     assert p.returncode == 1
-    assert p.stderr.startswith("error:")
+    assert p.stderr.startswith("error getting document:")
+
+
+def test_cli_extract_url_fetches_with_cookie_client():
+    """URL mode end-to-end against a local HTTP server: the first request
+    sets a cookie and redirects; the handler serves the document only if
+    the cookie came back — exercising the cookie-jar client the reference
+    uses (extract.go:84-106)."""
+    import http.server
+    import threading
+
+    html = "<html><head><title>Net Doc</title></head><body></body></html>"
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/start":
+                self.send_response(302)
+                self.send_header("Set-Cookie", "sid=abc123")
+                self.send_header("Location", "/doc/2021-07-19")
+                self.end_headers()
+            elif self.path == "/doc/2021-07-19":
+                if "sid=abc123" not in (self.headers.get("Cookie") or ""):
+                    self.send_error(403)
+                    return
+                body = html.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        p = _run(["extract", f"http://127.0.0.1:{port}/start"])
+        assert p.returncode == 0, p.stderr
+        out = json.loads(p.stdout)
+        assert out["title"] == "Net Doc"
+        # Date derived from the final URL is NOT applied (the fetched URL
+        # only feeds --url when --url is absent; the redirect target is
+        # not the CLI argument) — but the CLI arg itself has no date.
+        p404 = _run(["extract", f"http://127.0.0.1:{port}/missing"])
+        assert p404.returncode == 1
+        assert "404" in p404.stderr
+    finally:
+        srv.shutdown()
+
+
+def test_cli_extract_url_date_derivation():
+    import http.server
+    import threading
+
+    html = "<html><head><title>Dated</title></head><body></body></html>"
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = html.encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        p = _run(["extract", f"http://127.0.0.1:{port}/news/2016-12-15-story"])
+        assert p.returncode == 0, p.stderr
+        out = json.loads(p.stdout)
+        assert out["date"] == "2016-12-15T00:00:00+00:00"
+    finally:
+        srv.shutdown()
