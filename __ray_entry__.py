@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": text.quality_score,
         "fingerprint": text.fingerprint,
         "lang_id": text.lang_id,
+        "normalize_text": text.normalize_text,
         "rolling_fingerprint": text.rolling_fingerprint,
         # dedup
         "dedup_exact": dedup.exact_dedup,
@@ -109,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_stats": xq.EXTRACT_STATS_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "lang_id": text.LANG_ID_SQL,
+        "normalize_text": text.NORMALIZE_SQL,
         "quality_score": text.QUALITY_SQL,
         "fingerprint": text.FINGERPRINT_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,

@@ -161,6 +161,53 @@ def lang_id(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+# Boilerplate phrases stripped by normalize_text (case-insensitive), the
+# same alternation the SQL oracle uses.
+_BOILERPLATE_PHRASES = (
+    "all rights reserved",
+    "terms of service",
+    "privacy policy",
+    "post a comment",
+    "click here to subscribe",
+)
+_BOILERPLATE_RE = re.compile("(?i)(" + "|".join(_BOILERPLATE_PHRASES) + ")")
+# ASCII whitespace class spelled out so Python re and DuckDB RE2 agree
+# (Python's \s is Unicode-wide on str; RE2's is ASCII).
+_ASCII_WS_RE = re.compile("[ \t\n\r\f\v]+")
+
+
+def _normalize_batch(batch: pa.Table) -> pa.Table:
+    import unicodedata
+
+    out_text: list[str] = []
+    for t in batch.column("text").to_pylist():
+        t = unicodedata.normalize("NFC", t)
+        t = _BOILERPLATE_RE.sub("", t)
+        t = _ASCII_WS_RE.sub(" ", t).strip(" ")
+        out_text.append(t)
+    texts = pa.array(out_text, pa.string())
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "norm_len": pc.cast(pc.utf8_length(texts), pa.int64()),
+            "norm_hash": pa.array(
+                [hashlib.md5(t.encode("utf-8")).hexdigest() for t in out_text],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def normalize_text(sf_dir: str) -> "ray.data.Dataset":
+    """Text normalization for training corpora: NFC, boilerplate-phrase
+    stripping, ASCII-whitespace collapse; emits (len, md5) of the
+    normalized text so the oracle compares content bit-exactly without
+    shipping the strings twice."""
+    return read_documents(sf_dir).map_batches(
+        _normalize_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _fingerprint_batch(batch: pa.Table) -> pa.Table:
     fps = [
         hashlib.md5(t.encode("utf-8")).hexdigest()
@@ -238,6 +285,20 @@ FROM toks
 """
 
 FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+NORMALIZE_SQL = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+             nfc_normalize(text),
+             '(?i)(all rights reserved|terms of service|privacy policy|post a comment|click here to subscribe)',
+             '', 'g'),
+           '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS t
+  FROM documents
+)
+SELECT doc_id, length(t) AS norm_len, md5(t) AS norm_hash FROM n
+"""
 
 # Mirrors LangId exactly for ASCII corpora (the CJK branch never fires:
 # cjk_count = 0 < n/4).  All four profiles share the token-count
