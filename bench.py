@@ -236,41 +236,49 @@ def main() -> None:
 def run_scaling(args) -> None:
     lo_cpus, hi_cpus = 8, 32
     results = {}
-    for cpus in (lo_cpus, hi_cpus):
+
+    def one_run(cpus: int, timed: bool) -> None:
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         # Larger corpus for scaling runs: fixed per-run costs (actor pool
         # spin-up, read/write task ramp) must be amortized or they bias the
         # ratio against the larger "cluster".
         env.setdefault("GBR_BENCH_DOCS", str(TARGET_DOCS * 4))
-        # warm-up (also builds the corpus cache) then TWO timed runs, each
-        # in a fresh process/Ray instance; best wall per level is recorded
-        # — this VM shows ±15% run-to-run noise and best-of-N measures the
-        # machine, not the noise.
-        for timed in (False, True, True):
-            proc = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.abspath(__file__),
-                    "--extract-only",
-                    "--sf-dir",
-                    args.sf_dir,
-                    "--cpus",
-                    str(cpus),
-                ],
-                env=env,
-                capture_output=True,
-                text=True,
-                cwd=REPO,
-            )
-            if proc.returncode != 0:
-                sys.stderr.write(proc.stderr[-2000:])
-                raise SystemExit(1)
-            if timed:
-                res = json.loads(proc.stdout.strip().splitlines()[-1])
-                prev = results.get(cpus)
-                if prev is None or res["wall"] < prev["wall"]:
-                    results[cpus] = res
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--extract-only",
+                "--sf-dir",
+                args.sf_dir,
+                "--cpus",
+                str(cpus),
+            ],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-2000:])
+            raise SystemExit(1)
+        if timed:
+            res = json.loads(proc.stdout.strip().splitlines()[-1])
+            prev = results.get(cpus)
+            if prev is None or res["wall"] < prev["wall"]:
+                results[cpus] = res
+
+    # One warm-up per level (also builds the corpus cache), then the timed
+    # runs INTERLEAVED lo/hi — this shared VM drifts ±15-20% over minutes,
+    # and back-to-back per-level blocks let the drift land entirely on one
+    # side of the ratio; alternating levels exposes both sides to the same
+    # machine state.  Each run is a fresh process/Ray instance; best wall
+    # per level is recorded (best-of-N measures the machine, not the
+    # neighbor noise).
+    one_run(lo_cpus, timed=False)
+    one_run(hi_cpus, timed=False)
+    for cpus in (lo_cpus, hi_cpus, lo_cpus, hi_cpus):
+        one_run(cpus, timed=True)
 
     lo = results[lo_cpus]
     hi = results[hi_cpus]
