@@ -756,3 +756,22 @@ def incremental_dedup(
     return new_ds.map_batches(
         classify, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def incremental_dedup_query(sf_dir: str) -> "ray.data.Dataset":
+    """Driver-surface wrapper for the incremental path: sketch the prior
+    corpus (the documents table) into a Bloom filter, then classify a
+    "new ingest" (originals ∪ exact copies ∪ perturbed copies) against
+    it.  Originals and exact copies are guaranteed ``maybe_dup`` (the
+    sketch has no false negatives); perturbed copies read ``new`` up to
+    the sketch's false-positive rate.  Rows-only check: FP positions are
+    hash-layout-dependent, not SQL-expressible — the no-false-negative
+    property is pinned by pytest instead."""
+    from ._util import read_parquet_clean
+
+    prior = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    bloom = build_text_bloom(prior)
+    return incremental_dedup(dup_corpus(sf_dir), bloom)
+

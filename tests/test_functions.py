@@ -196,3 +196,22 @@ def test_incremental_bloom_dedup():
     perturbed = [d for d in out if d >= PERTURB_OFFSET]
     fp = sum(1 for d in perturbed if out[d] == "maybe_dup")
     assert fp / len(perturbed) < 0.01
+
+
+def test_incremental_dedup_query_statuses():
+    from go_boilerpipe_ray.functions.dedup import (
+        COPY_OFFSET,
+        PERTURB_OFFSET,
+        incremental_dedup_query,
+    )
+
+    rows = incremental_dedup_query(SF).take_all()
+    assert len(rows) == 1500
+    by_id = {r["doc_id"]: r["status"] for r in rows}
+    # No false negatives: every text present in the prior corpus flags.
+    for did, status in by_id.items():
+        if did < COPY_OFFSET or (COPY_OFFSET <= did < PERTURB_OFFSET):
+            assert status == "maybe_dup", did
+    # Perturbed texts are unseen; allow a tiny Bloom FP tail.
+    perturbed = [s for d, s in by_id.items() if d >= PERTURB_OFFSET]
+    assert perturbed and sum(s == "new" for s in perturbed) / len(perturbed) > 0.99
