@@ -718,22 +718,29 @@ class TextBloom:
 
 
 def build_text_bloom(ds: "ray.data.Dataset", n_bits: int = 1 << 24) -> TextBloom:
-    """Aggregate a Bloom sketch over a corpus: per-batch partial sketches
-    OR-merged on the driver (a sketch is ~2 MB — the merge is trivial; at
-    extreme scale use a tree reduce over partial sketches)."""
-    bloom = TextBloom(n_bits=n_bits)
+    """Aggregate a Bloom sketch over a corpus as a Ray Data aggregate:
+    per-block partial sketches are OR-merged in the engine's distributed
+    combine tree (not a driver loop), so the driver only ever receives
+    the one final ~2 MB sketch regardless of corpus size."""
+    from ray.data.aggregate import AggregateFn
 
-    def sketch(batch: pa.Table) -> pa.Table:
+    words = n_bits // 64 + 1
+
+    def _accumulate(state: np.ndarray, block) -> np.ndarray:
         b = TextBloom(n_bits=n_bits)
-        b.add_texts(batch.column("text").to_pylist())
-        packed = b.bits.tobytes()
-        return pa.table({"sketch": pa.array([packed], pa.binary())})
+        b.bits = state  # OR-add in place; state is this accumulator's own
+        b.add_texts(block.column("text").to_pylist())
+        return b.bits
 
-    for row in (
-        ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
-    ):
-        bloom.bits |= np.frombuffer(row["sketch"], dtype=np.uint64)
+    agg = AggregateFn(
+        init=lambda _k: np.zeros(words, dtype=np.uint64),
+        accumulate_block=_accumulate,
+        merge=lambda a, b: a | b,
+        name="bloom_bits",
+    )
+    out = ds.aggregate(agg)
+    bloom = TextBloom(n_bits=n_bits)
+    bloom.bits = np.asarray(out["bloom_bits"], dtype=np.uint64)
     return bloom
 
 
