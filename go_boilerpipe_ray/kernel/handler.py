@@ -150,13 +150,30 @@ _WS_TO_SPACE = {ord(c): " " for c in GO_WHITESPACE}
 _RE_MULTISPACE = re.compile(" {2,}")
 
 
+_SPACE_REMOVE_CACHE: dict[str, tuple[str, bool, bool]] = {}
+
+
 def space_remove(s: str) -> tuple[str, bool, bool]:
     """Collapse runs of Unicode whitespace to single spaces
     (content_handler.go:154-179). Returns (text, was_first_ws, was_last_ws).
 
     Vectorized equivalent of the reference's per-rune loop: map every
     whitespace rune to ' ' (C-speed translate), then collapse runs with
-    one regex sub — the flags fall out of the ends of the mapped string."""
+    one regex sub — the flags fall out of the ends of the mapped string.
+    Short inputs (inter-tag newline+indent runs dominate real HTML) are
+    memoized; the cache is bounded."""
+    if len(s) <= 16:
+        hit = _SPACE_REMOVE_CACHE.get(s)
+        if hit is not None:
+            return hit
+        if len(_SPACE_REMOVE_CACHE) > 65536:
+            _SPACE_REMOVE_CACHE.clear()
+        _SPACE_REMOVE_CACHE[s] = out = _space_remove_impl(s)
+        return out
+    return _space_remove_impl(s)
+
+
+def _space_remove_impl(s: str) -> tuple[str, bool, bool]:
     if not _SLOW_WS_RE.search(s):
         return s, s.startswith(" "), s.endswith(" ")
     t = s.translate(_WS_TO_SPACE)

@@ -47,9 +47,22 @@ _RAW_TAGS = frozenset(
 _RCDATA_TAGS = frozenset(["textarea", "title"])
 
 
+_ASCII_LOWER_CACHE: dict[str, str] = {}
+
+
 def _ascii_lower(s: str) -> str:
     # Go lowercases tag names / attr keys byte-wise for 'A'..'Z' only.
-    return s.translate(_ASCII_LOWER_TABLE)
+    # Tag names and attribute keys come from a tiny vocabulary, so a
+    # bounded memo beats re-running translate per token.
+    hit = _ASCII_LOWER_CACHE.get(s)
+    if hit is not None:
+        return hit
+    out = s.translate(_ASCII_LOWER_TABLE)
+    if len(s) <= 32:
+        if len(_ASCII_LOWER_CACHE) > 16384:
+            _ASCII_LOWER_CACHE.clear()
+        _ASCII_LOWER_CACHE[s] = out
+    return out
 
 
 _ASCII_LOWER_TABLE = {c: c + 32 for c in range(ord("A"), ord("Z") + 1)}
@@ -725,9 +738,10 @@ class Tokenizer:
             if tok_kind == START_TAG:
                 if self.fast:
                     m = _FAST_TAG_RE.match(s, lt + 1)
-                    lname = _ascii_lower(m.group(1))
+                    g1, g2 = m.group(1, 2)
+                    lname = _ascii_lower(g1)
                     if lname not in _NEED_ATTRS:
-                        if not m.group(2):
+                        if not g2:
                             return  # tag truncated at EOF: no token
                         end = m.end()
                         self.pos = end
