@@ -298,6 +298,9 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
 
 _MERSENNE = (1 << 61) - 1
 
+# Shared token-CRC memo for MinHash signatures (bounded, per process).
+_CRC_CACHE: dict[str, int] = {}
+
 
 class MinHasher:
     """Stateful stage: the permutation coefficients are built once per
@@ -325,10 +328,17 @@ class MinHasher:
         # Shingle hashes as a polynomial over token CRCs (uint64 wraparound)
         # — no per-shingle string building or digest calls; distinct-set
         # semantics via np.unique; truncated to 32 bits so a*x+b stays
-        # exact in uint64.
-        c = np.fromiter(
-            (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks)
-        )
+        # exact in uint64.  Token CRCs are memoized (natural-language
+        # vocabularies are small relative to token counts).
+        cache = _CRC_CACHE
+        c = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            v = cache.get(t)
+            if v is None:
+                if len(cache) > 1 << 17:
+                    cache.clear()
+                cache[t] = v = zlib.crc32(t.encode())
+            c[i] = v
         n_sh = len(c) - self.k + 1
         mult = np.uint64(1_000_003)
         sh = c[:n_sh].copy()
@@ -341,7 +351,7 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids: list[int] = []
-        sigs: list[list[int]] = []
+        sigs: list[np.ndarray] = []
         for doc_id, t in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
@@ -349,11 +359,20 @@ class MinHasher:
             if sig is None:
                 continue
             ids.append(doc_id)
-            sigs.append([int(x) for x in sig])
+            sigs.append(sig)
+        # Flat-values + offsets assembly: no per-document Python lists.
+        values = (
+            np.concatenate(sigs) if sigs else np.empty(0, dtype=np.int64)
+        )
+        offsets = pa.array(
+            (np.arange(len(ids) + 1) * self.num_hashes).astype(np.int32)
+        )
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "sig": pa.array(sigs, pa.list_(pa.int64())),
+                "sig": pa.ListArray.from_arrays(
+                    offsets, pa.array(values, pa.int64())
+                ),
             }
         )
 
