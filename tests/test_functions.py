@@ -215,3 +215,20 @@ def test_incremental_dedup_query_statuses():
     # Perturbed texts are unseen; allow a tiny Bloom FP tail.
     perturbed = [s for d, s in by_id.items() if d >= PERTURB_OFFSET]
     assert perturbed and sum(s == "new" for s in perturbed) / len(perturbed) > 0.99
+
+
+def test_minhash_invariant_to_partition_count(monkeypatch):
+    """The distributed verify (doc-keyed attach + pair-keyed combine)
+    must produce the identical pair set at any hash-partition count."""
+    import go_boilerpipe_ray.functions.dedup as dd
+
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_pairs(SF, threshold=0.9).take_all()
+    }
+    monkeypatch.setattr(dd, "wide_partitions", lambda floor=64: 5)
+    alt = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_pairs(SF, threshold=0.9).take_all()
+    }
+    assert base == alt and base
