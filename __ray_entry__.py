@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_signatures,
+        "dedup_simhash_pairs": dedup.simhash_pairs,
         "dedup_incremental": dedup.incremental_dedup_query,
         # similarity search
         "knn_brute": similarity.knn_brute,
@@ -127,7 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "click_values": relational.CLICK_VALUES_SQL,
         "distinct_event_types": relational.DISTINCT_EVENT_TYPES_SQL,
         # rows-only (non-SQL-expressible): extract_golden,
-        # dedup_incremental (Bloom FP layout),
+        # dedup_incremental (Bloom FP layout), dedup_simhash_pairs,
         # rolling_fingerprint, dedup_minhash_lsh, dedup_simhash,
         # knn_lsh, knn_ivf, media_decode
     }

@@ -684,6 +684,113 @@ def simhash_signatures(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def simhash_pairs(
+    sf_dir: str, max_hamming: int = 3, bands: int = 4, bits: int = 64
+) -> "ray.data.Dataset":
+    """All pairs of documents whose 64-bit SimHashes differ in at most
+    ``max_hamming`` bits — the classic web-dedup formulation.
+
+    Bit-sampling LSH with a pigeonhole guarantee: the hash splits into
+    ``bands`` equal chunks; a pair within hamming distance bands-1 must
+    agree on at least one whole chunk, so bucketing by (band, chunk
+    value) finds every qualifying pair EXACTLY (no recall loss) while
+    only same-bucket candidates are compared.  Requires
+    max_hamming < bands.  Distributed shape mirrors minhash: band rows
+    carry (bucket key, doc_id, simhash); pairs are generated and
+    hamming-verified vectorized inside each bucket partition and
+    deduplicated by a keyed groupby — nothing driver-side."""
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole guarantee needs max_hamming < bands")
+    chunk_bits = bits // bands
+    mask = (1 << chunk_bits) - 1
+    P = wide_partitions()
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        n = len(ids)
+        keys = np.empty(n * bands, dtype=np.int64)
+        for b in range(bands):
+            chunk = (sh >> np.uint64(b * chunk_bits)) & np.uint64(mask)
+            # band id mixed into the key so chunks from different bands
+            # never share a bucket.
+            keys[b * n : (b + 1) * n] = (
+                (chunk.astype(np.int64) << np.int64(3)) | np.int64(b)
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
+                "simhash": pa.array(
+                    np.tile(sh, bands).astype(np.int64), pa.int64()
+                ),
+                "bucket": pa.array(keys, pa.int64()),
+                "pk": pa.array((keys % P).astype(np.int32), pa.int32()),
+            }
+        )
+
+    banded = simhash_signatures(sf_dir).map_batches(
+        band_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        bk = group.column("bucket").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = group.column("simhash").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        order = np.lexsort((ids, bk))
+        bk, ids, sh = bk[order], ids[order], sh[order]
+        bounds = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1], True])
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for st, en in zip(bounds[:-1], bounds[1:]):
+            g = en - st
+            if g < 2:
+                continue
+            ii, jj = np.triu_indices(g, 1)
+            xor = sh[st + ii] ^ sh[st + jj]
+            # vectorized popcount on uint64 via byte view
+            dist = (
+                np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1)
+                .sum(axis=1)
+                .astype(np.int64)
+            )
+            keep = (dist <= max_hamming) & (ids[st + ii] != ids[st + jj])
+            out_a.append(ids[st + ii][keep])
+            out_b.append(ids[st + jj][keep])
+            out_d.append(dist[keep])
+        if not out_a:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        d = np.concatenate(out_d)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "id_a": pa.array(lo, pa.int64()),
+                "id_b": pa.array(hi, pa.int64()),
+                "hamming": pa.array(d, pa.int64()),
+            }
+        )
+
+    pairs = banded.groupby("pk").map_groups(bucket_pairs, batch_format="pyarrow")
+    # The same pair surfaces from every agreeing band — keyed dedup.
+    return (
+        pairs.groupby(["id_a", "id_b"])
+        .min("hamming")
+        .rename_columns({"min(hamming)": "hamming"})
+    )
+
+
 # -- incremental dedup (new ingest vs a prior corpus) ------------------------
 
 

@@ -232,3 +232,30 @@ def test_minhash_invariant_to_partition_count(monkeypatch):
         for r in dd.minhash_lsh_pairs(SF, threshold=0.9).take_all()
     }
     assert base == alt and base
+
+
+def test_simhash_pairs_exact_vs_bruteforce():
+    """Pigeonhole banding must find EXACTLY the pairs a brute-force
+    all-pairs hamming scan finds (max_hamming < bands)."""
+    import numpy as np
+
+    from go_boilerpipe_ray.functions.dedup import simhash_pairs, simhash_signatures
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(SF).take_all()}
+    ids = np.array(sorted(sigs), dtype=np.int64)
+    sh = np.array([sigs[d] for d in ids], dtype=np.uint64)
+    xor = sh[:, None] ^ sh[None, :]
+    dist = np.unpackbits(
+        xor.view(np.uint8).reshape(len(ids), len(ids), 8), axis=2
+    ).sum(axis=2)
+    ii, jj = np.nonzero(np.triu(dist <= 3, k=1))
+    brute = {(int(ids[i]), int(ids[j])) for i, j in zip(ii, jj)}
+
+    got_rows = simhash_pairs(SF, max_hamming=3, bands=4).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in got_rows}
+    assert got == brute and got  # exact copies guarantee non-empty
+    # reported hamming distances are the true distances
+    for r in got_rows[:50]:
+        i = int(np.searchsorted(ids, r["id_a"]))
+        j = int(np.searchsorted(ids, r["id_b"]))
+        assert r["hamming"] == int(dist[i, j])
