@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": relational.distinct_event_types,
         # multimodal plumbing
         "media_decode": xq.media_decode,
+        "media_resize": xq.media_resize,
     }
 
 

@@ -140,3 +140,50 @@ def frame_sample_refs(ds: "ray.data.Dataset", every_n: int = 10) -> "ray.data.Da
         )
 
     return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+def resize_media_dataset(
+    ds: "ray.data.Dataset",
+    target: int = 256,
+    batch_size: int = 16,
+    concurrency: int | None = None,
+) -> "ray.data.Dataset":
+    """Aspect-preserving resize planning stage: the output dimensions and
+    scale factor are computed vectorized from the typed metadata (real
+    math); the pixel resampling itself would run in the decode backend
+    and is stubbed like decode (payload passes through untouched)."""
+    def plan(batch: pa.Table) -> pa.Table:
+        w = batch.column("meta_width").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        h = batch.column("meta_height").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        long_side = np.maximum(np.maximum(w, h), 1.0)
+        scale = np.minimum(1.0, target / long_side)  # never upscale
+        new_w = np.maximum(1, np.round(w * scale)).astype(np.int32)
+        new_h = np.maximum(1, np.round(h * scale)).astype(np.int32)
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "kind": batch.column("kind"),
+                "width": pa.array(new_w, pa.int32()),
+                "height": pa.array(new_h, pa.int32()),
+                "scale_x1000": pa.array(
+                    np.round(scale * 1000).astype(np.int64), pa.int64()
+                ),
+                "payload": batch.column("payload"),  # stub: no resample
+            }
+        )
+
+    # Plain function -> elastic task pool (the planning math holds no
+    # state); ``concurrency`` caps it when provided as an int.
+    kwargs = {}
+    if isinstance(concurrency, int):
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(
+        plan,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        **kwargs,
+    )

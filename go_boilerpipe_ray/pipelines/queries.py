@@ -168,3 +168,16 @@ def media_decode(_sf_dir: str):
     ds = ray.data.from_arrow(synth_media_table(200))
     out = decode_media_dataset(ds)
     return out.select_columns(["media_ref", "kind", "width", "height", "decoded"])
+
+
+def media_resize(_sf_dir: str):
+    """Aspect-preserving resize planning over the synth media table
+    (rows-only; dimension math is real, pixel work stubbed)."""
+    import ray.data
+
+    from ..functions.multimodal import resize_media_dataset, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(200))
+    return resize_media_dataset(ds, target=256).select_columns(
+        ["media_ref", "kind", "width", "height", "scale_x1000"]
+    )

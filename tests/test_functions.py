@@ -259,3 +259,27 @@ def test_simhash_pairs_exact_vs_bruteforce():
         i = int(np.searchsorted(ids, r["id_a"]))
         j = int(np.searchsorted(ids, r["id_b"]))
         assert r["hamming"] == int(dist[i, j])
+
+
+def test_media_resize_plan():
+    import ray.data
+
+    from go_boilerpipe_ray.functions.multimodal import (
+        resize_media_dataset,
+        synth_media_table,
+    )
+
+    media = synth_media_table(60)
+    out = resize_media_dataset(ray.data.from_arrow(media), target=256).take_all()
+    assert len(out) == 60
+    src = {r["media_ref"]: r for r in media.to_pylist()}
+    for r in out:
+        s = src[r["media_ref"]]
+        assert max(r["width"], r["height"]) <= 256
+        # aspect ratio preserved within rounding
+        if s["meta_width"] >= s["meta_height"]:
+            assert r["width"] >= r["height"]
+        else:
+            assert r["height"] >= r["width"]
+        # never upscaled
+        assert r["width"] <= s["meta_width"] and r["height"] <= s["meta_height"]
