@@ -388,6 +388,48 @@ SHOULD_BE_SELF_CLOSING = frozenset(
 _MAX_LINE_LENGTH = 80
 
 
+def _token_counts_from_tokens(
+    tokens: list[str], in_anchor: bool
+) -> tuple[int, int, int, int, int, bool]:
+    """Reference counting loop over materialized tokens (the literal
+    FlushBlock walk, content_handler.go:288-340): returns (num_words,
+    num_linked_words, num_tokens, num_wrapped_lines,
+    num_words_current_line, in_anchor_after)."""
+    num_words = 0
+    num_linked_words = 0
+    num_wrapped_lines = 0
+    num_tokens = 0
+    num_words_current_line = 0
+    current_line_length = -1  # don't count the first space
+    for tok in tokens:
+        if tok == ANCHOR_TEXT_START:
+            in_anchor = True
+        elif tok == ANCHOR_TEXT_END:
+            in_anchor = False
+        elif is_word(tok):
+            num_tokens += 1
+            num_words += 1
+            num_words_current_line += 1
+            if in_anchor:
+                num_linked_words += 1
+            tok_length = len(tok)  # rune count
+            current_line_length += tok_length + 1
+            if current_line_length > _MAX_LINE_LENGTH:
+                num_wrapped_lines += 1
+                current_line_length = tok_length
+                num_words_current_line = 1
+        else:
+            num_tokens += 1
+    return (
+        num_words,
+        num_linked_words,
+        num_tokens,
+        num_wrapped_lines,
+        num_words_current_line,
+        in_anchor,
+    )
+
+
 class ContentHandler:
     def __init__(self):
         self.title = ""
@@ -545,34 +587,14 @@ class ContentHandler:
             self._buffer_src_end = -1
             return
 
-        tokens = tokenize(tok_str)
-
-        num_words = 0
-        num_linked_words = 0
-        num_wrapped_lines = 0
-        num_tokens = 0
-        num_words_current_line = 0
-        current_line_length = -1  # don't count the first space
-
-        for tok in tokens:
-            if tok == ANCHOR_TEXT_START:
-                self.in_anchor_text = True
-            elif tok == ANCHOR_TEXT_END:
-                self.in_anchor_text = False
-            elif is_word(tok):
-                num_tokens += 1
-                num_words += 1
-                num_words_current_line += 1
-                if self.in_anchor_text:
-                    num_linked_words += 1
-                tok_length = len(tok)  # rune count
-                current_line_length += tok_length + 1
-                if current_line_length > _MAX_LINE_LENGTH:
-                    num_wrapped_lines += 1
-                    current_line_length = tok_length
-                    num_words_current_line = 1
-            else:
-                num_tokens += 1
+        (
+            num_words,
+            num_linked_words,
+            num_tokens,
+            num_wrapped_lines,
+            num_words_current_line,
+            self.in_anchor_text,
+        ) = _token_counts_from_tokens(tokenize(tok_str), self.in_anchor_text)
 
         if num_tokens == 0:
             return
