@@ -131,3 +131,27 @@ def test_cli_extract_url_date_derivation():
         assert out["date"] == "2016-12-15T00:00:00+00:00"
     finally:
         srv.shutdown()
+
+
+def test_cli_run_job_end_to_end(ray_session, tmp_path):
+    """The `run` subcommand (the ray-job-submit entry shape) completes a
+    resumable partitioned extraction and reports manifest metrics.  Runs
+    in a subprocess with its own Ray session (the CLI owns one)."""
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.sources.fixtures import golden7_chunked_table
+
+    spans = str(tmp_path / "spans.parquet")
+    pq.write_table(golden7_chunked_table(2), spans)
+    out = str(tmp_path / "out")
+    p = _run(["run", spans, out, "--partitions", "4"])
+    assert p.returncode == 0, p.stderr[-500:]
+    res = json.loads(p.stdout.strip().splitlines()[-1])
+    assert res["completed_partitions"] == 4
+    assert res["metrics"]["n_docs"] == 7
+    assert res["metrics"]["n_errors"] == 0
+    # Second invocation is a resume no-op over the same manifest.
+    p2 = _run(["run", spans, out, "--partitions", "4"])
+    assert p2.returncode == 0
+    res2 = json.loads(p2.stdout.strip().splitlines()[-1])
+    assert res2["metrics"]["n_docs"] == 7
