@@ -59,7 +59,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from go_boilerpipe_ray.functions import dedup, relational, similarity, text
+    from go_boilerpipe_ray.functions import dedup, relational, similarity, text, urls
     from go_boilerpipe_ray.pipelines import queries as xq
 
     _ensure_workers_can_import()
@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": text.fingerprint,
         "lang_id": text.lang_id,
         "normalize_text": text.normalize_text,
+        "url_metadata": urls.url_metadata,
         "rolling_fingerprint": text.rolling_fingerprint,
         # dedup
         "dedup_exact": dedup.exact_dedup,
@@ -104,7 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from go_boilerpipe_ray.functions import dedup, relational, similarity, text
+    from go_boilerpipe_ray.functions import dedup, relational, similarity, text, urls
     from go_boilerpipe_ray.pipelines import queries as xq
 
     return {
@@ -114,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": text.TOKEN_STATS_SQL,
         "lang_id": text.LANG_ID_SQL,
         "normalize_text": text.NORMALIZE_SQL,
+        "url_metadata": urls.URL_METADATA_SQL,
         "quality_score": text.QUALITY_SQL,
         "fingerprint": text.FINGERPRINT_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,

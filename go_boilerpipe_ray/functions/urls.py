@@ -46,3 +46,53 @@ def normalize_urls(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(
         _normalize_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def url_metadata(sf_dir: str) -> "ray.data.Dataset":
+    """Oracle-checked E-stage query: deterministic raw URLs derived from
+    doc_id (mixed schemeless/http, a dot-dot path segment, utm query
+    noise on every 3rd), run through the normurl stage.  The SQL oracle
+    mirrors both the construction and the expected normalization —
+    implied scheme, path.Clean, query drop, whole-URL lowercasing, root
+    split and date-from-URL — value-exactly."""
+    from ._util import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        for d in batch.column("doc_id").to_pylist():
+            y, mo, dy = 2001 + d % 20, d % 12 + 1, d % 28 + 1
+            raw = (
+                ("http://" if d % 2 == 0 else "")
+                + f"www.news{d % 5}.com/Sec/../{y}-{mo:02d}-{dy:02d}/story-{d}"
+                + ("?utm_source=feed&x=1" if d % 3 == 0 else "")
+            )
+            urls.append(raw)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "url": pa.array(urls, pa.string())}
+        )
+
+    built = ds.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
+    return normalize_urls(built).select_columns(
+        ["doc_id", "url_norm", "url_host", "url_root", "url_date"]
+    )
+
+
+URL_METADATA_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         2001 + doc_id % 20 AS y,
+         doc_id % 12 + 1 AS mo,
+         doc_id % 28 + 1 AS dy
+  FROM documents
+)
+SELECT doc_id,
+       'http://www.news' || (doc_id % 5) || '.com/' || y || '-' ||
+           lpad(CAST(mo AS VARCHAR), 2, '0') || '-' ||
+           lpad(CAST(dy AS VARCHAR), 2, '0') || '/story-' || doc_id AS url_norm,
+       'www.news' || (doc_id % 5) || '.com' AS url_host,
+       'news' || (doc_id % 5) || '.com' AS url_root,
+       CAST(make_timestamp(y, mo, dy, 0, 0, 0) AS TIMESTAMP) AS url_date
+FROM d
+"""
