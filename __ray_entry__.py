@@ -116,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text.LANG_ID_SQL,
         "normalize_text": text.NORMALIZE_SQL,
         "url_metadata": urls.URL_METADATA_SQL,
+        "media_resize": xq.MEDIA_RESIZE_SQL,
         "quality_score": text.QUALITY_SQL,
         "fingerprint": text.FINGERPRINT_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
@@ -132,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_event_types": relational.DISTINCT_EVENT_TYPES_SQL,
         # rows-only (non-SQL-expressible): extract_golden,
         # dedup_incremental (Bloom FP layout), dedup_simhash_pairs,
+        # media_decode (stub features are hash-based),
         # rolling_fingerprint, dedup_minhash_lsh, dedup_simhash,
         # knn_lsh, knn_ivf, media_decode
     }

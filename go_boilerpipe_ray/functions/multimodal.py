@@ -152,25 +152,26 @@ def resize_media_dataset(
     math); the pixel resampling itself would run in the decode backend
     and is stubbed like decode (payload passes through untouched)."""
     def plan(batch: pa.Table) -> pa.Table:
+        # Pure integer arithmetic (floor division) so the plan is
+        # bit-identical to its SQL oracle — float rounding modes (numpy
+        # banker's vs SQL half-away) can never diverge.
         w = batch.column("meta_width").to_numpy(zero_copy_only=False).astype(
-            np.float64
+            np.int64
         )
         h = batch.column("meta_height").to_numpy(zero_copy_only=False).astype(
-            np.float64
+            np.int64
         )
-        long_side = np.maximum(np.maximum(w, h), 1.0)
-        scale = np.minimum(1.0, target / long_side)  # never upscale
-        new_w = np.maximum(1, np.round(w * scale)).astype(np.int32)
-        new_h = np.maximum(1, np.round(h * scale)).astype(np.int32)
+        long_side = np.maximum(np.maximum(w, h), 1)
+        s = np.minimum(long_side, target)  # never upscale
+        new_w = np.maximum(1, (w * s) // long_side).astype(np.int32)
+        new_h = np.maximum(1, (h * s) // long_side).astype(np.int32)
         return pa.table(
             {
                 "media_ref": batch.column("media_ref"),
                 "kind": batch.column("kind"),
                 "width": pa.array(new_w, pa.int32()),
                 "height": pa.array(new_h, pa.int32()),
-                "scale_x1000": pa.array(
-                    np.round(scale * 1000).astype(np.int64), pa.int64()
-                ),
+                "scale_x1000": pa.array((1000 * s) // long_side, pa.int64()),
                 "payload": batch.column("payload"),  # stub: no resample
             }
         )

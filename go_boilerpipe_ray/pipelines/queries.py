@@ -181,3 +181,29 @@ def media_resize(_sf_dir: str):
     return resize_media_dataset(ds, target=256).select_columns(
         ["media_ref", "kind", "width", "height", "scale_x1000"]
     )
+
+
+# Mirrors synth_media_table's metadata formulas and the integer resize
+# plan exactly; rows generated by range() since the media table is
+# synthesized, not an sf-dir table.
+MEDIA_RESIZE_SQL = """
+WITH m AS (
+  SELECT i,
+         'media://syn/' || i AS media_ref,
+         CASE WHEN i % 3 = 0 THEN 'audio' ELSE 'image' END AS kind,
+         64 + (i % 16) * 32 AS w,
+         64 + (i % 9) * 32 AS h
+  FROM range(0, 200) t(i)
+),
+p AS (
+  SELECT *, greatest(greatest(w, h), 1) AS long_side FROM m
+),
+q AS (
+  SELECT *, least(long_side, 256) AS s FROM p
+)
+SELECT media_ref, kind,
+       CAST(greatest(1, (w * s) // long_side) AS INTEGER) AS width,
+       CAST(greatest(1, (h * s) // long_side) AS INTEGER) AS height,
+       (1000 * s) // long_side AS scale_x1000
+FROM q
+"""
