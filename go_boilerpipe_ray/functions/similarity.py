@@ -2,11 +2,15 @@
 
 - ``knn_brute``: exact cosine top-k.  The query matrix is broadcast once
   (``ray.put``) and read inside every batch task; each batch computes a
-  local top-k (bounded candidates) which are merged driver-side — no
-  all-to-all shuffle, candidate volume is batches × queries × k rows.
-- ``knn_lsh``: the scale path — random-hyperplane LSH buckets vectors, the
-  search touches only the query's bucket (+ optional multiprobe).
-- ``near_dup_embeddings``: embedding-cosine near-duplicate pairs over a
+  tie-aware local top-k (bounded candidates) merged driver-side under
+  the same total order — no all-to-all shuffle, candidate volume is
+  batches × queries × k rows.
+- ``knn_lsh`` / ``knn_ivf``: the scale paths — random-hyperplane LSH
+  buckets / spherical-kmeans IVF cells partition the vectors; scoring
+  runs DISTRIBUTED inside groupby(bucket|cell).map_groups and only
+  bounded candidate rows reach the merge.
+- ``near_dup_embeddings``: embedding-cosine near-duplicate pairs via
+  multiprobe-LSH bucketing + exact per-bucket cosine verify, over a
   corpus with synthesized duplicates (scaled copies — cosine exactly 1
   with the original, SQL-mirrored by NEAR_DUP_SQL).
 """
