@@ -17,3 +17,7 @@ engine built on ``ray.data.Dataset`` + Arrow batches:
 """
 
 __version__ = "0.1.0"
+
+# Engine version; the reference reports boilerpipe.Version = "0.5.0"
+# (boilerpipe.go:15-16) — this engine tracks its own line.
+VERSION = "2.0.0"

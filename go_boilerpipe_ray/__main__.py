@@ -94,6 +94,21 @@ def _extract(args) -> int:
     return 0
 
 
+def _version(_args) -> int:
+    """Mirror `boilerpipe version` (cmd/boilerpipe/main.go:89-100): the
+    version plus platform triple, to stderr."""
+    import platform
+
+    from . import VERSION
+
+    print(
+        f"go_boilerpipe_ray {VERSION} "
+        f"{platform.machine()}/{platform.system().lower()}/py{platform.python_version()}",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def _run(args) -> int:
     """Resumable partitioned extraction job over a spans table — the
     ``ray job submit`` entry point shape."""
@@ -135,6 +150,9 @@ def main() -> int:
     ex.add_argument("--indent", action="store_true")
     ex.add_argument("--lineage", action="store_true", help="per-filter change log")
     ex.set_defaults(fn=_extract)
+
+    vs = sub.add_parser("version", help="print engine version")
+    vs.set_defaults(fn=_version)
 
     rn = sub.add_parser("run", help="resumable Ray extraction job over a spans table")
     rn.add_argument("input", help="spans parquet path/dir")
