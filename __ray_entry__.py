@@ -121,6 +121,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": text.FINGERPRINT_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
+        "dedup_simhash": dedup.SIMHASH_SQL,
+        "dedup_simhash_pairs": dedup.SIMHASH_PAIRS_SQL,
+        "rolling_fingerprint": text.ROLLING_FP_SQL,
         "knn_brute": similarity.KNN_SQL,
         "near_dup_embeddings": similarity.NEAR_DUP_SQL,
         "agg_lineitem": relational.AGG_LINEITEM_SQL,
@@ -131,9 +134,9 @@ def oracle_sql() -> dict[str, str]:
         "top_events": relational.TOP_EVENTS_SQL,
         "click_values": relational.CLICK_VALUES_SQL,
         "distinct_event_types": relational.DISTINCT_EVENT_TYPES_SQL,
-        # rows-only (non-SQL-expressible): extract_golden,
-        # dedup_incremental (Bloom FP layout), dedup_simhash_pairs,
-        # media_decode (stub features are hash-based),
-        # rolling_fingerprint, dedup_minhash_lsh, dedup_simhash,
-        # knn_lsh, knn_ivf, media_decode
+        # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
+        # reference goldens), dedup_minhash_lsh (seeded permutations),
+        # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf
+        # (approximate; exhaustive-probe==brute pinned in pytest),
+        # media_decode (stub features are blake2b-based)
     }

@@ -634,6 +634,24 @@ def minhash_lsh_pairs(
 # -- SimHash ----------------------------------------------------------------
 
 
+_MD5_U64_CACHE: dict[str, int] = {}
+
+
+def _md5_u64(token: str) -> int:
+    """64-bit token hash matching DuckDB's ``md5_number_lower`` (the low
+    half of the md5 HUGEINT = bytes [8:16] little-endian) — the oracle for
+    SimHash and the rolling fingerprint recomputes it in SQL.  Memoized:
+    natural-language vocabularies are small relative to token counts."""
+    v = _MD5_U64_CACHE.get(token)
+    if v is None:
+        if len(_MD5_U64_CACHE) > 1 << 17:
+            _MD5_U64_CACHE.clear()
+        _MD5_U64_CACHE[token] = v = int.from_bytes(
+            hashlib.md5(token.encode("utf-8")).digest()[8:], "little"
+        )
+    return v
+
+
 class SimHasher:
     def __init__(self, bits: int = 64):
         self.bits = bits
@@ -643,14 +661,7 @@ class SimHasher:
         if not toks:
             return 0
         hs = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-                )
-                for t in toks
-            ),
-            dtype=np.uint64,
-            count=len(toks),
+            (_md5_u64(t) for t in toks), dtype=np.uint64, count=len(toks)
         )
         shifts = np.arange(self.bits, dtype=np.uint64)
         bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
@@ -682,6 +693,45 @@ def simhash_signatures(sf_dir: str) -> "ray.data.Dataset":
     return dup_corpus(sf_dir).map_batches(
         _simhash_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _simhash_sql() -> str:
+    """SimHash mirrored in SQL: unnest tokens, per-bit majority vote as 63
+    vectorized sums (bit 63 is masked off on the Python side so the value
+    stays int64-safe), strict ``acc > 0`` tie rule → ``2*c > n``."""
+    sums = ", ".join(
+        f"sum(((h >> {j}) & 1)::BIGINT) AS c{j}" for j in range(63)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN 2*c{j} > n THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(63)
+    )
+    return f"""
+WITH corpus AS ({DUP_CORPUS_SQL}),
+tok AS (
+  SELECT doc_id, md5_number_lower(t) AS h
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        FROM corpus)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n, {sums} FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE({terms}, 0) AS simhash
+FROM (SELECT doc_id FROM corpus) d LEFT JOIN agg USING (doc_id)
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+# Exact hamming-ball pairs: the banded/pigeonhole Ray path is guaranteed
+# lossless for max_hamming < bands, so the all-pairs SQL join IS its oracle.
+SIMHASH_PAIRS_SQL = f"""
+WITH sigs AS ({SIMHASH_SQL})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 def simhash_pairs(

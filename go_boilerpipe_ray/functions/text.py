@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import hashlib
 import re
-import zlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -227,7 +226,11 @@ def fingerprint(sf_dir: str) -> "ray.data.Dataset":
 
 def rolling_fingerprint(sf_dir: str, window: int = 4) -> "ray.data.Dataset":
     """Karp-Rabin rolling hash over word windows; fingerprint = min hash
-    (a one-permutation sketch).  Not SQL-expressible — rows-only check."""
+    (a one-permutation sketch).  Token values are the low 32 bits of the
+    DuckDB-matchable md5 hash so ROLLING_FP_SQL can recompute every window
+    hash directly (the rolling recurrence mod 2^61-1 equals the plain
+    window polynomial mod 2^61-1)."""
+    from .dedup import _md5_u64
 
     def batch_fn(batch: pa.Table) -> pa.Table:
         out: list[int] = []
@@ -239,7 +242,7 @@ def rolling_fingerprint(sf_dir: str, window: int = 4) -> "ray.data.Dataset":
             base, mod = 1_000_003, (1 << 61) - 1
             h = 0
             power = pow(base, window - 1, mod)
-            vals = [zlib.crc32(w.encode("utf-8")) for w in toks]
+            vals = [_md5_u64(w) & 0xFFFFFFFF for w in toks]
             for v in vals[:window]:
                 h = (h * base + v) % mod
             best = h
@@ -285,6 +288,28 @@ FROM toks
 """
 
 FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+# Rolling Karp-Rabin min-hash (window=4): each window hash computed as the
+# direct polynomial mod 2^61-1 (identical to the Python rolling recurrence);
+# token value = low 32 bits of md5_number_lower.  HUGEINT keeps the 4-term
+# polynomial exact (< 2^94).
+ROLLING_FP_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                        w -> (md5_number_lower(w) & 4294967295)::BIGINT) AS v
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN len(v) < 4 THEN 0
+  ELSE list_min(list_transform(range(1, len(v) - 2), i ->
+      ((v[i]::HUGEINT * 1000003 * 1000003 * 1000003
+      + v[i+1]::HUGEINT * 1000003 * 1000003
+      + v[i+2]::HUGEINT * 1000003
+      + v[i+3]::HUGEINT) % 2305843009213693951)::BIGINT))
+  END AS rolling_fp
+FROM t
+"""
 
 NORMALIZE_SQL = r"""
 WITH n AS (
