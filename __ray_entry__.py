@@ -59,7 +59,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from go_boilerpipe_ray.functions import dedup, relational, similarity, text, urls
+    from go_boilerpipe_ray.functions import (
+        dedup,
+        relational,
+        sampling,
+        similarity,
+        text,
+        urls,
+    )
     from go_boilerpipe_ray.pipelines import queries as xq
 
     _ensure_workers_can_import()
@@ -84,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.simhash_signatures,
         "dedup_simhash_pairs": dedup.simhash_pairs,
         "dedup_incremental": dedup.incremental_dedup_query,
+        "dedup_components": dedup.dedup_components,
         # similarity search
         "knn_brute": similarity.knn_brute,
         "knn_lsh": similarity.knn_lsh,
@@ -98,6 +106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events": relational.top_events_by_value,
         "click_values": relational.click_values,
         "distinct_event_types": relational.distinct_event_types,
+        "asof_join": relational.asof_join_events_orders,
+        "running_total": relational.running_total,
+        "sample_split": sampling.sample_split,
         # multimodal plumbing
         "media_decode": xq.media_decode,
         "media_resize": xq.media_resize,
@@ -105,7 +116,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from go_boilerpipe_ray.functions import dedup, relational, similarity, text, urls
+    from go_boilerpipe_ray.functions import (
+        dedup,
+        relational,
+        sampling,
+        similarity,
+        text,
+        urls,
+    )
     from go_boilerpipe_ray.pipelines import queries as xq
 
     return {
@@ -124,6 +142,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup.SIMHASH_SQL,
         "dedup_simhash_pairs": dedup.SIMHASH_PAIRS_SQL,
         "rolling_fingerprint": text.ROLLING_FP_SQL,
+        "dedup_components": dedup.DEDUP_COMPONENTS_SQL,
+        "asof_join": relational.ASOF_JOIN_SQL,
+        "running_total": relational.RUNNING_TOTAL_SQL,
+        "sample_split": sampling.SAMPLE_SPLIT_SQL,
         "knn_brute": similarity.KNN_SQL,
         "near_dup_embeddings": similarity.NEAR_DUP_SQL,
         "agg_lineitem": relational.AGG_LINEITEM_SQL,

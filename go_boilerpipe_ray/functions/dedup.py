@@ -841,6 +841,145 @@ def simhash_pairs(
     )
 
 
+# -- duplicate-cluster connected components ----------------------------------
+
+
+def connected_components(
+    edges: "ray.data.Dataset", max_iters: int = 16
+) -> "ray.data.Dataset":
+    """Connected components over an (id_a, id_b) pair dataset by iterative
+    min-label propagation — the step that turns pairwise near-dup hits
+    into duplicate CLUSTERS (keep one doc per component).
+
+    Each round is one keyed shuffle: labels and directed edges meet in a
+    doc-hash partition (the same repartition-join used by the minhash
+    verify), every edge forwards its source's current label to its
+    target, and ``groupby(node).min(label)`` folds the proposals.  Labels
+    only decrease, so ``sum(labels)`` is a monotone convergence witness —
+    the loop stops when it is unchanged (O(diameter) rounds; near-dup
+    clusters are shallow).  Driver state is one scalar per round."""
+    P = wide_partitions()
+
+    def directed(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").combine_chunks()
+        b = batch.column("id_b").combine_chunks()
+        src = pa.concat_arrays([a, b])
+        dst = pa.concat_arrays([b, a])
+        return pa.table(
+            {
+                "key": src,
+                "dst": dst,
+                "lab": pa.array(np.zeros(len(src), dtype=np.int64)),
+                "is_lab": pa.array(np.zeros(len(src), dtype=bool)),
+                "kp": pa.array(
+                    (src.to_numpy(zero_copy_only=False) % P).astype(np.int32)
+                ),
+            }
+        )
+
+    dir_edges = edges.map_batches(
+        directed, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # reused every round; pairs table, not the corpus
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        nodes = batch.column("node")
+        return pa.table({"node": nodes, "label": nodes})
+
+    labels = (
+        dir_edges.select_columns(["key"])
+        .groupby("key")
+        .count()
+        .select_columns(["key"])
+        .rename_columns({"key": "node"})
+        .map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    def label_role(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column("node"),
+                "dst": pa.array(np.zeros(n, dtype=np.int64)),
+                "lab": batch.column("label"),
+                "is_lab": pa.array(np.ones(n, dtype=bool)),
+                "kp": pa.array(
+                    (
+                        batch.column("node").to_numpy(zero_copy_only=False) % P
+                    ).astype(np.int32)
+                ),
+            }
+        )
+
+    def propose(group: pa.Table) -> pa.Table:
+        """Within one doc-hash partition: every edge row looks up its
+        source's label (sorted-key binary search) and proposes it to the
+        edge's target; label rows re-propose to their own node."""
+        is_lab = group.column("is_lab").to_numpy(zero_copy_only=False)
+        keys = group.column("key").to_numpy(zero_copy_only=False)
+        labs = group.column("lab").to_numpy(zero_copy_only=False)
+        dsts = group.column("dst").to_numpy(zero_copy_only=False)
+        lkeys, llabs = keys[is_lab], labs[is_lab]
+        order = np.argsort(lkeys)
+        lkeys, llabs = lkeys[order], llabs[order]
+        ekeys, edsts = keys[~is_lab], dsts[~is_lab]
+        pos = np.searchsorted(lkeys, ekeys)
+        out_node = np.concatenate([edsts, lkeys])
+        out_lab = np.concatenate([llabs[pos], llabs])
+        return pa.table(
+            {
+                "node": pa.array(out_node, pa.int64()),
+                "label": pa.array(out_lab, pa.int64()),
+            }
+        )
+
+    prev_sum: int | None = None
+    for _ in range(max_iters):
+        rows = dir_edges.union(
+            labels.map_batches(
+                label_role, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        labels = (
+            rows.groupby("kp")
+            .map_groups(propose, batch_format="pyarrow")
+            .groupby("node")
+            .min("label")
+            .rename_columns({"min(label)": "label"})
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.rename_columns({"node": "doc_id", "label": "component"})
+
+
+def dedup_components(sf_dir: str) -> "ray.data.Dataset":
+    """Duplicate clusters of the dup corpus: simhash hamming-ball pairs →
+    connected components; output (doc_id, component=min doc id)."""
+    return connected_components(simhash_pairs(sf_dir))
+
+
+# Recursive min-label closure mirrors the propagation fixpoint exactly.
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS ({SIMHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v AS node, r.label
+  FROM reach r JOIN edges e ON e.u = r.node
+  WHERE r.label < e.v
+)
+SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+"""
+
+
 # -- incremental dedup (new ingest vs a prior corpus) ------------------------
 
 

@@ -404,3 +404,178 @@ def distinct_event_types(sf_dir: str) -> "ray.data.Dataset":
 
 
 DISTINCT_EVENT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+# -- as-of join ---------------------------------------------------------------
+
+
+def asof_join_events_orders(sf_dir: str) -> "ray.data.Dataset":
+    """As-of join: each event picks the latest order of the same customer
+    with o_orderdate <= event ts (ties on date broken by max o_orderkey).
+
+    Ray Data has no asof join; the scalable composition is a single keyed
+    shuffle: union both tables tagged with a side flag, groupby(key), and
+    inside each group sort the build side once and answer every probe with
+    a vectorized searchsorted.  One shuffle of (key, ts, id) triples — the
+    inequality predicate never becomes an all-pairs join."""
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column("o_custkey"),
+                "ts_us": pc.cast(batch.column("o_orderdate"), pa.int64()),
+                "row_id": batch.column("o_orderkey"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def event_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column("user_id"),
+                "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+                "row_id": batch.column("event_id"),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    both = orders.map_batches(
+        order_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        events.map_batches(event_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def probe(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        rid = group.column("row_id").to_numpy(zero_copy_only=False)
+        is_order = side == 0
+        o_ts, o_id = ts[is_order], rid[is_order]
+        e_ts, e_id = ts[~is_order], rid[~is_order]
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+            }
+        )
+        if len(o_ts) == 0 or len(e_ts) == 0:
+            return empty
+        order = np.lexsort((o_id, o_ts))
+        o_ts, o_id = o_ts[order], o_id[order]
+        # rightmost order with ts <= event ts: ties on ts land on max id
+        # because the build side is sorted by (ts, id).
+        pos = np.searchsorted(o_ts, e_ts, side="right") - 1
+        hit = pos >= 0
+        if not hit.any():
+            return empty
+        key = group.column("key")[0].as_py()
+        n = int(hit.sum())
+        return pa.table(
+            {
+                "event_id": pa.array(e_id[hit], pa.int64()),
+                "user_id": pa.array(np.full(n, key, dtype=np.int64)),
+                "ts": pa.array(e_ts[hit], pa.int64()).cast(pa.timestamp("us")),
+                "o_orderkey": pa.array(o_id[pos[hit]], pa.int64()),
+                "o_orderdate": pa.array(o_ts[pos[hit]], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+
+    return both.groupby("key").map_groups(probe, batch_format="pyarrow")
+
+
+ASOF_JOIN_SQL = """
+SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+"""
+
+
+# -- distributed prefix scan (running total) ----------------------------------
+
+
+def running_total(sf_dir: str) -> "ray.data.Dataset":
+    """Cumulative sum of order value in global (o_orderdate, o_orderkey)
+    order — the classic two-pass distributed scan.  Pass 1 computes one
+    partial sum per date-range bucket (a tiny groupby); the driver turns
+    those into exclusive prefix offsets (O(#buckets), not O(rows)) and
+    broadcasts them; pass 2 cumsums inside each bucket and adds the
+    bucket's offset.  No global sort and no O(N) driver state.  Sums are
+    integer cents so the result is associativity-exact against the SQL
+    window oracle."""
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        # Month-granularity range buckets: ordered, low-skew for
+        # date-uniform data, and computable row-locally.
+        month = ts // (30 * 24 * 3600 * 1_000_000)
+        cents = np.rint(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(month, pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+                "o_orderkey": batch.column("o_orderkey"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    bucketed = ds.map_batches(
+        with_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # Pass 1: per-bucket totals (small: one row per month).
+    totals = bucketed.groupby("bucket").sum("cents").to_pandas()
+    totals = totals.sort_values("bucket")
+    offsets = dict(
+        zip(
+            totals["bucket"].tolist(),
+            np.concatenate([[0], np.cumsum(totals["sum(cents)"].to_numpy())[:-1]])
+            .astype(int)
+            .tolist(),
+        )
+    )
+    offsets_ref = ray.put(offsets)
+
+    def scan(group: pa.Table) -> pa.Table:
+        off = ray.get(offsets_ref)
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        keys = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, ts))
+        run = np.cumsum(cents[order]) + off[int(group.column("bucket")[0].as_py())]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys[order], pa.int64()),
+                "running_cents": pa.array(run, pa.int64()),
+            }
+        )
+
+    # Pass 2: in-bucket cumsum + broadcast offset.
+    return bucketed.groupby("bucket").map_groups(scan, batch_format="pyarrow")
+
+
+RUNNING_TOTAL_SQL = """
+SELECT o_orderkey,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+         OVER (ORDER BY o_orderdate, o_orderkey) AS running_cents
+FROM orders
+"""

@@ -283,3 +283,92 @@ def test_media_resize_plan():
             assert r["height"] >= r["width"]
         # never upscaled
         assert r["width"] <= s["meta_width"] and r["height"] <= s["meta_height"]
+
+
+def test_connected_components_tiny_graph():
+    import pyarrow as pa
+    import ray.data
+
+    from go_boilerpipe_ray.functions.dedup import connected_components
+
+    # Two components: {1,2,3,4} (a path, diameter 3) and {10, 11}.
+    edges = pa.table(
+        {
+            "id_a": pa.array([1, 2, 3, 10], pa.int64()),
+            "id_b": pa.array([2, 3, 4, 11], pa.int64()),
+        }
+    )
+    labels = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(ray.data.from_arrow(edges)).take_all()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_components_cluster_structure():
+    from go_boilerpipe_ray.functions.dedup import (
+        COPY_OFFSET,
+        dedup_components,
+    )
+
+    rows = dedup_components(SF).take_all()
+    comp = {r["doc_id"]: r["component"] for r in rows}
+    # Every exact copy (id+1e6) has hamming 0 to its original, so the two
+    # always share a component whose label is <= the original id.
+    for d, c in comp.items():
+        if COPY_OFFSET <= d < 2 * COPY_OFFSET:
+            assert comp.get(d - COPY_OFFSET, c) == c
+            assert c <= d - COPY_OFFSET
+
+
+def test_asof_join_matches_window_semantics():
+    import duckdb
+
+    from go_boilerpipe_ray.functions.relational import (
+        ASOF_JOIN_SQL,
+        asof_join_events_orders,
+    )
+
+    got = sorted(
+        (r["event_id"], r["o_orderkey"])
+        for r in asof_join_events_orders(SF).take_all()
+    )
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    exp = sorted(
+        (e, o)
+        for e, _, _, o, _ in con.execute(ASOF_JOIN_SQL).fetchall()
+    )
+    assert got == exp and got
+
+
+def test_running_total_is_a_prefix_scan():
+    import duckdb
+
+    from go_boilerpipe_ray.functions.relational import running_total
+
+    rows = running_total(SF).take_all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    n, total = con.execute(
+        "SELECT count(*), SUM(CAST(round(o_totalprice*100) AS BIGINT)) FROM orders"
+    ).fetchone()
+    assert len(rows) == n
+    # The global maximum of a prefix scan is the grand total.
+    assert max(r["running_cents"] for r in rows) == total
+
+
+def test_sample_split_deterministic_proportions():
+    from go_boilerpipe_ray.functions.sampling import sample_split
+
+    a = {r["doc_id"]: r["split"] for r in sample_split(SF).take_all()}
+    b = {r["doc_id"]: r["split"] for r in sample_split(SF).take_all()}
+    assert a == b and set(a.values()) <= {"train", "valid", "test"}
+    # 98% train within generous tolerance at n=500
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.9 < frac <= 1.0
