@@ -89,6 +89,10 @@ def _extract(args) -> int:
         out["lineage"] = [
             {"filter": f, "changed": c, "n_blocks": n} for f, c, n in pipe.log
         ]
+    if args.html_view:
+        from .kernel.document import string_to_html
+
+        out["content_html"] = string_to_html(doc.content())
     json.dump(out, sys.stdout, ensure_ascii=False, indent=2 if args.indent else None)
     sys.stdout.write("\n")
     return 0
@@ -149,6 +153,11 @@ def main() -> int:
     ex.add_argument("--url", help="source URL (date derivation, like the CLI)")
     ex.add_argument("--indent", action="store_true")
     ex.add_argument("--lineage", action="store_true", help="per-filter change log")
+    ex.add_argument(
+        "--html-view",
+        action="store_true",
+        help="include the serve UI's paragraph-HTML debug view of content",
+    )
     ex.set_defaults(fn=_extract)
 
     vs = sub.add_parser("version", help="print engine version")

@@ -115,6 +115,18 @@ def _go_trim_space_newline(s: str) -> str:
     return s.strip(" \n")
 
 
+def string_to_html(s: str) -> str:
+    """Debug HTML view of extracted text (cmd/boilerpipe/serve.go:150-170):
+    each newline closes a paragraph, the next character lazily opens one.
+    Faithful quirks: the text is NOT HTML-escaped, and a final segment not
+    terminated by a newline is left as an unclosed ``<p>``."""
+    parts = s.split("\n")
+    out = "".join(f"<p>{seg}</p>" for seg in parts[:-1])
+    if parts[-1]:
+        out += f"<p>{parts[-1]}"
+    return out
+
+
 class Document:
     def __init__(self):
         self.title = ""

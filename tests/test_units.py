@@ -644,3 +644,15 @@ def test_classifier_link_density_thresholds():
     doc2 = _doc(prev, curr, nxt)
     NumWordsRulesClassifier().process(doc2)
     assert curr.is_content
+
+
+def test_string_to_html_quirks():
+    # serve.go:150-170: '\n' closes a <p>, next char lazily opens one;
+    # no HTML escaping; trailing unterminated segment stays unclosed.
+    from go_boilerpipe_ray.kernel.document import string_to_html
+
+    assert string_to_html("") == ""
+    assert string_to_html("a") == "<p>a"
+    assert string_to_html("a\n") == "<p>a</p>"
+    assert string_to_html("a\n\nb") == "<p>a</p><p></p><p>b"
+    assert string_to_html("x<&y\nz") == "<p>x<&y</p><p>z"
