@@ -140,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "dedup_simhash": dedup.SIMHASH_SQL,
+        "dedup_minhash_lsh": dedup.MINHASH_LSH_SQL,
         "dedup_simhash_pairs": dedup.SIMHASH_PAIRS_SQL,
         "rolling_fingerprint": text.ROLLING_FP_SQL,
         "dedup_components": dedup.DEDUP_COMPONENTS_SQL,

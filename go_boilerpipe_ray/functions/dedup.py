@@ -28,7 +28,6 @@ from __future__ import annotations
 import functools
 import hashlib
 import re
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -39,6 +38,25 @@ import ray.data
 from ._util import wide_partitions
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+_MD5_U64_CACHE: dict[str, int] = {}
+
+
+def _md5_u64(token: str) -> int:
+    """64-bit token hash matching DuckDB's ``md5_number_lower`` (the low
+    half of the md5 HUGEINT = bytes [8:16] little-endian) — the MinHash,
+    SimHash and rolling-fingerprint oracles recompute it in SQL.
+    Memoized: natural-language vocabularies are small relative to token
+    counts."""
+    v = _MD5_U64_CACHE.get(token)
+    if v is None:
+        if len(_MD5_U64_CACHE) > 1 << 17:
+            _MD5_U64_CACHE.clear()
+        _MD5_U64_CACHE[token] = v = int.from_bytes(
+            hashlib.md5(token.encode("utf-8")).digest()[8:], "little"
+        )
+    return v
+
 
 COPY_OFFSET = 1_000_000
 PERTURB_OFFSET = 2_000_000
@@ -299,9 +317,6 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
 _MERSENNE = (1 << 61) - 1
 
 # Shared token-CRC memo for MinHash signatures (bounded, per process).
-_CRC_CACHE: dict[str, int] = {}
-
-
 class MinHasher:
     """Stateful stage: the permutation coefficients are built once per
     actor (seeded, deterministic)."""
@@ -325,20 +340,14 @@ class MinHasher:
         toks = _TOKEN_RE.findall(text.lower())
         if len(toks) < self.k:
             return None
-        # Shingle hashes as a polynomial over token CRCs (uint64 wraparound)
-        # — no per-shingle string building or digest calls; distinct-set
-        # semantics via np.unique; truncated to 32 bits so a*x+b stays
-        # exact in uint64.  Token CRCs are memoized (natural-language
-        # vocabularies are small relative to token counts).
-        cache = _CRC_CACHE
+        # Shingle hashes as a polynomial over token hashes (uint64
+        # wraparound) — no per-shingle string building; distinct-set
+        # semantics via np.unique; token hashes truncated to 32 bits so
+        # a*x+b stays exact in uint64.  The token hash is the memoized
+        # md5-derived value MINHASH_LSH_SQL recomputes.
         c = np.empty(len(toks), dtype=np.uint64)
         for i, t in enumerate(toks):
-            v = cache.get(t)
-            if v is None:
-                if len(cache) > 1 << 17:
-                    cache.clear()
-                cache[t] = v = zlib.crc32(t.encode())
-            c[i] = v
+            c[i] = _md5_u64(t) & 0xFFFFFFFF
         n_sh = len(c) - self.k + 1
         mult = np.uint64(1_000_003)
         sh = c[:n_sh].copy()
@@ -631,25 +640,80 @@ def minhash_lsh_pairs(
     )
 
 
+def _minhash_lsh_sql(
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> str:
+    """Full SQL mirror of minhash_lsh_pairs: the seeded permutation
+    coefficients are baked in as literals (64 min-aggregates over the
+    distinct shingle rows), the uint64-wraparound shingle/band-bucket
+    polynomials are reproduced with explicit ``% 2^64`` HUGEINT
+    arithmetic, candidates are the union of one equijoin per band bucket
+    (collisions and all), and the estimate is a 64-way signature-equality
+    sum — bit-exact against the Ray path, hash function included."""
+    rows_per_band = num_hashes // bands
+    p31 = (1 << 31) - 1
+    w64 = 1 << 64
+    mult = 1_000_003
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, p31, size=num_hashes)
+    b = rng.randint(0, p31, size=num_hashes)
+    mins = ", ".join(
+        f"CAST(min(({int(a[j])}::UBIGINT * x + {int(b[j])}) % {p31}) AS BIGINT)"
+        f" AS s{j}"
+        for j in range(num_hashes)
+    )
+    shingle_poly = "v[i]"
+    for off in range(1, k):
+        shingle_poly = f"({shingle_poly}*{mult} % {w64} + v[i+{off}])"
+
+    def band_fold(band: int) -> str:
+        expr = f"{band + 1}::HUGEINT"
+        for col in range(band * rows_per_band, (band + 1) * rows_per_band):
+            expr = f"((({expr}) * {mult}) % {w64} + s{col})"
+        return f"CAST((({expr}) % {w64}) // 2 AS BIGINT) AS bk{band}"
+
+    bks = ", ".join(band_fold(x) for x in range(bands))
+    eqsum = " + ".join(
+        f"(CASE WHEN a.s{j} = b.s{j} THEN 1 ELSE 0 END)" for j in range(num_hashes)
+    )
+    band_joins = "\nUNION\n".join(
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sigb a JOIN sigb b "
+        f"ON a.bk{x} = b.bk{x} AND a.doc_id < b.doc_id"
+        for x in range(bands)
+    )
+    return f"""
+WITH corpus AS ({DUP_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                        w -> (md5_number_lower(w) & 4294967295)::HUGEINT) AS v
+  FROM corpus
+  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= {k}
+),
+shingle_rows AS (
+  SELECT DISTINCT doc_id,
+    CAST(xor(CAST({shingle_poly} % {w64} AS UBIGINT),
+             CAST({shingle_poly} % {w64} AS UBIGINT) >> 33)
+         % {p31} AS UBIGINT) AS x
+  FROM (SELECT doc_id, v, unnest(range(1, len(v) - {k - 2})) AS i FROM toks)
+),
+sig AS (SELECT doc_id, {mins} FROM shingle_rows GROUP BY doc_id),
+sigb AS (SELECT *, {bks} FROM sig),
+cand AS ({band_joins})
+SELECT c.id_a, c.id_b, ({eqsum}) / {num_hashes}.0 AS est_jaccard
+FROM cand c JOIN sigb a ON a.doc_id = c.id_a JOIN sigb b ON b.doc_id = c.id_b
+WHERE ({eqsum}) / {num_hashes}.0 >= {threshold}
+"""
+
+
+MINHASH_LSH_SQL = _minhash_lsh_sql()
+
+
 # -- SimHash ----------------------------------------------------------------
-
-
-_MD5_U64_CACHE: dict[str, int] = {}
-
-
-def _md5_u64(token: str) -> int:
-    """64-bit token hash matching DuckDB's ``md5_number_lower`` (the low
-    half of the md5 HUGEINT = bytes [8:16] little-endian) — the oracle for
-    SimHash and the rolling fingerprint recomputes it in SQL.  Memoized:
-    natural-language vocabularies are small relative to token counts."""
-    v = _MD5_U64_CACHE.get(token)
-    if v is None:
-        if len(_MD5_U64_CACHE) > 1 << 17:
-            _MD5_U64_CACHE.clear()
-        _MD5_U64_CACHE[token] = v = int.from_bytes(
-            hashlib.md5(token.encode("utf-8")).digest()[8:], "little"
-        )
-    return v
 
 
 class SimHasher:
