@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": similarity.knn_brute,
         "knn_lsh": similarity.knn_lsh,
         "knn_ivf": similarity.knn_ivf,
+        "knn_ivf_exhaustive": similarity.knn_ivf_exhaustive,
         "near_dup_embeddings": similarity.near_dup_embeddings,
         # relational / windows / sessions
         "agg_lineitem": relational.agg_lineitem,
@@ -148,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "running_total": relational.RUNNING_TOTAL_SQL,
         "sample_split": sampling.SAMPLE_SPLIT_SQL,
         "knn_brute": similarity.KNN_SQL,
+        "knn_ivf_exhaustive": similarity.KNN_SQL,
         "near_dup_embeddings": similarity.NEAR_DUP_SQL,
         "agg_lineitem": relational.AGG_LINEITEM_SQL,
         "top_customers": relational.TOP_CUSTOMERS_SQL,

@@ -488,3 +488,12 @@ def knn_ivf(
         .take_all()
     )
     return _rank_merge(cand, k)
+
+
+def knn_ivf_exhaustive(sf_dir: str) -> pa.Table:
+    """IVF with n_probe == n_cells: every cell is probed, so the probed
+    set is the whole corpus and the result is provably the exact top-k —
+    the same distributed IVF machinery (centroid training, cell
+    assignment, per-cell scoring, bounded merge) run at a setting where
+    the brute-force SQL oracle applies exactly."""
+    return knn_ivf(sf_dir, n_cells=16, n_probe=16)
