@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_values": relational.click_values,
         "distinct_event_types": relational.distinct_event_types,
         "asof_join": relational.asof_join_events_orders,
+        "top_event_per_user": relational.top_event_per_user,
+        "customers_without_events": relational.customers_without_events,
         "running_total": relational.running_total,
         "sample_split": sampling.sample_split,
         # multimodal plumbing
@@ -146,6 +148,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprint": text.ROLLING_FP_SQL,
         "dedup_components": dedup.DEDUP_COMPONENTS_SQL,
         "asof_join": relational.ASOF_JOIN_SQL,
+        "top_event_per_user": relational.TOP_EVENT_PER_USER_SQL,
+        "customers_without_events": relational.CUSTOMERS_WITHOUT_EVENTS_SQL,
         "running_total": relational.RUNNING_TOTAL_SQL,
         "sample_split": sampling.SAMPLE_SPLIT_SQL,
         "knn_brute": similarity.KNN_SQL,

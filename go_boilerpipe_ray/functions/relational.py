@@ -406,6 +406,78 @@ def distinct_event_types(sf_dir: str) -> "ray.data.Dataset":
 DISTINCT_EVENT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
 
 
+# -- per-group rank (windowed top-1) ------------------------------------------
+
+
+def top_event_per_user(sf_dir: str) -> "ray.data.Dataset":
+    """Each user's highest-value event (ties broken by event_id) — the
+    row_number()-per-partition window expressed as groupby + in-group
+    argmin over a composite order, no global sort."""
+
+    def pick(group: pa.Table) -> pa.Table:
+        vals = group.column("value").to_numpy(zero_copy_only=False)
+        ids = group.column("event_id").to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((ids, -vals))[0])
+        return pa.table(
+            {
+                "user_id": pa.array([group.column("user_id")[0].as_py()], pa.int64()),
+                "event_id": pa.array([int(ids[i])], pa.int64()),
+                "value": pa.array([float(vals[i])], pa.float64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+    return ds.groupby("user_id").map_groups(pick, batch_format="pyarrow")
+
+
+TOP_EVENT_PER_USER_SQL = """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# -- broadcast anti-join -------------------------------------------------------
+
+
+def customers_without_events(sf_dir: str) -> "ray.data.Dataset":
+    """Customers with no event activity: the small side (distinct event
+    user ids) is reduced first, shipped once via ray.put, and the big
+    side filters against it locally — an anti-join with no shuffle of the
+    probe table (the same broadcast discipline the resume manifest
+    uses)."""
+    user_ids = (
+        _read(sf_dir, "events", ["user_id"])
+        .groupby("user_id")
+        .count()
+        .select_columns(["user_id"])
+        .take_all()
+    )  # bounded: distinct users, not events
+    active = ray.put(np.sort(np.array([r["user_id"] for r in user_ids], np.int64)))
+
+    def anti(batch: pa.Table) -> pa.Table:
+        act = ray.get(active)
+        if len(act) == 0:
+            return batch
+        keys = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(act, keys), 0, len(act) - 1)
+        return batch.filter(pa.array(act[pos] != keys))
+
+    return (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+CUSTOMERS_WITHOUT_EVENTS_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+"""
+
+
 # -- as-of join ---------------------------------------------------------------
 
 

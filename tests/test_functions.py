@@ -372,3 +372,35 @@ def test_sample_split_deterministic_proportions():
     # 98% train within generous tolerance at n=500
     frac = sum(1 for v in a.values() if v == "train") / len(a)
     assert 0.9 < frac <= 1.0
+
+
+def test_top_event_per_user_is_argmax():
+    import duckdb
+
+    from go_boilerpipe_ray.functions.relational import top_event_per_user
+
+    got = sorted(
+        (r["user_id"], r["event_id"]) for r in top_event_per_user(SF).take_all()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    exp = sorted(
+        con.execute(
+            "SELECT user_id, event_id FROM (SELECT user_id, event_id, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) rn "
+            "FROM events) WHERE rn = 1"
+        ).fetchall()
+    )
+    assert got == exp and got
+
+
+def test_customers_without_events_anti_join():
+    from go_boilerpipe_ray.functions.relational import customers_without_events
+    from go_boilerpipe_ray.functions.relational import _read
+
+    kept = {r["c_custkey"] for r in customers_without_events(SF).take_all()}
+    active = {r["user_id"] for r in _read(SF, "events", ["user_id"]).take_all()}
+    allc = {r["c_custkey"] for r in _read(SF, "customer", ["c_custkey"]).take_all()}
+    assert kept == allc - active
