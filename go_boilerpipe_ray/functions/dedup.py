@@ -946,15 +946,20 @@ def connected_components(
     ).materialize()  # reused every round; pairs table, not the corpus
 
     def init_labels(batch: pa.Table) -> pa.Table:
-        nodes = batch.column("node")
-        return pa.table({"node": nodes, "label": nodes})
+        # label0 = min(self, min neighbor): the first propagation round is
+        # folded into the init groupby — one less full round for the
+        # shallow clusters dedup produces.
+        nodes = batch.column("key")
+        return pa.table(
+            {
+                "node": nodes,
+                "label": pc.min_element_wise(nodes, batch.column("min(dst)")),
+            }
+        )
 
     labels = (
-        dir_edges.select_columns(["key"])
-        .groupby("key")
-        .count()
-        .select_columns(["key"])
-        .rename_columns({"key": "node"})
+        dir_edges.groupby("key")
+        .min("dst")
         .map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
         .materialize()
     )
