@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": text.normalize_text,
         "url_metadata": urls.url_metadata,
         "rolling_fingerprint": text.rolling_fingerprint,
+        "pack_sequences": text.pack_sequences,
         # dedup
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -110,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": relational.asof_join_events_orders,
         "top_event_per_user": relational.top_event_per_user,
         "customers_without_events": relational.customers_without_events,
+        "range_join": relational.range_join_prior_events,
         "running_total": relational.running_total,
         "sample_split": sampling.sample_split,
         # multimodal plumbing
@@ -151,6 +153,8 @@ def oracle_sql() -> dict[str, str]:
         "top_event_per_user": relational.TOP_EVENT_PER_USER_SQL,
         "customers_without_events": relational.CUSTOMERS_WITHOUT_EVENTS_SQL,
         "running_total": relational.RUNNING_TOTAL_SQL,
+        "range_join": relational.RANGE_JOIN_SQL,
+        "pack_sequences": text.PACK_SEQUENCES_SQL,
         "sample_split": sampling.SAMPLE_SPLIT_SQL,
         "knn_brute": similarity.KNN_SQL,
         "knn_ivf_exhaustive": similarity.KNN_SQL,

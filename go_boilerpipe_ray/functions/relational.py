@@ -577,6 +577,62 @@ SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
 """
 
 
+# -- range join ----------------------------------------------------------------
+
+RANGE_JOIN_HOURS = 24
+
+
+def range_join_prior_events(sf_dir: str) -> "ray.data.Dataset":
+    """Range join (self-join form): every pair of events of the same user
+    where the earlier one falls strictly within the 24 h before the later
+    one.  Same single-keyed-shuffle shape as the as-of join, but each
+    probe emits a [lo, hi) slice of the time-sorted group (variable
+    fan-out via repeat + flat slice indices) instead of one row — an
+    interval join that never goes all-pairs."""
+    win_us = RANGE_JOIN_HOURS * 3600 * 1_000_000
+
+    def probe(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts, eid = ts[order], eid[order]
+        lo = np.searchsorted(ts, ts - win_us, side="right")
+        hi = np.searchsorted(ts, ts, side="left")
+        counts = hi - lo
+        keep = counts > 0
+        if not keep.any():
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "prior_event_id": pa.array([], pa.int64()),
+                }
+            )
+        lo_k, counts_k = lo[keep], counts[keep]
+        # flat indices of each probe's [lo, hi) build-side slice
+        starts = np.repeat(lo_k, counts_k)
+        within = np.arange(int(counts_k.sum())) - np.repeat(
+            np.cumsum(counts_k) - counts_k, counts_k
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(np.repeat(eid[keep], counts_k), pa.int64()),
+                "prior_event_id": pa.array(eid[starts + within], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    return ds.groupby("user_id").map_groups(probe, batch_format="pyarrow")
+
+
+RANGE_JOIN_SQL = f"""
+SELECT a.event_id, b.event_id AS prior_event_id
+FROM events a
+JOIN events b ON b.user_id = a.user_id
+  AND b.ts < a.ts
+  AND b.ts > a.ts - INTERVAL {RANGE_JOIN_HOURS} HOUR
+"""
+
+
 # -- distributed prefix scan (running total) ----------------------------------
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -257,6 +258,82 @@ def rolling_fingerprint(sf_dir: str, window: int = 4) -> "ray.data.Dataset":
     return read_documents(sf_dir).map_batches(
         batch_fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+PACK_BUDGET_TOKENS = 512
+_PACK_BUCKET_WIDTH = 256
+
+
+def pack_sequences(sf_dir: str) -> "ray.data.Dataset":
+    """Sequence packing for training: documents in doc_id order are packed
+    contiguously into sequences of up to PACK_BUDGET_TOKENS whitespace
+    tokens; seq_id = exclusive-prefix-token-count // budget.
+
+    Same two-pass distributed scan as running_total: doc_id-range buckets
+    → per-bucket token totals (one row per bucket; the broadcast offsets
+    table is O(id_range / bucket_width), so width scales with corpus
+    size) → in-bucket cumsum + offset.  No global sort, no O(rows) driver
+    state."""
+
+    def with_counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = pc.cast(
+            pc.count_substring_regex(batch.column("text"), r"\S+"), pa.int64()
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(ids // _PACK_BUCKET_WIDTH, pa.int64()),
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": n,
+            }
+        )
+
+    counted = read_documents(sf_dir).map_batches(
+        with_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    totals = counted.groupby("bucket").sum("n_tokens").to_pandas()
+    totals = totals.sort_values("bucket")
+    offsets = dict(
+        zip(
+            totals["bucket"].tolist(),
+            np.concatenate(
+                [[0], np.cumsum(totals["sum(n_tokens)"].to_numpy())[:-1]]
+            )
+            .astype(int)
+            .tolist(),
+        )
+    )
+    import ray as _ray
+
+    offsets_ref = _ray.put(offsets)
+
+    def scan(group: pa.Table) -> pa.Table:
+        off = _ray.get(offsets_ref)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        n = group.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, n = ids[order], n[order]
+        excl = np.cumsum(n) - n + off[int(group.column("bucket")[0].as_py())]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "seq_id": pa.array(excl // PACK_BUDGET_TOKENS, pa.int64()),
+            }
+        )
+
+    return counted.groupby("bucket").map_groups(scan, batch_format="pyarrow")
+
+
+PACK_SEQUENCES_SQL = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+       (SUM(len(regexp_extract_all(text, '\S+'))::BIGINT)
+          OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        - len(regexp_extract_all(text, '\S+'))::BIGINT)
+       // {PACK_BUDGET_TOKENS} AS seq_id
+FROM documents
+"""
 
 
 # -- DuckDB oracles ---------------------------------------------------------

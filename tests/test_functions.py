@@ -404,3 +404,35 @@ def test_customers_without_events_anti_join():
     active = {r["user_id"] for r in _read(SF, "events", ["user_id"]).take_all()}
     allc = {r["c_custkey"] for r in _read(SF, "customer", ["c_custkey"]).take_all()}
     assert kept == allc - active
+
+
+def test_range_join_window_semantics():
+    import duckdb
+
+    from go_boilerpipe_ray.functions.relational import (
+        RANGE_JOIN_SQL,
+        range_join_prior_events,
+    )
+
+    got = sorted(
+        (r["event_id"], r["prior_event_id"])
+        for r in range_join_prior_events(SF).take_all()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    exp = sorted(con.execute(RANGE_JOIN_SQL).fetchall())
+    assert got == exp and got
+
+
+def test_pack_sequences_budget_respected():
+    from go_boilerpipe_ray.functions.text import PACK_BUDGET_TOKENS, pack_sequences
+
+    rows = sorted(pack_sequences(SF).take_all(), key=lambda r: r["doc_id"])
+    # seq ids are non-decreasing in doc order, and each sequence's docs
+    # START within the budget window (a doc can straddle the boundary).
+    cum = 0
+    for r in rows:
+        assert r["seq_id"] == cum // PACK_BUDGET_TOKENS
+        cum += r["n_tokens"]
