@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": similarity.knn_ivf,
         "knn_ivf_exhaustive": similarity.knn_ivf_exhaustive,
         "near_dup_embeddings": similarity.near_dup_embeddings,
+        "quantize_embeddings": similarity.quantize_embeddings,
         # relational / windows / sessions
         "agg_lineitem": relational.agg_lineitem,
         "top_customers": relational.top_customers,
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute": similarity.KNN_SQL,
         "knn_ivf_exhaustive": similarity.KNN_SQL,
         "near_dup_embeddings": similarity.NEAR_DUP_SQL,
+        "quantize_embeddings": similarity.QUANTIZE_SQL,
         "agg_lineitem": relational.AGG_LINEITEM_SQL,
         "top_customers": relational.TOP_CUSTOMERS_SQL,
         "hourly_events": relational.HOURLY_EVENTS_SQL,

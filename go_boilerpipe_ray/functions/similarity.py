@@ -490,6 +490,62 @@ def knn_ivf(
     return _rank_merge(cand, k)
 
 
+def quantize_embeddings(sf_dir: str) -> "ray.data.Dataset":
+    """Symmetric int8 quantization of the embedding column (per-vector
+    max-abs scale) — the storage-reduction preprocessing step of an
+    embedding pipeline.  Purely row-local (no shuffle); emitted in long
+    form (vec_id, dim, code, scale) so the SQL oracle compares scalar
+    columns.  The rounding is floor(x*127/scale + 0.5) computed in IEEE
+    double on both sides, so codes are bit-identical to the oracle."""
+
+    def qbatch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        lists = batch.column("embedding").combine_chunks()
+        flat = np.asarray(lists.flatten(), dtype=np.float64)
+        offs = np.asarray(lists.offsets)
+        dims = np.diff(offs)
+        m = flat.reshape(len(ids), -1) if len(set(dims)) == 1 else None
+        if m is None:  # ragged guard; testdata is fixed-dim
+            raise ValueError("ragged embedding column")
+        scale = np.abs(m).max(axis=1)
+        scale[scale == 0] = 1.0
+        codes = np.floor(m * (127.0 / scale)[:, None] + 0.5).astype(np.int64)
+        d = m.shape[1]
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, d + 1), len(ids)), pa.int64()),
+                "code": pa.array(codes.reshape(-1), pa.int64()),
+                "scale": pa.array(np.repeat(scale, d), pa.float64()),
+            }
+        )
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(qbatch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding, x -> abs(x))), 0) AS mx
+  FROM embeddings
+),
+sc AS (
+  SELECT vec_id, embedding,
+         CASE WHEN mx = 0 THEN 1.0 ELSE mx END AS scale
+  FROM s
+)
+SELECT vec_id,
+       unnest(range(1, len(embedding) + 1)) AS dim,
+       unnest(list_transform(embedding,
+              x -> CAST(floor(x * (127.0 / scale) + 0.5) AS BIGINT))) AS code,
+       scale
+FROM sc
+"""
+
+
 def knn_ivf_exhaustive(sf_dir: str) -> pa.Table:
     """IVF with n_probe == n_cells: every cell is probed, so the probed
     set is the whole corpus and the result is provably the exact top-k —

@@ -436,3 +436,32 @@ def test_pack_sequences_budget_respected():
     for r in rows:
         assert r["seq_id"] == cum // PACK_BUDGET_TOKENS
         cum += r["n_tokens"]
+
+
+def test_quantize_embeddings_roundtrip_error_bounded():
+    import numpy as np
+
+    from go_boilerpipe_ray.functions.similarity import quantize_embeddings
+    from go_boilerpipe_ray.functions._util import read_parquet_clean
+
+    rows = quantize_embeddings(SF).take_all()
+    orig = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in read_parquet_clean(
+            f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).take_all()
+    }
+    by_vec: dict[int, dict[int, tuple[int, float]]] = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], {})[r["dim"]] = (r["code"], r["scale"])
+    assert set(by_vec) == set(orig)
+    for vid, dims in list(by_vec.items())[:50]:
+        v = orig[vid]
+        deq = np.array(
+            [dims[d][0] * dims[d][1] / 127.0 for d in sorted(dims)], dtype=np.float64
+        )
+        assert len(deq) == len(v)
+        # max quantization error is half a step
+        step = max(abs(v).max(), 1e-12) / 127.0
+        assert np.abs(deq - v).max() <= step / 2 + 1e-9
+        assert all(abs(dims[d][0]) <= 127 for d in dims)
