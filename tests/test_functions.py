@@ -465,3 +465,47 @@ def test_quantize_embeddings_roundtrip_error_bounded():
         step = max(abs(v).max(), 1e-12) / 127.0
         assert np.abs(deq - v).max() <= step / 2 + 1e-9
         assert all(abs(dims[d][0]) <= 127 for d in dims)
+
+
+def test_connected_components_random_graph_vs_union_find():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from go_boilerpipe_ray.functions.dedup import connected_components
+
+    rng = np.random.RandomState(7)
+    n_nodes, n_edges = 120, 150
+    a = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+    b = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    edges = pa.table(
+        {"id_a": pa.array(np.minimum(a, b)), "id_b": pa.array(np.maximum(a, b))}
+    )
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(a.tolist(), b.tolist()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    touched = set(a.tolist()) | set(b.tolist())
+    expected = {x: find(x) for x in touched}
+    # canonical label = min node id in component
+    comp_min: dict[int, int] = {}
+    for x, r in expected.items():
+        comp_min[r] = min(comp_min.get(r, x), x)
+    expected = {x: comp_min[find(x)] for x in touched}
+
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(ray.data.from_arrow(edges)).take_all()
+    }
+    assert got == expected
