@@ -113,6 +113,137 @@ def _version(_args) -> int:
     return 0
 
 
+_INDEX_HTML = """<!DOCTYPE html>
+<html><head><title>boilerpipe</title></head><body>
+<h1>boilerpipe</h1>
+<form action="/extract" method="get">
+  <input type="text" name="url" size="80" placeholder="http://...">
+  <input type="submit" value="Extract">
+</form>
+</body></html>
+"""
+
+_ERROR_HTML = """<!DOCTYPE html>
+<html><head><title>{status}</title></head><body>
+<h1>{status}</h1><p>{error}</p>
+</body></html>
+"""
+
+
+def _build_server(port: int):
+    """HTTP extraction UI mirroring ``boilerpipe serve``
+    (cmd/boilerpipe/serve.go:25-148): GET / renders the URL form, GET
+    /extract?url=... fetches the page, runs the article pipeline under a
+    logging wrapper, and renders title, date, the StringToHTML paragraph
+    view of the content, and the per-filter change log.  Non-GET → 405;
+    missing/unparseable url → 400; fetch/parse failure → 500 with an
+    error page.  Request lines are logged to stderr like the
+    reference's runHandler."""
+    import datetime as _dt
+    import html as _html
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, unquote, urlsplit
+
+    from .kernel.document import parse_document, string_to_html
+    from .kernel.filters import LoggingPipeline, article_pipeline
+    from .kernel.normurl import parse as url_parse
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, body: str) -> None:
+            data = body.encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _error(self, code: int, msg: str) -> int:
+            from http.client import responses
+
+            self._send(
+                code,
+                _ERROR_HTML.format(
+                    status=responses.get(code, str(code)), error=_html.escape(msg)
+                ),
+            )
+            return code
+
+        def log_message(self, fmt, *largs):  # reference-shaped stderr log
+            pass
+
+        def _handle(self) -> int:
+            parts = urlsplit(self.path)
+            if parts.path == "/":
+                self._send(200, _INDEX_HTML)
+                return 200
+            if parts.path != "/extract":
+                return self._error(404, "not found")
+            q = parse_qs(parts.query)
+            rawurl = (q.get("url") or [""])[0]
+            if not rawurl:
+                return self._error(400, "Must specify url.")
+            try:
+                u = url_parse(rawurl)
+            except Exception as exc:
+                return self._error(400, str(exc))
+            try:
+                html_text = _http_get(rawurl)
+            except OSError as exc:
+                return self._error(500, str(exc))
+            doc = parse_document(html_text)
+            pipe = LoggingPipeline(article_pipeline())
+            pipe.process(doc)
+            date = u.date() or doc.date
+            date_str = (
+                f"{date:%B} {date.day}, {date.year}" if date else ""
+            )  # Go layout "January 2, 2006"
+            log_rows = "".join(
+                f"<tr><td>{_html.escape(f)}</td><td>{str(c).lower()}</td>"
+                f"<td>{n}</td></tr>"
+                for f, c, n in pipe.log
+            )
+            body = (
+                "<!DOCTYPE html><html><head><title>"
+                f"{_html.escape(doc.title)}</title></head><body>"
+                f"<h1>{_html.escape(doc.title)}</h1>"
+                f"<p><em>{date_str}</em></p>"
+                f"<div>{string_to_html(doc.content())}</div>"
+                "<h2>Filter log</h2>"
+                "<table><tr><th>filter</th><th>changed</th>"
+                f"<th>blocks</th></tr>{log_rows}</table>"
+                "</body></html>"
+            )
+            self._send(200, body)
+            return 200
+
+        def do_GET(self):
+            code = self._handle()
+            self._log_line(code)
+
+        def do_POST(self):
+            code = self._error(405, "method not supported")
+            self._log_line(code)
+
+        def _log_line(self, code: int) -> None:
+            print(
+                f"[{_dt.datetime.now()}] \"{self.command} "
+                f"{unquote(self.path)} {self.request_version}\" {code}",
+                file=sys.stderr,
+            )
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+def _serve(args) -> int:
+    srv = _build_server(args.port)
+    print(f"Listening on port {srv.server_address[1]}", file=sys.stderr)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def _run(args) -> int:
     """Resumable partitioned extraction job over a spans table — the
     ``ray job submit`` entry point shape."""
@@ -162,6 +293,10 @@ def main() -> int:
 
     vs = sub.add_parser("version", help="print engine version")
     vs.set_defaults(fn=_version)
+
+    sv = sub.add_parser("serve", help="HTTP extraction UI (reference serve)")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.set_defaults(fn=_serve)
 
     rn = sub.add_parser("run", help="resumable Ray extraction job over a spans table")
     rn.add_argument("input", help="spans parquet path/dir")

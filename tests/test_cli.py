@@ -155,3 +155,64 @@ def test_cli_run_job_end_to_end(ray_session, tmp_path):
     assert p2.returncode == 0
     res2 = json.loads(p2.stdout.strip().splitlines()[-1])
     assert res2["metrics"]["n_docs"] == 7
+
+
+def test_serve_ui_end_to_end():
+    """The serve UI (serve.go:25-148 mirror): index form, /extract?url=
+    fetches + extracts + renders the StringToHTML content view and the
+    per-filter change log; missing url is a 400; POST is a 405."""
+    import http.server
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from go_boilerpipe_ray.__main__ import _build_server
+
+    doc_html = open(
+        "/root/reference/testdata/0.html", encoding="utf-8", errors="replace"
+    ).read()
+
+    class Source(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            data = doc_html.encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    src = http.server.HTTPServer(("127.0.0.1", 0), Source)
+    threading.Thread(target=src.serve_forever, daemon=True).start()
+    ui = _build_server(0)
+    threading.Thread(target=ui.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{ui.server_address[1]}"
+        with urllib.request.urlopen(f"{base}/") as r:
+            index = r.read().decode()
+        assert r.status == 200 and "/extract" in index and "<form" in index
+
+        doc_url = f"http://127.0.0.1:{src.server_address[1]}/2013/11/day-18.html"
+        with urllib.request.urlopen(f"{base}/extract?url={doc_url}") as r:
+            page = r.read().decode()
+        assert "Day 18: Boilerpipe" in page           # extracted title
+        assert "<p>Day 18: Boilerpipe" in page        # StringToHTML view
+        assert "TerminatingBlocks" in page            # filter log rendered
+        assert "November 15, 2013" in page            # Go "January 2, 2006" layout
+
+        try:
+            urllib.request.urlopen(f"{base}/extract")
+            raise AssertionError("missing url must 400")
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 400
+
+        try:
+            urllib.request.urlopen(f"{base}/", data=b"x=1")
+            raise AssertionError("POST must 405")
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 405
+    finally:
+        ui.shutdown()
+        src.shutdown()
