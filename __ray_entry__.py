@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_metadata": urls.url_metadata,
         "rolling_fingerprint": text.rolling_fingerprint,
         "pack_sequences": text.pack_sequences,
+        "contamination_check": text.contamination_check,
+        "doc_frequency": text.doc_frequency,
         # dedup
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -151,6 +153,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": dedup.SIMHASH_PAIRS_SQL,
         "dedup_incremental_confirmed": dedup.INCREMENTAL_CONFIRMED_SQL,
         "rolling_fingerprint": text.ROLLING_FP_SQL,
+        "contamination_check": text.CONTAMINATION_SQL,
+        "doc_frequency": text.DOC_FREQUENCY_SQL,
         "dedup_components": dedup.DEDUP_COMPONENTS_SQL,
         "asof_join": relational.ASOF_JOIN_SQL,
         "top_event_per_user": relational.TOP_EVENT_PER_USER_SQL,

@@ -430,3 +430,206 @@ SELECT doc_id,
        ELSE greatest(c_en, c_de, c_fr, c_es) * 1000 // n END AS conf_x1000
 FROM c
 """
+
+
+# -- test-set contamination check -------------------------------------------
+
+# Deterministic held-out "benchmark" slice of the documents table: the
+# modulus is coprime to the generator's id strides so the slice is spread
+# across partitions, and ~1% of docs keeps the broadcast side small at
+# any corpus scale (the same size discipline as a real eval set).
+_BENCH_MOD, _BENCH_RESIDUE = 97, 13
+
+
+def _shingle_hash_set(toks: list, k: int) -> set:
+    """Distinct blake2b-64 k-gram hashes (same hashing contract as
+    dedup._shingle_batch: the SQL oracle compares string shingles, we
+    compare 63-bit hashes — identical counts absent collisions)."""
+    return {
+        int.from_bytes(
+            hashlib.blake2b(
+                " ".join(toks[i : i + k]).encode(), digest_size=8
+            ).digest(),
+            "big",
+        )
+        >> 1
+        for i in range(len(toks) - k + 1)
+    }
+
+
+def contamination_check(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Decontamination: score every training document by its k-gram
+    overlap with a held-out benchmark slice (doc_id % 97 == 13).
+
+    The benchmark shingle set is the SMALL side, so this is a broadcast
+    membership probe, not a join: benchmark docs are shingled in a
+    distributed stage, their distinct hashes concatenated into one sorted
+    int64 array on the driver (O(benchmark) only — an eval set stays
+    small by construction even at 100 TB of training data), ``ray.put``
+    once, and every training batch runs a vectorized ``np.searchsorted``
+    membership test.  The training corpus itself never shuffles and never
+    materializes.  Output is integer-exact for the oracle: distinct
+    shingle count, hit count, and overlap in permille (0 when a doc is
+    too short to have shingles)."""
+    docs = read_documents(sf_dir)
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % _BENCH_MOD == _BENCH_RESIDUE
+        sub = batch.filter(pa.array(keep))
+        hashes: set = set()
+        for t in sub.column("text").to_pylist():
+            hashes |= _shingle_hash_set(_TOKEN_RE.findall(t.lower()), k)
+        return pa.table({"shingle": pa.array(sorted(hashes), pa.int64())})
+
+    bench_ds = docs.map_batches(
+        bench_shingles, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # Bounded driver merge of the small side (one int64 column).
+    bench_tbl = pa.concat_tables(
+        [pa.table({"shingle": b.column("shingle")}) for b in
+         bench_ds.iter_batches(batch_format="pyarrow")]
+    )
+    bench_sorted = np.unique(bench_tbl.column("shingle").to_numpy(zero_copy_only=False))
+    bench_ref = ray.put(bench_sorted)
+
+    def score(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % _BENCH_MOD != _BENCH_RESIDUE
+        sub = batch.filter(pa.array(keep))
+        out_ids, n_sh, n_hit = [], [], []
+        for doc_id, t in zip(
+            sub.column("doc_id").to_pylist(), sub.column("text").to_pylist()
+        ):
+            sh = np.fromiter(
+                _shingle_hash_set(_TOKEN_RE.findall(t.lower()), k),
+                dtype=np.int64,
+                count=-1,
+            )
+            out_ids.append(doc_id)
+            n_sh.append(len(sh))
+            if len(sh) and len(bench):
+                pos = np.clip(np.searchsorted(bench, sh), 0, len(bench) - 1)
+                n_hit.append(int(np.count_nonzero(bench[pos] == sh)))
+            else:
+                n_hit.append(0)
+        n_sh_a = np.asarray(n_sh, dtype=np.int64)
+        n_hit_a = np.asarray(n_hit, dtype=np.int64)
+        permille = np.where(n_sh_a > 0, (n_hit_a * 1000) // np.maximum(n_sh_a, 1), 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "n_sh": pa.array(n_sh_a, pa.int64()),
+                "n_hit": pa.array(n_hit_a, pa.int64()),
+                "overlap_permille": pa.array(permille, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CONTAMINATION_SQL = f"""
+WITH bench AS (
+  SELECT text FROM documents WHERE doc_id % {_BENCH_MOD} = {_BENCH_RESIDUE}
+),
+btoks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM bench
+),
+bsh AS (
+  SELECT DISTINCT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM btoks, UNNEST(range(1, len(ts) - 1)) AS r(i)
+  WHERE len(ts) >= 3
+),
+train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {_BENCH_MOD} <> {_BENCH_RESIDUE}
+),
+ttoks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM train
+),
+tsh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM ttoks, UNNEST(range(1, len(ts) - 1)) AS r(i)
+  WHERE len(ts) >= 3
+),
+stats AS (
+  SELECT t.doc_id,
+         count(*) AS n_sh,
+         count(b.shingle) AS n_hit
+  FROM tsh t LEFT JOIN bsh b USING (shingle)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_sh, 0) AS n_sh,
+       COALESCE(s.n_hit, 0) AS n_hit,
+       CASE WHEN COALESCE(s.n_sh, 0) > 0
+            THEN (s.n_hit * 1000) // s.n_sh ELSE 0 END AS overlap_permille
+FROM train d LEFT JOIN stats s ON s.doc_id = d.doc_id
+"""
+
+
+# -- document frequency (global top-k vocabulary) ---------------------------
+
+
+def doc_frequency(sf_dir: str, k: int = 100) -> pa.Table:
+    """Top-k tokens by document frequency — the global-vocabulary stat a
+    tokenizer/stop-list builder needs.
+
+    Combiner discipline for the hot keys: a token like "the" appears in
+    every document, so shuffling raw (token, doc) rows would funnel the
+    whole corpus through one reducer.  Instead each batch pre-aggregates
+    to one (token, partial df) row per distinct token per batch (numpy
+    unique over per-doc distinct tokens), the groupby shuffles only
+    those bounded partials, and the final top-k uses the same per-block
+    select_k + bounded driver merge as top_events — no global sort."""
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for t in batch.column("text").to_pylist():
+            for tok in set(_TOKEN_RE.findall(t.lower())):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "df_part": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    rolled = (
+        read_documents(sf_dir, columns=["text"])
+        .map_batches(partial_df, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .sum("df_part")
+        .rename_columns({"sum(df_part)": "df"})
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch,
+            k=min(k, batch.num_rows),
+            sort_keys=[("df", "descending"), ("token", "ascending")],
+        )
+        return batch.take(idx)
+
+    cand = rolled.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    cand = cand.sort_values(["df", "token"], ascending=[False, True]).head(k)
+    return pa.table(
+        {
+            "token": pa.array(cand["token"], pa.string()),
+            "df": pa.array(cand["df"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+DOC_FREQUENCY_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+),
+tok AS (SELECT DISTINCT doc_id, unnest(ts) AS token FROM toks)
+SELECT token, count(*) AS df
+FROM tok GROUP BY token
+ORDER BY df DESC, token ASC
+LIMIT 100
+"""

@@ -533,3 +533,70 @@ def test_connected_components_random_graph_vs_union_find():
         for r in connected_components(ray.data.from_arrow(edges)).take_all()
     }
     assert got == expected
+
+
+def test_contamination_check_reference_counts():
+    """Cross-check the broadcast membership probe against an independent
+    in-process computation of benchmark k-gram overlap (string sets, no
+    hashing — also guards the hash path against collisions/drift)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.text import (
+        _BENCH_MOD,
+        _BENCH_RESIDUE,
+        contamination_check,
+    )
+
+    tok = re.compile(r"[a-z0-9]+")
+
+    def shingles(t):
+        ts = tok.findall(t.lower())
+        return {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    rows = list(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    bench = set()
+    for did, t in rows:
+        if did % _BENCH_MOD == _BENCH_RESIDUE:
+            bench |= shingles(t)
+    expect = {}
+    for did, t in rows:
+        if did % _BENCH_MOD == _BENCH_RESIDUE:
+            continue
+        sh = shingles(t)
+        expect[did] = (len(sh), len(sh & bench))
+
+    out = {
+        r["doc_id"]: (r["n_sh"], r["n_hit"], r["overlap_permille"])
+        for r in contamination_check(SF).take_all()
+    }
+    assert set(out) == set(expect)
+    for did, (n_sh, n_hit) in expect.items():
+        got = out[did]
+        assert got[0] == n_sh and got[1] == n_hit, (did, got, (n_sh, n_hit))
+        assert got[2] == ((n_hit * 1000) // n_sh if n_sh else 0)
+    # The synthetic corpus shares template phrasing: the probe must
+    # actually fire somewhere or the test is vacuous.
+    assert any(h for _, h, _ in out.values())
+
+
+def test_doc_frequency_matches_counter_reference():
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.text import doc_frequency
+
+    tok = re.compile(r"[a-z0-9]+")
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    c = Counter()
+    for t in tbl.column("text").to_pylist():
+        c.update(set(tok.findall(t.lower())))
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+
+    got = doc_frequency(SF)
+    pairs = list(zip(got.column("token").to_pylist(), got.column("df").to_pylist()))
+    assert pairs == expect
