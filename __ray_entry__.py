@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": text.pack_sequences,
         "contamination_check": text.contamination_check,
         "doc_frequency": text.doc_frequency,
+        "pii_scrub": text.pii_scrub,
+        "repetition_stats": text.repetition_stats,
         # dedup
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -155,6 +157,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprint": text.ROLLING_FP_SQL,
         "contamination_check": text.CONTAMINATION_SQL,
         "doc_frequency": text.DOC_FREQUENCY_SQL,
+        "pii_scrub": text.PII_SCRUB_SQL,
+        "repetition_stats": text.REPETITION_SQL,
         "dedup_components": dedup.DEDUP_COMPONENTS_SQL,
         "asof_join": relational.ASOF_JOIN_SQL,
         "top_event_per_user": relational.TOP_EVENT_PER_USER_SQL,

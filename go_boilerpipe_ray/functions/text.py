@@ -633,3 +633,157 @@ FROM tok GROUP BY token
 ORDER BY df DESC, token ASC
 LIMIT 100
 """
+
+
+# -- PII scrubbing -----------------------------------------------------------
+
+# RE2-class patterns (no backtracking) shared verbatim by the pyarrow
+# kernels and the DuckDB oracle (both engines are RE2-semantics).
+# Replacement order matters (an email must not first lose its digits to
+# the phone pattern): email → ipv4 → phone, mirrored in the SQL.
+_PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_PHONE = r"\+?[0-9][0-9\- ]{7,}[0-9]"
+
+
+def scrub_pii(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Redact emails / IPv4 addresses / phone-shaped digit runs from the
+    text column — the standard pre-training scrub pass.
+
+    Fully vectorized: three ``pc.count_substring_regex`` +
+    ``pc.replace_substring_regex`` RE2 kernels per batch, no Python per
+    row, no shuffle.  Output keeps integer counts and an md5 of the
+    scrubbed text so the oracle comparison is hash-stable."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_email = pc.count_substring_regex(text, _PII_EMAIL)
+        clean = pc.replace_substring_regex(text, _PII_EMAIL, "<EMAIL>")
+        n_ip = pc.count_substring_regex(clean, _PII_IPV4)
+        clean = pc.replace_substring_regex(clean, _PII_IPV4, "<IP>")
+        n_phone = pc.count_substring_regex(clean, _PII_PHONE)
+        clean = pc.replace_substring_regex(clean, _PII_PHONE, "<PHONE>")
+        hashes = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in clean.to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_email": pc.cast(n_email, pa.int64()),
+                "n_ip": pc.cast(n_ip, pa.int64()),
+                "n_phone": pc.cast(n_phone, pa.int64()),
+                "clean_len": pc.cast(pc.utf8_length(clean), pa.int64()),
+                "clean_hash": pa.array(hashes, pa.string()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pii_scrub(sf_dir: str) -> "ray.data.Dataset":
+    return scrub_pii(read_documents(sf_dir))
+
+
+PII_SCRUB_SQL = rf"""
+WITH s1 AS (
+  SELECT doc_id, text,
+         length(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+         regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM documents
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         length(regexp_extract_all(t1, '{_PII_IPV4}')) AS n_ip,
+         regexp_replace(t1, '{_PII_IPV4}', '<IP>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ip,
+         length(regexp_extract_all(t2, '{_PII_PHONE}')) AS n_phone,
+         regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, n_email, n_ip, n_phone,
+       length(t3) AS clean_len, md5(t3) AS clean_hash
+FROM s3
+"""
+
+
+# -- repetition stats (Gopher/C4-style quality signals) ----------------------
+
+
+def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document repetition signals used by C4/Gopher-style quality
+    filters: the fraction of lines that are duplicates of another line
+    in the same document, and the share of the most common word bigram
+    among all bigram occurrences.  Integer permille for hash-stable
+    oracle comparison; narrow map_batches, no shuffle (per-row Python is
+    the same profile-scorer trade lang_id makes)."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        dup_line_pm: list[int] = []
+        top_bigram_pm: list[int] = []
+        for t in batch.column("text").to_pylist():
+            lines = t.split("\n")
+            if lines:
+                seen: dict = {}
+                for ln in lines:
+                    seen[ln] = seen.get(ln, 0) + 1
+                dups = sum(c for c in seen.values() if c > 1)
+                dup_line_pm.append(dups * 1000 // len(lines))
+            else:
+                dup_line_pm.append(0)
+            toks = _TOKEN_RE.findall(t.lower())
+            if len(toks) >= 2:
+                counts: dict = {}
+                for i in range(len(toks) - 1):
+                    g = (toks[i], toks[i + 1])
+                    counts[g] = counts.get(g, 0) + 1
+                total = len(toks) - 1
+                top_bigram_pm.append(max(counts.values()) * 1000 // total)
+            else:
+                top_bigram_pm.append(0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "dup_line_permille": pa.array(dup_line_pm, pa.int64()),
+                "top_bigram_permille": pa.array(top_bigram_pm, pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+REPETITION_SQL = """
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM documents
+),
+lc AS (SELECT doc_id, ln, count(*) AS c FROM lines GROUP BY doc_id, ln),
+la AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000 // sum(c)
+           AS dup_line_permille
+  FROM lc GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+),
+bg AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+  FROM toks, UNNEST(range(1, len(ts))) AS r(i)
+  WHERE len(ts) >= 2
+),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+ba AS (
+  SELECT doc_id, max(c) * 1000 // sum(c) AS top_bigram_permille
+  FROM bc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(la.dup_line_permille, 0) AS dup_line_permille,
+       COALESCE(ba.top_bigram_permille, 0) AS top_bigram_permille
+FROM documents d
+LEFT JOIN la ON la.doc_id = d.doc_id
+LEFT JOIN ba ON ba.doc_id = d.doc_id
+"""

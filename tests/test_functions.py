@@ -600,3 +600,58 @@ def test_doc_frequency_matches_counter_reference():
     got = doc_frequency(SF)
     pairs = list(zip(got.column("token").to_pylist(), got.column("df").to_pylist()))
     assert pairs == expect
+
+
+def test_scrub_pii_redacts_and_counts():
+    import pyarrow as pa
+    import ray.data
+
+    from go_boilerpipe_ray.functions.text import scrub_pii
+
+    texts = [
+        "contact bob.smith+x@example.co.uk or 10.0.255.3 now",
+        "call +1 555-123-4567 twice: 555-123-4567",
+        "no pii here",
+        "a@b.io a@b.io 1.2.3.4",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(ds).take_all()}
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (1, 1, 0)
+    assert (out[2]["n_email"], out[2]["n_ip"], out[2]["n_phone"]) == (0, 0, 2)
+    assert (out[3]["n_email"], out[3]["n_ip"], out[3]["n_phone"]) == (0, 0, 0)
+    assert (out[4]["n_email"], out[4]["n_ip"], out[4]["n_phone"]) == (2, 1, 0)
+    # Redaction is total: scrubbed text of doc 1 has no '@' or digits.
+    import hashlib
+    clean1 = "contact <EMAIL> or <IP> now"
+    assert out[1]["clean_hash"] == hashlib.md5(clean1.encode()).hexdigest()
+    assert out[1]["clean_len"] == len(clean1)
+
+
+def test_repetition_stats_reference():
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.text import repetition_stats, _TOKEN_RE
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    expect = {}
+    for did, t in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+        lines = t.split("\n")
+        lc = Counter(lines)
+        dup = sum(c for c in lc.values() if c > 1) * 1000 // len(lines)
+        toks = _TOKEN_RE.findall(t.lower())
+        if len(toks) >= 2:
+            bc = Counter(zip(toks, toks[1:]))
+            top = max(bc.values()) * 1000 // (len(toks) - 1)
+        else:
+            top = 0
+        expect[did] = (dup, top)
+    got = {
+        r["doc_id"]: (r["dup_line_permille"], r["top_bigram_permille"])
+        for r in repetition_stats(SF).take_all()
+    }
+    assert got == expect
