@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": dedup.incremental_dedup_query,
         "dedup_incremental_confirmed": dedup.incremental_dedup_confirmed_query,
         "dedup_components": dedup.dedup_components,
+        "dedup_keep_best": dedup.dedup_keep_best,
         # similarity search
         "knn_brute": similarity.knn_brute,
         "knn_lsh": similarity.knn_lsh,
@@ -160,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": text.PII_SCRUB_SQL,
         "repetition_stats": text.REPETITION_SQL,
         "dedup_components": dedup.DEDUP_COMPONENTS_SQL,
+        "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
         "asof_join": relational.ASOF_JOIN_SQL,
         "top_event_per_user": relational.TOP_EVENT_PER_USER_SQL,
         "customers_without_events": relational.CUSTOMERS_WITHOUT_EVENTS_SQL,

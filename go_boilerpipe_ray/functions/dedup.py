@@ -1350,3 +1350,142 @@ SELECT c.doc_id,
             THEN 'dup' ELSE 'new' END AS status
 FROM corpus c
 """
+
+
+# -- canonical selection (keep-best per duplicate cluster) -------------------
+
+
+def dedup_keep_best(sf_dir: str) -> "ray.data.Dataset":
+    """Canonical-document selection: after clustering, keep ONE document
+    per duplicate cluster — the longest text, ties to the lowest doc_id
+    (real pipelines keep the best-quality member, not an arbitrary one;
+    length is the integer-exact stand-in the oracle can mirror).
+
+    Two keyed shuffles, both on hash partitions with vectorized kernels:
+
+      1. repartition join (union + groupby(pk).map_groups) attaching each
+         corpus doc's component label on doc_id hash; docs absent from
+         the pair graph are singletons (component = own id) via the
+         miss branch of the sorted-key lookup — the LEFT JOIN semantics.
+      2. per-partition argmax on component hash: lexsort by (component,
+         -len, doc_id) and take each component's first row.  Cluster
+         membership counts ride along from the same sort.
+
+    Nothing driver-side; both shuffles move (int64, int64, int64) rows."""
+    P = wide_partitions()
+    comp = connected_components(simhash_pairs(sf_dir))
+    corpus = dup_corpus(sf_dir)
+
+    def comp_half(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": batch.column("doc_id"),
+                "component": batch.column("component"),
+                "length": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                "is_comp": pa.array(np.ones(len(ids), dtype=bool)),
+                "pk": pa.array((ids % P).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def corp_half(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lens = pc.cast(pc.utf8_length(batch.column("text")), pa.int64())
+        return pa.table(
+            {
+                "key": batch.column("doc_id"),
+                "component": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                "length": lens,
+                "is_comp": pa.array(np.zeros(len(ids), dtype=bool)),
+                "pk": pa.array((ids % P).astype(np.int32), pa.int32()),
+            }
+        )
+
+    halves = comp.map_batches(
+        comp_half, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        corpus.map_batches(corp_half, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def attach(group: pa.Table) -> pa.Table:
+        is_comp = group.column("is_comp").to_numpy(zero_copy_only=False)
+        keys = group.column("key").to_numpy(zero_copy_only=False)
+        comps = group.column("component").to_numpy(zero_copy_only=False)
+        lens = group.column("length").to_numpy(zero_copy_only=False)
+        ck, cc = keys[is_comp], comps[is_comp]
+        order = np.argsort(ck)
+        ck, cc = ck[order], cc[order]
+        qk, ql = keys[~is_comp], lens[~is_comp]
+        if len(ck):
+            pos = np.clip(np.searchsorted(ck, qk), 0, len(ck) - 1)
+            hit = ck[pos] == qk
+            comp_out = np.where(hit, cc[pos], qk)
+        else:
+            comp_out = qk
+        return pa.table(
+            {
+                "component": pa.array(comp_out, pa.int64()),
+                "doc_id": pa.array(qk, pa.int64()),
+                "length": pa.array(ql, pa.int64()),
+                "ck": pa.array((comp_out % P).astype(np.int32), pa.int32()),
+            }
+        )
+
+    labeled = halves.groupby("pk").map_groups(attach, batch_format="pyarrow")
+
+    def select_best(group: pa.Table) -> pa.Table:
+        comps = group.column("component").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        lens = group.column("length").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -lens, comps))
+        comps_s, ids_s = comps[order], ids[order]
+        first = np.ones(len(comps_s), dtype=bool)
+        first[1:] = comps_s[1:] != comps_s[:-1]
+        _, counts = np.unique(comps_s, return_counts=True)
+        return pa.table(
+            {
+                "component": pa.array(comps_s[first], pa.int64()),
+                "keep_id": pa.array(ids_s[first], pa.int64()),
+                "n_members": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        labeled.groupby("ck")
+        .map_groups(select_best, batch_format="pyarrow")
+        .select_columns(["component", "keep_id", "n_members"])
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE pairs AS ({SIMHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v AS node, r.label
+  FROM reach r JOIN edges e ON e.u = r.node
+  WHERE r.label < e.v
+),
+comp AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node),
+corpus AS ({DUP_CORPUS_SQL}),
+labeled AS (
+  SELECT COALESCE(k.component, c.doc_id) AS component,
+         c.doc_id,
+         length(c.text) AS len
+  FROM corpus c LEFT JOIN comp k ON k.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT component, doc_id,
+         row_number() OVER (
+           PARTITION BY component ORDER BY len DESC, doc_id ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY component) AS n_members
+  FROM labeled
+)
+SELECT component, doc_id AS keep_id, n_members FROM ranked WHERE rn = 1
+"""

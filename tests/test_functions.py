@@ -655,3 +655,48 @@ def test_repetition_stats_reference():
         for r in repetition_stats(SF).take_all()
     }
     assert got == expect
+
+
+def test_dedup_keep_best_semantics():
+    """Keep-best = longest text, ties to lowest id: a cluster holding a
+    perturbed copy (original text + suffix, strictly longer) must keep
+    it; a cluster of only original + exact copy (equal length) must keep
+    the original (lower id).  Components partition the whole corpus."""
+    from go_boilerpipe_ray.functions.dedup import (
+        COPY_OFFSET,
+        PERTURB_OFFSET,
+        dedup_keep_best,
+    )
+
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.dedup import PERTURB_SUFFIX
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    base_len = {
+        d: len(t)
+        for d, t in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    }
+
+    def corpus_len(doc_id: int) -> int:
+        if doc_id >= PERTURB_OFFSET:
+            return base_len[doc_id - PERTURB_OFFSET] + len(PERTURB_SUFFIX)
+        if doc_id >= COPY_OFFSET:
+            return base_len[doc_id - COPY_OFFSET]
+        return base_len[doc_id]
+
+    rows = dedup_keep_best(SF).take_all()
+    comps = [r["component"] for r in rows]
+    assert len(set(comps)) == len(comps)
+    assert sum(r["n_members"] for r in rows) == 1500
+    for r in rows:
+        if r["n_members"] == 1:
+            assert r["keep_id"] == r["component"], r
+            continue
+        # component = lowest member id; keep = longest text, tie lowest
+        # id — so the keeper is strictly longer than the component
+        # representative, or IS the component.
+        lk, lc = corpus_len(r["keep_id"]), corpus_len(r["component"])
+        assert lk > lc or r["keep_id"] == r["component"], (r, lk, lc)
+    # The perturbed (suffix-extended) copy wins somewhere.
+    assert any(r["keep_id"] >= PERTURB_OFFSET for r in rows)
