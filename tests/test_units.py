@@ -656,3 +656,34 @@ def test_string_to_html_quirks():
     assert string_to_html("a\n") == "<p>a</p>"
     assert string_to_html("a\n\nb") == "<p>a</p><p></p><p>b"
     assert string_to_html("x<&y\nz") == "<p>x<&y</p><p>z"
+
+
+def test_flush_count_cache_keys_on_anchor_state():
+    """The flush-count memo must key on (buffer string, anchor-state-in):
+    the same block text flushed inside vs outside an anchor that spans a
+    block boundary has different linked-word counts; and a warm cache
+    must reproduce cold results exactly."""
+    from go_boilerpipe_ray.kernel import handler as H
+    from go_boilerpipe_ray.kernel.document import parse_document
+
+    html = (
+        "<html><body><a href='#'>x <p>same words here</p></a>"
+        "<p>same words here</p></body></html>"
+    )
+    H._FLUSH_COUNT_CACHE.clear()
+    cold = [
+        (tb.text, tb.num_words, tb.num_linked_words)
+        for tb in parse_document(html).text_blocks
+    ]
+    assert cold == [("x", 1, 1), ("same words here", 3, 3), ("same words here", 3, 0)]
+    # Both anchor states of an identical buffer string were cached (the
+    # buffer is the lone end-sentinel token; build the key from the
+    # constant — it embeds an invisible U+E00A).
+    end_buf = f" {H.ANCHOR_TEXT_END} "
+    flags = {k[1] for k in H._FLUSH_COUNT_CACHE if k[0] == end_buf}
+    assert flags == {True, False}
+    warm = [
+        (tb.text, tb.num_words, tb.num_linked_words)
+        for tb in parse_document(html).text_blocks
+    ]
+    assert warm == cold
