@@ -170,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": text.PACK_SEQUENCES_SQL,
         "sample_split": sampling.SAMPLE_SPLIT_SQL,
         "knn_brute": similarity.KNN_SQL,
+        "knn_lsh": similarity.KNN_LSH_SQL,
         "knn_ivf_exhaustive": similarity.KNN_SQL,
         "near_dup_embeddings": similarity.NEAR_DUP_SQL,
         "quantize_embeddings": similarity.QUANTIZE_SQL,

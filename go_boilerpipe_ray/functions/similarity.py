@@ -553,3 +553,48 @@ def knn_ivf_exhaustive(sf_dir: str) -> pa.Table:
     assignment, per-cell scoring, bounded merge) run at a setting where
     the brute-force SQL oracle applies exactly."""
     return knn_ivf(sf_dir, n_cells=16, n_probe=16)
+
+
+def _knn_lsh_sql(n_planes: int = 8, dim: int = 64, k: int = 10, n_queries: int = 8) -> str:
+    """Full SQL mirror of knn_lsh, with the seeded hyperplanes baked as
+    float64 literals (same trick as MINHASH_LSH_SQL's permutation
+    literals).  Buckets are sign bits of float64 dot products — verified
+    bit-identical between numpy and DuckDB on the testdata (both engines
+    promote the stored float32 vectors to double exactly); the ranking
+    clause is the same tie-aware (sim DESC, vec_id ASC) as KNN_SQL.
+    ``dim`` is the testdata's fixed embedding width (the Ray path reads
+    it from the query matrix at runtime)."""
+    rng = np.random.RandomState(7)  # LshIndexStage's seed
+    planes = rng.normal(size=(n_planes, dim))
+
+    def lit(vec: np.ndarray) -> str:
+        return "[" + ",".join(repr(float(x)) for x in vec) + "]"
+
+    bucket_expr = " + ".join(
+        f"{1 << i}*(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{lit(planes[i])}) > 0 THEN 1 ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qe, bucket AS qb
+  FROM b WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT q.qid,
+         e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+         ) AS r
+  FROM b e JOIN q ON e.bucket = q.qb
+)
+SELECT qid AS query_id, vec_id AS neighbor_id, r AS rank
+FROM scored WHERE r <= {k}
+"""
+
+
+KNN_LSH_SQL = _knn_lsh_sql()
