@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relational,
         sampling,
         similarity,
+        sketches,
         text,
         urls,
     )
@@ -120,7 +121,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_events": relational.customers_without_events,
         "range_join": relational.range_join_prior_events,
         "running_total": relational.running_total,
+        "percentiles": relational.percentiles_doclen,
+        "moving_sum": relational.moving_sum_events,
+        "join_customer_orders": relational.join_customer_orders,
+        "hll_registers": sketches.hll_registers,
         "sample_split": sampling.sample_split,
+        "stratified_sample": sampling.stratified_sample,
         # multimodal plumbing
         "media_decode": xq.media_decode,
         "media_resize": xq.media_resize,
@@ -133,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
         relational,
         sampling,
         similarity,
+        sketches,
         text,
         urls,
     )
@@ -169,6 +176,11 @@ def oracle_sql() -> dict[str, str]:
         "range_join": relational.RANGE_JOIN_SQL,
         "pack_sequences": text.PACK_SEQUENCES_SQL,
         "sample_split": sampling.SAMPLE_SPLIT_SQL,
+        "stratified_sample": sampling.STRATIFIED_SAMPLE_SQL,
+        "percentiles": relational.PERCENTILES_SQL,
+        "moving_sum": relational.MOVING_SUM_SQL,
+        "join_customer_orders": relational.JOIN_CUSTOMER_ORDERS_SQL,
+        "hll_registers": sketches.HLL_REGISTERS_SQL,
         "knn_brute": similarity.KNN_SQL,
         "knn_lsh": similarity.KNN_LSH_SQL,
         "knn_ivf_exhaustive": similarity.KNN_SQL,

@@ -707,3 +707,231 @@ SELECT o_orderkey,
          OVER (ORDER BY o_orderdate, o_orderkey) AS running_cents
 FROM orders
 """
+
+
+# -- exact distributed percentiles -----------------------------------------
+
+PERCENTILES_PERMILLE = (100, 250, 500, 750, 900, 990)
+
+
+def percentiles_doclen(sf_dir: str) -> pa.Table:
+    """Exact discrete quantiles of document length — the corpus-profile
+    stat every training pipeline reports.  Pattern: per-batch value
+    counting (map_batches combiner) → ``groupby(value).sum(count)`` →
+    the driver sees only one row per DISTINCT length (bounded by the max
+    document size, not the corpus size; integer-valued columns compress
+    ~N→10^5 even at 100 TB), cumsums, and picks the 1-based index
+    ``ceil(q*n)`` element — DuckDB ``quantile_disc``'s rule.  No global
+    sort and no O(rows) driver state."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column("n_chars").value_counts()
+        return pa.table(
+            {
+                "n_chars": vc.field("values"),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_chars")
+        .sum("cnt")
+        .to_pandas()
+        .sort_values("n_chars")
+    )
+    vals = counts["n_chars"].to_numpy()
+    cum = np.cumsum(counts["sum(cnt)"].to_numpy())
+    n = int(cum[-1]) if len(cum) else 0
+    out_q: list[int] = []
+    out_v: list[int] = []
+    for pm in PERCENTILES_PERMILLE:
+        idx = int(np.ceil((pm / 1000.0) * n))  # 1-based, quantile_disc rule
+        pos = int(np.searchsorted(cum, max(idx, 1)))
+        out_q.append(pm)
+        out_v.append(int(vals[min(pos, len(vals) - 1)]))
+    return pa.table(
+        {
+            "q_permille": pa.array(out_q, pa.int64()),
+            "value": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
+PERCENTILES_SQL = "\nUNION ALL\n".join(
+    f"SELECT {pm} AS q_permille, quantile_disc(n_chars, {pm / 1000.0}) AS value"
+    " FROM documents"
+    for pm in PERCENTILES_PERMILLE
+)
+
+
+# -- per-group sliding window (moving sum) ---------------------------------
+
+
+def moving_sum_events(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user moving 3-row window over event value (integer cents so
+    the float-sum order can't diverge from the oracle).  One shuffle on
+    user_id; the window itself is a vectorized in-group cumsum
+    difference.  Skew note: a hot user concentrates in one group — at
+    crawl scale, salt the key with a coarse time bucket and stitch the
+    two edge windows, as sessionize documents."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def window(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            group.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts))
+        eid, cents = eid[order], cents[order]
+        csum = np.cumsum(cents)
+        w3 = csum - np.concatenate([[0, 0, 0], csum[:-3]])
+        nwin = np.minimum(np.arange(len(eid)) + 1, 3)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": group.column("user_id"),
+                "w3_cents": pa.array(w3, pa.int64()),
+                "n_window": pa.array(nwin, pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(window, batch_format="pyarrow")
+
+
+MOVING_SUM_SQL = """
+SELECT event_id, user_id,
+       SUM(CAST(round(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w3_cents,
+       COUNT(*)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_window
+FROM events
+"""
+
+
+# -- general repartition (shuffle hash) join --------------------------------
+
+
+def repartition_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str,
+    left_cols: list[tuple[str, pa.DataType]],
+    right_cols: list[tuple[str, pa.DataType]],
+) -> "ray.data.Dataset":
+    """General inner equi-join of two LARGE datasets as a repartition
+    join: both sides are hashed on the key into the module's one
+    partitioning discipline (pk = key % wide_partitions()), union'd, and
+    joined inside each partition with a vectorized sorted-key probe that
+    handles 1:N fan-out.  This is the large-large complement of
+    top_customers' broadcast join: each row is shuffled exactly once and
+    no side is materialized anywhere.  Expressed as union +
+    groupby(pk).map_groups rather than ``Dataset.join`` because Ray's
+    hash join spins a num_partitions aggregator-actor pool whose spin-up
+    dominates at small scale (see dedup.minhash_lsh_pairs).
+
+    ``left_cols`` / ``right_cols`` name the payload columns (with types)
+    each side contributes; the join key arrives as ``left_on``.  Skewed
+    hot keys: salt the small(er) side's key and replicate the probe,
+    the standard repartition-join skew treatment."""
+    from ._util import wide_partitions
+
+    P = wide_partitions()
+    all_cols = [(c, t, 0) for c, t in left_cols] + [
+        (c, t, 1) for c, t in right_cols
+    ]
+
+    def tag(side: int, on: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = pc.cast(batch.column(on), pa.int64())
+            n = batch.num_rows
+            cols: dict[str, object] = {
+                "k": keys,
+                "side": pa.array(np.full(n, side, dtype=np.int8)),
+                "pk": pa.array(
+                    (keys.to_numpy(zero_copy_only=False) % P).astype(np.int32)
+                ),
+            }
+            for name, typ, s in all_cols:
+                cols[name] = (
+                    pc.cast(batch.column(name), typ)
+                    if s == side
+                    else pa.nulls(n, typ)
+                )
+            return pa.table(cols)
+
+        return fn
+
+    both = left.map_batches(
+        tag(0, left_on), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(tag(1, right_on), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def join_group(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        keys = group.column("k").to_numpy(zero_copy_only=False)
+        lsel = np.flatnonzero(side == 0)
+        rsel = np.flatnonzero(side == 1)
+        rkeys = keys[rsel]
+        order = np.argsort(rkeys, kind="stable")
+        rkeys = rkeys[order]
+        rsel = rsel[order]
+        lkeys = keys[lsel]
+        lo = np.searchsorted(rkeys, lkeys, "left")
+        hi = np.searchsorted(rkeys, lkeys, "right")
+        cnt = hi - lo
+        li = np.repeat(np.arange(len(lkeys)), cnt)
+        offs = np.cumsum(cnt) - cnt
+        ri = (
+            np.arange(int(cnt.sum())) - np.repeat(offs, cnt) + np.repeat(lo, cnt)
+        )
+        l_take = pa.array(lsel[li], pa.int64())
+        r_take = pa.array(rsel[ri], pa.int64())
+        out: dict[str, object] = {}
+        for name, _typ, s in all_cols:
+            out[name] = group.column(name).take(l_take if s == 0 else r_take)
+        return pa.table(out)
+
+    return both.groupby("pk").map_groups(join_group, batch_format="pyarrow")
+
+
+def join_customer_orders(sf_dir: str) -> "ray.data.Dataset":
+    """orders ⋈ customer on custkey via the general repartition join."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = np.rint(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+                "price_cents": pa.array(v, pa.int64()),
+            }
+        )
+
+    left = orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    right = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return repartition_join(
+        left,
+        right,
+        "o_custkey",
+        "c_custkey",
+        [("o_orderkey", pa.int64()), ("price_cents", pa.int64())],
+        [("c_mktsegment", pa.string())],
+    )
+
+
+JOIN_CUSTOMER_ORDERS_SQL = """
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""

@@ -65,3 +65,53 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM documents
 """
+
+
+STRATIFIED_K = 20
+
+
+def stratified_sample(sf_dir: str, k: int = STRATIFIED_K) -> "ray.data.Dataset":
+    """Exactly-k-per-stratum sample: within each language, keep the k
+    documents with the smallest key hash (deterministic — no RNG state,
+    reproducible on any cluster size).  One shuffle on the stratum key;
+    the per-group top-k is a vectorized argpartition.  At crawl scale a
+    stratum is still one group — for huge strata, pre-filter with a
+    permille threshold slightly above k/N per stratum (local, no
+    shuffle) before the exact per-group top-k."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = np.empty(len(ids), dtype=np.uint64)
+        for i, v in enumerate(ids):
+            h[i] = int.from_bytes(
+                hashlib.md5(str(int(v)).encode("ascii")).digest()[8:], "little"
+            )
+        return batch.append_column("h", pa.array(h.astype(np.int64), pa.int64()))
+
+    def topk(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "lang": group.column("lang").take(pa.array(order, pa.int64())),
+            }
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY lang ORDER BY md5_number_lower(doc_id::VARCHAR), doc_id
+) <= {STRATIFIED_K}
+"""

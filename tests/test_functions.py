@@ -700,3 +700,108 @@ def test_dedup_keep_best_semantics():
         assert lk > lc or r["keep_id"] == r["component"], (r, lk, lc)
     # The perturbed (suffix-extended) copy wins somewhere.
     assert any(r["keep_id"] >= PERTURB_OFFSET for r in rows)
+
+
+def test_hll_estimate_accuracy():
+    """The distributed HLL register table yields an estimate within the
+    sketch's error bound of the exact distinct count (512 registers →
+    ~4.6% standard error; assert 3 sigma)."""
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.sketches import hll_estimate, hll_registers
+
+    regs = hll_registers(SF)
+    est = hll_estimate(regs)
+    exact = len(
+        set(pq.read_table(f"{SF}/events.parquet", columns=["user_id"]).column(
+            "user_id"
+        ).to_pylist())
+    )
+    assert abs(est - exact) / exact < 0.15, (est, exact)
+
+
+def test_repartition_join_fanout_and_misses():
+    """General repartition join: 1:N fan-out, missing keys dropped
+    (inner), payloads of both sides survive the shuffle."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from go_boilerpipe_ray.functions.relational import repartition_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": [1, 2, 2, 3, 99], "lv": [10, 20, 21, 30, 990]})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": [2, 3, 3, 4], "rv": ["a", "b", "c", "d"]})
+    )
+    rows = sorted(
+        (
+            (r["lv"], r["rv"])
+            for r in repartition_join(
+                left,
+                right,
+                "k",
+                "k",
+                [("lv", pa.int64())],
+                [("rv", pa.string())],
+            ).take_all()
+        )
+    )
+    assert rows == [(20, "a"), (21, "a"), (30, "b"), (30, "c")]
+
+
+def test_moving_sum_short_groups():
+    """Windows shorter than 3 rows sum what exists (oracle ROWS BETWEEN
+    2 PRECEDING semantics)."""
+    from go_boilerpipe_ray.functions.relational import moving_sum_events
+
+    rows = moving_sum_events(SF).take_all()
+    by_user: dict[int, list[dict]] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    some = next(iter(by_user.values()))
+    assert some[0]["n_window"] >= 1
+    for rs in by_user.values():
+        assert max(r["n_window"] for r in rs) <= 3
+        assert sum(1 for r in rs if r["n_window"] == 1) == 1  # exactly one head
+
+
+def test_stratified_sample_exactly_k_per_stratum():
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.sampling import STRATIFIED_K, stratified_sample
+
+    rows = stratified_sample(SF).take_all()
+    per_lang: dict[str, int] = {}
+    for r in rows:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + 1
+    sizes = pq.read_table(f"{SF}/documents.parquet", columns=["lang"])
+    import collections
+
+    pop = collections.Counter(sizes.column("lang").to_pylist())
+    for lang, n in per_lang.items():
+        assert n == min(STRATIFIED_K, pop[lang]), (lang, n, pop[lang])
+    assert set(per_lang) == set(pop)
+
+
+def test_percentiles_rule_matches_quantile_disc():
+    """ceil(q*n) 1-based selection — pinned against DuckDB on the real
+    table."""
+    import duckdb
+
+    from go_boilerpipe_ray.functions.relational import (
+        PERCENTILES_SQL,
+        percentiles_doclen,
+    )
+
+    got = {
+        r["q_permille"]: r["value"]
+        for r in percentiles_doclen(SF).to_pylist()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = dict(con.execute(PERCENTILES_SQL).fetchall())
+    assert got == want
