@@ -400,33 +400,141 @@ def _signature_batch(batch: pa.Table, num_hashes: int, k: int) -> pa.Table:
     return _cached_minhasher(num_hashes, k)(batch)
 
 
+# Below this estimated carry-shuffle volume (bands × signature bytes ×
+# docs) the "carry" verify strategy wins: two keyed shuffles instead of
+# three, at bands× signature duplication in the band shuffle.  Above it,
+# the duplicated-signature bytes dominate and the distributed
+# repartition-join verify (constant per-doc shuffle bytes) is the right
+# plan — the classic broadcast-vs-shuffle cost crossover, decided from
+# dataset metadata, never driver-side data.
+_CARRY_VERIFY_MAX_BYTES = 2 << 30
+
+
+def _minhash_verify_carry(
+    banded: "ray.data.Dataset", num_hashes: int, threshold: float, P: int
+) -> "ray.data.Dataset":
+    """Small-corpus verify plan: band rows carry their signature, so each
+    bucket partition estimates and thresholds its pairs in place; one
+    final pair-keyed shuffle dedupes cross-band duplicates (which carry
+    identical estimates, so keep-first is exact)."""
+
+    def _empty_pairs() -> pa.Table:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+                "pp": pa.array([], pa.int32()),
+            }
+        )
+
+    def verify_in_bucket(group: pa.Table) -> pa.Table:
+        bk = group.column("bucket").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        mat = np.asarray(
+            group.column("sig").combine_chunks().flatten()
+        ).reshape(-1, num_hashes)
+        order = np.lexsort((ids, bk))
+        bk, ids, mat = bk[order], ids[order], mat[order]
+        bounds = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1], True])
+        ia: list[np.ndarray] = []
+        ib: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            g = e - s
+            if g < 2:
+                continue
+            ii, jj = np.triu_indices(g, 1)
+            ia.append(s + ii)
+            ib.append(s + jj)
+        if not ia:
+            return _empty_pairs()
+        ia_ = np.concatenate(ia)
+        ib_ = np.concatenate(ib)
+        a, b = ids[ia_], ids[ib_]
+        keep = a != b
+        if not keep.any():
+            return _empty_pairs()
+        ia_, ib_, a, b = ia_[keep], ib_[keep], a[keep], b[keep]
+        # Dedup within the partition BEFORE the matrix compare (a pair
+        # colliding in several buckets of this partition is verified
+        # once).
+        uniq, first = np.unique(
+            np.stack([a, b], axis=1), axis=0, return_index=True
+        )
+        est = (mat[ia_[first]] == mat[ib_[first]]).mean(axis=1)
+        thr = est >= threshold
+        if not thr.any():
+            return _empty_pairs()
+        a, b, est = uniq[thr, 0], uniq[thr, 1], est[thr]
+        return pa.table(
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+                "est_jaccard": pa.array(est, pa.float64()),
+                "pp": pa.array(
+                    ((a * 1_000_003 + b) % P).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    pairs = banded.groupby("pk").map_groups(
+        verify_in_bucket, batch_format="pyarrow"
+    )
+
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        a = group.column("id_a").to_numpy(zero_copy_only=False)
+        b = group.column("id_b").to_numpy(zero_copy_only=False)
+        est = group.column("est_jaccard").to_numpy(zero_copy_only=False)
+        uniq, first = np.unique(
+            np.stack([a, b], axis=1), axis=0, return_index=True
+        )
+        return pa.table(
+            {
+                "id_a": pa.array(uniq[:, 0], pa.int64()),
+                "id_b": pa.array(uniq[:, 1], pa.int64()),
+                "est_jaccard": pa.array(est[first], pa.float64()),
+            }
+        )
+
+    return pairs.groupby("pp").map_groups(dedup_pairs, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(
     sf_dir: str,
     num_hashes: int = 64,
     bands: int = 16,
     k: int = 3,
     threshold: float = 0.8,
+    verify: str = "auto",
 ) -> "ray.data.Dataset":
     """Candidate pairs via LSH banding, verified by MinHash-estimated
     Jaccard >= threshold.
 
-    Shuffle discipline: the band shuffle moves only (band-bucket hash,
-    doc_id) int pairs; the verify step is a DISTRIBUTED repartition join
-    of the deduplicated candidate pairs against the signature dataset,
-    keyed on doc id — each pair splits into two half-rows (one per side),
-    the halves meet their signature inside a doc-hash partition, then
-    reunite in a pair-hash partition where the estimate is computed
-    vectorized.  The signature table never collapses onto the driver (at
-    10^12 documents a 512-byte/doc broadcast is petabytes; here each
-    signature is shuffled a bounded number of times).  The join is
-    expressed as union + groupby(pk).map_groups rather than Dataset.join
-    because Ray's hash-join spins up an aggregator actor pool per join
-    (num_partitions actors) whose spin-up dominates at small scale and
-    whose partition count is resource-capped; the sort-shuffle map_groups
-    path expresses the same partitioned hash join with plain tasks and
-    the module's one partitioning discipline (pk = key % P).  All wide
-    steps stay partition-vectorized (bounded group counts, numpy inner
-    loops), like ngram_jaccard_pairs."""
+    Shuffle discipline, ``verify="join"`` (the at-scale plan): the band
+    shuffle moves only (band-bucket hash, doc_id) int pairs; the verify
+    step is a DISTRIBUTED repartition join of the deduplicated candidate
+    pairs against the signature dataset, keyed on doc id — each pair
+    splits into two half-rows (one per side), the halves meet their
+    signature inside a doc-hash partition, then reunite in a pair-hash
+    partition where the estimate is computed vectorized.  The signature
+    table never collapses onto the driver (at 10^12 documents a
+    512-byte/doc broadcast is petabytes; here each signature is shuffled
+    a bounded number of times).  The join is expressed as union +
+    groupby(pk).map_groups rather than Dataset.join because Ray's
+    hash-join spins up an aggregator actor pool per join (num_partitions
+    actors) whose spin-up dominates at small scale and whose partition
+    count is resource-capped; the sort-shuffle map_groups path expresses
+    the same partitioned hash join with plain tasks and the module's one
+    partitioning discipline (pk = key % P).  All wide steps stay
+    partition-vectorized (bounded group counts, numpy inner loops), like
+    ngram_jaccard_pairs.
+
+    ``verify="carry"`` (the small-corpus plan): each band row carries its
+    document's full signature, so the bucket partition verifies pairs
+    in place and only a final pair-keyed dedup shuffle remains — two
+    shuffles total, at the cost of bands× signature duplication in the
+    band shuffle.  ``"auto"`` picks by estimated carry volume
+    (_CARRY_VERIFY_MAX_BYTES); both plans produce identical rows."""
     rows_per_band = num_hashes // bands
     sigs_ds = dup_corpus(sf_dir).map_batches(
         _signature_batch,
@@ -437,17 +545,24 @@ def minhash_lsh_pairs(
 
     P = wide_partitions()
 
-    def band_keys(batch: pa.Table) -> pa.Table:
+    if verify == "auto":
+        carry_bytes = sigs_ds.count() * bands * (num_hashes * 8 + 16)
+        verify = "carry" if carry_bytes <= _CARRY_VERIFY_MAX_BYTES else "join"
+
+    def band_keys(batch: pa.Table, carry: bool = False) -> pa.Table:
         ids_in = batch.column("doc_id").to_numpy(zero_copy_only=False)
         sigs = batch.column("sig").to_pylist()
         if len(ids_in) == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "bucket": pa.array([], pa.int64()),
-                    "pk": pa.array([], pa.int32()),
-                }
-            )
+            cols = {
+                "doc_id": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                "pk": pa.array([], pa.int32()),
+            }
+            if carry:
+                cols["sig"] = pa.ListArray.from_arrays(
+                    pa.array([0], pa.int32()), pa.array([], pa.int64())
+                )
+            return pa.table(cols)
         mat = np.asarray(sigs, dtype=np.uint64)  # (n, num_hashes)
         n = mat.shape[0]
         buckets = np.empty((n, bands), dtype=np.uint64)
@@ -460,17 +575,31 @@ def minhash_lsh_pairs(
             buckets[:, band] = h
         out_ids = np.repeat(ids_in, bands)
         out_buckets = (buckets.reshape(-1) >> np.uint64(1)).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(out_ids, pa.int64()),
-                "bucket": pa.array(out_buckets, pa.int64()),
-                "pk": pa.array((out_buckets % P).astype(np.int32), pa.int32()),
-            }
-        )
+        cols = {
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "bucket": pa.array(out_buckets, pa.int64()),
+            "pk": pa.array((out_buckets % P).astype(np.int32), pa.int32()),
+        }
+        if carry:
+            # Row-major repeat keeps each doc's bands adjacent to its ids.
+            rep = np.repeat(mat.astype(np.int64), bands, axis=0)
+            cols["sig"] = pa.ListArray.from_arrays(
+                pa.array(
+                    (np.arange(n * bands + 1) * num_hashes).astype(np.int32)
+                ),
+                pa.array(rep.reshape(-1), pa.int64()),
+            )
+        return pa.table(cols)
 
     banded = sigs_ds.map_batches(
-        band_keys, batch_format="pyarrow", zero_copy_batch=True
+        band_keys,
+        fn_kwargs={"carry": verify == "carry"},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
+
+    if verify == "carry":
+        return _minhash_verify_carry(banded, num_hashes, threshold, P)
 
     def partition_pairs(group: pa.Table) -> pa.Table:
         bk = group.column("bucket").to_numpy(zero_copy_only=False)

@@ -805,3 +805,20 @@ def test_percentiles_rule_matches_quantile_disc():
     )
     want = dict(con.execute(PERCENTILES_SQL).fetchall())
     assert got == want
+
+
+def test_minhash_verify_strategies_identical():
+    """The carry (2-shuffle) and join (3-shuffle) verify plans are two
+    physical executions of the same logical operator — identical pairs
+    and estimates."""
+    from go_boilerpipe_ray.functions.dedup import minhash_lsh_pairs
+
+    c = sorted(
+        (r["id_a"], r["id_b"], round(r["est_jaccard"], 12))
+        for r in minhash_lsh_pairs(SF, verify="carry").take_all()
+    )
+    j = sorted(
+        (r["id_a"], r["id_b"], round(r["est_jaccard"], 12))
+        for r in minhash_lsh_pairs(SF, verify="join").take_all()
+    )
+    assert c == j and len(c) > 0
