@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentiles": relational.percentiles_doclen,
         "moving_sum": relational.moving_sum_events,
         "join_customer_orders": relational.join_customer_orders,
+        "left_join_orders": relational.left_join_orders,
         "hll_registers": sketches.hll_registers,
         "sample_split": sampling.sample_split,
         "stratified_sample": sampling.stratified_sample,
@@ -180,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "percentiles": relational.PERCENTILES_SQL,
         "moving_sum": relational.MOVING_SUM_SQL,
         "join_customer_orders": relational.JOIN_CUSTOMER_ORDERS_SQL,
+        "left_join_orders": relational.LEFT_JOIN_ORDERS_SQL,
         "hll_registers": sketches.HLL_REGISTERS_SQL,
         "knn_brute": similarity.KNN_SQL,
         "knn_lsh": similarity.KNN_LSH_SQL,

@@ -823,8 +823,9 @@ def repartition_join(
     right_on: str,
     left_cols: list[tuple[str, pa.DataType]],
     right_cols: list[tuple[str, pa.DataType]],
+    how: str = "inner",
 ) -> "ray.data.Dataset":
-    """General inner equi-join of two LARGE datasets as a repartition
+    """General equi-join of two LARGE datasets as a repartition
     join: both sides are hashed on the key into the module's one
     partitioning discipline (pk = key % wide_partitions()), union'd, and
     joined inside each partition with a vectorized sorted-key probe that
@@ -838,7 +839,14 @@ def repartition_join(
     ``left_cols`` / ``right_cols`` name the payload columns (with types)
     each side contributes; the join key arrives as ``left_on``.  Skewed
     hot keys: salt the small(er) side's key and replicate the probe,
-    the standard repartition-join skew treatment."""
+    the standard repartition-join skew treatment.
+
+    ``how``: "inner" | "left" (unmatched left rows survive with null
+    right payloads) | "semi" / "anti" (left payloads only, filtered by
+    match existence — the shuffle complement of the broadcast anti-join
+    in customers_without_events)."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported join type: {how}")
     from ._util import wide_partitions
 
     P = wide_partitions()
@@ -886,6 +894,16 @@ def repartition_join(
         lo = np.searchsorted(rkeys, lkeys, "left")
         hi = np.searchsorted(rkeys, lkeys, "right")
         cnt = hi - lo
+        if how in ("semi", "anti"):
+            pick = lsel[cnt > 0] if how == "semi" else lsel[cnt == 0]
+            take = pa.array(pick, pa.int64())
+            return pa.table(
+                {
+                    name: group.column(name).take(take)
+                    for name, _typ, s in all_cols
+                    if s == 0
+                }
+            )
         li = np.repeat(np.arange(len(lkeys)), cnt)
         offs = np.cumsum(cnt) - cnt
         ri = (
@@ -896,7 +914,21 @@ def repartition_join(
         out: dict[str, object] = {}
         for name, _typ, s in all_cols:
             out[name] = group.column(name).take(l_take if s == 0 else r_take)
-        return pa.table(out)
+        matched = pa.table(out)
+        if how == "inner":
+            return matched
+        # left outer: unmatched left rows keep payloads, null right side.
+        miss = pa.array(lsel[cnt == 0], pa.int64())
+        n_miss = len(miss)
+        miss_cols = {
+            name: (
+                group.column(name).take(miss)
+                if s == 0
+                else pa.nulls(n_miss, typ)
+            )
+            for name, typ, s in all_cols
+        }
+        return pa.concat_tables([matched, pa.table(miss_cols)])
 
     return both.groupby("pk").map_groups(join_group, batch_format="pyarrow")
 
@@ -934,4 +966,46 @@ SELECT o_orderkey,
        CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
        c_mktsegment
 FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def left_join_orders(sf_dir: str) -> "ray.data.Dataset":
+    """orders LEFT JOIN high-balance customers: exercises the outer path
+    of the general repartition join (unmatched orders survive with a
+    null segment).  The filter is pushed below the shuffle."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = np.rint(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+                "price_cents": pa.array(v, pa.int64()),
+            }
+        )
+
+    left = orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    right = _read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"]).filter(
+        expr="c_acctbal > 5000.0"
+    )
+    return repartition_join(
+        left,
+        right,
+        "o_custkey",
+        "c_custkey",
+        [("o_orderkey", pa.int64()), ("price_cents", pa.int64())],
+        [("c_mktsegment", pa.string())],
+        how="left",
+    )
+
+
+LEFT_JOIN_ORDERS_SQL = """
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       c_mktsegment
+FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000.0) c
+  ON o_custkey = c_custkey
 """

@@ -822,3 +822,34 @@ def test_minhash_verify_strategies_identical():
         for r in minhash_lsh_pairs(SF, verify="join").take_all()
     )
     assert c == j and len(c) > 0
+
+
+def test_repartition_join_outer_modes():
+    import pyarrow as pa
+
+    import ray.data
+
+    from go_boilerpipe_ray.functions.relational import repartition_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": [1, 2, 2, 5], "lv": [10, 20, 21, 50]})
+    )
+    right = ray.data.from_arrow(pa.table({"k": [2, 2, 3], "rv": ["a", "b", "c"]}))
+    args = ("k", "k", [("lv", pa.int64())], [("rv", pa.string())])
+    leftj = sorted(
+        (
+            (r["lv"], r["rv"])
+            for r in repartition_join(left, right, *args, how="left").take_all()
+        ),
+        key=lambda x: (x[0], x[1] or ""),
+    )
+    assert leftj == [
+        (10, None), (20, "a"), (20, "b"), (21, "a"), (21, "b"), (50, None)
+    ]
+    semi = sorted(
+        r["lv"] for r in repartition_join(left, right, *args, how="semi").take_all()
+    )
+    anti = sorted(
+        r["lv"] for r in repartition_join(left, right, *args, how="anti").take_all()
+    )
+    assert semi == [20, 21] and anti == [10, 50]
