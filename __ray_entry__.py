@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_frequency": text.doc_frequency,
         "pii_scrub": text.pii_scrub,
         "repetition_stats": text.repetition_stats,
+        "tfidf_topk": text.tfidf_topk,
         # dedup
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -126,8 +127,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_customer_orders": relational.join_customer_orders,
         "left_join_orders": relational.left_join_orders,
         "hll_registers": sketches.hll_registers,
+        "cms_registers": sketches.cms_registers,
         "sample_split": sampling.sample_split,
         "stratified_sample": sampling.stratified_sample,
+        "domain_cap": sampling.domain_cap,
+        "shard_shuffle": sampling.shard_shuffle,
         # multimodal plumbing
         "media_decode": xq.media_decode,
         "media_resize": xq.media_resize,
@@ -183,6 +187,10 @@ def oracle_sql() -> dict[str, str]:
         "join_customer_orders": relational.JOIN_CUSTOMER_ORDERS_SQL,
         "left_join_orders": relational.LEFT_JOIN_ORDERS_SQL,
         "hll_registers": sketches.HLL_REGISTERS_SQL,
+        "cms_registers": sketches.CMS_REGISTERS_SQL,
+        "tfidf_topk": text.TFIDF_TOPK_SQL,
+        "domain_cap": sampling.DOMAIN_CAP_SQL,
+        "shard_shuffle": sampling.SHARD_SHUFFLE_SQL,
         "knn_brute": similarity.KNN_SQL,
         "knn_lsh": similarity.KNN_LSH_SQL,
         "knn_ivf_exhaustive": similarity.KNN_SQL,

@@ -115,3 +115,106 @@ QUALIFY row_number() OVER (
     PARTITION BY lang ORDER BY md5_number_lower(doc_id::VARCHAR), doc_id
 ) <= {STRATIFIED_K}
 """
+
+
+DOMAIN_CAP_N = 10
+
+
+def domain_cap(sf_dir: str, n: int = DOMAIN_CAP_N) -> "ray.data.Dataset":
+    """Per-domain document cap: keep at most ``n`` documents (lowest
+    doc_id) per source — the Common-Crawl-style curation rule that stops
+    one hot domain from dominating a training corpus.
+
+    Combiner discipline: each batch is pre-truncated to its own lowest-n
+    per source BEFORE the shuffle, so the wide step moves at most
+    n x (#sources touched per batch) rows even when one domain holds a
+    billion pages; the per-group finisher re-applies the same rule.  A
+    hot domain therefore never concentrates more than n rows per input
+    block on one reducer."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def lowest_n(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.asarray(tbl.column("source").to_pylist())
+        order = np.lexsort((ids, src))
+        s = src[order]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        run_len = np.diff(np.r_[starts, len(order)])
+        pos_in_run = np.arange(len(order)) - np.repeat(starts, run_len)
+        keep = np.sort(order[pos_in_run < n])
+        return tbl.take(pa.array(keep, pa.int64()))
+
+    return (
+        ds.map_batches(lowest_n, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(lowest_n, batch_format="pyarrow")
+    )
+
+
+DOMAIN_CAP_SQL = f"""
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= {DOMAIN_CAP_N}
+"""
+
+
+N_SHARDS = 8
+
+
+def shard_shuffle(sf_dir: str, n_shards: int = N_SHARDS) -> "ray.data.Dataset":
+    """Deterministic training-data shuffle: every document goes to shard
+    ``md5(doc_id) % n_shards`` at position ``rank by (hash, doc_id)``
+    within the shard — the standard "write shuffled shard files" step
+    before training.  Reproducible on any cluster size (pure function of
+    the key, no RNG state); one shuffle on the shard key, the in-shard
+    ordering is a local lexsort.  At 100 TB pick n_shards >> cluster
+    cores and write one file per shard (the manifest sink pattern)."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = np.empty(len(ids), dtype=np.uint64)
+        for i, v in enumerate(ids):
+            h[i] = int.from_bytes(
+                hashlib.md5(str(int(v)).encode("ascii")).digest()[8:], "little"
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shard": pa.array((h % n_shards).astype(np.int64), pa.int64()),
+                "h": pa.array(h.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def rank_within(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        h = group.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, h))
+        pos = np.empty(len(ids), dtype=np.int64)
+        pos[order] = np.arange(len(ids), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id"),
+                "shard": group.column("shard"),
+                "shard_pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(rank_within, batch_format="pyarrow")
+    )
+
+
+SHARD_SHUFFLE_SQL = f"""
+WITH h AS (SELECT doc_id, md5_number_lower(doc_id::VARCHAR) AS h FROM documents)
+SELECT doc_id,
+       CAST(h % {N_SHARDS} AS BIGINT) AS shard,
+       row_number() OVER (PARTITION BY h % {N_SHARDS} ORDER BY h, doc_id) - 1
+           AS shard_pos
+FROM h
+"""

@@ -1,10 +1,11 @@
-"""Distributed cardinality sketch (HyperLogLog) as a Ray Data combiner.
+"""Distributed sketches (HyperLogLog, Count-Min) as Ray Data combiners.
 
-The register update is the canonical "partial state merged by max" shape:
-each batch folds its rows into one (register, rho) partial table inside
-``map_batches``, the only shuffle is a ``groupby(register).max`` over at
-most ``m`` rows per block — so at 100 TB the wide step moves a few KB per
-block regardless of row count, and the final sketch is ``m`` rows.
+The register update is the canonical "partial state merged by max/sum"
+shape: each batch folds its rows into one partial register table inside
+``map_batches``, the only shuffle is a tiny ``groupby(register)`` rollup
+over at most ``m`` rows per block — so at 100 TB the wide step moves a
+few KB per block regardless of row count, and the final sketch is ``m``
+rows.
 
 The hash layout is chosen so a SQL oracle can recompute the registers
 bit-exactly in DuckDB (md5_number_lower == low 8 bytes of md5,
@@ -98,6 +99,102 @@ SELECT CAST(h & {_M - 1} AS BIGINT) AS register,
            END) AS max_rho
 FROM h GROUP BY 1
 """
+
+
+# -- Count-Min sketch --------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+_TOKEN_RE = r"[a-z0-9]+"
+
+
+def _cms_partial(batch: pa.Table) -> pa.Table:
+    """Fold a batch of documents into one (slot, cnt) partial table:
+    token-occurrence counts hashed into DEPTH independent rows of WIDTH
+    counters.  Counters are additive, so partials merge by plain sum —
+    no token ever needs to be shuffled, only the <= DEPTH*WIDTH touched
+    slots per block."""
+    import collections
+    import hashlib
+    import re
+
+    counts: collections.Counter = collections.Counter()
+    tok_re = re.compile(_TOKEN_RE)
+    for t in batch.column("text").to_pylist():
+        counts.update(tok_re.findall(t.lower()))
+    regs = np.zeros(CMS_DEPTH * CMS_WIDTH, dtype=np.int64)
+    for tok, cnt in counts.items():
+        for j in range(CMS_DEPTH):
+            h = int.from_bytes(
+                hashlib.md5(f"{j}:{tok}".encode("utf-8")).digest()[8:], "little"
+            )
+            regs[j * CMS_WIDTH + h % CMS_WIDTH] += cnt
+    touched = np.flatnonzero(regs)
+    return pa.table(
+        {
+            "slot": pa.array(touched, pa.int64()),
+            "cnt": pa.array(regs[touched], pa.int64()),
+        }
+    )
+
+
+def cms_registers(sf_dir: str) -> pa.Table:
+    """Count-Min sketch of token-occurrence frequencies over
+    documents.text: DEPTH hash rows x WIDTH counters.  Point estimates
+    (``cms_estimate``) are min over rows — always >= the true count.
+    Same scale shape as the HLL: per-batch partial registers, one tiny
+    keyed rollup, constant-size result."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+    out = (
+        ds.map_batches(_cms_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("slot")
+        .sum("cnt")
+        .to_pandas()
+        .sort_values("slot")
+    )
+    slot = out["slot"].to_numpy()
+    return pa.table(
+        {
+            "j": pa.array(slot // CMS_WIDTH, pa.int64()),
+            "reg": pa.array(slot % CMS_WIDTH, pa.int64()),
+            "cnt": pa.array(out["sum(cnt)"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+CMS_REGISTERS_SQL = f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS token
+  FROM documents
+)
+SELECT CAST(j.range AS BIGINT) AS j,
+       CAST(md5_number_lower(j.range::VARCHAR || ':' || tok.token)
+            % {CMS_WIDTH} AS BIGINT) AS reg,
+       count(*) AS cnt
+FROM tok CROSS JOIN range({CMS_DEPTH}) j
+GROUP BY 1, 2
+"""
+
+
+def cms_estimate(registers: pa.Table, token: str) -> int:
+    """Point-frequency estimate for one token (min over depth rows)."""
+    import hashlib
+
+    regs = np.zeros(CMS_DEPTH * CMS_WIDTH, dtype=np.int64)
+    slots = (
+        registers.column("j").to_numpy(zero_copy_only=False) * CMS_WIDTH
+        + registers.column("reg").to_numpy(zero_copy_only=False)
+    )
+    regs[slots] = registers.column("cnt").to_numpy(zero_copy_only=False)
+    est = None
+    for j in range(CMS_DEPTH):
+        h = int.from_bytes(
+            hashlib.md5(f"{j}:{token}".encode("utf-8")).digest()[8:], "little"
+        )
+        v = int(regs[j * CMS_WIDTH + h % CMS_WIDTH])
+        est = v if est is None else min(est, v)
+    return int(est or 0)
 
 
 def hll_estimate(registers: pa.Table) -> float:

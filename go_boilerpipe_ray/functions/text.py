@@ -635,6 +635,106 @@ LIMIT 100
 """
 
 
+# -- TF-IDF keyword extraction ----------------------------------------------
+
+TFIDF_K = 3
+
+
+def tfidf_topk(sf_dir: str, k: int = TFIDF_K) -> "ray.data.Dataset":
+    """Per-document top-k terms by TF-IDF — the keyword/feature-selection
+    step of a corpus profiler.
+
+    Two keyed shuffles of fixed-width rows, no broadcast table:
+    (1) per-batch term counting emits (doc_id, token, tf) rows;
+    (2) ``groupby(token)`` computes each token's document frequency
+        INSIDE its group (one row per doc per distinct token, so
+        ``df == group row count``) and re-emits the rows with df
+        attached — no separate vocabulary table exists anywhere, which
+        matters when web-crawl vocabularies run to billions of junk
+        tokens;
+    (3) ``groupby(doc_id)`` scores and keeps the local top-k.
+
+    The score is integer (``tf * 1000 * N // df`` — monotone in
+    tf x N/df) so the DuckDB oracle comparison is hash-stable; a float
+    log-idf would rank identically for fixed tf."""
+    ds = read_documents(sf_dir)
+    # Parquet metadata count — no data scan, no materialization.
+    n_docs = read_documents(sf_dir, columns=["doc_id"]).count()
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        import collections
+
+        d_ids: list[int] = []
+        d_tok: list[str] = []
+        d_tf: list[int] = []
+        ids = batch.column("doc_id").to_pylist()
+        for did, t in zip(ids, batch.column("text").to_pylist()):
+            for tok, cnt in collections.Counter(
+                _TOKEN_RE.findall(t.lower())
+            ).items():
+                d_ids.append(did)
+                d_tok.append(tok)
+                d_tf.append(cnt)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_ids, pa.int64()),
+                "token": pa.array(d_tok, pa.string()),
+                "tf": pa.array(d_tf, pa.int64()),
+            }
+        )
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        return group.append_column(
+            "df", pa.array(np.full(group.num_rows, group.num_rows), pa.int64())
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        tf = group.column("tf").to_numpy(zero_copy_only=False)
+        df = group.column("df").to_numpy(zero_copy_only=False)
+        scored = group.append_column(
+            "tfidf_milli", pa.array(tf * 1000 * n_docs // df, pa.int64())
+        )
+        idx = pc.sort_indices(
+            scored,
+            sort_keys=[("tfidf_milli", "descending"), ("token", "ascending")],
+        )[: min(k, scored.num_rows)]
+        top = scored.take(idx)
+        return top.append_column(
+            "rank", pa.array(np.arange(1, top.num_rows + 1), pa.int64())
+        )
+
+    return (
+        ds.map_batches(term_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .map_groups(attach_df, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+TFIDF_TOPK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * 1000 * n.n // df.df AS tfidf_milli
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, tfidf_milli,
+       row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf_milli DESC, token
+       ) AS rank
+FROM scored
+QUALIFY rank <= {TFIDF_K}
+"""
+
+
 # -- PII scrubbing -----------------------------------------------------------
 
 # RE2-class patterns (no backtracking) shared verbatim by the pyarrow

@@ -853,3 +853,85 @@ def test_repartition_join_outer_modes():
         r["lv"] for r in repartition_join(left, right, *args, how="anti").take_all()
     )
     assert semi == [20, 21] and anti == [10, 50]
+
+
+def test_cms_estimate_upper_bounds_true_counts():
+    """CMS point estimates are always >= true occurrence counts, and
+    exact when no other token collides into all d slots."""
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.sketches import cms_estimate, cms_registers
+
+    regs = cms_registers(SF)
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    true: collections.Counter = collections.Counter()
+    tok_re = re.compile(r"[a-z0-9]+")
+    for t in texts.column("text").to_pylist():
+        true.update(tok_re.findall(t.lower()))
+    total = sum(true.values())
+    for tok, cnt in list(true.items())[:50]:
+        est = cms_estimate(regs, tok)
+        assert cnt <= est <= total, (tok, cnt, est)
+    # A token absent from the corpus can only read collision mass.
+    assert cms_estimate(regs, "zzz-not-a-token") <= total
+
+
+def test_domain_cap_keeps_lowest_ids_per_source():
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.sampling import DOMAIN_CAP_N, domain_cap
+
+    rows = domain_cap(SF).take_all()
+    by_src: dict[str, list[int]] = collections.defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r["doc_id"])
+    full = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source"])
+    pop: dict[str, list[int]] = collections.defaultdict(list)
+    for did, src in zip(
+        full.column("doc_id").to_pylist(), full.column("source").to_pylist()
+    ):
+        pop[src].append(did)
+    assert set(by_src) == set(pop)
+    for src, ids in by_src.items():
+        assert sorted(ids) == sorted(pop[src])[: DOMAIN_CAP_N], src
+
+
+def test_shard_shuffle_positions_contiguous_and_complete():
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.sampling import shard_shuffle
+
+    rows = shard_shuffle(SF).take_all()
+    n = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).num_rows
+    assert len(rows) == n
+    by_shard: dict[int, list[int]] = collections.defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r["shard_pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+
+
+def test_tfidf_topk_ranks_and_monotonicity():
+    import collections
+
+    from go_boilerpipe_ray.functions.text import TFIDF_K, tfidf_topk
+
+    rows = tfidf_topk(SF).take_all()
+    by_doc: dict[int, list[tuple[int, int, str]]] = collections.defaultdict(list)
+    for r in rows:
+        assert 1 <= r["rank"] <= TFIDF_K
+        by_doc[r["doc_id"]].append((r["rank"], r["tfidf_milli"], r["token"]))
+    for doc, entries in by_doc.items():
+        entries.sort()
+        ranks = [e[0] for e in entries]
+        assert ranks == list(range(1, len(entries) + 1)), doc
+        # Scores non-increasing with rank; ties broken by token ascending.
+        for (r1, s1, t1), (r2, s2, t2) in zip(entries, entries[1:]):
+            assert s1 > s2 or (s1 == s2 and t1 < t2), doc
