@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_sum": relational.moving_sum_events,
         "join_customer_orders": relational.join_customer_orders,
         "left_join_orders": relational.left_join_orders,
+        "funnel_stages": relational.funnel_stages,
+        "pivot_event_counts": relational.pivot_event_counts,
         "hll_registers": sketches.hll_registers,
         "cms_registers": sketches.cms_registers,
         "sample_split": sampling.sample_split,
@@ -186,6 +188,8 @@ def oracle_sql() -> dict[str, str]:
         "moving_sum": relational.MOVING_SUM_SQL,
         "join_customer_orders": relational.JOIN_CUSTOMER_ORDERS_SQL,
         "left_join_orders": relational.LEFT_JOIN_ORDERS_SQL,
+        "funnel_stages": relational.FUNNEL_SQL,
+        "pivot_event_counts": relational.PIVOT_SQL,
         "hll_registers": sketches.HLL_REGISTERS_SQL,
         "cms_registers": sketches.CMS_REGISTERS_SQL,
         "tfidf_topk": text.TFIDF_TOPK_SQL,

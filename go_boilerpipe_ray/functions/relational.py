@@ -1009,3 +1009,126 @@ SELECT o_orderkey,
 FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000.0) c
   ON o_custkey = c_custkey
 """
+
+
+# -- funnel analysis ---------------------------------------------------------
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_stages(sf_dir: str) -> "ray.data.Dataset":
+    """Ordered-sequence funnel per user: stage 1 is reached at the first
+    'view', stage 2 at the first 'click' STRICTLY after that view, stage
+    3 at the first 'purchase' strictly after that click.  The product-
+    analytics primitive Ray Data has no built-in for.
+
+    One shuffle on user_id; the per-group pass is three vectorized
+    min-reductions over the group's timestamps (no sort needed — each
+    stage only needs the min qualifying timestamp).  Only (user_id,
+    event_type, ts) rows move, pruned at the read."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def stage_of(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        et = np.asarray(group.column("event_type").to_pylist())
+        stage = 0
+        cutoff = None
+        for name in _FUNNEL_STAGES:
+            mask = et == name
+            if cutoff is not None:
+                mask &= ts > cutoff
+            if not mask.any():
+                break
+            cutoff = ts[mask].min()
+            stage += 1
+        uid = group.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "funnel_stage": pa.array([stage], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(stage_of, batch_format="pyarrow")
+
+
+FUNNEL_SQL = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT u.user_id,
+       CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            WHEN v.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+
+# -- pivot (event-type counts to columns) ------------------------------------
+
+_PIVOT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def pivot_event_counts(sf_dir: str) -> pa.Table:
+    """Per-user event-type count pivot — long-to-wide reshape.
+
+    Combiner-first: each batch pivots LOCALLY to one fixed-width row per
+    user (5 int64 counter columns), so the shuffle moves at most
+    users x blocks partial rows and a hot user pre-combines inside every
+    block; the groupby is a plain multi-column sum with no map_groups."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial_pivot(batch: pa.Table) -> pa.Table:
+        uids = batch.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(batch.column("event_type").to_pylist())
+        uniq, inv = np.unique(uids, return_inverse=True)
+        cols: dict[str, pa.Array] = {"user_id": pa.array(uniq, pa.int64())}
+        for name in _PIVOT_TYPES:
+            cnt = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(cnt, inv[et == name], 1)
+            cols[f"p_{name}"] = pa.array(cnt, pa.int64())
+        return pa.table(cols)
+
+    agg = (
+        ds.map_batches(partial_pivot, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            *[
+                ray.data.aggregate.Sum(f"p_{name}", alias_name=f"n_{name}")
+                for name in _PIVOT_TYPES
+            ]
+        )
+        .to_pandas()
+        .sort_values("user_id")
+    )
+    return pa.table(
+        {
+            "user_id": pa.array(agg["user_id"].to_numpy(), pa.int64()),
+            **{
+                f"n_{name}": pa.array(
+                    agg[f"n_{name}"].to_numpy().astype(np.int64), pa.int64()
+                )
+                for name in _PIVOT_TYPES
+            },
+        }
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'view')     AS n_view,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'error')    AS n_error
+FROM events GROUP BY user_id
+"""

@@ -935,3 +935,57 @@ def test_tfidf_topk_ranks_and_monotonicity():
         # Scores non-increasing with rank; ties broken by token ascending.
         for (r1, s1, t1), (r2, s2, t2) in zip(entries, entries[1:]):
             assert s1 > s2 or (s1 == s2 and t1 < t2), doc
+
+
+def test_funnel_stages_reference_semantics():
+    """Stage rule: first view, first click strictly after it, first
+    purchase strictly after that — recomputed per user in plain Python."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.relational import funnel_stages
+
+    got = {
+        r["user_id"]: r["funnel_stage"] for r in funnel_stages(SF).take_all()
+    }
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "event_type", "ts"])
+    by_user: dict[int, list[tuple]] = collections.defaultdict(list)
+    for uid, et, ts in zip(
+        ev.column("user_id").to_pylist(),
+        ev.column("event_type").to_pylist(),
+        ev.column("ts").to_pylist(),
+    ):
+        by_user[uid].append((ts, et))
+    assert set(got) == set(by_user)
+    for uid, rows in by_user.items():
+        stage, cutoff = 0, None
+        for name in ("view", "click", "purchase"):
+            cands = [
+                ts for ts, et in rows
+                if et == name and (cutoff is None or ts > cutoff)
+            ]
+            if not cands:
+                break
+            cutoff = min(cands)
+            stage += 1
+        assert got[uid] == stage, uid
+
+
+def test_pivot_event_counts_matches_counter():
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.relational import pivot_event_counts
+
+    tbl = pivot_event_counts(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    true: collections.Counter = collections.Counter(
+        zip(ev.column("user_id").to_pylist(), ev.column("event_type").to_pylist())
+    )
+    rows = tbl.to_pylist()
+    assert len(rows) == len({u for u, _ in true})
+    for r in rows:
+        for name in ("view", "click", "purchase", "signup", "error"):
+            assert r[f"n_{name}"] == true.get((r["user_id"], name), 0)
