@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_exhaustive": similarity.knn_ivf_exhaustive,
         "near_dup_embeddings": similarity.near_dup_embeddings,
         "quantize_embeddings": similarity.quantize_embeddings,
+        "kmeans_assign": similarity.kmeans_assign,
+        "kmeans_update": similarity.kmeans_update,
         # relational / windows / sessions
         "agg_lineitem": relational.agg_lineitem,
         "top_customers": relational.top_customers,
@@ -200,6 +202,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_exhaustive": similarity.KNN_SQL,
         "near_dup_embeddings": similarity.NEAR_DUP_SQL,
         "quantize_embeddings": similarity.QUANTIZE_SQL,
+        "kmeans_assign": similarity.KMEANS_ASSIGN_SQL,
+        "kmeans_update": similarity.KMEANS_UPDATE_SQL,
         "agg_lineitem": relational.AGG_LINEITEM_SQL,
         "top_customers": relational.TOP_CUSTOMERS_SQL,
         "hourly_events": relational.HOURLY_EVENTS_SQL,

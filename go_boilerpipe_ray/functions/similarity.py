@@ -37,7 +37,13 @@ def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
     import pyarrow.compute as pc
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # Row-group predicate pushdown: the driver materializes only the
+    # query rows, never the corpus (matters when the table is 100 TB).
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
     t = t.filter(pc.less(t.column("vec_id"), n_queries))
     qids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
     qm = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
@@ -598,3 +604,167 @@ FROM scored WHERE r <= {k}
 
 
 KNN_LSH_SQL = _knn_lsh_sql()
+
+
+# -- distributed k-means (one Lloyd iteration, bit-exact oracle) -------------
+
+KMEANS_K = 8
+_QUANT = 1_000_000
+
+
+def _quantize(m: np.ndarray) -> np.ndarray:
+    """float32 -> int64 fixed-point (floor(x*1e6 + 0.5): round-half-up,
+    identical in numpy doubles and DuckDB doubles — ties-to-even or
+    float summation order never enter, so int sums are hash-stable)."""
+    return np.floor(m.astype(np.float64) * _QUANT + 0.5).astype(np.int64)
+
+
+def _load_centroids(sf_dir: str, k: int) -> np.ndarray:
+    """Seed centroids = the first k RAW vectors (deterministic, mirrored
+    by the oracle's ``WHERE vec_id < k`` subquery), quantized.  Not
+    ``_load_queries`` — that normalizes, and the oracle uses raw values."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    )
+    t = t.filter(pc.less(t.column("vec_id"), k))
+    order = np.argsort(np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64))
+    cm = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[order]
+    return _quantize(cm)  # (k, d) int64
+
+
+def kmeans_assign(sf_dir: str, k: int = KMEANS_K) -> "ray.data.Dataset":
+    """Assignment step of distributed Lloyd k-means: every vector goes to
+    its nearest centroid (squared L2 in exact int64 fixed-point; ties
+    broken by lower centroid id — np.argmin's first-min matches the
+    oracle's ORDER BY dist2, cid).
+
+    Scale shape: centroids are broadcast ONCE via ray.put and read inside
+    every task; the per-batch work is one (n x d) @ (d x k) integer
+    matmul; no shuffle at all — assignment is embarrassingly parallel."""
+    cq_ref = ray.put(_load_centroids(sf_dir, k))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cq_ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        q = _quantize(np.asarray(batch.column("embedding").to_pylist()))
+        # dist2 = |q|^2 - 2 q.c + |c|^2 ; |q|^2 is constant per row, so
+        # argmin only needs the cross and centroid terms (exact int64).
+        cross = q @ c.T  # (n, k) int64
+        c2 = np.einsum("kd,kd->k", c, c)
+        scores = c2[None, :] - 2 * cross
+        cell = np.argmin(scores, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cell": pa.array(cell, pa.int64()),
+            }
+        )
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+KMEANS_ASSIGN_SQL = f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(unnest(embedding)::DOUBLE * {_QUANT} + 0.5) AS BIGINT) AS qv
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, dim, qv AS qc FROM q WHERE vec_id < {KMEANS_K}),
+d AS (
+  SELECT q.vec_id, c.cid,
+         sum((q.qv - c.qc) * (q.qv - c.qc)) AS dist2
+  FROM q JOIN c USING (dim) GROUP BY 1, 2
+)
+SELECT vec_id, cid AS cell FROM d
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
+"""
+
+
+def kmeans_update(sf_dir: str, k: int = KMEANS_K) -> pa.Table:
+    """Centroid-update step: per (cell, dim) the exact int64 component
+    sum and member count — the mergeable "centroid registers" whose
+    ratio s/n is the new centroid.  Per-batch partial registers (<= k*d
+    rows per block regardless of row count) then one tiny groupby-sum:
+    the same combiner shape as the HLL/CMS sketches, so a full Lloyd
+    iteration at 100 TB is one narrow pass + a constant-size rollup.
+
+    Assignment is re-derived inside the same narrow stage rather than
+    joining the kmeans_assign output back on vec_id: it is pure per-row
+    compute, so recomputing beats a shuffle join."""
+    cq_ref = ray.put(_load_centroids(sf_dir, k))
+
+    def partial_registers(batch: pa.Table) -> pa.Table:
+        c = ray.get(cq_ref)
+        k_, d = c.shape
+        q = _quantize(np.asarray(batch.column("embedding").to_pylist()))
+        cross = q @ c.T
+        c2 = np.einsum("kd,kd->k", c, c)
+        cell = np.argmin(c2[None, :] - 2 * cross, axis=1)
+        sums = np.zeros((k_, d), dtype=np.int64)
+        np.add.at(sums, cell, q)
+        counts = np.bincount(cell, minlength=k_)
+        touched = np.flatnonzero(counts)
+        cells = np.repeat(touched, d)
+        dims = np.tile(np.arange(1, d + 1, dtype=np.int64), len(touched))
+        return pa.table(
+            {
+                "cell": pa.array(cells, pa.int64()),
+                "dim": pa.array(dims, pa.int64()),
+                "s": pa.array(sums[touched].ravel(), pa.int64()),
+                "n": pa.array(np.repeat(counts[touched], d), pa.int64()),
+            }
+        )
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = (
+        ds.map_batches(
+            partial_registers, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["cell", "dim"])
+        .aggregate(
+            ray.data.aggregate.Sum("s", alias_name="s"),
+            ray.data.aggregate.Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+        .sort_values(["cell", "dim"])
+    )
+    return pa.table(
+        {
+            "cell": pa.array(out["cell"].to_numpy(), pa.int64()),
+            "dim": pa.array(out["dim"].to_numpy(), pa.int64()),
+            "s": pa.array(out["s"].to_numpy().astype(np.int64), pa.int64()),
+            "n": pa.array(out["n"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+KMEANS_UPDATE_SQL = f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(unnest(embedding)::DOUBLE * {_QUANT} + 0.5) AS BIGINT) AS qv
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, dim, qv AS qc FROM q WHERE vec_id < {KMEANS_K}),
+d AS (
+  SELECT q.vec_id, c.cid,
+         sum((q.qv - c.qc) * (q.qv - c.qc)) AS dist2
+  FROM q JOIN c USING (dim) GROUP BY 1, 2
+),
+a AS (
+  SELECT vec_id, cid AS cell FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
+)
+SELECT a.cell, q.dim, sum(q.qv) AS s, count(*) AS n
+FROM a JOIN q USING (vec_id)
+GROUP BY 1, 2
+"""

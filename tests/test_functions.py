@@ -989,3 +989,36 @@ def test_pivot_event_counts_matches_counter():
     for r in rows:
         for name in ("view", "click", "purchase", "signup", "error"):
             assert r[f"n_{name}"] == true.get((r["user_id"], name), 0)
+
+
+def test_kmeans_assign_and_update_reference():
+    """Seeds assign to themselves (zero distance, ties to lower cid);
+    registers equal a numpy recomputation of per-cell component sums."""
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.similarity import (
+        KMEANS_K,
+        _load_centroids,
+        _quantize,
+        kmeans_assign,
+        kmeans_update,
+    )
+
+    cells = {r["vec_id"]: r["cell"] for r in kmeans_assign(SF).take_all()}
+    c = _load_centroids(SF, KMEANS_K)
+    for j in range(KMEANS_K):
+        assert cells[j] <= j  # own centroid is at distance 0
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(emb.column("vec_id").to_pylist())
+    q = _quantize(np.asarray(emb.column("embedding").to_pylist()))
+    d2 = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    want = d2.argmin(axis=1)
+    assert all(cells[i] == want[j] for j, i in enumerate(ids))
+
+    regs = kmeans_update(SF)
+    sums = np.zeros((KMEANS_K, q.shape[1]), dtype=np.int64)
+    np.add.at(sums, want, q)
+    counts = np.bincount(want, minlength=KMEANS_K)
+    for r in regs.to_pylist():
+        assert r["s"] == sums[r["cell"], r["dim"] - 1]
+        assert r["n"] == counts[r["cell"]]
