@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_orders": relational.left_join_orders,
         "funnel_stages": relational.funnel_stages,
         "pivot_event_counts": relational.pivot_event_counts,
+        "user_event_seq": relational.user_event_seq,
+        "event_transitions": relational.event_transitions,
         "hll_registers": sketches.hll_registers,
         "cms_registers": sketches.cms_registers,
         "sample_split": sampling.sample_split,
@@ -192,6 +194,8 @@ def oracle_sql() -> dict[str, str]:
         "left_join_orders": relational.LEFT_JOIN_ORDERS_SQL,
         "funnel_stages": relational.FUNNEL_SQL,
         "pivot_event_counts": relational.PIVOT_SQL,
+        "user_event_seq": relational.USER_EVENT_SEQ_SQL,
+        "event_transitions": relational.EVENT_TRANSITIONS_SQL,
         "hll_registers": sketches.HLL_REGISTERS_SQL,
         "cms_registers": sketches.CMS_REGISTERS_SQL,
         "tfidf_topk": text.TFIDF_TOPK_SQL,

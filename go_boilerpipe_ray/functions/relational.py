@@ -1132,3 +1132,95 @@ SELECT user_id,
        count(*) FILTER (event_type = 'error')    AS n_error
 FROM events GROUP BY user_id
 """
+
+
+# -- ordered sequence operators ----------------------------------------------
+
+
+def user_event_seq(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user time-ordered event-type sequence as one string — the
+    "assemble a session/trajectory document" primitive for behavioral
+    training data.  One shuffle on user_id; in-group lexsort by
+    (ts, event_id) makes the concatenation deterministic (hash-stable
+    against the string_agg ORDER BY oracle)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def concat(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        et = group.column("event_type").to_pylist()
+        order = np.lexsort((eid, ts))
+        uid = group.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "seq": pa.array([">".join(et[i] for i in order)], pa.string()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(concat, batch_format="pyarrow")
+
+
+USER_EVENT_SEQ_SQL = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+FROM events GROUP BY user_id
+"""
+
+
+def event_transitions(sf_dir: str) -> pa.Table:
+    """Global Markov transition counts over per-user ordered event
+    streams: (from_type, to_type, cnt).
+
+    The per-user pass emits PARTIAL transition counts (≤ types² rows
+    per user), then one tiny groupby-sum rolls them up — the hot pair
+    ("view"→"view") pre-combines inside every group, so the second
+    shuffle moves bounded fixed-width rows no matter how long the
+    streams are."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def partial_transitions(group: pa.Table) -> pa.Table:
+        import collections
+
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        et = group.column("event_type").to_pylist()
+        order = np.lexsort((eid, ts))
+        counts: collections.Counter = collections.Counter(
+            (et[a], et[b]) for a, b in zip(order, order[1:])
+        )
+        return pa.table(
+            {
+                "from_type": pa.array([k[0] for k in counts], pa.string()),
+                "to_type": pa.array([k[1] for k in counts], pa.string()),
+                "cnt_part": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(partial_transitions, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(ray.data.aggregate.Sum("cnt_part", alias_name="cnt"))
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+    )
+    return pa.table(
+        {
+            "from_type": pa.array(out["from_type"], pa.string()),
+            "to_type": pa.array(out["to_type"], pa.string()),
+            "cnt": pa.array(out["cnt"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev
+  FROM events
+)
+SELECT prev AS from_type, event_type AS to_type, count(*) AS cnt
+FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+"""

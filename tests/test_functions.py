@@ -1022,3 +1022,24 @@ def test_kmeans_assign_and_update_reference():
     for r in regs.to_pylist():
         assert r["s"] == sums[r["cell"], r["dim"] - 1]
         assert r["n"] == counts[r["cell"]]
+
+
+def test_user_event_seq_and_transitions_consistent():
+    """The transition counts must equal the pair counts read off the
+    assembled per-user sequences (same ordering rule)."""
+    import collections
+
+    from go_boilerpipe_ray.functions.relational import (
+        event_transitions,
+        user_event_seq,
+    )
+
+    seqs = {r["user_id"]: r["seq"].split(">") for r in user_event_seq(SF).take_all()}
+    want: collections.Counter = collections.Counter()
+    for parts in seqs.values():
+        want.update(zip(parts, parts[1:]))
+    got = {
+        (r["from_type"], r["to_type"]): r["cnt"]
+        for r in event_transitions(SF).to_pylist()
+    }
+    assert got == dict(want)
