@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": relational.event_transitions,
         "hll_registers": sketches.hll_registers,
         "cms_registers": sketches.cms_registers,
+        "value_histogram": sketches.value_histogram,
         "sample_split": sampling.sample_split,
         "stratified_sample": sampling.stratified_sample,
         "domain_cap": sampling.domain_cap,
@@ -198,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": relational.EVENT_TRANSITIONS_SQL,
         "hll_registers": sketches.HLL_REGISTERS_SQL,
         "cms_registers": sketches.CMS_REGISTERS_SQL,
+        "value_histogram": sketches.VALUE_HISTOGRAM_SQL,
         "tfidf_topk": text.TFIDF_TOPK_SQL,
         "domain_cap": sampling.DOMAIN_CAP_SQL,
         "shard_shuffle": sampling.SHARD_SHUFFLE_SQL,

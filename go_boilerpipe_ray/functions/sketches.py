@@ -211,3 +211,62 @@ def hll_estimate(registers: pa.Table) -> float:
     if raw <= 2.5 * _M and zeros:
         return _M * float(np.log(_M / zeros))
     return float(raw)
+
+
+# -- fixed-bin histogram (continuous-value quantile sketch) ------------------
+
+HIST_BIN_CENTS = 100  # bin = floor(value * 100): one cent per bin
+
+
+def _hist_partial(batch: pa.Table) -> pa.Table:
+    v = batch.column("value").to_numpy(zero_copy_only=False)
+    bins = np.floor(v * HIST_BIN_CENTS).astype(np.int64)
+    uniq, cnt = np.unique(bins, return_counts=True)
+    return pa.table(
+        {
+            "bin": pa.array(uniq, pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def value_histogram(sf_dir: str) -> pa.Table:
+    """Fixed-width histogram of events.value — the mergeable quantile
+    sketch for CONTINUOUS values (the exact-percentiles operator needs
+    bounded distinct values; a fixed-bin histogram bounds the rollup at
+    the bin count instead, with quantiles exact to one bin width).
+    Same combiner shape as HLL/CMS: per-batch (bin, cnt) partials, one
+    tiny groupby-sum.  floor(value*100) is computed in float64 on both
+    engines, so the oracle is bit-stable."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
+    out = (
+        ds.map_batches(_hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .sum("cnt")
+        .to_pandas()
+        .sort_values("bin")
+    )
+    return pa.table(
+        {
+            "bin": pa.array(out["bin"].to_numpy(), pa.int64()),
+            "cnt": pa.array(out["sum(cnt)"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+SELECT CAST(floor(value * {HIST_BIN_CENTS}) AS BIGINT) AS bin, count(*) AS cnt
+FROM events GROUP BY 1
+"""
+
+
+def histogram_quantile(hist: pa.Table, q: float) -> float:
+    """Quantile estimate from the histogram: the left edge of the bin
+    holding the ceil(q*n)-th value (exact to one bin width)."""
+    bins = hist.column("bin").to_numpy(zero_copy_only=False)
+    cnt = hist.column("cnt").to_numpy(zero_copy_only=False)
+    order = np.argsort(bins)
+    bins, cnt = bins[order], cnt[order]
+    target = int(np.ceil(q * cnt.sum()))
+    pos = np.searchsorted(np.cumsum(cnt), max(target, 1))
+    return float(bins[min(pos, len(bins) - 1)]) / HIST_BIN_CENTS

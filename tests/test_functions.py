@@ -1043,3 +1043,27 @@ def test_user_event_seq_and_transitions_consistent():
         for r in event_transitions(SF).to_pylist()
     }
     assert got == dict(want)
+
+
+def test_histogram_quantile_within_one_bin():
+    """Histogram quantiles are exact to one bin width vs numpy."""
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.sketches import (
+        HIST_BIN_CENTS,
+        histogram_quantile,
+        value_histogram,
+    )
+
+    hist = value_histogram(SF)
+    vals = np.sort(
+        pq.read_table(f"{SF}/events.parquet", columns=["value"])
+        .column("value")
+        .to_numpy(zero_copy_only=False)
+    )
+    n = len(vals)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        exact = vals[max(int(np.ceil(q * n)), 1) - 1]
+        est = histogram_quantile(hist, q)
+        assert abs(est - exact) <= 1.0 / HIST_BIN_CENTS + 1e-9, (q, est, exact)
+    assert int(hist.column("cnt").to_numpy().sum()) == n
