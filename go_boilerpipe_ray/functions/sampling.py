@@ -120,6 +120,23 @@ QUALIFY row_number() OVER (
 DOMAIN_CAP_N = 10
 
 
+def lowest_n_per_source(tbl: pa.Table, n: int) -> pa.Table:
+    """Keep the n lowest doc_ids per source — domain_cap's combiner AND
+    finisher (it is a homomorphism: capping capped chunks equals capping
+    the whole, pinned by a hypothesis law test)."""
+    if tbl.num_rows == 0:
+        return tbl
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    src = np.asarray(tbl.column("source").to_pylist())
+    order = np.lexsort((ids, src))
+    s = src[order]
+    starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+    run_len = np.diff(np.r_[starts, len(order)])
+    pos_in_run = np.arange(len(order)) - np.repeat(starts, run_len)
+    keep = np.sort(order[pos_in_run < n])
+    return tbl.take(pa.array(keep, pa.int64()))
+
+
 def domain_cap(sf_dir: str, n: int = DOMAIN_CAP_N) -> "ray.data.Dataset":
     """Per-domain document cap: keep at most ``n`` documents (lowest
     doc_id) per source — the Common-Crawl-style curation rule that stops
@@ -135,23 +152,13 @@ def domain_cap(sf_dir: str, n: int = DOMAIN_CAP_N) -> "ray.data.Dataset":
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
 
-    def lowest_n(tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0:
-            return tbl
-        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
-        src = np.asarray(tbl.column("source").to_pylist())
-        order = np.lexsort((ids, src))
-        s = src[order]
-        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
-        run_len = np.diff(np.r_[starts, len(order)])
-        pos_in_run = np.arange(len(order)) - np.repeat(starts, run_len)
-        keep = np.sort(order[pos_in_run < n])
-        return tbl.take(pa.array(keep, pa.int64()))
+    def cap(tbl: pa.Table) -> pa.Table:
+        return lowest_n_per_source(tbl, n)
 
     return (
-        ds.map_batches(lowest_n, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(cap, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("source")
-        .map_groups(lowest_n, batch_format="pyarrow")
+        .map_groups(cap, batch_format="pyarrow")
     )
 
 

@@ -91,3 +91,68 @@ def test_tokenize_matches_reference_3pass(text):
     from go_boilerpipe_ray.kernel.handler import _tokenize_reference, tokenize
 
     assert tokenize(text) == _tokenize_reference(text)
+
+
+# -- combiner laws for the wide-operator partials (pure pyarrow, no Ray) ----
+#
+# Every "pre-aggregate in the batch, roll up in the groupby" operator is
+# only correct if its partial is a homomorphism: combining per-chunk
+# partials must equal the partial of the whole.  These pin that law on
+# random inputs for the newest combiners.
+
+_cap_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10_000),
+              st.sampled_from(["a", "b", "c", "d"])),
+    min_size=0, max_size=60, unique_by=lambda t: t[0],
+)
+
+
+@given(_cap_rows, st.integers(min_value=1, max_value=5),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=60, deadline=None)
+def test_domain_cap_combiner_law(rows, n, k):
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.sampling import lowest_n_per_source as cap
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    # Split into k chunks, cap each, concat, cap again == cap whole.
+    chunks = [tbl.slice(i * (len(rows) // k + 1), len(rows) // k + 1) for i in range(k)]
+    partial = pa.concat_tables([cap(c, n) for c in chunks])
+    got = cap(partial, n).to_pylist()
+    want = cap(tbl, n).to_pylist()
+    key = lambda r: (r["source"], r["doc_id"])
+    assert sorted(got, key=key) == sorted(want, key=key)
+
+
+@given(st.lists(st.floats(min_value=0, max_value=500, allow_nan=False),
+                min_size=0, max_size=80),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=60, deadline=None)
+def test_histogram_partial_additive(vals, k):
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.sketches import _hist_partial
+
+    def to_tbl(vs):
+        return pa.table({"value": pa.array(vs, pa.float64())})
+
+    whole = _hist_partial(to_tbl(vals)).to_pylist() if vals else []
+    merged: collections.Counter = collections.Counter()
+    step = len(vals) // k + 1
+    for i in range(k):
+        part = vals[i * step:(i + 1) * step]
+        if part:
+            for r in _hist_partial(to_tbl(part)).to_pylist():
+                merged[r["bin"]] += r["cnt"]
+    assert merged == collections.Counter(
+        {r["bin"]: r["cnt"] for r in whole}
+    )
