@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": text.pii_scrub,
         "repetition_stats": text.repetition_stats,
         "tfidf_topk": text.tfidf_topk,
+        "gopher_rules": text.gopher_rules,
         # dedup
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -201,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_registers": sketches.CMS_REGISTERS_SQL,
         "value_histogram": sketches.VALUE_HISTOGRAM_SQL,
         "tfidf_topk": text.TFIDF_TOPK_SQL,
+        "gopher_rules": text.GOPHER_RULES_SQL,
         "domain_cap": sampling.DOMAIN_CAP_SQL,
         "shard_shuffle": sampling.SHARD_SHUFFLE_SQL,
         "knn_brute": similarity.KNN_SQL,

@@ -887,3 +887,94 @@ FROM documents d
 LEFT JOIN la ON la.doc_id = d.doc_id
 LEFT JOIN ba ON ba.doc_id = d.doc_id
 """
+
+
+# -- Gopher-style quality rules ---------------------------------------------
+
+# Integer thresholds (Rae et al. 2021 "Scaling Language Models" quality
+# heuristics, adapted to integer arithmetic for a hash-stable oracle).
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL_CENTI = 250   # mean word length in 1/100 chars
+GOPHER_MAX_MWL_CENTI = 1_000
+GOPHER_MAX_SYMBOL_PERMILLE = 100  # '#' / '…' per word
+GOPHER_MIN_STOPWORD_HITS = 2
+
+_GOPHER_STOPWORD_RE = r"\b(the|a|of|and|to|in|is|it)\b"
+
+
+def gopher_rules(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher-rule document filter: word-count bounds, mean-word-length
+    band, symbol-to-word ratio, minimum stopword hits — the standard
+    pre-training quality gate, emitted as integer signals plus a 0/1
+    verdict so the corpus can be filtered or audited.
+
+    Narrow stage, fully vectorized RE2 kernels (count_substring_regex),
+    no shuffle; the same regexes run verbatim in the DuckDB oracle (both
+    engines are RE2-class)."""
+
+    def rules(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        n_nonws = pc.cast(pc.count_substring_regex(text, r"\S"), pa.int64())
+        n_sym = pc.cast(pc.count_substring_regex(text, r"[#…]"), pa.int64())
+        n_stop = pc.cast(
+            pc.count_substring_regex(text, _GOPHER_STOPWORD_RE), pa.int64()
+        )
+        denom = pc.max_element_wise(n_words, 1)
+        mwl_centi = pc.divide(pc.multiply(n_nonws, 100), denom)
+        sym_permille = pc.divide(pc.multiply(n_sym, 1000), denom)
+        ok = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(n_words, GOPHER_MIN_WORDS),
+                    pc.less_equal(n_words, GOPHER_MAX_WORDS),
+                ),
+                pc.and_(
+                    pc.greater_equal(mwl_centi, GOPHER_MIN_MWL_CENTI),
+                    pc.less_equal(mwl_centi, GOPHER_MAX_MWL_CENTI),
+                ),
+            ),
+            pc.and_(
+                pc.less_equal(sym_permille, GOPHER_MAX_SYMBOL_PERMILLE),
+                pc.greater_equal(n_stop, GOPHER_MIN_STOPWORD_HITS),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": n_words,
+                "mwl_centi": pc.cast(mwl_centi, pa.int64()),
+                "sym_permille": pc.cast(sym_permille, pa.int64()),
+                "n_stopword_hits": n_stop,
+                "passes_gopher": pc.cast(ok, pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir).map_batches(
+        rules, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+GOPHER_RULES_SQL = f"""
+WITH sig AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\S+')) AS n_words,
+         len(regexp_extract_all(text, '\\S'))  AS n_nonws,
+         len(regexp_extract_all(text, '[#…]')) AS n_sym,
+         len(regexp_extract_all(text, '{_GOPHER_STOPWORD_RE}')) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_words,
+       n_nonws * 100 // greatest(n_words, 1) AS mwl_centi,
+       n_sym * 1000 // greatest(n_words, 1) AS sym_permille,
+       n_stop AS n_stopword_hits,
+       CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+             AND n_nonws * 100 // greatest(n_words, 1)
+                 BETWEEN {GOPHER_MIN_MWL_CENTI} AND {GOPHER_MAX_MWL_CENTI}
+             AND n_sym * 1000 // greatest(n_words, 1)
+                 <= {GOPHER_MAX_SYMBOL_PERMILLE}
+             AND n_stop >= {GOPHER_MIN_STOPWORD_HITS}
+            THEN 1 ELSE 0 END AS passes_gopher
+FROM sig
+"""

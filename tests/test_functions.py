@@ -1067,3 +1067,28 @@ def test_histogram_quantile_within_one_bin():
         est = histogram_quantile(hist, q)
         assert abs(est - exact) <= 1.0 / HIST_BIN_CENTS + 1e-9, (q, est, exact)
     assert int(hist.column("cnt").to_numpy().sum()) == n
+
+
+def test_gopher_rules_verdict_consistent_with_signals():
+    from go_boilerpipe_ray.functions.text import (
+        GOPHER_MAX_MWL_CENTI,
+        GOPHER_MAX_SYMBOL_PERMILLE,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MWL_CENTI,
+        GOPHER_MIN_STOPWORD_HITS,
+        GOPHER_MIN_WORDS,
+        gopher_rules,
+    )
+
+    rows = gopher_rules(SF).take_all()
+    assert rows
+    both = {0, 1} <= {r["passes_gopher"] for r in rows}
+    assert both  # thresholds must actually discriminate on this corpus
+    for r in rows:
+        want = int(
+            GOPHER_MIN_WORDS <= r["n_words"] <= GOPHER_MAX_WORDS
+            and GOPHER_MIN_MWL_CENTI <= r["mwl_centi"] <= GOPHER_MAX_MWL_CENTI
+            and r["sym_permille"] <= GOPHER_MAX_SYMBOL_PERMILLE
+            and r["n_stopword_hits"] >= GOPHER_MIN_STOPWORD_HITS
+        )
+        assert r["passes_gopher"] == want, r
