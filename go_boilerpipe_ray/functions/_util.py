@@ -60,3 +60,26 @@ def wide_partitions(floor: int = 64) -> int:
     except Exception:
         cpus = 0
     return max(floor, 2 * cpus)
+
+
+# Canonical alnum token pattern shared by text analysis, dedup shingling
+# and the sketches (and interpolated into their SQL oracles) — one
+# definition so cross-operator token semantics can never diverge.
+TOKEN_PATTERN = r"[a-z0-9]+"
+
+
+def md5_u64(vals) -> "np.ndarray":
+    """Low 8 bytes of md5(str(int(v))), little-endian, as uint64 — the
+    exact value DuckDB's ``md5_number_lower(v::VARCHAR)`` computes, used
+    by every hash-keyed operator (splits, strata, shards, HLL) so the
+    SQL oracles stay bit-exact.  One definition; do not re-implement."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.empty(len(vals), dtype=np.uint64)
+    for i, v in enumerate(vals):
+        out[i] = int.from_bytes(
+            hashlib.md5(str(int(v)).encode("ascii")).digest()[8:], "little"
+        )
+    return out

@@ -37,7 +37,9 @@ import ray.data
 
 from ._util import cut_lineage, wide_partitions
 
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
+from ._util import TOKEN_PATTERN
+
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
 
 _MD5_U64_CACHE: dict[str, int] = {}
 

@@ -10,14 +10,12 @@ out eval data from a training corpus.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
 import ray.data
 
-from ._util import read_parquet_clean
+from ._util import md5_u64, read_parquet_clean
 
 # (name, permille upper bound): train = [0, 980), valid = [980, 990),
 # test = [990, 1000).  Mirrored exactly by SAMPLE_SPLIT_SQL.
@@ -25,13 +23,7 @@ _SPLIT_BOUNDS = (("train", 980), ("valid", 990), ("test", 1000))
 
 
 def _key_permille(ids: np.ndarray) -> np.ndarray:
-    out = np.empty(len(ids), dtype=np.int64)
-    for i, v in enumerate(ids):
-        h = int.from_bytes(
-            hashlib.md5(str(int(v)).encode("ascii")).digest()[8:], "little"
-        )
-        out[i] = h % 1000
-    return out
+    return (md5_u64(ids) % 1000).astype(np.int64)
 
 
 def _split_batch(batch: pa.Table) -> pa.Table:
@@ -84,11 +76,7 @@ def stratified_sample(sf_dir: str, k: int = STRATIFIED_K) -> "ray.data.Dataset":
 
     def add_hash(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        h = np.empty(len(ids), dtype=np.uint64)
-        for i, v in enumerate(ids):
-            h[i] = int.from_bytes(
-                hashlib.md5(str(int(v)).encode("ascii")).digest()[8:], "little"
-            )
+        h = md5_u64(ids)
         return batch.append_column("h", pa.array(h.astype(np.int64), pa.int64()))
 
     def topk(group: pa.Table) -> pa.Table:
@@ -183,11 +171,7 @@ def shard_shuffle(sf_dir: str, n_shards: int = N_SHARDS) -> "ray.data.Dataset":
 
     def add_shard(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        h = np.empty(len(ids), dtype=np.uint64)
-        for i, v in enumerate(ids):
-            h[i] = int.from_bytes(
-                hashlib.md5(str(int(v)).encode("ascii")).digest()[8:], "little"
-            )
+        h = md5_u64(ids)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

@@ -637,6 +637,17 @@ def _load_centroids(sf_dir: str, k: int) -> np.ndarray:
     return _quantize(cm)  # (k, d) int64
 
 
+def _assign_cells(q: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+    """Nearest centroid per quantized row, exact int64: argmin of
+    |c|^2 - 2 q.c (|q|^2 is constant per row); np.argmin's first-min
+    breaks ties toward the lower centroid id, matching the oracle's
+    ORDER BY dist2, cid.  Shared by assign and update so their
+    assignment math can never diverge."""
+    cross = q @ c.T  # (n, k) int64
+    c2 = np.einsum("kd,kd->k", c, c)
+    return np.argmin(c2[None, :] - 2 * cross, axis=1)
+
+
 def kmeans_assign(sf_dir: str, k: int = KMEANS_K) -> "ray.data.Dataset":
     """Assignment step of distributed Lloyd k-means: every vector goes to
     its nearest centroid (squared L2 in exact int64 fixed-point; ties
@@ -652,12 +663,7 @@ def kmeans_assign(sf_dir: str, k: int = KMEANS_K) -> "ray.data.Dataset":
         c = ray.get(cq_ref)
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         q = _quantize(np.asarray(batch.column("embedding").to_pylist()))
-        # dist2 = |q|^2 - 2 q.c + |c|^2 ; |q|^2 is constant per row, so
-        # argmin only needs the cross and centroid terms (exact int64).
-        cross = q @ c.T  # (n, k) int64
-        c2 = np.einsum("kd,kd->k", c, c)
-        scores = c2[None, :] - 2 * cross
-        cell = np.argmin(scores, axis=1).astype(np.int64)
+        cell = _assign_cells(q, c).astype(np.int64)
         return pa.table(
             {
                 "vec_id": pa.array(ids, pa.int64()),
@@ -705,9 +711,7 @@ def kmeans_update(sf_dir: str, k: int = KMEANS_K) -> pa.Table:
         c = ray.get(cq_ref)
         k_, d = c.shape
         q = _quantize(np.asarray(batch.column("embedding").to_pylist()))
-        cross = q @ c.T
-        c2 = np.einsum("kd,kd->k", c, c)
-        cell = np.argmin(c2[None, :] - 2 * cross, axis=1)
+        cell = _assign_cells(q, c)
         sums = np.zeros((k_, d), dtype=np.int64)
         np.add.at(sums, cell, q)
         counts = np.bincount(cell, minlength=k_)

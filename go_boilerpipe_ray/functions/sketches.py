@@ -22,22 +22,14 @@ import pyarrow as pa
 
 import ray.data
 
-from ._util import read_parquet_clean
+from ._util import TOKEN_PATTERN, md5_u64, read_parquet_clean
 
 HLL_P = 9  # 512 registers: ~4.6% standard error
 _M = 1 << HLL_P
 _WINDOW_BITS = 32
 
 
-def _md5_u64_str(vals: np.ndarray) -> np.ndarray:
-    import hashlib
-
-    out = np.empty(len(vals), dtype=np.uint64)
-    for i, v in enumerate(vals):
-        out[i] = int.from_bytes(
-            hashlib.md5(str(int(v)).encode("ascii")).digest()[8:], "little"
-        )
-    return out
+_md5_u64_str = md5_u64  # canonical helper; see _util.md5_u64
 
 
 def _rho(suffix: np.ndarray) -> np.ndarray:
@@ -106,7 +98,7 @@ FROM h GROUP BY 1
 CMS_DEPTH = 4
 CMS_WIDTH = 256
 
-_TOKEN_RE = r"[a-z0-9]+"
+_TOKEN_RE = TOKEN_PATTERN
 
 
 def _cms_partial(batch: pa.Table) -> pa.Table:
@@ -265,6 +257,8 @@ def histogram_quantile(hist: pa.Table, q: float) -> float:
     holding the ceil(q*n)-th value (exact to one bin width)."""
     bins = hist.column("bin").to_numpy(zero_copy_only=False)
     cnt = hist.column("cnt").to_numpy(zero_copy_only=False)
+    if len(bins) == 0:
+        raise ValueError("empty histogram has no quantiles")
     order = np.argsort(bins)
     bins, cnt = bins[order], cnt[order]
     target = int(np.ceil(q * cnt.sum()))

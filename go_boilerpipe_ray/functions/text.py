@@ -27,7 +27,9 @@ _LANG_PROFILES = [
     ("es", {"el", "la", "los", "las", "es", "un", "una", "en", "por"}),
 ]
 
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
+from ._util import TOKEN_PATTERN
+
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
 _BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
@@ -657,9 +659,13 @@ def tfidf_topk(sf_dir: str, k: int = TFIDF_K) -> "ray.data.Dataset":
     The score is integer (``tf * 1000 * N // df`` — monotone in
     tf x N/df) so the DuckDB oracle comparison is hash-stable; a float
     log-idf would rank identically for fixed tf."""
+    import pyarrow.parquet as pq
+
     ds = read_documents(sf_dir)
-    # Parquet metadata count — no data scan, no materialization.
-    n_docs = read_documents(sf_dir, columns=["doc_id"]).count()
+    # Row count from the parquet footer alone — no scan, no Ray job
+    # (Dataset.count() would launch a read of doc_id through the
+    # metadata-strip stage).
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
 
     def term_counts(batch: pa.Table) -> pa.Table:
         import collections
@@ -691,6 +697,14 @@ def tfidf_topk(sf_dir: str, k: int = TFIDF_K) -> "ray.data.Dataset":
     def topk(group: pa.Table) -> pa.Table:
         tf = group.column("tf").to_numpy(zero_copy_only=False)
         df = group.column("df").to_numpy(zero_copy_only=False)
+        # Guard the int64 product: numpy wraps silently where the BIGINT
+        # oracle would error.  At corpus scales where tf*1000*N no longer
+        # fits (N ~ 1e10 with tf ~ 1e6), switch the score to log-idf.
+        if tf.size and int(tf.max()) * 1000 * n_docs > 2**63 - 1:
+            raise OverflowError(
+                "tfidf_milli exceeds int64 at this corpus scale — "
+                "use a log-idf score"
+            )
         scored = group.append_column(
             "tfidf_milli", pa.array(tf * 1000 * n_docs // df, pa.int64())
         )
@@ -715,7 +729,7 @@ def tfidf_topk(sf_dir: str, k: int = TFIDF_K) -> "ray.data.Dataset":
 TFIDF_TOPK_SQL = f"""
 WITH tok AS (
   SELECT doc_id,
-         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS token
   FROM documents
 ),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -900,7 +914,9 @@ GOPHER_MAX_MWL_CENTI = 1_000
 GOPHER_MAX_SYMBOL_PERMILLE = 100  # '#' / '…' per word
 GOPHER_MIN_STOPWORD_HITS = 2
 
-_GOPHER_STOPWORD_RE = r"\b(the|a|of|and|to|in|is|it)\b"
+# Derived from STOPWORDS so the gopher gate and the quality-score
+# operators can never disagree on the stopword list.
+_GOPHER_STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
 
 
 def gopher_rules(sf_dir: str) -> "ray.data.Dataset":
@@ -947,7 +963,11 @@ def gopher_rules(sf_dir: str) -> "ray.data.Dataset":
                 "mwl_centi": pc.cast(mwl_centi, pa.int64()),
                 "sym_permille": pc.cast(sym_permille, pa.int64()),
                 "n_stopword_hits": n_stop,
-                "passes_gopher": pc.cast(ok, pa.int64()),
+                # Null text leaves the signals null (as the SQL does) but
+                # the verdict must be 0, matching CASE WHEN NULL ... ELSE 0.
+                "passes_gopher": pc.coalesce(
+                    pc.cast(ok, pa.int64()), pa.scalar(0, pa.int64())
+                ),
             }
         )
 
