@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_event_counts": relational.pivot_event_counts,
         "user_event_seq": relational.user_event_seq,
         "event_transitions": relational.event_transitions,
+        "grouped_percentiles": relational.grouped_percentiles,
+        "retention_cohorts": relational.retention_cohorts,
         "hll_registers": sketches.hll_registers,
         "cms_registers": sketches.cms_registers,
         "value_histogram": sketches.value_histogram,
@@ -198,6 +200,8 @@ def oracle_sql() -> dict[str, str]:
         "pivot_event_counts": relational.PIVOT_SQL,
         "user_event_seq": relational.USER_EVENT_SEQ_SQL,
         "event_transitions": relational.EVENT_TRANSITIONS_SQL,
+        "grouped_percentiles": relational.GROUPED_PERCENTILES_SQL,
+        "retention_cohorts": relational.RETENTION_SQL,
         "hll_registers": sketches.HLL_REGISTERS_SQL,
         "cms_registers": sketches.CMS_REGISTERS_SQL,
         "value_histogram": sketches.VALUE_HISTOGRAM_SQL,

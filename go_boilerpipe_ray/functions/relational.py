@@ -1224,3 +1224,158 @@ WITH seq AS (
 SELECT prev AS from_type, event_type AS to_type, count(*) AS cnt
 FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
 """
+
+
+# -- per-group percentiles ---------------------------------------------------
+
+
+def grouped_percentiles(sf_dir: str) -> pa.Table:
+    """Exact discrete quantiles of the value column PER event type (in
+    cents) — percentiles_doclen generalized to grouped data.  Same
+    distinct-value combiner: per-batch (type, cents, count) rollup, one
+    keyed shuffle of those partials, then a per-type cumsum pick of the
+    ceil(q·n) element inside map_groups.  The driver never sees row
+    data; each group's table is one row per DISTINCT cent value."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        t = pa.table(
+            {"event_type": batch.column("event_type"),
+             "cents": pa.array(cents, pa.int64())}
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate([("cents", "count")])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "cents": g.column("cents"),
+                "cnt": pc.cast(g.column("cents_count"), pa.int64()),
+            }
+        )
+
+    def pick(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        order = pc.sort_indices(group, sort_keys=[("cents", "ascending")])
+        g = group.take(order)
+        vals = g.column("cents").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(g.column("cnt").to_numpy(zero_copy_only=False))
+        n = int(cum[-1])
+        rows_q, rows_v = [], []
+        for pm in PERCENTILES_PERMILLE:
+            idx = int(np.ceil((pm / 1000.0) * n))
+            pos = int(np.searchsorted(cum, max(idx, 1)))
+            rows_q.append(pm)
+            rows_v.append(int(vals[min(pos, len(vals) - 1)]))
+        return pa.table(
+            {
+                "event_type": pa.array([et] * len(rows_q), pa.string()),
+                "q_permille": pa.array(rows_q, pa.int64()),
+                "cents_value": pa.array(rows_v, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "cents"])
+        .sum("cnt")
+        .rename_columns({"sum(cnt)": "cnt"})
+        .groupby("event_type")
+        .map_groups(pick, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["event_type", "q_permille"])
+        .pipe(pa.Table.from_pandas, preserve_index=False)
+    )
+
+
+GROUPED_PERCENTILES_SQL = "\nUNION ALL\n".join(
+    f"SELECT event_type, {pm} AS q_permille,"
+    f" quantile_disc(CAST(round(value * 100) AS BIGINT), {pm / 1000.0})"
+    " AS cents_value FROM events GROUP BY event_type"
+    for pm in PERCENTILES_PERMILLE
+)
+
+
+# -- retention cohorts -------------------------------------------------------
+
+
+def retention_cohorts(sf_dir: str) -> pa.Table:
+    """Weekly retention matrix: users whose FIRST event falls in cohort
+    week w and who are active k weeks later → (cohort_week, week_delta,
+    n_users).  The product-analytics cohort table.
+
+    One shuffle on user_id (per-user pass computes the cohort week and
+    the distinct active-week deltas — bounded by weeks-per-user, not
+    events), then a tiny rollup on (cohort, delta)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def add_week(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "wk": pc.floor_temporal(batch.column("ts"), unit="week"),
+            }
+        )
+
+    def user_deltas(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id")[0].as_py()
+        wk = group.column("wk").to_numpy(zero_copy_only=False)
+        uniq = np.unique(wk)
+        cohort = uniq[0]
+        deltas = ((uniq - cohort) // np.timedelta64(7, "D")).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array([uid] * len(deltas), pa.int64()),
+                "cohort_week": pa.array([cohort] * len(deltas)).cast(
+                    pa.timestamp("us")
+                ),
+                "week_delta": pa.array(deltas, pa.int64()),
+            }
+        )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["cohort_week", "week_delta"]).aggregate(
+            [("user_id", "count")]
+        )
+        return pa.table(
+            {
+                "cohort_week": g.column("cohort_week"),
+                "week_delta": g.column("week_delta"),
+                "n_part": pc.cast(g.column("user_id_count"), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_week, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(user_deltas, batch_format="pyarrow")
+        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["cohort_week", "week_delta"])
+        .aggregate(ray.data.aggregate.Sum("n_part", alias_name="n_users"))
+        .to_pandas()
+        .sort_values(["cohort_week", "week_delta"])
+    )
+    return pa.table(
+        {
+            "cohort_week": pa.Array.from_pandas(out["cohort_week"]).cast(
+                pa.timestamp("us")
+            ),
+            "week_delta": pa.array(out["week_delta"].to_numpy(), pa.int64()),
+            "n_users": pa.array(
+                out["n_users"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+RETENTION_SQL = """
+WITH w AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+f AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1),
+a AS (
+  SELECT DISTINCT w.user_id, f.cohort,
+         CAST(date_diff('day', f.cohort, w.wk) // 7 AS BIGINT) AS week_delta
+  FROM w JOIN f USING (user_id)
+)
+SELECT cohort AS cohort_week, week_delta, count(*) AS n_users
+FROM a GROUP BY 1, 2
+"""

@@ -1092,3 +1092,42 @@ def test_gopher_rules_verdict_consistent_with_signals():
             and r["n_stopword_hits"] >= GOPHER_MIN_STOPWORD_HITS
         )
         assert r["passes_gopher"] == want, r
+
+
+def test_grouped_percentiles_match_per_type_numpy():
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.relational import grouped_percentiles
+
+    got = {
+        (r["event_type"], r["q_permille"]): r["cents_value"]
+        for r in grouped_percentiles(SF).to_pylist()
+    }
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "value"])
+    by_type: dict[str, list[int]] = collections.defaultdict(list)
+    for et, v in zip(
+        ev.column("event_type").to_pylist(), ev.column("value").to_pylist()
+    ):
+        by_type[et].append(int(np.floor(v * 100 + 0.5)))
+    for (et, pm), cents in got.items():
+        vals = sorted(by_type[et])
+        idx = max(int(np.ceil((pm / 1000.0) * len(vals))), 1)
+        assert cents == vals[idx - 1], (et, pm)
+
+
+def test_retention_cohorts_counts_users_once_per_delta():
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.relational import retention_cohorts
+
+    tbl = retention_cohorts(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])
+    n_users = len(set(ev.column("user_id").to_pylist()))
+    # delta 0 row(s) must cover every user exactly once in total.
+    d0 = sum(
+        r["n_users"] for r in tbl.to_pylist() if r["week_delta"] == 0
+    )
+    assert d0 == n_users
+    assert all(r["week_delta"] >= 0 for r in tbl.to_pylist())
