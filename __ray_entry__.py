@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": sampling.stratified_sample,
         "domain_cap": sampling.domain_cap,
         "shard_shuffle": sampling.shard_shuffle,
+        "weighted_sample": sampling.weighted_sample,
         # multimodal plumbing
         "media_decode": xq.media_decode,
         "media_resize": xq.media_resize,
@@ -209,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": text.GOPHER_RULES_SQL,
         "domain_cap": sampling.DOMAIN_CAP_SQL,
         "shard_shuffle": sampling.SHARD_SHUFFLE_SQL,
+        "weighted_sample": sampling.WEIGHTED_SAMPLE_SQL,
         "knn_brute": similarity.KNN_SQL,
         "knn_lsh": similarity.KNN_LSH_SQL,
         "knn_ivf_exhaustive": similarity.KNN_SQL,

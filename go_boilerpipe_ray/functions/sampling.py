@@ -209,3 +209,34 @@ SELECT doc_id,
            AS shard_pos
 FROM h
 """
+
+
+def weighted_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic weighted Bernoulli sampling: keep a document with
+    probability proportional to its length (capped at 1) by comparing
+    the key hash's permille against the weight — the "upsample long /
+    high-quality documents" curation step, reproducible on any cluster
+    because membership is a pure function of (doc_id, n_chars).
+
+    Shuffle-free narrow stage (like sample_split); the weight law
+    p_permille = min(1000, n_chars * 1000 / 200) admits docs >= 200
+    chars always and shorter ones proportionally."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_chars = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        pm = (md5_u64(ids) % 1000).astype(np.int64)
+        p = np.minimum(1000, n_chars * 1000 // 200)
+        return batch.filter(pa.array(pm < p))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE md5_number_lower(doc_id::VARCHAR) % 1000
+      < least(1000, n_chars * 1000 // 200)
+"""

@@ -1131,3 +1131,20 @@ def test_retention_cohorts_counts_users_once_per_delta():
     )
     assert d0 == n_users
     assert all(r["week_delta"] >= 0 for r in tbl.to_pylist())
+
+
+def test_weighted_sample_membership_rule():
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions._util import md5_u64
+    from go_boilerpipe_ray.functions.sampling import weighted_sample
+
+    kept = {r["doc_id"] for r in weighted_sample(SF).take_all()}
+    full = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
+    ids = np.asarray(full.column("doc_id").to_pylist())
+    n_chars = np.asarray(full.column("n_chars").to_pylist())
+    pm = (md5_u64(ids) % 1000).astype(np.int64)
+    p = np.minimum(1000, n_chars * 1000 // 200)
+    want = {int(i) for i, keep in zip(ids, pm < p) if keep}
+    assert kept == want
+    assert 0 < len(kept) < len(ids)  # the weight law must discriminate
