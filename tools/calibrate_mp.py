@@ -1,0 +1,62 @@
+"""Measure the BOX's own 8-vs-32-process scaling ceiling for the bare
+kernel (no Ray): multiprocessing over the cached bench corpus files.
+The Ray-level scaling efficiency can never exceed this number; run it in
+the same machine state as bench.py --scaling to interpret a draw.
+
+Usage: python tools/calibrate_mp.py [corpus_glob]
+"""
+
+from __future__ import annotations
+
+import glob
+import multiprocessing as mp
+import sys
+import time
+
+
+def _work(path: str) -> int:
+    import sys
+
+    import pyarrow.parquet as pq
+
+    if "/root/repo" not in sys.path:  # pool workers may not inherit cwd
+        sys.path.insert(0, "/root/repo")
+    from go_boilerpipe_ray.kernel.spans import extract_from_spans
+
+    t = pq.read_table(path, columns=["spans"])
+    n = 0
+    for spans in t.column("spans").to_pylist():
+        extract_from_spans(spans)
+        n += 1
+    return n
+
+
+def run(files: list[str], procs: int) -> float:
+    t0 = time.perf_counter()
+    with mp.Pool(procs) as pool:
+        total = sum(pool.map(_work, files, chunksize=1))
+    dt = time.perf_counter() - t0
+    return total / dt
+
+
+def main() -> None:
+    pat = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gbr_cache/bench_corpus_*/*.parquet"
+    files = sorted(glob.glob(pat))
+    if not files:
+        raise SystemExit(f"no corpus files match {pat} — run bench.py once first")
+    # Interleave lo/hi draws so both levels see the same machine states.
+    readings = {8: [], 32: []}
+    for _ in range(2):
+        for procs in (8, 32):
+            readings[procs].append(run(files, procs))
+    lo, hi = max(readings[8]), max(readings[32])
+    print(
+        f"raw-mp ceiling: {lo:.1f} docs/s @8 procs, {hi:.1f} @32, "
+        f"efficiency {hi / (4 * lo):.3f} "
+        f"(draws lo={[f'{x:.0f}' for x in readings[8]]}, "
+        f"hi={[f'{x:.0f}' for x in readings[32]]})"
+    )
+
+
+if __name__ == "__main__":
+    main()
