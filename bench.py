@@ -306,8 +306,42 @@ def run_scaling(args) -> None:
         "docs_per_sec_lo": round(tput_lo, 1),
         "docs_per_sec_hi": round(tput_hi, 1),
     }
+    _add_mp_ceiling(out)
     print(json.dumps(out))
     _record_scaling(out)
+
+
+def _add_mp_ceiling(out: dict) -> None:
+    """Measure the BOX's own raw-multiprocessing 8→32 ceiling for the
+    bare kernel (no Ray) over the scaling corpus, in the same machine
+    state as the Ray runs — the number a scaling draw must be read
+    against (the Ray ratio can never exceed it; when the 32-cpu Ray
+    throughput equals the raw-mp one, the engine adds zero overhead at
+    width and the ratio measures memory bandwidth, not the pipeline)."""
+    import glob
+
+    try:
+        dirs = sorted(
+            glob.glob("/tmp/gbr_cache/bench_corpus_*"), key=os.path.getmtime
+        )
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "tools", "calibrate_mp.py"),
+                os.path.join(dirs[-1], "*.parquet"),
+                "--json",
+            ],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=600,
+        )
+        cal = json.loads(proc.stdout.strip().splitlines()[-1])
+        out["mp_ceiling_docs_per_sec_lo"] = cal["lo"]
+        out["mp_ceiling_docs_per_sec_hi"] = cal["hi"]
+        out["mp_ceiling_efficiency"] = cal["efficiency"]
+    except Exception as exc:  # the ceiling is context, never a failure
+        out["mp_ceiling_error"] = f"{type(exc).__name__}: {exc}"
 
 
 def _record_scaling(out: dict) -> None:
@@ -317,7 +351,15 @@ def _record_scaling(out: dict) -> None:
         f"- {time.strftime('%Y-%m-%d %H:%M:%S')} sf={out['sf']}: "
         f"{out['docs']} docs; {out['docs_per_sec_lo']} docs/s @8 cpus, "
         f"{out['docs_per_sec_hi']} docs/s @32 cpus; "
-        f"efficiency = {out['value']}\n"
+        f"efficiency = {out['value']}"
+        + (
+            f" (raw-mp ceiling {out['mp_ceiling_efficiency']} at "
+            f"{out['mp_ceiling_docs_per_sec_lo']}→"
+            f"{out['mp_ceiling_docs_per_sec_hi']} docs/s)"
+            if "mp_ceiling_efficiency" in out
+            else ""
+        )
+        + "\n"
     )
     text = open(path).read()
     if marker not in text:

@@ -40,7 +40,9 @@ def run(files: list[str], procs: int) -> float:
 
 
 def main() -> None:
-    pat = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gbr_cache/bench_corpus_*/*.parquet"
+    argv = [a for a in sys.argv[1:] if a != "--json"]
+    as_json = "--json" in sys.argv[1:]
+    pat = argv[0] if argv else "/tmp/gbr_cache/bench_corpus_*/*.parquet"
     files = sorted(glob.glob(pat))
     if not files:
         raise SystemExit(f"no corpus files match {pat} — run bench.py once first")
@@ -50,6 +52,19 @@ def main() -> None:
         for procs in (8, 32):
             readings[procs].append(run(files, procs))
     lo, hi = max(readings[8]), max(readings[32])
+    if as_json:
+        import json
+
+        print(
+            json.dumps(
+                {
+                    "lo": round(lo, 1),
+                    "hi": round(hi, 1),
+                    "efficiency": round(hi / (4 * lo), 3),
+                }
+            )
+        )
+        return
     print(
         f"raw-mp ceiling: {lo:.1f} docs/s @8 procs, {hi:.1f} @32, "
         f"efficiency {hi / (4 * lo):.3f} "
