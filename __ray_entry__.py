@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": relational.event_transitions,
         "grouped_percentiles": relational.grouped_percentiles,
         "retention_cohorts": relational.retention_cohorts,
+        "revenue_by_nation": relational.revenue_by_nation,
         "hll_registers": sketches.hll_registers,
         "cms_registers": sketches.cms_registers,
         "value_histogram": sketches.value_histogram,
@@ -203,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": relational.EVENT_TRANSITIONS_SQL,
         "grouped_percentiles": relational.GROUPED_PERCENTILES_SQL,
         "retention_cohorts": relational.RETENTION_SQL,
+        "revenue_by_nation": relational.REVENUE_BY_NATION_SQL,
         "hll_registers": sketches.HLL_REGISTERS_SQL,
         "cms_registers": sketches.CMS_REGISTERS_SQL,
         "value_histogram": sketches.VALUE_HISTOGRAM_SQL,

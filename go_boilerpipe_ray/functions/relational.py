@@ -1379,3 +1379,114 @@ a AS (
 SELECT cohort AS cohort_week, week_delta, count(*) AS n_users
 FROM a GROUP BY 1, 2
 """
+
+
+# -- star-schema multi-join (TPC-H Q5-shaped) --------------------------------
+
+
+def revenue_by_nation(sf_dir: str) -> pa.Table:
+    """Revenue per customer nation: lineitem ⋈ orders ⋈ customer ⋈
+    nation — the star-schema join plan every warehouse query composes.
+
+    Plan by side size: the fact-fact edge (lineitem ⋈ orders on
+    orderkey) is large-large → ONE repartition-join shuffle, with
+    lineitem pre-combined to (orderkey, partial revenue) inside each
+    batch first so the shuffle moves at most one row per (orderkey,
+    block); the dimension edges (customer→nation name) are broadcast
+    once via ray.put and applied with a vectorized index_in lookup; the
+    final rollup moves ≤ 25 (nation, partial) rows per block.  Revenue
+    is summed in integer cents (floor(x*100+0.5), identical double
+    arithmetic in the oracle) so the comparison is hash-stable."""
+    import pyarrow.parquet as pq
+
+    lineitem = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        t = pa.table(
+            {"l_orderkey": batch.column("l_orderkey"),
+             "rev_cents": pa.array(cents, pa.int64())}
+        )
+        g = t.group_by("l_orderkey").aggregate([("rev_cents", "sum")])
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "rev_cents": g.column("rev_cents_sum"),
+            }
+        )
+
+    fact = lineitem.map_batches(
+        rev_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = repartition_join(
+        fact,
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        [("rev_cents", pa.int64())],
+        [("o_custkey", pa.int64())],
+        how="inner",
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap = {
+        k: v
+        for k, v in zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+        )
+    }
+    cust_keys = cust.column("c_custkey").combine_chunks()
+    cust_nation = pa.array(
+        [nmap[k] for k in cust.column("c_nationkey").to_pylist()], pa.string()
+    )
+    dim_ref = ray.put((cust_keys, cust_nation))
+
+    def to_nation(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(dim_ref)
+        idx = pc.index_in(batch.column("o_custkey"), value_set=keys)
+        t = pa.table(
+            {"n_name": pc.take(names, idx), "rev_cents": batch.column("rev_cents")}
+        )
+        g = t.group_by("n_name").aggregate([("rev_cents", "sum")])
+        return pa.table(
+            {"n_name": g.column("n_name"), "p_rev": g.column("rev_cents_sum")}
+        )
+
+    out = (
+        joined.map_batches(to_nation, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_name")
+        .aggregate(ray.data.aggregate.Sum("p_rev", alias_name="revenue_cents"))
+        .to_pandas()
+        .sort_values("n_name")
+    )
+    return pa.table(
+        {
+            "n_name": pa.array(out["n_name"], pa.string()),
+            "revenue_cents": pa.array(
+                out["revenue_cents"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n.n_name,
+       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT)) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""

@@ -1148,3 +1148,26 @@ def test_weighted_sample_membership_rule():
     want = {int(i) for i, keep in zip(ids, pm < p) if keep}
     assert kept == want
     assert 0 < len(kept) < len(ids)  # the weight law must discriminate
+
+
+def test_revenue_by_nation_matches_duckdb():
+    import duckdb
+
+    from go_boilerpipe_ray.functions.relational import (
+        REVENUE_BY_NATION_SQL,
+        revenue_by_nation,
+    )
+
+    got = {
+        r["n_name"]: r["revenue_cents"]
+        for r in revenue_by_nation(SF).to_pylist()
+    }
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    want = {
+        n: c for n, c in con.sql(REVENUE_BY_NATION_SQL).fetchall()
+    }
+    assert got == want
