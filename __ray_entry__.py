@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": relational.retention_cohorts,
         "revenue_by_nation": relational.revenue_by_nation,
         "hll_registers": sketches.hll_registers,
+        "hll_by_group": sketches.hll_by_group,
         "cms_registers": sketches.cms_registers,
         "value_histogram": sketches.value_histogram,
         "sample_split": sampling.sample_split,
@@ -206,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": relational.RETENTION_SQL,
         "revenue_by_nation": relational.REVENUE_BY_NATION_SQL,
         "hll_registers": sketches.HLL_REGISTERS_SQL,
+        "hll_by_group": sketches.HLL_BY_GROUP_SQL,
         "cms_registers": sketches.CMS_REGISTERS_SQL,
         "value_histogram": sketches.VALUE_HISTOGRAM_SQL,
         "tfidf_topk": text.TFIDF_TOPK_SQL,

@@ -264,3 +264,63 @@ def histogram_quantile(hist: pa.Table, q: float) -> float:
     target = int(np.ceil(q * cnt.sum()))
     pos = np.searchsorted(np.cumsum(cnt), max(target, 1))
     return float(bins[min(pos, len(bins) - 1)]) / HIST_BIN_CENTS
+
+
+def hll_by_group(sf_dir: str) -> pa.Table:
+    """Per-group HLL: distinct-user registers PER event type — the
+    sketch-per-group shape (approximate COUNT(DISTINCT x) GROUP BY g at
+    100 TB).  Each batch folds to ≤ groups·m (group, register, rho)
+    partial rows; the rollup is groupby((group, register)).max."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist())
+        h = md5_u64(batch.column("user_id").to_numpy(zero_copy_only=False))
+        reg = (h & np.uint64(_M - 1)).astype(np.int64)
+        suffix = ((h >> np.uint64(HLL_P)) & np.uint64(0xFFFFFFFF)).astype(
+            np.uint64
+        )
+        rho = _rho(suffix)
+        types, inv = np.unique(et, return_inverse=True)
+        maxes = np.zeros((len(types), _M), dtype=np.int64)
+        np.maximum.at(maxes, (inv, reg), rho)
+        gi, ri = np.nonzero(maxes)
+        return pa.table(
+            {
+                "event_type": pa.array(types[gi], pa.string()),
+                "register": pa.array(ri.astype(np.int64), pa.int64()),
+                "rho": pa.array(maxes[gi, ri], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "register"])
+        .max("rho")
+        .to_pandas()
+        .sort_values(["event_type", "register"])
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "register": pa.array(out["register"].to_numpy(), pa.int64()),
+            "max_rho": pa.array(
+                out["max(rho)"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+HLL_BY_GROUP_SQL = f"""
+WITH h AS (
+  SELECT event_type, md5_number_lower(user_id::VARCHAR) AS h FROM events
+)
+SELECT event_type,
+       CAST(h & {_M - 1} AS BIGINT) AS register,
+       MAX(CASE WHEN ((h >> {HLL_P}) & 4294967295) = 0 THEN {_WINDOW_BITS + 1}
+                ELSE {_WINDOW_BITS} - CAST(floor(log2(((h >> {HLL_P}) & 4294967295))) AS BIGINT)
+           END) AS max_rho
+FROM h GROUP BY 1, 2
+"""

@@ -1171,3 +1171,29 @@ def test_revenue_by_nation_matches_duckdb():
         n: c for n, c in con.sql(REVENUE_BY_NATION_SQL).fetchall()
     }
     assert got == want
+
+
+def test_hll_by_group_estimates_per_type_cardinality():
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.sketches import hll_by_group, hll_estimate
+
+    regs = hll_by_group(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    true: dict[str, set] = collections.defaultdict(set)
+    for et, uid in zip(
+        ev.column("event_type").to_pylist(), ev.column("user_id").to_pylist()
+    ):
+        true[et].add(uid)
+    types = set(regs.column("event_type").to_pylist())
+    assert types == set(true)
+    for et in types:
+        sub = regs.filter(
+            pa.compute.equal(regs.column("event_type"), et)
+        ).select(["register", "max_rho"])
+        est = hll_estimate(sub)
+        n = len(true[et])
+        assert abs(est - n) / n < 0.15, (et, est, n)  # p=9: ~4.6% stderr
