@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": similarity.quantize_embeddings,
         "kmeans_assign": similarity.kmeans_assign,
         "kmeans_update": similarity.kmeans_update,
+        "embedding_norm_hist": similarity.embedding_norm_hist,
         # relational / windows / sessions
         "agg_lineitem": relational.agg_lineitem,
         "top_customers": relational.top_customers,
@@ -222,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": similarity.QUANTIZE_SQL,
         "kmeans_assign": similarity.KMEANS_ASSIGN_SQL,
         "kmeans_update": similarity.KMEANS_UPDATE_SQL,
+        "embedding_norm_hist": similarity.EMBEDDING_NORM_HIST_SQL,
         "agg_lineitem": relational.AGG_LINEITEM_SQL,
         "top_customers": relational.TOP_CUSTOMERS_SQL,
         "hourly_events": relational.HOURLY_EVENTS_SQL,

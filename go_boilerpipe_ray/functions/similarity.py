@@ -772,3 +772,54 @@ SELECT a.cell, q.dim, sum(q.qv) AS s, count(*) AS n
 FROM a JOIN q USING (vec_id)
 GROUP BY 1, 2
 """
+
+
+NORM_HIST_BIN = 1 << 19  # fine bins: resolves deviation from unit norm
+
+
+def embedding_norm_hist(sf_dir: str) -> pa.Table:
+    """Histogram of embedding norms — the corpus-profile stat that
+    catches un-normalized or degenerate vectors before they poison a
+    similarity index.  Computed on the EXACT int64 quantized norm²
+    (sum of fixed-point squares — no float summation order anywhere),
+    binned by a power-of-two width; per-batch (bin, cnt) partials then
+    one tiny groupby-sum, the sketch combiner shape."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _quantize(np.asarray(batch.column("embedding").to_pylist()))
+        norm2 = np.einsum("nd,nd->n", q, q)
+        bins = norm2 // NORM_HIST_BIN
+        uniq, cnt = np.unique(bins, return_counts=True)
+        return pa.table(
+            {
+                "bin": pa.array(uniq, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .sum("cnt")
+        .to_pandas()
+        .sort_values("bin")
+    )
+    return pa.table(
+        {
+            "bin": pa.array(out["bin"].to_numpy(), pa.int64()),
+            "cnt": pa.array(out["sum(cnt)"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+EMBEDDING_NORM_HIST_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         CAST(floor(unnest(embedding)::DOUBLE * {_QUANT} + 0.5) AS BIGINT) AS qv
+  FROM embeddings
+),
+n2 AS (SELECT vec_id, sum(qv * qv) AS norm2 FROM q GROUP BY 1)
+SELECT CAST(norm2 // {NORM_HIST_BIN} AS BIGINT) AS bin, count(*) AS cnt
+FROM n2 GROUP BY 1
+"""

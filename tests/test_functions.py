@@ -1197,3 +1197,23 @@ def test_hll_by_group_estimates_per_type_cardinality():
         est = hll_estimate(sub)
         n = len(true[et])
         assert abs(est - n) / n < 0.15, (et, est, n)  # p=9: ~4.6% stderr
+
+
+def test_embedding_norm_hist_counts_all_vectors():
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.similarity import (
+        NORM_HIST_BIN,
+        _quantize,
+        embedding_norm_hist,
+    )
+
+    hist = embedding_norm_hist(SF)
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    q = _quantize(np.asarray(emb.column("embedding").to_pylist()))
+    norm2 = np.einsum("nd,nd->n", q, q)
+    import collections
+
+    want = collections.Counter((norm2 // NORM_HIST_BIN).tolist())
+    got = {r["bin"]: r["cnt"] for r in hist.to_pylist()}
+    assert got == dict(want)
