@@ -318,17 +318,26 @@ def _add_mp_ceiling(out: dict) -> None:
     against (the Ray ratio can never exceed it; when the 32-cpu Ray
     throughput equals the raw-mp one, the engine adds zero overhead at
     width and the ratio measures memory bandwidth, not the pipeline)."""
-    import glob
-
     try:
-        dirs = sorted(
-            glob.glob("/tmp/gbr_cache/bench_corpus_*"), key=os.path.getmtime
-        )
+        # Recompute the EXACT corpus dir the scaling children used (same
+        # cache-key derivation as ensure_bench_corpus with the child's
+        # GBR_BENCH_DOCS) — globbing for the newest cache dir would pick
+        # whatever corpus was built last, not the one just measured.
+        import pyarrow.parquet as pq
+
+        docs = os.path.join(out["sf"], "documents.parquet")
+        child_target = int(os.environ.get("GBR_BENCH_DOCS", str(TARGET_DOCS * 4)))
+        n_source = pq.read_metadata(docs).num_rows
+        replicas = max(1, child_target // n_source)
+        key = hashlib.sha1(
+            f"{docs}:{os.path.getmtime(docs)}:{replicas}:bench-v4".encode()
+        ).hexdigest()[:12]
+        corpus_dir = f"/tmp/gbr_cache/bench_corpus_{key}"
         proc = subprocess.run(
             [
                 sys.executable,
                 os.path.join(REPO, "tools", "calibrate_mp.py"),
-                os.path.join(dirs[-1], "*.parquet"),
+                os.path.join(corpus_dir, "*.parquet"),
                 "--json",
             ],
             capture_output=True,

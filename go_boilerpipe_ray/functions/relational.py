@@ -1288,9 +1288,12 @@ def grouped_percentiles(sf_dir: str) -> pa.Table:
     )
 
 
+# floor(x*100 + 0.5), not round(): DuckDB rounds half AWAY FROM ZERO
+# while the numpy side uses half-up — identical for positive cents but
+# divergent on negative half-cent ties, so both engines use floor+0.5.
 GROUPED_PERCENTILES_SQL = "\nUNION ALL\n".join(
     f"SELECT event_type, {pm} AS q_permille,"
-    f" quantile_disc(CAST(round(value * 100) AS BIGINT), {pm / 1000.0})"
+    f" quantile_disc(CAST(floor(value * 100 + 0.5) AS BIGINT), {pm / 1000.0})"
     " AS cents_value FROM events GROUP BY event_type"
     for pm in PERCENTILES_PERMILLE
 )
@@ -1439,17 +1442,14 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    nmap = {
-        k: v
-        for k, v in zip(
-            nation.column("n_nationkey").to_pylist(),
-            nation.column("n_name").to_pylist(),
-        )
-    }
-    cust_keys = cust.column("c_custkey").combine_chunks()
-    cust_nation = pa.array(
-        [nmap[k] for k in cust.column("c_nationkey").to_pylist()], pa.string()
+    # Vectorized dim chain on the driver (index_in + take, null-safe on
+    # unmatched keys — never a per-row Python dict loop: customer is
+    # 150k·SF rows).
+    nk_idx = pc.index_in(
+        cust.column("c_nationkey"), value_set=nation.column("n_nationkey").combine_chunks()
     )
+    cust_keys = cust.column("c_custkey").combine_chunks()
+    cust_nation = pc.take(nation.column("n_name").combine_chunks(), nk_idx)
     dim_ref = ray.put((cust_keys, cust_nation))
 
     def to_nation(batch: pa.Table) -> pa.Table:

@@ -787,6 +787,16 @@ def embedding_norm_hist(sf_dir: str) -> pa.Table:
 
     def partial(batch: pa.Table) -> pa.Table:
         q = _quantize(np.asarray(batch.column("embedding").to_pylist()))
+        # Guard the int64 square-sum: numpy wraps silently where the
+        # oracle's BIGINT sum promotes to HUGEINT — fail loudly on the
+        # pathological magnitudes this stat exists to detect.
+        max_abs = int(np.abs(q).max()) if q.size else 0
+        if max_abs and max_abs * max_abs > (2**63 - 1) // q.shape[1]:
+            raise OverflowError(
+                f"embedding component magnitude {max_abs / _QUANT:.1f} "
+                "overflows the int64 norm accumulator — clip or rescale "
+                "the vectors first"
+            )
         norm2 = np.einsum("nd,nd->n", q, q)
         bins = norm2 // NORM_HIST_BIN
         uniq, cnt = np.unique(bins, return_counts=True)

@@ -10,8 +10,11 @@ from __future__ import annotations
 
 import glob
 import multiprocessing as mp
+import os
 import sys
 import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _work(path: str) -> int:
@@ -19,8 +22,8 @@ def _work(path: str) -> int:
 
     import pyarrow.parquet as pq
 
-    if "/root/repo" not in sys.path:  # pool workers may not inherit cwd
-        sys.path.insert(0, "/root/repo")
+    if _REPO not in sys.path:  # pool workers may not inherit cwd
+        sys.path.insert(0, _REPO)
     from go_boilerpipe_ray.kernel.spans import extract_from_spans
 
     t = pq.read_table(path, columns=["spans"])
@@ -46,6 +49,12 @@ def main() -> None:
     files = sorted(glob.glob(pat))
     if not files:
         raise SystemExit(f"no corpus files match {pat} — run bench.py once first")
+    # A pool can only be as parallel as its task list: with < 2 tasks per
+    # worker at the widest level the "ceiling" would measure file-count
+    # granularity, not the machine.  Replicate the file list (identical
+    # total work at BOTH levels, so the ratio stays comparable).
+    reps = max(1, -(-64 // len(files)))  # ceil(64 / n)
+    files = files * reps
     # Interleave lo/hi draws so both levels see the same machine states.
     readings = {8: [], 32: []}
     for _ in range(2):
