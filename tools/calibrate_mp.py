@@ -17,7 +17,10 @@ import time
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _work(path: str) -> int:
+def _work(task: tuple[str, int, int]) -> int:
+    """Extract every n_shards-th row of one file starting at `shard` —
+    sharding WITHIN files keeps total work constant while giving the
+    pool enough tasks to actually reach its width."""
     import sys
 
     import pyarrow.parquet as pq
@@ -26,18 +29,20 @@ def _work(path: str) -> int:
         sys.path.insert(0, _REPO)
     from go_boilerpipe_ray.kernel.spans import extract_from_spans
 
+    path, shard, n_shards = task
     t = pq.read_table(path, columns=["spans"])
+    col = t.column("spans")
     n = 0
-    for spans in t.column("spans").to_pylist():
-        extract_from_spans(spans)
+    for i in range(shard, t.num_rows, n_shards):
+        extract_from_spans(col[i].as_py())
         n += 1
     return n
 
 
-def run(files: list[str], procs: int) -> float:
+def run(tasks: list[tuple[str, int, int]], procs: int) -> float:
     t0 = time.perf_counter()
     with mp.Pool(procs) as pool:
-        total = sum(pool.map(_work, files, chunksize=1))
+        total = sum(pool.map(_work, tasks, chunksize=1))
     dt = time.perf_counter() - t0
     return total / dt
 
@@ -51,15 +56,15 @@ def main() -> None:
         raise SystemExit(f"no corpus files match {pat} — run bench.py once first")
     # A pool can only be as parallel as its task list: with < 2 tasks per
     # worker at the widest level the "ceiling" would measure file-count
-    # granularity, not the machine.  Replicate the file list (identical
-    # total work at BOTH levels, so the ratio stays comparable).
-    reps = max(1, -(-64 // len(files)))  # ceil(64 / n)
-    files = files * reps
+    # granularity, not the machine.  Shard WITHIN files (row stride) so
+    # the task list reaches >= 64 while total work stays one corpus pass.
+    n_shards = max(1, -(-64 // len(files)))  # ceil(64 / n)
+    tasks = [(f, s, n_shards) for f in files for s in range(n_shards)]
     # Interleave lo/hi draws so both levels see the same machine states.
     readings = {8: [], 32: []}
     for _ in range(2):
         for procs in (8, 32):
-            readings[procs].append(run(files, procs))
+            readings[procs].append(run(tasks, procs))
     lo, hi = max(readings[8]), max(readings[32])
     if as_json:
         import json
