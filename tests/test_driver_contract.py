@@ -54,3 +54,28 @@ def test_no_ray_init_calls_in_library_or_entry():
                 ) and node.func.value.id == "ray":
                     offenders.append(f"{path.relative_to(REPO)}:{node.lineno}")
     assert not offenders, offenders
+
+
+def test_every_oracle_sql_plans_in_duckdb():
+    """EXPLAIN every oracle_sql() entry against the real sf0.001 views —
+    catches SQL syntax/column drift instantly, without executing any
+    pipeline (the full value comparison lives in tools/selfcheck.py and
+    the driver's gate)."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as exc:  # pragma: no cover - failure detail
+            raise AssertionError(f"oracle SQL for {name!r} fails to plan: {exc}")
