@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": text.repetition_stats,
         "tfidf_topk": text.tfidf_topk,
         "gopher_rules": text.gopher_rules,
+        "c4_rules": text.c4_rules,
+        "lang_fertility": text.lang_fertility,
         # dedup
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -213,6 +215,8 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": sketches.VALUE_HISTOGRAM_SQL,
         "tfidf_topk": text.TFIDF_TOPK_SQL,
         "gopher_rules": text.GOPHER_RULES_SQL,
+        "c4_rules": text.C4_RULES_SQL,
+        "lang_fertility": text.LANG_FERTILITY_SQL,
         "domain_cap": sampling.DOMAIN_CAP_SQL,
         "shard_shuffle": sampling.SHARD_SHUFFLE_SQL,
         "weighted_sample": sampling.WEIGHTED_SAMPLE_SQL,

@@ -998,3 +998,118 @@ SELECT doc_id, n_words,
             THEN 1 ELSE 0 END AS passes_gopher
 FROM sig
 """
+
+
+# -- C4-style filter signals -------------------------------------------------
+
+_C4_BAD_RE = r"(lorem ipsum|javascript must be enabled|\{)"
+
+
+def c4_rules(sf_dir: str) -> "ray.data.Dataset":
+    """C4-style cleanup signals (Raffel et al. 2020): terminal-punctuation
+    density, curly-brace / boilerplate-phrase markers, all-caps token
+    count — emitted as integer signals plus a 0/1 verdict (passes iff no
+    code-like braces or boilerplate bad-phrases appear).  Narrow
+    vectorized RE2 stage; regexes shared verbatim with the oracle."""
+
+    def rules(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        lower = pc.utf8_lower(text)
+        n_term = pc.cast(pc.count_substring_regex(text, r"[.!?]"), pa.int64())
+        n_bad = pc.cast(pc.count_substring_regex(lower, _C4_BAD_RE), pa.int64())
+        n_caps = pc.cast(
+            pc.count_substring_regex(text, r"\b[A-Z]{2,}\b"), pa.int64()
+        )
+        ok = pc.and_(pc.equal(n_bad, 0), pc.greater_equal(n_term, 0))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_terminal_punct": n_term,
+                "n_bad_markers": n_bad,
+                "n_allcaps_tokens": n_caps,
+                "passes_c4": pc.coalesce(
+                    pc.cast(ok, pa.int64()), pa.scalar(0, pa.int64())
+                ),
+            }
+        )
+
+    return read_documents(sf_dir).map_batches(
+        rules, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+C4_RULES_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[.!?]')) AS n_terminal_punct,
+       len(regexp_extract_all(lower(text), '{_C4_BAD_RE}')) AS n_bad_markers,
+       len(regexp_extract_all(text, '\\b[A-Z]{{2,}}\\b')) AS n_allcaps_tokens,
+       CASE WHEN len(regexp_extract_all(lower(text), '{_C4_BAD_RE}')) = 0
+            THEN 1 ELSE 0 END AS passes_c4
+FROM documents
+"""
+
+
+# -- per-language token fertility --------------------------------------------
+
+
+def lang_fertility(sf_dir: str) -> pa.Table:
+    """Tokens-per-1000-chars by language — the tokenizer-fertility stat
+    that drives per-language sampling weights.  Per-batch partial sums
+    (one row per language per block), tiny groupby rollup, integer
+    ratio."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "p_toks": pc.cast(
+                    pc.count_substring_regex(batch.column("text"), r"\S+"),
+                    pa.int64(),
+                ),
+                "p_chars": pc.cast(
+                    pc.utf8_length(batch.column("text")), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by("lang").aggregate([("p_toks", "sum"), ("p_chars", "sum")])
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "p_toks": g.column("p_toks_sum"),
+                "p_chars": g.column("p_chars_sum"),
+            }
+        )
+
+    ds = read_documents(sf_dir, columns=["lang", "text"])
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(
+            ray.data.aggregate.Sum("p_toks", alias_name="n_tokens"),
+            ray.data.aggregate.Sum("p_chars", alias_name="n_chars"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+    )
+    n_tok = out["n_tokens"].to_numpy().astype(np.int64)
+    n_chars = out["n_chars"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "tokens_per_kchar": pa.array(
+                n_tok * 1000 // np.maximum(n_chars, 1), pa.int64()
+            ),
+        }
+    )
+
+
+LANG_FERTILITY_SQL = """
+SELECT lang,
+       sum(len(regexp_extract_all(text, '\\S+'))) AS n_tokens,
+       sum(len(text)) AS n_chars,
+       sum(len(regexp_extract_all(text, '\\S+'))) * 1000
+           // greatest(sum(len(text)), 1) AS tokens_per_kchar
+FROM documents GROUP BY lang
+"""

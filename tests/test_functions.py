@@ -1217,3 +1217,32 @@ def test_embedding_norm_hist_counts_all_vectors():
     want = collections.Counter((norm2 // NORM_HIST_BIN).tolist())
     got = {r["bin"]: r["cnt"] for r in hist.to_pylist()}
     assert got == dict(want)
+
+
+def test_c4_and_fertility_signals_consistent():
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.text import c4_rules, lang_fertility
+
+    rows = c4_rules(SF).take_all()
+    assert rows and all(
+        r["passes_c4"] == int(r["n_bad_markers"] == 0) for r in rows
+    )
+
+    fert = lang_fertility(SF).to_pylist()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "text"])
+    import collections, re
+
+    tok, chars = collections.Counter(), collections.Counter()
+    for lang, t in zip(
+        docs.column("lang").to_pylist(), docs.column("text").to_pylist()
+    ):
+        tok[lang] += len(re.findall(r"\S+", t))
+        chars[lang] += len(t)
+    assert {r["lang"] for r in fert} == set(tok)
+    for r in fert:
+        assert r["n_tokens"] == tok[r["lang"]]
+        assert r["n_chars"] == chars[r["lang"]]
+        assert r["tokens_per_kchar"] == tok[r["lang"]] * 1000 // max(
+            chars[r["lang"]], 1
+        )
