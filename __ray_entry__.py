@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental_confirmed": dedup.incremental_dedup_confirmed_query,
         "dedup_components": dedup.dedup_components,
         "dedup_keep_best": dedup.dedup_keep_best,
+        "snapshot_diff": dedup.snapshot_diff,
         # similarity search
         "knn_brute": similarity.knn_brute,
         "knn_lsh": similarity.knn_lsh,
@@ -139,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_percentiles": relational.grouped_percentiles,
         "retention_cohorts": relational.retention_cohorts,
         "revenue_by_nation": relational.revenue_by_nation,
+        "percent_rank": relational.percent_rank_events,
         "hll_registers": sketches.hll_registers,
         "hll_by_group": sketches.hll_by_group,
         "cms_registers": sketches.cms_registers,
@@ -190,6 +192,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": text.REPETITION_SQL,
         "dedup_components": dedup.DEDUP_COMPONENTS_SQL,
         "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
+        "snapshot_diff": dedup.SNAPSHOT_DIFF_SQL,
         "asof_join": relational.ASOF_JOIN_SQL,
         "top_event_per_user": relational.TOP_EVENT_PER_USER_SQL,
         "customers_without_events": relational.CUSTOMERS_WITHOUT_EVENTS_SQL,
@@ -209,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_percentiles": relational.GROUPED_PERCENTILES_SQL,
         "retention_cohorts": relational.RETENTION_SQL,
         "revenue_by_nation": relational.REVENUE_BY_NATION_SQL,
+        "percent_rank": relational.PERCENT_RANK_SQL,
         "hll_registers": sketches.HLL_REGISTERS_SQL,
         "hll_by_group": sketches.HLL_BY_GROUP_SQL,
         "cms_registers": sketches.CMS_REGISTERS_SQL,

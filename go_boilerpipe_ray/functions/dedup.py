@@ -1620,3 +1620,144 @@ ranked AS (
 )
 SELECT component, doc_id AS keep_id, n_members FROM ranked WHERE rn = 1
 """
+
+
+# -- snapshot diff (CDC between table versions) ------------------------------
+
+_DIFF_ADD_OFFSET = 2_000_000
+
+
+def _snapshot_b(batch: pa.Table) -> pa.Table:
+    """Derive snapshot B from A deterministically (mirrored in SQL):
+    doc_id % 11 == 0 deleted; % 7 == 0 text-modified; % 13 == 0 also
+    re-inserted under doc_id + offset (added)."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column("text").to_pylist()
+    out_ids: list[int] = []
+    out_txt: list[str] = []
+    for i, t in zip(ids, texts):
+        i = int(i)
+        if i % 11 != 0:
+            out_ids.append(i)
+            out_txt.append(t + " v2" if i % 7 == 0 else t)
+        if i % 13 == 0:
+            out_ids.append(i + _DIFF_ADD_OFFSET)
+            out_txt.append(t)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "text": pa.array(out_txt, pa.string()),
+        }
+    )
+
+
+def snapshot_diff(sf_dir: str) -> "ray.data.Dataset":
+    """Snapshot diff / CDC between two table versions: every key is
+    classified unchanged / changed / added / deleted by comparing
+    content hashes — the incremental-ingest primitive (what changed
+    since the last crawl?).
+
+    Scale shape: each side is reduced to fixed-width (key, md5) rows in
+    a narrow stage — the text never shuffles; the comparison is ONE
+    repartition join (left-outer A→B for unchanged/changed/deleted,
+    anti B→A for added), so each hash row moves exactly once.  Snapshot
+    B is synthesized deterministically from A here (no second snapshot
+    exists in the fixtures); with a real second table, pass it as the
+    right side unchanged."""
+    import hashlib
+
+    from ._util import read_parquet_clean
+    from .relational import repartition_join  # type: ignore
+
+    a = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "h": pa.array(hs, pa.string())}
+        )
+
+    def rename_h(name: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(["doc_id", name])
+
+        return fn
+
+    a_h = a.map_batches(hashed, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        rename_h("h_a"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    b_h = (
+        a.map_batches(_snapshot_b, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(hashed, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(rename_h("h_b"), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    left = repartition_join(
+        a_h,
+        b_h,
+        "doc_id",
+        "doc_id",
+        [("doc_id", pa.int64()), ("h_a", pa.string())],
+        [("h_b", pa.string())],
+        how="left",
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        h_a = batch.column("h_a")
+        h_b = batch.column("h_b")
+        status = pc.if_else(
+            pc.is_null(h_b),
+            pa.scalar("deleted"),
+            pc.if_else(
+                pc.equal(h_a, h_b), pa.scalar("unchanged"), pa.scalar("changed")
+            ),
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "status": status})
+
+    classified = left.map_batches(
+        classify, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    added = repartition_join(
+        b_h,
+        a_h,
+        "doc_id",
+        "doc_id",
+        [("doc_id", pa.int64()), ("h_b", pa.string())],
+        [("h_a", pa.string())],
+        how="anti",
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "status": pa.array(["added"] * b.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return classified.union(added)
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+b AS (
+  SELECT doc_id,
+         md5(text || CASE WHEN doc_id % 7 = 0 THEN ' v2' ELSE '' END) AS h
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + {_DIFF_ADD_OFFSET} AS doc_id, md5(text) AS h
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN b.doc_id IS NULL THEN 'deleted'
+            WHEN a.doc_id IS NULL THEN 'added'
+            WHEN a.h <> b.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+"""

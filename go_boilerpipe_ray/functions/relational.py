@@ -1490,3 +1490,43 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY 1
 """
+
+
+# -- per-group percent rank --------------------------------------------------
+
+
+def percent_rank_events(sf_dir: str) -> "ray.data.Dataset":
+    """Integer percent-rank of each event's value within its event type:
+    ``(rank - 1) * 1000 // (n - 1)`` permille under the deterministic
+    order (value, event_id) — the group-wise normalization used to
+    compare scores across heterogeneous groups.  One shuffle on the
+    group key; the rank is an in-group lexsort."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def rank(group: pa.Table) -> pa.Table:
+        v = group.column("value").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, v))
+        n = len(order)
+        r = np.empty(n, dtype=np.int64)
+        r[order] = np.arange(n, dtype=np.int64)  # rank-1
+        pr = r * 1000 // max(n - 1, 1)
+        return pa.table(
+            {
+                "event_id": group.column("event_id"),
+                "event_type": group.column("event_type"),
+                "pr_permille": pa.array(pr, pa.int64()),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(rank, batch_format="pyarrow")
+
+
+PERCENT_RANK_SQL = """
+SELECT event_id, event_type,
+       (row_number() OVER (PARTITION BY event_type ORDER BY value, event_id)
+        - 1) * 1000
+       // greatest(count(*) OVER (PARTITION BY event_type) - 1, 1)
+           AS pr_permille
+FROM events
+"""

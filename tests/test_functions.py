@@ -1246,3 +1246,40 @@ def test_c4_and_fertility_signals_consistent():
         assert r["tokens_per_kchar"] == tok[r["lang"]] * 1000 // max(
             chars[r["lang"]], 1
         )
+
+
+def test_snapshot_diff_statuses_partition_keyspace():
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.dedup import _DIFF_ADD_OFFSET, snapshot_diff
+
+    rows = {r["doc_id"]: r["status"] for r in snapshot_diff(SF).take_all()}
+    ids = set(
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    for i in ids:
+        if i % 11 == 0:
+            assert rows[i] == "deleted", i
+        elif i % 7 == 0:
+            assert rows[i] == "changed", i
+        else:
+            assert rows[i] == "unchanged", i
+        if i % 13 == 0:
+            assert rows[i + _DIFF_ADD_OFFSET] == "added", i
+    assert len(rows) == len(ids) + sum(1 for i in ids if i % 13 == 0)
+
+
+def test_percent_rank_bounds_and_extremes():
+    from go_boilerpipe_ray.functions.relational import percent_rank_events
+
+    import collections
+
+    rows = percent_rank_events(SF).take_all()
+    by_type = collections.defaultdict(list)
+    for r in rows:
+        assert 0 <= r["pr_permille"] <= 1000
+        by_type[r["event_type"]].append(r["pr_permille"])
+    for et, prs in by_type.items():
+        assert min(prs) == 0 and max(prs) == 1000, et
