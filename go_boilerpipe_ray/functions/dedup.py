@@ -1632,6 +1632,11 @@ def _snapshot_b(batch: pa.Table) -> pa.Table:
     doc_id % 11 == 0 deleted; % 7 == 0 text-modified; % 13 == 0 also
     re-inserted under doc_id + offset (added)."""
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    if len(ids) and int(ids.max()) >= _DIFF_ADD_OFFSET:
+        raise ValueError(
+            "doc_id >= _DIFF_ADD_OFFSET would collide with synthesized "
+            "added keys — raise the offset"
+        )
     texts = batch.column("text").to_pylist()
     out_ids: list[int] = []
     out_txt: list[str] = []
@@ -1660,7 +1665,7 @@ def snapshot_diff(sf_dir: str) -> "ray.data.Dataset":
     Scale shape: each side is reduced to fixed-width (key, md5) rows in
     a narrow stage — the text never shuffles; the comparison is ONE
     repartition join (left-outer A→B for unchanged/changed/deleted,
-    anti B→A for added), so each hash row moves exactly once.  Snapshot
+    anti B→A for added) over the once-materialized hash tables.  Snapshot
     B is synthesized deterministically from A here (no second snapshot
     exists in the fixtures); with a real second table, pass it as the
     right side unchanged."""
@@ -1688,13 +1693,20 @@ def snapshot_diff(sf_dir: str) -> "ray.data.Dataset":
 
         return fn
 
-    a_h = a.map_batches(hashed, batch_format="pyarrow", zero_copy_batch=True).map_batches(
-        rename_h("h_a"), batch_format="pyarrow", zero_copy_batch=True
+    # Both hash tables feed TWO joins each; materialize the fixed-width
+    # (key, md5) rows once so the read + hashing lineage doesn't
+    # re-execute per consumer (the repo's convention for reused
+    # datasets — these are orders of magnitude smaller than the text).
+    a_h = (
+        a.map_batches(hashed, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(rename_h("h_a"), batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
     )
     b_h = (
         a.map_batches(_snapshot_b, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(hashed, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(rename_h("h_b"), batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
     )
 
     left = repartition_join(

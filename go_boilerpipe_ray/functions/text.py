@@ -1020,7 +1020,7 @@ def c4_rules(sf_dir: str) -> "ray.data.Dataset":
         n_caps = pc.cast(
             pc.count_substring_regex(text, r"\b[A-Z]{2,}\b"), pa.int64()
         )
-        ok = pc.and_(pc.equal(n_bad, 0), pc.greater_equal(n_term, 0))
+        ok = pc.equal(n_bad, 0)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

@@ -1237,7 +1237,9 @@ def test_c4_and_fertility_signals_consistent():
     for lang, t in zip(
         docs.column("lang").to_pylist(), docs.column("text").to_pylist()
     ):
-        tok[lang] += len(re.findall(r"\S+", t))
+        # ASCII whitespace class, matching RE2's \S on both oracle sides
+        # (Python re's \S is Unicode-wide).
+        tok[lang] += len(re.findall(r"[^ \t\n\r\f\v]+", t))
         chars[lang] += len(t)
     assert {r["lang"] for r in fert} == set(tok)
     for r in fert:
@@ -1282,4 +1284,6 @@ def test_percent_rank_bounds_and_extremes():
         assert 0 <= r["pr_permille"] <= 1000
         by_type[r["event_type"]].append(r["pr_permille"])
     for et, prs in by_type.items():
-        assert min(prs) == 0 and max(prs) == 1000, et
+        assert min(prs) == 0, et
+        if len(prs) >= 2:  # a single-row group's only rank is 0
+            assert max(prs) == 1000, et
