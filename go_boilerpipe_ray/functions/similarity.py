@@ -833,3 +833,129 @@ n2 AS (SELECT vec_id, sum(qv * qv) AS norm2 FROM q GROUP BY 1)
 SELECT CAST(norm2 // {NORM_HIST_BIN} AS BIGINT) AS bin, count(*) AS cnt
 FROM n2 GROUP BY 1
 """
+
+
+# -- SemDeDup (cluster-then-dedup within cells) ------------------------------
+
+SEMDEDUP_COPY_OFFSET = 3_000_000
+SEMDEDUP_COS2_BP = 9801  # cos >= 0.99  <=>  cos² >= 9801 basis points
+
+
+def semdedup_pairs(sf_dir: str, k: int = KMEANS_K) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found
+    by clustering embeddings (k-means cells) and comparing ONLY within
+    each cell — the sub-quadratic semantic-dedup pass for web-scale
+    corpora.
+
+    Scale shape: assignment is the broadcast-centroid int matmul (no
+    shuffle); one shuffle moves each vector to its cell; pair
+    verification runs inside the cell group.  The cosine test is EXACT
+    integer arithmetic on the quantized vectors (``ab > 0 and
+    ab²·10⁴ ≥ 9801·|a|²·|b|²``  ⇔  cos ≥ 0.99), evaluated in Python
+    bigints per candidate pair so no float-precision boundary can
+    disagree with the HUGEINT oracle.  At production scale score in
+    float with a margin and exact-confirm only the boundary band.
+
+    Synthesized duplicates (identical copies of every 10th vector under
+    ``vec_id + SEMDEDUP_COPY_OFFSET``) guarantee known positives — an
+    identical pair is cosine exactly 1 and always shares a cell."""
+    cq_ref = ray.put(_load_centroids(sf_dir, k))
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(batch)
+        sel = ids % 10 == 0
+        out_ids = np.concatenate([ids, ids[sel] + SEMDEDUP_COPY_OFFSET])
+        out_m = np.concatenate([m, m[sel]]).astype(np.float32)
+        return pa.table(
+            {
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "embedding": pa.array(
+                    [row for row in out_m.tolist()], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cq_ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        q = _quantize(np.asarray(batch.column("embedding").to_pylist()))
+        cell = _assign_cells(q, c).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cell": pa.array(cell, pa.int64()),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    def cell_pairs(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        q = _quantize(np.asarray(group.column("embedding").to_pylist()))[order]
+        ql = q.tolist()  # Python bigints: the pair test can never overflow
+        n2 = [sum(x * x for x in row) for row in ql]
+        out_a: list[int] = []
+        out_b: list[int] = []
+        n = len(ids)
+        for i in range(n):
+            qi = ql[i]
+            for j in range(i + 1, n):
+                qj = ql[j]
+                ab = sum(x * y for x, y in zip(qi, qj))
+                if ab > 0 and ab * ab * 10000 >= SEMDEDUP_COS2_BP * n2[i] * n2[j]:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell")
+        .map_groups(cell_pairs, batch_format="pyarrow")
+    )
+
+
+SEMDEDUP_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {SEMDEDUP_COPY_OFFSET} AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(unnest(embedding)::DOUBLE * {_QUANT} + 0.5) AS BIGINT) AS qv
+  FROM base
+),
+c AS (SELECT vec_id AS cid, dim, qv AS qc FROM q WHERE vec_id < {KMEANS_K}),
+d AS (
+  SELECT q.vec_id, c.cid, sum((q.qv - c.qc) * (q.qv - c.qc)) AS dist2
+  FROM q JOIN c USING (dim) GROUP BY 1, 2
+),
+a AS (
+  SELECT vec_id, cid AS cell FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
+),
+n2 AS (SELECT vec_id, sum(qv * qv) AS n2 FROM q GROUP BY 1),
+ab AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b, sum(qx.qv * qy.qv) AS ab
+  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  JOIN q qx ON qx.vec_id = x.vec_id
+  JOIN q qy ON qy.vec_id = y.vec_id AND qy.dim = qx.dim
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b FROM ab
+JOIN n2 na ON na.vec_id = ab.id_a
+JOIN n2 nb ON nb.vec_id = ab.id_b
+WHERE ab > 0
+  AND ab::HUGEINT * ab * 10000 >= {SEMDEDUP_COS2_BP}::HUGEINT * na.n2 * nb.n2
+"""

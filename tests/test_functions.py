@@ -1287,3 +1287,28 @@ def test_percent_rank_bounds_and_extremes():
         assert min(prs) == 0, et
         if len(prs) >= 2:  # a single-row group's only rank is 0
             assert max(prs) == 1000, et
+
+
+def test_semdedup_finds_all_identical_copies():
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.similarity import (
+        SEMDEDUP_COPY_OFFSET,
+        semdedup_pairs,
+    )
+
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in semdedup_pairs(SF).take_all()
+    }
+    ids = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id"]).column(
+        "vec_id"
+    ).to_pylist()
+    expected = {
+        (i, i + SEMDEDUP_COPY_OFFSET) for i in ids if i % 10 == 0
+    }
+    # Every identical copy must be found (same cell, cosine exactly 1)…
+    assert expected <= pairs
+    # …and any extra pair must be organic (both ids real or copy-copy),
+    # never a broken copy relation.
+    for a, b in pairs - expected:
+        assert b - a != SEMDEDUP_COPY_OFFSET or a % 10 != 0
