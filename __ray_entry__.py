@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": text.gopher_rules,
         "c4_rules": text.c4_rules,
         "lang_fertility": text.lang_fertility,
+        "curate_corpus": text.curate_corpus,
         # dedup
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -222,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": text.GOPHER_RULES_SQL,
         "c4_rules": text.C4_RULES_SQL,
         "lang_fertility": text.LANG_FERTILITY_SQL,
+        "curate_corpus": text.CURATE_SQL,
         "domain_cap": sampling.DOMAIN_CAP_SQL,
         "shard_shuffle": sampling.SHARD_SHUFFLE_SQL,
         "weighted_sample": sampling.WEIGHTED_SAMPLE_SQL,

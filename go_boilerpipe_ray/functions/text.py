@@ -1113,3 +1113,103 @@ SELECT lang,
            // greatest(sum(len(text)), 1) AS tokens_per_kchar
 FROM documents GROUP BY lang
 """
+
+
+# -- end-to-end curation composition -----------------------------------------
+
+
+def curate_corpus(sf_dir: str) -> "ray.data.Dataset":
+    """The composed curation pass a real pre-training pipeline runs:
+    language filter (en) → Gopher thresholds → C4 markers → exact
+    dedup (keep lowest doc_id per content hash), in that order
+    (clean-then-dedup, the C4 ordering).  Output: the kept doc_ids.
+
+    One narrow stage evaluates every signal and the content hash per
+    batch (same RE2 kernels as the individual operators, same module
+    constants so the gates can never drift); the only shuffle is the
+    dedup groupby over (hash, id) survivors — at 100 TB the filters run
+    where the data is and only fixed-width rows of the CLEAN subset
+    shuffle."""
+    import hashlib
+
+    def gate(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        lower = pc.utf8_lower(text)
+        n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        n_nonws = pc.cast(pc.count_substring_regex(text, r"\S"), pa.int64())
+        n_sym = pc.cast(pc.count_substring_regex(text, r"[#…]"), pa.int64())
+        n_stop = pc.cast(
+            pc.count_substring_regex(text, _GOPHER_STOPWORD_RE), pa.int64()
+        )
+        n_bad = pc.cast(pc.count_substring_regex(lower, _C4_BAD_RE), pa.int64())
+        denom = pc.max_element_wise(n_words, 1)
+        mwl = pc.divide(pc.multiply(n_nonws, 100), denom)
+        sym = pc.divide(pc.multiply(n_sym, 1000), denom)
+        ok = pc.and_(
+            pc.and_(
+                pc.equal(batch.column("lang"), "en"),
+                pc.and_(
+                    pc.greater_equal(n_words, GOPHER_MIN_WORDS),
+                    pc.less_equal(n_words, GOPHER_MAX_WORDS),
+                ),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(mwl, GOPHER_MIN_MWL_CENTI),
+                    pc.less_equal(mwl, GOPHER_MAX_MWL_CENTI),
+                ),
+                pc.and_(
+                    pc.and_(
+                        pc.less_equal(sym, GOPHER_MAX_SYMBOL_PERMILLE),
+                        pc.greater_equal(n_stop, GOPHER_MIN_STOPWORD_HITS),
+                    ),
+                    pc.equal(n_bad, 0),
+                ),
+            ),
+        )
+        kept = batch.filter(pc.coalesce(ok, pa.scalar(False)))
+        hs = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in kept.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": kept.column("doc_id"),
+                "h": pa.array(hs, pa.string()),
+            }
+        )
+
+    def keeper(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array([int(ids.min())], pa.int64())})
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text", "lang"])
+    return (
+        ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .map_groups(keeper, batch_format="pyarrow")
+    )
+
+
+CURATE_SQL = f"""
+WITH sig AS (
+  SELECT doc_id, text, lang,
+         len(regexp_extract_all(text, '\\S+')) AS n_words,
+         len(regexp_extract_all(text, '\\S')) AS n_nonws,
+         len(regexp_extract_all(text, '[#…]')) AS n_sym,
+         len(regexp_extract_all(text, '{_GOPHER_STOPWORD_RE}')) AS n_stop,
+         len(regexp_extract_all(lower(text), '{_C4_BAD_RE}')) AS n_bad
+  FROM documents
+),
+ok AS (
+  SELECT doc_id, md5(text) AS h FROM sig
+  WHERE lang = 'en'
+    AND n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+    AND n_nonws * 100 // greatest(n_words, 1)
+        BETWEEN {GOPHER_MIN_MWL_CENTI} AND {GOPHER_MAX_MWL_CENTI}
+    AND n_sym * 1000 // greatest(n_words, 1) <= {GOPHER_MAX_SYMBOL_PERMILLE}
+    AND n_stop >= {GOPHER_MIN_STOPWORD_HITS}
+    AND n_bad = 0
+)
+SELECT min(doc_id) AS doc_id FROM ok GROUP BY h
+"""

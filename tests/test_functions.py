@@ -1312,3 +1312,35 @@ def test_semdedup_finds_all_identical_copies():
     # never a broken copy relation.
     for a, b in pairs - expected:
         assert b - a != SEMDEDUP_COPY_OFFSET or a % 10 != 0
+
+
+def test_curate_corpus_is_conjunction_of_gates_plus_dedup():
+    """Kept ids == (en ∧ gopher ∧ c4) survivors deduped to the lowest
+    doc_id per text, recomputed from the individual operators."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.text import (
+        c4_rules,
+        curate_corpus,
+        gopher_rules,
+    )
+
+    kept = sorted(r["doc_id"] for r in curate_corpus(SF).take_all())
+    g = {r["doc_id"]: r["passes_gopher"] for r in gopher_rules(SF).take_all()}
+    c = {r["doc_id"]: r["passes_c4"] for r in c4_rules(SF).take_all()}
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    first_by_text: dict[str, int] = {}
+    for did, t, lang in sorted(
+        zip(
+            docs.column("doc_id").to_pylist(),
+            docs.column("text").to_pylist(),
+            docs.column("lang").to_pylist(),
+        )
+    ):
+        if lang == "en" and g[did] and c[did] and t not in first_by_text:
+            first_by_text[t] = did
+    assert kept == sorted(first_by_text.values())
