@@ -259,9 +259,7 @@ def near_dup_corpus(sf_dir: str) -> "ray.data.Dataset":
         return pa.table(
             {
                 "vec_id": pa.array(out_ids, pa.int64()),
-                "embedding": pa.array(
-                    [row for row in out_m.tolist()], pa.list_(pa.float32())
-                ),
+                "embedding": pa.array(out_m.tolist(), pa.list_(pa.float32())),
             }
         )
 
@@ -648,6 +646,27 @@ def _assign_cells(q: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
     return np.argmin(c2[None, :] - 2 * cross, axis=1)
 
 
+def _make_assign_stage(cq_ref, keep_embedding: bool = False):
+    """Batch fn attaching the nearest-centroid cell (shared by
+    kmeans_assign and semdedup_pairs — ONE copy of the assignment
+    closure, so the math can never diverge between operators)."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cq_ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        q = _quantize(np.asarray(batch.column("embedding").to_pylist()))
+        cell = _assign_cells(q, c).astype(np.int64)
+        cols = {
+            "vec_id": pa.array(ids, pa.int64()),
+            "cell": pa.array(cell, pa.int64()),
+        }
+        if keep_embedding:
+            cols["embedding"] = batch.column("embedding")
+        return pa.table(cols)
+
+    return assign
+
+
 def kmeans_assign(sf_dir: str, k: int = KMEANS_K) -> "ray.data.Dataset":
     """Assignment step of distributed Lloyd k-means: every vector goes to
     its nearest centroid (squared L2 in exact int64 fixed-point; ties
@@ -658,39 +677,37 @@ def kmeans_assign(sf_dir: str, k: int = KMEANS_K) -> "ray.data.Dataset":
     every task; the per-batch work is one (n x d) @ (d x k) integer
     matmul; no shuffle at all — assignment is embarrassingly parallel."""
     cq_ref = ray.put(_load_centroids(sf_dir, k))
-
-    def assign(batch: pa.Table) -> pa.Table:
-        c = ray.get(cq_ref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        q = _quantize(np.asarray(batch.column("embedding").to_pylist()))
-        cell = _assign_cells(q, c).astype(np.int64)
-        return pa.table(
-            {
-                "vec_id": pa.array(ids, pa.int64()),
-                "cell": pa.array(cell, pa.int64()),
-            }
-        )
-
     ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        _make_assign_stage(cq_ref), batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
-KMEANS_ASSIGN_SQL = f"""
-WITH q AS (
+
+def _assign_cte(base: str = "embeddings") -> str:
+    """The quantize→centroid→argmin assignment CTE chain (q/c/d/a),
+    shared by the three kmeans-family oracles — ONE SQL definition of
+    the assignment math, mirroring _make_assign_stage on the Ray side."""
+    return f"""q AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
          CAST(floor(unnest(embedding)::DOUBLE * {_QUANT} + 0.5) AS BIGINT) AS qv
-  FROM embeddings
+  FROM {base}
 ),
 c AS (SELECT vec_id AS cid, dim, qv AS qc FROM q WHERE vec_id < {KMEANS_K}),
 d AS (
-  SELECT q.vec_id, c.cid,
-         sum((q.qv - c.qc) * (q.qv - c.qc)) AS dist2
+  SELECT q.vec_id, c.cid, sum((q.qv - c.qc) * (q.qv - c.qc)) AS dist2
   FROM q JOIN c USING (dim) GROUP BY 1, 2
-)
-SELECT vec_id, cid AS cell FROM d
-QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
+),
+a AS (
+  SELECT vec_id, cid AS cell FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
+)"""
+
+KMEANS_ASSIGN_SQL = f"""
+WITH {_assign_cte()}
+SELECT vec_id, cell FROM a
 """
 
 
@@ -753,21 +770,7 @@ def kmeans_update(sf_dir: str, k: int = KMEANS_K) -> pa.Table:
 
 
 KMEANS_UPDATE_SQL = f"""
-WITH q AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-         CAST(floor(unnest(embedding)::DOUBLE * {_QUANT} + 0.5) AS BIGINT) AS qv
-  FROM embeddings
-),
-c AS (SELECT vec_id AS cid, dim, qv AS qc FROM q WHERE vec_id < {KMEANS_K}),
-d AS (
-  SELECT q.vec_id, c.cid,
-         sum((q.qv - c.qc) * (q.qv - c.qc)) AS dist2
-  FROM q JOIN c USING (dim) GROUP BY 1, 2
-),
-a AS (
-  SELECT vec_id, cid AS cell FROM d
-  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
-)
+WITH {_assign_cte()}
 SELECT a.cell, q.dim, sum(q.qv) AS s, count(*) AS n
 FROM a JOIN q USING (vec_id)
 GROUP BY 1, 2
@@ -872,24 +875,11 @@ def semdedup_pairs(sf_dir: str, k: int = KMEANS_K) -> "ray.data.Dataset":
         return pa.table(
             {
                 "vec_id": pa.array(out_ids, pa.int64()),
-                "embedding": pa.array(
-                    [row for row in out_m.tolist()], pa.list_(pa.float32())
-                ),
+                "embedding": pa.array(out_m.tolist(), pa.list_(pa.float32())),
             }
         )
 
-    def assign(batch: pa.Table) -> pa.Table:
-        c = ray.get(cq_ref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        q = _quantize(np.asarray(batch.column("embedding").to_pylist()))
-        cell = _assign_cells(q, c).astype(np.int64)
-        return pa.table(
-            {
-                "vec_id": pa.array(ids, pa.int64()),
-                "cell": pa.array(cell, pa.int64()),
-                "embedding": batch.column("embedding"),
-            }
-        )
+    assign = _make_assign_stage(cq_ref, keep_embedding=True)
 
     def cell_pairs(group: pa.Table) -> pa.Table:
         ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
@@ -931,20 +921,7 @@ WITH base AS (
   SELECT vec_id + {SEMDEDUP_COPY_OFFSET} AS vec_id, embedding
   FROM embeddings WHERE vec_id % 10 = 0
 ),
-q AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-         CAST(floor(unnest(embedding)::DOUBLE * {_QUANT} + 0.5) AS BIGINT) AS qv
-  FROM base
-),
-c AS (SELECT vec_id AS cid, dim, qv AS qc FROM q WHERE vec_id < {KMEANS_K}),
-d AS (
-  SELECT q.vec_id, c.cid, sum((q.qv - c.qc) * (q.qv - c.qc)) AS dist2
-  FROM q JOIN c USING (dim) GROUP BY 1, 2
-),
-a AS (
-  SELECT vec_id, cid AS cell FROM d
-  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
-),
+{_assign_cte("base")},
 n2 AS (SELECT vec_id, sum(qv * qv) AS n2 FROM q GROUP BY 1),
 ab AS (
   SELECT x.vec_id AS id_a, y.vec_id AS id_b, sum(qx.qv * qy.qv) AS ab

@@ -919,6 +919,51 @@ GOPHER_MIN_STOPWORD_HITS = 2
 _GOPHER_STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
 
 
+def _gopher_signals(text: "pa.ChunkedArray | pa.Array"):
+    """The five integer quality signals (shared by gopher_rules and
+    curate_corpus so the gates can never drift)."""
+    n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+    n_nonws = pc.cast(pc.count_substring_regex(text, r"\S"), pa.int64())
+    n_sym = pc.cast(pc.count_substring_regex(text, r"[#…]"), pa.int64())
+    n_stop = pc.cast(
+        pc.count_substring_regex(text, _GOPHER_STOPWORD_RE), pa.int64()
+    )
+    denom = pc.max_element_wise(n_words, 1)
+    mwl = pc.divide(pc.multiply(n_nonws, 100), denom)
+    sym = pc.divide(pc.multiply(n_sym, 1000), denom)
+    return n_words, mwl, sym, n_stop
+
+
+def _gopher_ok(n_words, mwl, sym, n_stop):
+    """The gopher verdict conjunction (single definition)."""
+    return pc.and_(
+        pc.and_(
+            pc.and_(
+                pc.greater_equal(n_words, GOPHER_MIN_WORDS),
+                pc.less_equal(n_words, GOPHER_MAX_WORDS),
+            ),
+            pc.and_(
+                pc.greater_equal(mwl, GOPHER_MIN_MWL_CENTI),
+                pc.less_equal(mwl, GOPHER_MAX_MWL_CENTI),
+            ),
+        ),
+        pc.and_(
+            pc.less_equal(sym, GOPHER_MAX_SYMBOL_PERMILLE),
+            pc.greater_equal(n_stop, GOPHER_MIN_STOPWORD_HITS),
+        ),
+    )
+
+
+# SQL condition fragment shared verbatim by GOPHER_RULES_SQL's CASE and
+# CURATE_SQL's WHERE (signals named n_words / n_nonws / n_sym / n_stop).
+GOPHER_COND_SQL = f"""n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+             AND n_nonws * 100 // greatest(n_words, 1)
+                 BETWEEN {GOPHER_MIN_MWL_CENTI} AND {GOPHER_MAX_MWL_CENTI}
+             AND n_sym * 1000 // greatest(n_words, 1)
+                 <= {GOPHER_MAX_SYMBOL_PERMILLE}
+             AND n_stop >= {GOPHER_MIN_STOPWORD_HITS}"""
+
+
 def gopher_rules(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-rule document filter: word-count bounds, mean-word-length
     band, symbol-to-word ratio, minimum stopword hits — the standard
@@ -930,32 +975,10 @@ def gopher_rules(sf_dir: str) -> "ray.data.Dataset":
     engines are RE2-class)."""
 
     def rules(batch: pa.Table) -> pa.Table:
-        text = batch.column("text")
-        n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
-        n_nonws = pc.cast(pc.count_substring_regex(text, r"\S"), pa.int64())
-        n_sym = pc.cast(pc.count_substring_regex(text, r"[#…]"), pa.int64())
-        n_stop = pc.cast(
-            pc.count_substring_regex(text, _GOPHER_STOPWORD_RE), pa.int64()
+        n_words, mwl_centi, sym_permille, n_stop = _gopher_signals(
+            batch.column("text")
         )
-        denom = pc.max_element_wise(n_words, 1)
-        mwl_centi = pc.divide(pc.multiply(n_nonws, 100), denom)
-        sym_permille = pc.divide(pc.multiply(n_sym, 1000), denom)
-        ok = pc.and_(
-            pc.and_(
-                pc.and_(
-                    pc.greater_equal(n_words, GOPHER_MIN_WORDS),
-                    pc.less_equal(n_words, GOPHER_MAX_WORDS),
-                ),
-                pc.and_(
-                    pc.greater_equal(mwl_centi, GOPHER_MIN_MWL_CENTI),
-                    pc.less_equal(mwl_centi, GOPHER_MAX_MWL_CENTI),
-                ),
-            ),
-            pc.and_(
-                pc.less_equal(sym_permille, GOPHER_MAX_SYMBOL_PERMILLE),
-                pc.greater_equal(n_stop, GOPHER_MIN_STOPWORD_HITS),
-            ),
-        )
+        ok = _gopher_ok(n_words, mwl_centi, sym_permille, n_stop)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -989,12 +1012,7 @@ SELECT doc_id, n_words,
        n_nonws * 100 // greatest(n_words, 1) AS mwl_centi,
        n_sym * 1000 // greatest(n_words, 1) AS sym_permille,
        n_stop AS n_stopword_hits,
-       CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
-             AND n_nonws * 100 // greatest(n_words, 1)
-                 BETWEEN {GOPHER_MIN_MWL_CENTI} AND {GOPHER_MAX_MWL_CENTI}
-             AND n_sym * 1000 // greatest(n_words, 1)
-                 <= {GOPHER_MAX_SYMBOL_PERMILLE}
-             AND n_stop >= {GOPHER_MIN_STOPWORD_HITS}
+       CASE WHEN {GOPHER_COND_SQL}
             THEN 1 ELSE 0 END AS passes_gopher
 FROM sig
 """
@@ -1134,38 +1152,16 @@ def curate_corpus(sf_dir: str) -> "ray.data.Dataset":
 
     def gate(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
-        lower = pc.utf8_lower(text)
-        n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
-        n_nonws = pc.cast(pc.count_substring_regex(text, r"\S"), pa.int64())
-        n_sym = pc.cast(pc.count_substring_regex(text, r"[#…]"), pa.int64())
-        n_stop = pc.cast(
-            pc.count_substring_regex(text, _GOPHER_STOPWORD_RE), pa.int64()
+        n_words, mwl, sym, n_stop = _gopher_signals(text)
+        n_bad = pc.cast(
+            pc.count_substring_regex(pc.utf8_lower(text), _C4_BAD_RE), pa.int64()
         )
-        n_bad = pc.cast(pc.count_substring_regex(lower, _C4_BAD_RE), pa.int64())
-        denom = pc.max_element_wise(n_words, 1)
-        mwl = pc.divide(pc.multiply(n_nonws, 100), denom)
-        sym = pc.divide(pc.multiply(n_sym, 1000), denom)
         ok = pc.and_(
             pc.and_(
                 pc.equal(batch.column("lang"), "en"),
-                pc.and_(
-                    pc.greater_equal(n_words, GOPHER_MIN_WORDS),
-                    pc.less_equal(n_words, GOPHER_MAX_WORDS),
-                ),
+                _gopher_ok(n_words, mwl, sym, n_stop),
             ),
-            pc.and_(
-                pc.and_(
-                    pc.greater_equal(mwl, GOPHER_MIN_MWL_CENTI),
-                    pc.less_equal(mwl, GOPHER_MAX_MWL_CENTI),
-                ),
-                pc.and_(
-                    pc.and_(
-                        pc.less_equal(sym, GOPHER_MAX_SYMBOL_PERMILLE),
-                        pc.greater_equal(n_stop, GOPHER_MIN_STOPWORD_HITS),
-                    ),
-                    pc.equal(n_bad, 0),
-                ),
-            ),
+            pc.equal(n_bad, 0),
         )
         kept = batch.filter(pc.coalesce(ok, pa.scalar(False)))
         hs = [
@@ -1179,15 +1175,13 @@ def curate_corpus(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    def keeper(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        return pa.table({"doc_id": pa.array([int(ids.min())], pa.int64())})
-
     ds = read_documents(sf_dir, columns=["doc_id", "text", "lang"])
     return (
         ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("h")
-        .map_groups(keeper, batch_format="pyarrow")
+        .min("doc_id")
+        .rename_columns({"min(doc_id)": "doc_id"})
+        .select_columns(["doc_id"])
     )
 
 
@@ -1204,11 +1198,7 @@ WITH sig AS (
 ok AS (
   SELECT doc_id, md5(text) AS h FROM sig
   WHERE lang = 'en'
-    AND n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
-    AND n_nonws * 100 // greatest(n_words, 1)
-        BETWEEN {GOPHER_MIN_MWL_CENTI} AND {GOPHER_MAX_MWL_CENTI}
-    AND n_sym * 1000 // greatest(n_words, 1) <= {GOPHER_MAX_SYMBOL_PERMILLE}
-    AND n_stop >= {GOPHER_MIN_STOPWORD_HITS}
+    AND {GOPHER_COND_SQL}
     AND n_bad = 0
 )
 SELECT min(doc_id) AS doc_id FROM ok GROUP BY h

@@ -1308,10 +1308,26 @@ def test_semdedup_finds_all_identical_copies():
     }
     # Every identical copy must be found (same cell, cosine exactly 1)…
     assert expected <= pairs
-    # …and any extra pair must be organic (both ids real or copy-copy),
-    # never a broken copy relation.
-    for a, b in pairs - expected:
-        assert b - a != SEMDEDUP_COPY_OFFSET or a % 10 != 0
+    # …and every extra pair must genuinely clear the cosine threshold —
+    # recompute it from the raw vectors (copies resolve to their base).
+    if pairs - expected:
+        emb = pq.read_table(
+            f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        vec = {
+            i: np.asarray(e, dtype=np.float64)
+            for i, e in zip(
+                emb.column("vec_id").to_pylist(),
+                emb.column("embedding").to_pylist(),
+            )
+        }
+        for a, b in pairs - expected:
+            va = vec[a % SEMDEDUP_COPY_OFFSET]
+            vb = vec[b % SEMDEDUP_COPY_OFFSET]
+            cos = float(
+                va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+            )
+            assert cos >= 0.98, (a, b, cos)  # small quantization slack
 
 
 def test_curate_corpus_is_conjunction_of_gates_plus_dedup():
