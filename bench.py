@@ -339,6 +339,7 @@ def _add_mp_ceiling(out: dict) -> None:
                 os.path.join(REPO, "tools", "calibrate_mp.py"),
                 os.path.join(corpus_dir, "*.parquet"),
                 "--json",
+                "--rounds=1",
             ],
             capture_output=True,
             text=True,

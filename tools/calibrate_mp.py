@@ -48,8 +48,10 @@ def run(tasks: list[tuple[str, int, int]], procs: int) -> float:
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a != "--json"]
-    as_json = "--json" in sys.argv[1:]
+    args = sys.argv[1:]
+    as_json = "--json" in args
+    rounds = 1 if "--rounds=1" in args else 2
+    argv = [a for a in args if not a.startswith("--")]
     pat = argv[0] if argv else "/tmp/gbr_cache/bench_corpus_*/*.parquet"
     files = sorted(glob.glob(pat))
     if not files:
@@ -62,7 +64,7 @@ def main() -> None:
     tasks = [(f, s, n_shards) for f in files for s in range(n_shards)]
     # Interleave lo/hi draws so both levels see the same machine states.
     readings = {8: [], 32: []}
-    for _ in range(2):
+    for _ in range(rounds):
         for procs in (8, 32):
             readings[procs].append(run(tasks, procs))
     lo, hi = max(readings[8]), max(readings[32])
