@@ -156,3 +156,45 @@ def test_histogram_partial_additive(vals, k):
     assert merged == collections.Counter(
         {r["bin"]: r["cnt"] for r in whole}
     )
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1, max_value=1, allow_nan=False, width=32),
+            min_size=8, max_size=8,
+        ),
+        min_size=2, max_size=6,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_semdedup_integer_cosine_matches_float_off_boundary(vectors):
+    """The exact-integer cosine test agrees with float cosine whenever
+    the pair is clearly off the 0.99 boundary (the integer test is the
+    tie-free ground truth; float only disagrees within quantization
+    noise of the threshold)."""
+    import math
+
+    import numpy as np
+
+    from go_boilerpipe_ray.functions.similarity import (
+        SEMDEDUP_COS2_BP,
+        _quantize,
+    )
+
+    m = np.asarray(vectors, dtype=np.float64)
+    if np.any(np.linalg.norm(m, axis=1) < 1e-3):
+        return  # near-zero vectors: cosine undefined / quantizes to 0
+    q = _quantize(m).tolist()
+    n2 = [sum(x * x for x in row) for row in q]
+    for i in range(len(q)):
+        for j in range(i + 1, len(q)):
+            if n2[i] == 0 or n2[j] == 0:
+                continue
+            ab = sum(x * y for x, y in zip(q[i], q[j]))
+            int_verdict = ab > 0 and ab * ab * 10000 >= SEMDEDUP_COS2_BP * n2[i] * n2[j]
+            cos = float(
+                m[i] @ m[j] / (np.linalg.norm(m[i]) * np.linalg.norm(m[j]))
+            )
+            if abs(cos - math.sqrt(SEMDEDUP_COS2_BP / 10000.0)) > 1e-4:
+                assert int_verdict == (cos >= 0.99), (i, j, cos, int_verdict)
