@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_update": similarity.kmeans_update,
         "embedding_norm_hist": similarity.embedding_norm_hist,
         "semdedup_pairs": similarity.semdedup_pairs,
+        "kmeans_inertia": similarity.kmeans_inertia,
         # relational / windows / sessions
         "agg_lineitem": relational.agg_lineitem,
         "top_customers": relational.top_customers,
@@ -236,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_update": similarity.KMEANS_UPDATE_SQL,
         "embedding_norm_hist": similarity.EMBEDDING_NORM_HIST_SQL,
         "semdedup_pairs": similarity.SEMDEDUP_SQL,
+        "kmeans_inertia": similarity.KMEANS_INERTIA_SQL,
         "agg_lineitem": relational.AGG_LINEITEM_SQL,
         "top_customers": relational.TOP_CUSTOMERS_SQL,
         "hourly_events": relational.HOURLY_EVENTS_SQL,

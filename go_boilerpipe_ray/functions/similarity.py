@@ -936,3 +936,61 @@ JOIN n2 nb ON nb.vec_id = ab.id_b
 WHERE ab > 0
   AND ab::HUGEINT * ab * 10000 >= {SEMDEDUP_COS2_BP}::HUGEINT * na.n2 * nb.n2
 """
+
+
+def kmeans_inertia(sf_dir: str, k: int = KMEANS_K) -> pa.Table:
+    """Per-cell inertia (sum of squared distances to the assigned
+    centroid, exact int64) and member count — the convergence metric a
+    driver-side Lloyd loop watches between iterations.  Same shape as
+    kmeans_update: per-batch partials of ≤ k rows, one tiny rollup."""
+    cq_ref = ray.put(_load_centroids(sf_dir, k))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(cq_ref)
+        q = _quantize(np.asarray(batch.column("embedding").to_pylist()))
+        cross = q @ c.T
+        c2 = np.einsum("kd,kd->k", c, c)
+        q2 = np.einsum("nd,nd->n", q, q)
+        scores = c2[None, :] - 2 * cross
+        cell = np.argmin(scores, axis=1)
+        dist2 = q2 + scores[np.arange(len(cell)), cell]
+        sums = np.zeros(len(c), dtype=np.int64)
+        np.add.at(sums, cell, dist2)
+        counts = np.bincount(cell, minlength=len(c))
+        touched = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "cell": pa.array(touched.astype(np.int64), pa.int64()),
+                "d2": pa.array(sums[touched], pa.int64()),
+                "n": pa.array(counts[touched].astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell")
+        .aggregate(
+            ray.data.aggregate.Sum("d2", alias_name="inertia"),
+            ray.data.aggregate.Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+        .sort_values("cell")
+    )
+    return pa.table(
+        {
+            "cell": pa.array(out["cell"].to_numpy(), pa.int64()),
+            "inertia": pa.array(out["inertia"].to_numpy().astype(np.int64), pa.int64()),
+            "n": pa.array(out["n"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+KMEANS_INERTIA_SQL = f"""
+WITH {_assign_cte()}
+SELECT a.cell, sum(d.dist2) AS inertia, count(*) AS n
+FROM a JOIN d ON d.vec_id = a.vec_id AND d.cid = a.cell
+GROUP BY 1
+"""

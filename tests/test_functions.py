@@ -1360,3 +1360,26 @@ def test_curate_corpus_is_conjunction_of_gates_plus_dedup():
         if lang == "en" and g[did] and c[did] and t not in first_by_text:
             first_by_text[t] = did
     assert kept == sorted(first_by_text.values())
+
+
+def test_kmeans_inertia_matches_numpy():
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.similarity import (
+        KMEANS_K,
+        _load_centroids,
+        _quantize,
+        kmeans_inertia,
+    )
+
+    got = {
+        r["cell"]: (r["inertia"], r["n"]) for r in kmeans_inertia(SF).to_pylist()
+    }
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    q = _quantize(np.asarray(emb.column("embedding").to_pylist()))
+    c = _load_centroids(SF, KMEANS_K)
+    d2 = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    cell = d2.argmin(axis=1)
+    for cl in set(cell.tolist()):
+        sel = cell == cl
+        assert got[cl] == (int(d2[sel, cl].sum()), int(sel.sum())), cl
