@@ -32,7 +32,32 @@ def read_spans(path: str, parallelism: int | None = None) -> "ray.data.Dataset":
     kwargs = {}
     if parallelism:
         kwargs["override_num_blocks"] = parallelism
+    if path.endswith((".jsonl", ".json")) or _is_jsonl_dir(path):
+        # Crawl dumps commonly arrive as JSONL before any columnar
+        # conversion; normalize to the spans schema at the read edge so
+        # every downstream stage sees identical Arrow batches.
+        ds = ray.data.read_json(path, **kwargs)
+        return ds.map_batches(
+            _normalize_spans_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
     return ray.data.read_parquet(path, **kwargs)
+
+
+def _is_jsonl_dir(path: str) -> bool:
+    import glob
+    import os
+
+    return os.path.isdir(path) and bool(
+        glob.glob(os.path.join(path, "*.jsonl"))
+    ) and not glob.glob(os.path.join(path, "*.parquet"))
+
+
+def _normalize_spans_batch(batch: pa.Table) -> pa.Table:
+    """Cast a JSON-read batch to the canonical spans schema (JSON
+    integers arrive as int64; the schema wants int32 offsets)."""
+    from ..sources.fixtures import SPANS_SCHEMA
+
+    return batch.select(["doc_id", "spans"]).cast(SPANS_SCHEMA)
 
 
 def _default_concurrency() -> int:

@@ -136,3 +136,35 @@ def test_giant_doc_size_router(ray_session, tmp_path):
     pq.write_table(table, p)
     ds = extract_with_size_router(read_spans(p), threshold=1 << 20)
     _assert_matches(_collect(ds), _expected(table))
+
+
+def test_jsonl_source_matches_parquet_source(tmp_path):
+    """The JSONL reader path must yield byte-identical extraction output
+    to the parquet path on the same documents."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.pipelines.article import extract_dataset, read_spans
+    from go_boilerpipe_ray.sources.fixtures import cached_synthetic_corpus
+
+    pq_path = cached_synthetic_corpus("/root/testdata/sf0.001")
+    t = pq.read_table(pq_path)
+    head = t.slice(0, 40)
+    jl = tmp_path / "spans.jsonl"
+    with open(jl, "w") as f:
+        for row in head.to_pylist():
+            f.write(json.dumps(row) + "\n")
+
+    def result_map(ds):
+        return {
+            r["doc_id"]: (r["title"], [s["text"] for s in r["spans"]])
+            for r in ds.take_all()
+        }
+
+    import ray.data
+
+    got = result_map(extract_dataset(read_spans(str(jl))))
+    want_ds = ray.data.from_arrow(head)
+    want = result_map(extract_dataset(want_ds))
+    assert got == want and len(got) == 40
