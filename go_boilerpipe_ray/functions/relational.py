@@ -127,15 +127,29 @@ def top_customers(sf_dir: str, k: int = 10) -> pa.Table:
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     joined = orders.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
-    agg = (
+    per_customer = (
         joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["o_custkey", "c_name"])
         .aggregate(
             ray.data.aggregate.Sum("p_rev", alias_name="revenue"),
             ray.data.aggregate.Sum("p_cnt", alias_name="n_orders"),
         )
-        .to_pandas()
     )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        # Per-block partial top-k (select_k) so the driver merge sees only
+        # blocks × k candidate rows, never the full per-customer rollup —
+        # at a 100 TB order table that rollup is itself huge.
+        idx = pc.select_k_unstable(
+            batch,
+            k=min(k, batch.num_rows),
+            sort_keys=[("revenue", "descending"), ("o_custkey", "ascending")],
+        )
+        return batch.take(idx)
+
+    agg = per_customer.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # bounded: blocks × k candidates
     agg = agg.sort_values(
         ["revenue", "o_custkey"], ascending=[False, True]
     ).head(k)
@@ -703,8 +717,8 @@ def running_total(sf_dir: str) -> "ray.data.Dataset":
 
 RUNNING_TOTAL_SQL = """
 SELECT o_orderkey,
-       SUM(CAST(round(o_totalprice * 100) AS BIGINT))
-         OVER (ORDER BY o_orderdate, o_orderkey) AS running_cents
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+         OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS running_cents
 FROM orders
 """
 
@@ -760,7 +774,7 @@ def percentiles_doclen(sf_dir: str) -> pa.Table:
 
 
 PERCENTILES_SQL = "\nUNION ALL\n".join(
-    f"SELECT {pm} AS q_permille, quantile_disc(n_chars, {pm / 1000.0}) AS value"
+    f"SELECT CAST({pm} AS BIGINT) AS q_permille, quantile_disc(n_chars, {pm / 1000.0}) AS value"
     " FROM documents"
     for pm in PERCENTILES_PERMILLE
 )
@@ -803,9 +817,9 @@ def moving_sum_events(sf_dir: str) -> "ray.data.Dataset":
 
 MOVING_SUM_SQL = """
 SELECT event_id, user_id,
-       SUM(CAST(round(value * 100) AS BIGINT))
+       CAST(SUM(CAST(round(value * 100) AS BIGINT))
          OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w3_cents,
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS w3_cents,
        COUNT(*)
          OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_window
@@ -1062,10 +1076,10 @@ p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
       JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
       WHERE e.event_type = 'purchase' GROUP BY 1)
 SELECT u.user_id,
-       CASE WHEN p.user_id IS NOT NULL THEN 3
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
             WHEN c.user_id IS NOT NULL THEN 2
             WHEN v.user_id IS NOT NULL THEN 1
-            ELSE 0 END AS funnel_stage
+            ELSE 0 END AS BIGINT) AS funnel_stage
 FROM (SELECT DISTINCT user_id FROM events) u
 LEFT JOIN v USING (user_id)
 LEFT JOIN c USING (user_id)
@@ -1292,7 +1306,7 @@ def grouped_percentiles(sf_dir: str) -> pa.Table:
 # while the numpy side uses half-up — identical for positive cents but
 # divergent on negative half-cent ties, so both engines use floor+0.5.
 GROUPED_PERCENTILES_SQL = "\nUNION ALL\n".join(
-    f"SELECT event_type, {pm} AS q_permille,"
+    f"SELECT event_type, CAST({pm} AS BIGINT) AS q_permille,"
     f" quantile_disc(CAST(floor(value * 100 + 0.5) AS BIGINT), {pm / 1000.0})"
     " AS cents_value FROM events GROUP BY event_type"
     for pm in PERCENTILES_PERMILLE
@@ -1482,8 +1496,8 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
 
 REVENUE_BY_NATION_SQL = """
 SELECT n.n_name,
-       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
-                AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey

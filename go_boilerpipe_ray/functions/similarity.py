@@ -2,9 +2,9 @@
 
 - ``knn_brute``: exact cosine top-k.  The query matrix is broadcast once
   (``ray.put``) and read inside every batch task; each batch computes a
-  tie-aware local top-k (bounded candidates) merged driver-side under
-  the same total order — no all-to-all shuffle, candidate volume is
-  batches × queries × k rows.
+  tie-aware local top-k, then candidates reduce DISTRIBUTED via
+  groupby(query_id).map_groups under the same total order (-sim, id) —
+  the driver only ever sees the O(n_queries × k) final rows.
 - ``knn_lsh`` / ``knn_ivf``: the scale paths — random-hyperplane LSH
   buckets / spherical-kmeans IVF cells partition the vectors; scoring
   runs DISTRIBUTED inside groupby(bucket|cell).map_groups and only
@@ -91,6 +91,41 @@ def _rank_merge(cand_rows: list[dict], k: int) -> pa.Table:
     )
 
 
+def _distributed_rank_reduce(cand: "ray.data.Dataset", k: int) -> pa.Table:
+    """Reduce (query_id, neighbor_id, sim) candidates to final ranked
+    top-k DISTRIBUTED: one keyed shuffle of narrow candidate rows into
+    per-query groups, top-k inside each group under the same total order
+    (-sim, neighbor_id) every producer used for its local truncation.
+    Only the O(n_queries × k) result reaches the driver — candidate
+    volume (which grows with corpus size for brute force) never does."""
+
+    def group_topk(group: pa.Table) -> pa.Table:
+        nid = np.asarray(group.column("neighbor_id").to_pylist(), dtype=np.int64)
+        sim = np.asarray(group.column("sim").to_pylist(), dtype=np.float64)
+        idx = np.lexsort((nid, -sim))[:k]
+        qid = group.column("query_id")[0].as_py()
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(idx), pa.int64()),
+                "neighbor_id": pa.array(nid[idx], pa.int64()),
+                "rank": pa.array(np.arange(1, len(idx) + 1), pa.int64()),
+            }
+        )
+
+    reduced = cand.groupby("query_id").map_groups(
+        group_topk, batch_format="pyarrow"
+    )
+    df = reduced.to_pandas()  # bounded: n_queries × k rows
+    df = df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "query_id": pa.array(df["query_id"], pa.int64()),
+            "neighbor_id": pa.array(df["neighbor_id"], pa.int64()),
+            "rank": pa.array(df["rank"], pa.int64()),
+        }
+    )
+
+
 def knn_brute(sf_dir: str, k: int = 10, n_queries: int = 8) -> pa.Table:
     """Exact top-k neighbors by cosine for the first ``n_queries`` vectors.
     Ties broken by vec_id ascending (matches the SQL oracle)."""
@@ -132,8 +167,10 @@ def knn_brute(sf_dir: str, k: int = 10, n_queries: int = 8) -> pa.Table:
     )
     candidates = ds.map_batches(
         local_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
-    ).take_all()  # bounded: ≤ batches × n_queries × k rows
-    return _rank_merge(candidates, k)
+    )
+    # Candidate volume is batches × n_queries × k — linear in corpus size,
+    # so the reduce must stay distributed (no driver take_all here).
+    return _distributed_rank_reduce(candidates, k)
 
 
 KNN_SQL = """
@@ -771,7 +808,7 @@ def kmeans_update(sf_dir: str, k: int = KMEANS_K) -> pa.Table:
 
 KMEANS_UPDATE_SQL = f"""
 WITH {_assign_cte()}
-SELECT a.cell, q.dim, sum(q.qv) AS s, count(*) AS n
+SELECT a.cell, q.dim, CAST(sum(q.qv) AS BIGINT) AS s, count(*) AS n
 FROM a JOIN q USING (vec_id)
 GROUP BY 1, 2
 """
@@ -990,7 +1027,7 @@ def kmeans_inertia(sf_dir: str, k: int = KMEANS_K) -> pa.Table:
 
 KMEANS_INERTIA_SQL = f"""
 WITH {_assign_cte()}
-SELECT a.cell, sum(d.dist2) AS inertia, count(*) AS n
+SELECT a.cell, CAST(sum(d.dist2) AS BIGINT) AS inertia, count(*) AS n
 FROM a JOIN d ON d.vec_id = a.vec_id AND d.cid = a.cell
 GROUP BY 1
 """

@@ -330,10 +330,10 @@ def pack_sequences(sf_dir: str) -> "ray.data.Dataset":
 PACK_SEQUENCES_SQL = rf"""
 SELECT doc_id,
        len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
-       (SUM(len(regexp_extract_all(text, '\S+'))::BIGINT)
+       CAST((SUM(len(regexp_extract_all(text, '\S+'))::BIGINT)
           OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
         - len(regexp_extract_all(text, '\S+'))::BIGINT)
-       // {PACK_BUDGET_TOKENS} AS seq_id
+       // {PACK_BUDGET_TOKENS} AS BIGINT) AS seq_id
 FROM documents
 """
 
@@ -877,7 +877,7 @@ WITH lines AS (
 lc AS (SELECT doc_id, ln, count(*) AS c FROM lines GROUP BY doc_id, ln),
 la AS (
   SELECT doc_id,
-         sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000 // sum(c)
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000 // sum(c) AS BIGINT)
            AS dup_line_permille
   FROM lc GROUP BY doc_id
 ),
@@ -891,7 +891,7 @@ bg AS (
 ),
 bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
 ba AS (
-  SELECT doc_id, max(c) * 1000 // sum(c) AS top_bigram_permille
+  SELECT doc_id, CAST(max(c) * 1000 // sum(c) AS BIGINT) AS top_bigram_permille
   FROM bc GROUP BY doc_id
 )
 SELECT d.doc_id,
@@ -1012,8 +1012,8 @@ SELECT doc_id, n_words,
        n_nonws * 100 // greatest(n_words, 1) AS mwl_centi,
        n_sym * 1000 // greatest(n_words, 1) AS sym_permille,
        n_stop AS n_stopword_hits,
-       CASE WHEN {GOPHER_COND_SQL}
-            THEN 1 ELSE 0 END AS passes_gopher
+       CAST(CASE WHEN {GOPHER_COND_SQL}
+            THEN 1 ELSE 0 END AS BIGINT) AS passes_gopher
 FROM sig
 """
 
@@ -1061,8 +1061,8 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[.!?]')) AS n_terminal_punct,
        len(regexp_extract_all(lower(text), '{_C4_BAD_RE}')) AS n_bad_markers,
        len(regexp_extract_all(text, '\\b[A-Z]{{2,}}\\b')) AS n_allcaps_tokens,
-       CASE WHEN len(regexp_extract_all(lower(text), '{_C4_BAD_RE}')) = 0
-            THEN 1 ELSE 0 END AS passes_c4
+       CAST(CASE WHEN len(regexp_extract_all(lower(text), '{_C4_BAD_RE}')) = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS passes_c4
 FROM documents
 """
 
@@ -1125,10 +1125,10 @@ def lang_fertility(sf_dir: str) -> pa.Table:
 
 LANG_FERTILITY_SQL = """
 SELECT lang,
-       sum(len(regexp_extract_all(text, '\\S+'))) AS n_tokens,
-       sum(len(text)) AS n_chars,
-       sum(len(regexp_extract_all(text, '\\S+'))) * 1000
-           // greatest(sum(len(text)), 1) AS tokens_per_kchar
+       CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens,
+       CAST(sum(len(text)) AS BIGINT) AS n_chars,
+       CAST(sum(len(regexp_extract_all(text, '\\S+'))) * 1000
+           // greatest(sum(len(text)), 1) AS BIGINT) AS tokens_per_kchar
 FROM documents GROUP BY lang
 """
 

@@ -8,6 +8,7 @@ column: normalization, host/root split, and date-from-URL extraction.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -74,8 +75,19 @@ def url_metadata(sf_dir: str) -> "ray.data.Dataset":
         )
 
     built = ds.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
-    return normalize_urls(built).select_columns(
-        ["doc_id", "url_norm", "url_host", "url_root", "url_date"]
+
+    def drop_tz(batch: pa.Table) -> pa.Table:
+        # The DuckDB oracle's make_timestamp() is naive; the stage itself
+        # stays tz-aware (Go time.Time is UTC) — strip tz only for compare.
+        i = batch.schema.get_field_index("url_date")
+        return batch.set_column(
+            i, "url_date", pc.cast(batch.column("url_date"), pa.timestamp("us"))
+        )
+
+    return (
+        normalize_urls(built)
+        .select_columns(["doc_id", "url_norm", "url_host", "url_root", "url_date"])
+        .map_batches(drop_tz, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 

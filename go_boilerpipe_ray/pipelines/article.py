@@ -12,7 +12,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..stages.extract import ExtractDocuments, add_doc_bytes
+from ..stages.extract import ExtractDocuments, SizeRoutedExtract, add_doc_bytes
 
 # Defaults sized so that batch_size × avg doc size stays in the tens of MB
 # per task; giant docs are routed to batch_size=1 tasks.
@@ -116,32 +116,26 @@ def extract_with_size_router(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = DEFAULT_BATCH_SIZE,
 ) -> "ray.data.Dataset":
-    """Skew mitigation: rows with more than ``threshold`` bytes of HTML are
-    diverted to batch_size=1 tasks so one 500 MB document cannot pin a
-    whole multi-doc batch.  Both branches stream; at cluster scale the read
-    is re-executed per branch (reads are cheap next to extraction — or
-    materialize the routed column once upstream)."""
+    """Skew mitigation with a SINGLE scan: tag rows once with their HTML
+    byte size, then one actor-pool stage (``SizeRoutedExtract``) whose
+    ``__call__`` dispatches internally — small rows in one vector pass,
+    giant rows one at a time.  One ReadParquet in the plan; the former
+    two-filter-branch design re-executed the read per branch (2× scan
+    cost at 100 TB).  A giant doc still costs its extraction time inside
+    its batch's task, but the kernel is per-document either way — the
+    routing exists to bound per-call memory, which the internal slice
+    preserves."""
     sized = ds.map_batches(add_doc_bytes, batch_format="pyarrow", zero_copy_batch=True)
-    small = sized.filter(expr=f"doc_bytes <= {threshold}")
-    giant = sized.filter(expr=f"doc_bytes > {threshold}")
     if concurrency is None:
-        # Two concurrent fixed pools would oversubscribe the CPUs and can
-        # deadlock each other; give each branch an autoscaling pool with a
-        # share of the budget (giant docs are the rare tail).
-        budget = _default_concurrency()
-        small_conc = (1, max(1, (budget * 2) // 3))
-        giant_conc = (1, max(1, budget - small_conc[1]))
-    else:
-        small_conc = giant_conc = concurrency
-    out_small = extract_dataset(
-        small.drop_columns(["doc_bytes"]),
-        concurrency=small_conc,
+        concurrency = _default_concurrency()
+    return sized.map_batches(
+        SizeRoutedExtract,
+        fn_constructor_kwargs={"threshold": threshold},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=batch_size,
+        concurrency=concurrency,
     )
-    out_giant = extract_dataset(
-        giant.drop_columns(["doc_bytes"]), concurrency=giant_conc, batch_size=1
-    )
-    return out_small.union(out_giant)
 
 
 _REASSEMBLE_EXTRACTOR: ExtractDocuments | None = None

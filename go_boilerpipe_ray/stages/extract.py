@@ -129,6 +129,38 @@ class ExtractDocuments:
         return pa.table(cols)
 
 
+class SizeRoutedExtract:
+    """Single-scan skew router: one actor-pool stage whose ``__call__``
+    dispatches internally — rows at or under ``threshold`` HTML bytes are
+    extracted in one vector pass, giant rows one-by-one so a pathological
+    500 MB document cannot blow the per-call memory envelope or stall a
+    multi-doc slice of the loop.  Replaces the round-2 two-filter-branch
+    design, which re-executed the read per branch (2× scan at 100 TB)."""
+
+    def __init__(
+        self,
+        threshold: int,
+        pipeline_names: list[str] | None = None,
+        with_lineage: bool = False,
+    ):
+        self._extract = ExtractDocuments(
+            pipeline_names=pipeline_names, with_lineage=with_lineage
+        )
+        self._threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = pc.less_equal(batch.column("doc_bytes"), self._threshold)
+        body = batch.drop_columns(["doc_bytes"])
+        small = body.filter(mask)
+        giant = body.filter(pc.invert(mask))
+        outs: list[pa.Table] = []
+        if small.num_rows or not giant.num_rows:
+            outs.append(self._extract(small))
+        for i in range(giant.num_rows):
+            outs.append(self._extract(giant.slice(i, 1)))
+        return pa.concat_tables(outs)
+
+
 def add_doc_bytes(batch: pa.Table) -> pa.Table:
     """Vectorized per-row total text size (for the giant-doc size router)."""
     spans = batch.column("spans")

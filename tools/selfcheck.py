@@ -26,12 +26,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     if len(df):
         df = df.sort_values(list(df.columns)).reset_index(drop=True)
-    for c in df.columns:
-        if df[c].dtype == object:
-            continue
-        if str(df[c].dtype).startswith("datetime"):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
     return df
+
+
+def dtype_diffs(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
+    """Driver-style representation check: the driver hashes typed values,
+    so DECIMAL-vs-int64 or tz-aware-vs-naive differ even when every cell
+    is equal.  Flag any column whose pandas dtype differs."""
+    out = []
+    for c in a.columns:
+        da, db = str(a[c].dtype), str(b[c].dtype)
+        if da != db:
+            out.append(f"{c}: ray={da} oracle={db}")
+    return out
 
 
 def main() -> int:
@@ -90,11 +97,17 @@ def main() -> int:
             failures += 1
             continue
         b = b[a.columns]
+        tdiffs = dtype_diffs(a, b)
         try:
             pd.testing.assert_frame_equal(
                 a, b, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9
             )
-            print(f"PASS  {name}: rows={len(a)} [{dt:.1f}s]")
+            if tdiffs:
+                print(f"TYPE  {name}: values equal but dtypes differ "
+                      f"(driver would hash-mismatch): {tdiffs} [{dt:.1f}s]")
+                failures += 1
+            else:
+                print(f"PASS  {name}: rows={len(a)} [{dt:.1f}s]")
         except AssertionError as exc:
             print(f"FAIL  {name}: values differ [{dt:.1f}s]\n{str(exc)[:500]}")
             diff = a.compare(b) if a.shape == b.shape else None
