@@ -58,11 +58,16 @@ class DecodeMedia:
     def __init__(self, feature_dim: int = 16, target_size: int = 64):
         self.feature_dim = feature_dim
         self.target_size = target_size
+        # Thumbnail side for the real feature extractor: feature_dim must
+        # be a perfect square (4x4 grayscale thumb for the default 16).
+        self._thumb_side = int(round(feature_dim**0.5))
         try:
-            import PIL.Image  # noqa: F401
+            from PIL import Image  # loaded ONCE per actor
 
+            self._pil_image = Image
             self.backend = "pil"
         except ImportError:
+            self._pil_image = None
             self.backend = "stub"
 
     def _decode_stub(self, payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -74,22 +79,47 @@ class DecodeMedia:
         h = int.from_bytes(digest[:4], "big")
         return (64 + h % 512, 64 + (h >> 9) % 512, feat)
 
+    def _decode_pil(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        """Real image decode: original dimensions + a grayscale-thumbnail
+        feature vector in [0, 1].  Exercised by the fake-PIL contract test
+        (tests/test_multimodal_backend.py) so the branch stays live even
+        where the container ships no imaging libraries."""
+        import io
+
+        img = self._pil_image.open(io.BytesIO(payload))
+        w, h = int(img.width), int(img.height)
+        thumb = img.convert("L").resize((self._thumb_side, self._thumb_side))
+        feat = (
+            np.asarray(thumb, dtype=np.float32).reshape(self.feature_dim)
+            / np.float32(255.0)
+        )
+        return (w, h, feat)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths: list[int] = []
         heights: list[int] = []
         feats: list[list[float]] = []
         ok: list[bool] = []
-        for payload in batch.column("payload").to_pylist():
-            if self.backend == "pil":  # pragma: no cover - lib not in container
-                raise NotImplementedError(
-                    "real image decode path requires verifying PIL output "
-                    "formats; this container ships no imaging libraries"
-                )
-            w, h, f = self._decode_stub(payload)
+        for payload, kind in zip(
+            batch.column("payload").to_pylist(), batch.column("kind").to_pylist()
+        ):
+            # Real backend for images when the library exists; audio decode
+            # stays stubbed (no soundfile in this container); any decode
+            # error degrades to the deterministic stub with decoded=False.
+            if self.backend == "pil" and kind == "image":
+                try:
+                    w, h, f = self._decode_pil(payload)
+                    decoded = True
+                except Exception:
+                    w, h, f = self._decode_stub(payload)
+                    decoded = False
+            else:
+                w, h, f = self._decode_stub(payload)
+                decoded = self.backend != "pil"
             widths.append(w)
             heights.append(h)
             feats.append([float(x) for x in f])
-            ok.append(True)
+            ok.append(decoded)
         return pa.table(
             {
                 "media_ref": batch.column("media_ref"),

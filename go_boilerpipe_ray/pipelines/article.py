@@ -24,11 +24,12 @@ def read_spans(path: str, parallelism: int | None = None) -> "ray.data.Dataset":
     """Read a spans table.  Lance is the production format per the north
     rule; this sandbox has no lance package, so parquet is the tested
     reader and read_lance is attempted first behind a capability check."""
-    if hasattr(ray.data, "read_lance") and path.endswith(".lance"):
-        try:
+    if path.endswith(".lance"):
+        if lance_available():
             return ray.data.read_lance(path)
-        except Exception:
-            pass
+        raise RuntimeError(
+            "lance input requested but the lance package is not installed"
+        )
     kwargs = {}
     if parallelism:
         kwargs["override_num_blocks"] = parallelism
@@ -41,6 +42,35 @@ def read_spans(path: str, parallelism: int | None = None) -> "ray.data.Dataset":
             _normalize_spans_batch, batch_format="pyarrow", zero_copy_batch=True
         )
     return ray.data.read_parquet(path, **kwargs)
+
+
+def lance_available() -> bool:
+    """True when the lance package AND the Ray bindings are importable —
+    the capability gate for the north rule's production format."""
+    if not hasattr(ray.data, "read_lance"):
+        return False
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def write_spans(ds: "ray.data.Dataset", path: str) -> None:
+    """Symmetric sink for ``read_spans``: lance when the path asks for it
+    and the package exists (production format per the north rule), else
+    partitioned parquet.  A ``.lance`` path without the package fails
+    loudly up front instead of mid-stream inside a write task."""
+    if path.endswith(".lance"):
+        if not lance_available():
+            raise RuntimeError(
+                "lance output requested but the lance package is not "
+                "installed; write parquet or install lance"
+            )
+        ds.write_lance(path)
+        return
+    ds.write_parquet(path)
 
 
 def _is_jsonl_dir(path: str) -> bool:
