@@ -156,6 +156,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "media_decode": xq.media_decode,
         "media_resize": xq.media_resize,
+        # round-3 additions
+        "dup_ngram_profile": text.dup_ngram_profile,
+        "bpe_pair_counts": text.bpe_pair_counts,
+        "corpus_mix_report": text.corpus_mix_report,
+        "embedding_outliers": similarity.embedding_outliers,
     }
 
 
@@ -246,6 +251,10 @@ def oracle_sql() -> dict[str, str]:
         "top_events": relational.TOP_EVENTS_SQL,
         "click_values": relational.CLICK_VALUES_SQL,
         "distinct_event_types": relational.DISTINCT_EVENT_TYPES_SQL,
+        "dup_ngram_profile": text.DUP_NGRAM_SQL,
+        "bpe_pair_counts": text.BPE_PAIRS_SQL,
+        "corpus_mix_report": text.CORPUS_MIX_SQL,
+        "embedding_outliers": similarity.EMBEDDING_OUTLIERS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -1203,3 +1203,291 @@ ok AS (
 )
 SELECT min(doc_id) AS doc_id FROM ok GROUP BY h
 """
+
+
+# -- exact-substring (n-gram) duplication profile ----------------------------
+
+# K-token grams, the unit of the Lee et al. 2021 ("Deduplicating Training
+# Data Makes Language Models Better") exact-substring accounting, shrunk
+# to token granularity for a SQL-mirrorable integer oracle.
+DUP_NGRAM_K = 8
+
+
+def dup_ngram_profile(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document duplicated-n-gram profile: how many of a doc's K-token
+    gram occurrences also appear in any LOWER-doc_id document (the
+    "first writer wins" attribution every exact-substring dedup uses).
+
+    Scale shape: grams are hashed to int64 before the shuffle (8-byte
+    keys, never strings — same trick as n-gram Jaccard); stage 1 emits
+    per-(doc, gram) count rows, a groupby(gram) attributes duplicates
+    against the group's min doc_id, and a groupby(doc_id) rolls the
+    partials up.  Two keyed exchanges of narrow fixed-width rows; no
+    driver materialization.  A doc too short for any gram emits one
+    per-doc sentinel key (unique, so no hot group) to keep LEFT-JOIN
+    semantics with the oracle."""
+    import ray.data
+
+    k = DUP_NGRAM_K
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        out_g: list[int] = []
+        out_d: list[int] = []
+        out_c: list[int] = []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = _TOKEN_RE.findall(t.lower())
+            if len(toks) < k:
+                # Unique sentinel (negative, keyed by doc) — group of one.
+                out_g.append(-int(doc_id) - 1)
+                out_d.append(doc_id)
+                out_c.append(0)
+                continue
+            counts: dict[int, int] = {}
+            for i in range(len(toks) - k + 1):
+                h = (
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            " ".join(toks[i : i + k]).encode(), digest_size=8
+                        ).digest(),
+                        "big",
+                    )
+                    >> 1
+                )
+                counts[h] = counts.get(h, 0) + 1
+            for h, c in counts.items():
+                out_g.append(h)
+                out_d.append(doc_id)
+                out_c.append(c)
+        return pa.table(
+            {
+                "gram": pa.array(out_g, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "cnt": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    def per_gram(group: pa.Table) -> pa.Table:
+        docs = group.column("doc_id").to_numpy(zero_copy_only=False)
+        cnts = group.column("cnt").to_numpy(zero_copy_only=False)
+        first = docs.min()
+        dup = np.where(docs > first, cnts, 0).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "p_grams": pa.array(cnts, pa.int64()),
+                "p_dup": pa.array(dup, pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_grams = batch.column("n_grams")
+        n_dup = batch.column("n_dup")
+        permille = pc.if_else(
+            pc.greater(n_grams, 0),
+            pc.divide(pc.multiply(n_dup, 1000), pc.max_element_wise(n_grams, 1)),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_grams": n_grams,
+                "n_dup": n_dup,
+                "dup_permille": pc.cast(permille, pa.int64()),
+            }
+        )
+
+    ds = read_documents(sf_dir)
+    return (
+        ds.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gram")
+        .map_groups(per_gram, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            ray.data.aggregate.Sum("p_grams", alias_name="n_grams"),
+            ray.data.aggregate.Sum("p_dup", alias_name="n_dup"),
+        )
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def _dup_ngram_sql(k: int = DUP_NGRAM_K) -> str:
+    gram_expr = " || ' ' || ".join(f"ts[i+{j}]" for j in range(k)).replace(
+        "ts[i+0]", "ts[i]"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, {gram_expr} AS g
+  FROM toks, UNNEST(range(1, len(ts) - {k - 2})) AS r(i)
+  WHERE len(ts) >= {k}
+),
+firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g),
+per_doc AS (
+  SELECT gr.doc_id,
+         count(*) AS n_grams,
+         CAST(sum(CASE WHEN f.first_doc < gr.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup
+  FROM grams gr JOIN firsts f USING (g)
+  GROUP BY gr.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup,
+       CAST(COALESCE(p.n_dup, 0) * 1000
+            // greatest(COALESCE(p.n_grams, 0), 1) AS BIGINT) AS dup_permille
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+DUP_NGRAM_SQL = _dup_ngram_sql()
+
+
+# -- BPE-style adjacent-pair counting (tokenizer induction, step 1) ----------
+
+BPE_TOPK = 20
+
+
+def bpe_pair_counts(sf_dir: str, k: int = BPE_TOPK) -> pa.Table:
+    """Corpus-wide adjacent token-pair counts, top-k — the inner statistic
+    of a BPE tokenizer-induction merge step.  Per-batch Counter partials
+    (combiner: the shuffle moves (pair, count) rows, never tokens), tiny
+    groupby-sum, then per-block select_k + bounded driver merge under the
+    total order (count DESC, pair ASC) — same top-k shape as
+    top_customers, no global sort."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = _TOKEN_RE.findall(t.lower())
+            c.update(
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            )
+        return pa.table(
+            {
+                "pair": pa.array(list(c.keys()), pa.string()),
+                "p_cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        read_documents(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pair")
+        .aggregate(ray.data.aggregate.Sum("p_cnt", alias_name="n"))
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch,
+            k=min(k, batch.num_rows),
+            sort_keys=[("n", "descending"), ("pair", "ascending")],
+        )
+        return batch.take(idx)
+
+    cand = agg.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # bounded: blocks × k
+    cand = cand.sort_values(["n", "pair"], ascending=[False, True]).head(k)
+    return pa.table(
+        {
+            "pair": pa.array(cand["pair"], pa.string()),
+            "n": pa.array(cand["n"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+BPE_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts FROM documents
+),
+bg AS (
+  SELECT ts[i] || ' ' || ts[i+1] AS pair
+  FROM toks, UNNEST(range(1, len(ts))) AS r(i)
+  WHERE len(ts) >= 2
+)
+SELECT pair, count(*) AS n FROM bg GROUP BY pair
+ORDER BY n DESC, pair LIMIT {BPE_TOPK}
+"""
+
+
+# -- data-mixture report ------------------------------------------------------
+
+
+def corpus_mix_report(sf_dir: str) -> pa.Table:
+    """Training-mixture report: docs, whitespace tokens and permille share
+    of the global token budget per (source, lang) — the table a data team
+    reads before setting sampling weights.  Per-batch partials, one tiny
+    groupby (group count is bounded by #sources × #langs), share computed
+    on the bounded rollup."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_tok = pc.cast(
+            pc.count_substring_regex(batch.column("text"), r"\S+"), pa.int64()
+        )
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "lang": batch.column("lang"),
+                "n_tok": n_tok,
+            }
+        )
+        g = t.group_by(["source", "lang"]).aggregate(
+            [("n_tok", "sum"), ("n_tok", "count")]
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "lang": g.column("lang"),
+                "p_tok": g.column("n_tok_sum"),
+                "p_docs": g.column("n_tok_count").cast(pa.int64()),
+            }
+        )
+
+    from ._util import read_parquet_clean
+
+    rollup = (
+        read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["source", "lang", "text"]
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang"])
+        .aggregate(
+            ray.data.aggregate.Sum("p_tok", alias_name="n_tokens"),
+            ray.data.aggregate.Sum("p_docs", alias_name="n_docs"),
+        )
+        .to_pandas()  # bounded: #sources × #langs rows
+    )
+    total = max(int(rollup["n_tokens"].sum()), 1)
+    share = (rollup["n_tokens"].astype("int64") * 1000) // total
+    return pa.table(
+        {
+            "source": pa.array(rollup["source"], pa.string()),
+            "lang": pa.array(rollup["lang"], pa.string()),
+            "n_docs": pa.array(rollup["n_docs"].astype("int64"), pa.int64()),
+            "n_tokens": pa.array(rollup["n_tokens"].astype("int64"), pa.int64()),
+            "share_permille": pa.array(share.astype("int64"), pa.int64()),
+        }
+    )
+
+
+CORPUS_MIX_SQL = r"""
+WITH g AS (
+  SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+       CAST(n_tokens * 1000
+            // greatest(CAST(sum(n_tokens) OVER () AS BIGINT), 1)
+            AS BIGINT) AS share_permille
+FROM g
+"""

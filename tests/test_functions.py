@@ -1383,3 +1383,65 @@ def test_kmeans_inertia_matches_numpy():
     for cl in set(cell.tolist()):
         sel = cell == cl
         assert got[cl] == (int(d2[sel, cl].sum()), int(sel.sum())), cl
+
+
+# -- round-3 additions ---------------------------------------------------------
+
+
+def test_dup_ngram_profile_properties():
+    """Duplicated-gram attribution: copies (dup_corpus not used here — the
+    plain documents table) must satisfy the invariants: n_dup <= n_grams,
+    the lowest doc_id owning a gram never counts it as dup, and permille
+    is the exact floor ratio."""
+    from go_boilerpipe_ray.functions.text import dup_ngram_profile
+
+    rows = dup_ngram_profile(SF).take_all()
+    assert len(rows) == 500
+    by_id = {r["doc_id"]: r for r in rows}
+    assert all(0 <= r["n_dup"] <= r["n_grams"] for r in rows)
+    assert all(
+        r["dup_permille"] == (r["n_dup"] * 1000) // max(r["n_grams"], 1)
+        for r in rows
+    )
+    # The synthetic template reuses a tiny vocab: later docs must overlap.
+    assert sum(r["n_dup"] for r in rows) > 0
+    # doc 0 (lowest id) can never have a dup attributed against a lower doc
+    # unless a gram repeats within it after first appearing... it IS the
+    # first writer for every gram it contains.
+    assert by_id[min(by_id)]["n_dup"] == 0
+
+
+def test_bpe_pair_counts_topk():
+    from go_boilerpipe_ray.functions.text import BPE_TOPK, bpe_pair_counts
+
+    t = bpe_pair_counts(SF).to_pandas()
+    assert len(t) == BPE_TOPK
+    # Sorted by (count desc, pair asc); counts positive; pairs are two tokens.
+    ns = t["n"].tolist()
+    assert ns == sorted(ns, reverse=True)
+    assert all(n > 0 for n in ns)
+    assert all(len(p.split(" ")) == 2 for p in t["pair"])
+
+
+def test_corpus_mix_report_shares():
+    from go_boilerpipe_ray.functions.text import corpus_mix_report
+
+    t = corpus_mix_report(SF).to_pandas()
+    assert t["n_docs"].sum() == 500
+    # Floor-division shares: sum in (1000 - n_groups, 1000].
+    s = int(t["share_permille"].sum())
+    assert 1000 - len(t) < s <= 1000
+    assert (t["n_tokens"] > 0).all()
+
+
+def test_embedding_outliers_threshold_semantics():
+    from go_boilerpipe_ray.functions.similarity import (
+        OUTLIER_DIST2_T,
+        embedding_outliers,
+    )
+
+    rows = embedding_outliers(SF).take_all()
+    # Every flagged row respects the threshold; the flag set is a strict
+    # minority but non-empty (threshold calibrated to the high tail).
+    assert all(r["dist2"] > OUTLIER_DIST2_T for r in rows)
+    assert 0 < len(rows) < 500
