@@ -191,17 +191,28 @@ def _build_server(port: int):
             except OSError as exc:
                 return self._error(500, str(exc))
             doc = parse_document(html_text)
-            pipe = LoggingPipeline(article_pipeline())
+            pipe = LoggingPipeline(article_pipeline(), snapshot_blocks=True)
             pipe.process(doc)
             date = u.date() or doc.date
             date_str = (
                 f"{date:%B} {date.day}, {date.year}" if date else ""
             )  # Go layout "January 2, 2006"
-            log_rows = "".join(
-                f"<tr><td>{_html.escape(f)}</td><td>{str(c).lower()}</td>"
-                f"<td>{n}</td></tr>"
-                for f, c, n in pipe.log
-            )
+            # Per-filter accordion mirroring serve.go's extract template
+            # (serve.go:295-345): ✓/✗ = HasChanged, label = FilterName
+            # (block count), body = one card per TextBlock as
+            # "{index}: {text}" — the full block-level snapshot after
+            # each filter, rendered with <details> instead of bootstrap.
+            cards = []
+            for (f, c, n), blocks in zip(pipe.log, pipe.block_snapshots):
+                icon = "✓" if c else "✗"
+                body_blocks = "".join(
+                    f"<div class=\"card\"><p>{i}: {_html.escape(t)}</p></div>"
+                    for i, t in enumerate(blocks)
+                )
+                cards.append(
+                    f"<details><summary>{icon} {_html.escape(f)} ({n})"
+                    f"</summary>{body_blocks}</details>"
+                )
             body = (
                 "<!DOCTYPE html><html><head><title>"
                 f"{_html.escape(doc.title)}</title></head><body>"
@@ -209,8 +220,7 @@ def _build_server(port: int):
                 f"<p><em>{date_str}</em></p>"
                 f"<div>{string_to_html(doc.content())}</div>"
                 "<h2>Filter log</h2>"
-                "<table><tr><th>filter</th><th>changed</th>"
-                f"<th>blocks</th></tr>{log_rows}</table>"
+                f"<div id=\"accordion\">{''.join(cards)}</div>"
                 "</body></html>"
             )
             self._send(200, body)

@@ -73,19 +73,30 @@ class Pipeline(Filter):
 class LoggingPipeline(Filter):
     """Snapshot wrapper mirroring cmd/boilerpipe/serve.go:172-204: records
     (filter name, has_changed, n_blocks) after each filter — the engine's
-    per-row lineage column."""
+    per-row lineage column.  With ``snapshot_blocks=True`` it also keeps
+    each filter's post-state block texts (serve.go's extract template
+    renders these in the per-filter accordion, one card per TextBlock);
+    off by default — the full snapshots are strictly a debug-UI payload
+    and would bloat the lineage column in distributed runs."""
 
-    def __init__(self, pipeline: Pipeline):
+    def __init__(self, pipeline: Pipeline, snapshot_blocks: bool = False):
         self.name = "Logging" + pipeline.name
         self.pipeline = pipeline
+        self.snapshot_blocks = snapshot_blocks
         self.log: list[tuple[str, bool, int]] = []
+        self.block_snapshots: list[list[str]] = []
 
     def process(self, doc: Document) -> bool:
         self.log = []
+        self.block_snapshots = []
         has_changed = False
         for f in self.pipeline.filters:
             changed = f.process(doc)
             self.log.append((f.name, changed, len(doc.text_blocks)))
+            if self.snapshot_blocks:
+                self.block_snapshots.append(
+                    [tb.text for tb in doc.text_blocks]
+                )
             has_changed = changed or has_changed
         return has_changed
 

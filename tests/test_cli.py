@@ -201,6 +201,12 @@ def test_serve_ui_end_to_end():
         assert "<p>Day 18: Boilerpipe" in page        # StringToHTML view
         assert "TerminatingBlocks" in page            # filter log rendered
         assert "November 15, 2013" in page            # Go "January 2, 2006" layout
+        # Block-level accordion (serve.go:295-345): one <details> per
+        # filter labelled "icon Name (block count)", bodies holding the
+        # indexed post-filter block snapshots.
+        assert page.count("<details>") == 12          # one per pipeline filter
+        assert "✓" in page and "✗" in page
+        assert "<p>0: " in page                       # indexed block cards
 
         try:
             urllib.request.urlopen(f"{base}/extract")
