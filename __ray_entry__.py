@@ -161,6 +161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": text.bpe_pair_counts,
         "corpus_mix_report": text.corpus_mix_report,
         "embedding_outliers": similarity.embedding_outliers,
+        "token_budget_select": text.token_budget_select,
+        "embedding_dim_stats": similarity.embedding_dim_stats,
+        "url_dedup": urls.url_dedup,
     }
 
 
@@ -255,6 +258,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": text.BPE_PAIRS_SQL,
         "corpus_mix_report": text.CORPUS_MIX_SQL,
         "embedding_outliers": similarity.EMBEDDING_OUTLIERS_SQL,
+        "token_budget_select": text.TOKEN_BUDGET_SQL,
+        "embedding_dim_stats": similarity.EMBEDDING_DIM_STATS_SQL,
+        "url_dedup": urls.URL_DEDUP_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

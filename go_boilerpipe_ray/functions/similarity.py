@@ -1085,3 +1085,73 @@ SELECT a.vec_id, a.cell, CAST(d.dist2 AS BIGINT) AS dist2
 FROM a JOIN d ON d.vec_id = a.vec_id AND d.cid = a.cell
 WHERE d.dist2 > {OUTLIER_DIST2_T}
 """
+
+
+# -- per-dimension embedding profile ------------------------------------------
+
+
+def embedding_dim_stats(sf_dir: str) -> pa.Table:
+    """Per-dimension profile of the embedding matrix: count, exact int64
+    fixed-point component sum, min and max — the feature-scaling /
+    dead-dimension QC table.  Per-batch partials are ≤ d rows per block
+    (sum/min/max are all mergeable), one tiny groupby rollup.
+
+    int64 bound: |q| ≤ ~2e6 for unit-ish vectors, so the global component
+    sum stays in int64 up to ~4.6e12 rows; the guard below fails loudly
+    if a batch's magnitudes could break that en route."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _quantize(np.asarray(batch.column("embedding").to_pylist()))
+        n, d = q.shape
+        max_abs = int(np.abs(q).max()) if q.size else 0
+        if max_abs and max_abs > (2**63 - 1) // max(n, 1) // (1 << 20):
+            raise OverflowError(
+                "embedding magnitudes too large for exact int64 dim sums"
+            )
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64), pa.int64()),
+                "p_n": pa.array(np.full(d, n, dtype=np.int64), pa.int64()),
+                "p_sum": pa.array(q.sum(axis=0), pa.int64()),
+                "p_min": pa.array(q.min(axis=0), pa.int64()),
+                "p_max": pa.array(q.max(axis=0), pa.int64()),
+            }
+        )
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(
+            ray.data.aggregate.Sum("p_n", alias_name="n"),
+            ray.data.aggregate.Sum("p_sum", alias_name="sum_q"),
+            ray.data.aggregate.Min("p_min", alias_name="min_q"),
+            ray.data.aggregate.Max("p_max", alias_name="max_q"),
+        )
+        .to_pandas()  # bounded: d rows
+        .sort_values("dim")
+    )
+    return pa.table(
+        {
+            "dim": pa.array(out["dim"].to_numpy().astype(np.int64), pa.int64()),
+            "n": pa.array(out["n"].to_numpy().astype(np.int64), pa.int64()),
+            "sum_q": pa.array(out["sum_q"].to_numpy().astype(np.int64), pa.int64()),
+            "min_q": pa.array(out["min_q"].to_numpy().astype(np.int64), pa.int64()),
+            "max_q": pa.array(out["max_q"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+EMBEDDING_DIM_STATS_SQL = f"""
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(unnest(embedding)::DOUBLE * {_QUANT} + 0.5) AS BIGINT) AS qv
+  FROM embeddings
+)
+SELECT dim, count(*) AS n,
+       CAST(sum(qv) AS BIGINT) AS sum_q,
+       CAST(min(qv) AS BIGINT) AS min_q,
+       CAST(max(qv) AS BIGINT) AS max_q
+FROM q GROUP BY dim
+"""

@@ -1491,3 +1491,101 @@ SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
             AS BIGINT) AS share_permille
 FROM g
 """
+
+
+# -- per-source token-budget selection ----------------------------------------
+
+# Greedy per-source budget: docs are admitted in doc_id order until their
+# source's running token count reaches the budget — how a mixture spec
+# ("at most N tokens from each domain") is materialized into a doc list.
+BUDGET_TOKENS_PER_SOURCE = 700
+_BUDGET_BUCKET_WIDTH = 64
+
+
+def token_budget_select(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source greedy token-budget selection.  selected=1 iff the doc's
+    EXCLUSIVE prefix token sum within its source (doc_id order) is still
+    under the budget — the first doc crossing the line is admitted, the
+    rest are cut, matching SQL's windowed prefix semantics.
+
+    Scale shape: same two-pass scan as pack_sequences but keyed by
+    (source, id-bucket): per-(source, bucket) totals roll up to a
+    broadcast offsets table of O(sources × id_range / bucket_width)
+    rows — never O(docs) — then each (source, bucket) group cumsums
+    locally.  No global sort."""
+    import ray as _ray
+    import ray.data
+
+    def with_counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = pc.cast(
+            pc.count_substring_regex(batch.column("text"), r"\S+"), pa.int64()
+        )
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "bucket": pa.array(ids // _BUDGET_BUCKET_WIDTH, pa.int64()),
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": n,
+            }
+        )
+
+    from ._util import read_parquet_clean
+
+    counted = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).map_batches(with_counts, batch_format="pyarrow", zero_copy_batch=True)
+
+    totals = (
+        counted.groupby(["source", "bucket"]).sum("n_tokens").to_pandas()
+    )  # bounded: sources × buckets rows
+    totals = totals.sort_values(["source", "bucket"])
+    grp = totals.groupby("source")["sum(n_tokens)"]
+    excl = grp.cumsum() - totals["sum(n_tokens)"]
+    offsets = {
+        (s, int(b)): int(e)
+        for s, b, e in zip(totals["source"], totals["bucket"], excl)
+    }
+    offsets_ref = _ray.put(offsets)
+
+    def scan(group: pa.Table) -> pa.Table:
+        off = _ray.get(offsets_ref)
+        src = group.column("source")[0].as_py()
+        bucket = int(group.column("bucket")[0].as_py())
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        n = group.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, n = ids[order], n[order]
+        prefix_excl = np.cumsum(n) - n + off[(src, bucket)]
+        sel = (prefix_excl < BUDGET_TOKENS_PER_SOURCE).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": pa.array([src] * len(ids), pa.string()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "selected": pa.array(sel, pa.int64()),
+            }
+        )
+
+    return counted.groupby(["source", "bucket"]).map_groups(
+        scan, batch_format="pyarrow"
+    )
+
+
+TOKEN_BUDGET_SQL = rf"""
+WITH c AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS excl
+  FROM c
+)
+SELECT doc_id, source, n_tokens,
+       CAST(CASE WHEN excl < {BUDGET_TOKENS_PER_SOURCE} THEN 1 ELSE 0 END
+            AS BIGINT) AS selected
+FROM s
+"""

@@ -108,3 +108,68 @@ SELECT doc_id,
        CAST(make_timestamp(y, mo, dy, 0, 0, 0) AS TIMESTAMP) AS url_date
 FROM d
 """
+
+
+# -- canonical-URL dedup ------------------------------------------------------
+
+# Collision modulus: raw URLs are derived from doc_id % URL_DEDUP_MOD, so
+# distinct docs share a canonical URL once normalization strips the
+# scheme/query/path noise — the crawl-dedup scenario normurl exists for.
+URL_DEDUP_MOD = 300
+
+
+def url_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Canonical-URL dedup: build deterministic raw URLs (scheme and
+    tracking-query variants of the same logical page), normalize through
+    the normurl stage (the reference's Parse/Normalize semantics), and
+    keep the lowest doc_id per canonical url_norm.
+
+    Scale shape: normalization is a narrow vectorized stage; the only
+    shuffle is groupby(url_norm) over (url_norm, doc_id) rows, then a
+    per-group min — identical to exact content dedup with the canonical
+    URL as the key."""
+    from ._util import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        for d in batch.column("doc_id").to_pylist():
+            m = d % URL_DEDUP_MOD
+            raw = (
+                ("https://" if d % 2 == 0 else "")
+                + f"WWW.site{m % 7}.org/a/../news/item-{m}"
+                + ("?utm_campaign=x" if d % 3 == 0 else "")
+            )
+            urls.append(raw)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "url": pa.array(urls, pa.string())}
+        )
+
+    normed = normalize_urls(
+        ds.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
+    ).select_columns(["doc_id", "url_norm"])
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id")
+        i = pc.index(ids, pc.min(ids))
+        return group.take(pa.array([i.as_py()]))
+
+    return normed.groupby("url_norm").map_groups(keep_min, batch_format="pyarrow")
+
+
+# Scheme in the canonical form: explicit https on even doc_ids survives
+# normalization, schemeless odd doc_ids get the implied http.  Parity of
+# doc_id equals parity of (doc_id % URL_DEDUP_MOD) because the modulus is
+# even, so the scheme is a pure function of m and the group keys are
+# exactly the URL_DEDUP_MOD logical pages.
+URL_DEDUP_SQL = f"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END ||
+         'www.site' || ((doc_id % {URL_DEDUP_MOD}) % 7) ||
+         '.org/news/item-' || (doc_id % {URL_DEDUP_MOD}) AS url_norm
+  FROM documents
+)
+SELECT min(doc_id) AS doc_id, url_norm FROM raw GROUP BY url_norm
+"""

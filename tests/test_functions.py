@@ -1445,3 +1445,49 @@ def test_embedding_outliers_threshold_semantics():
     # minority but non-empty (threshold calibrated to the high tail).
     assert all(r["dist2"] > OUTLIER_DIST2_T for r in rows)
     assert 0 < len(rows) < 500
+
+
+def test_token_budget_select_greedy_prefix():
+    """Per-source greedy admission: within each source (doc_id order) the
+    selected set is a prefix, the first doc crossing the budget is still
+    admitted, and nothing after it is."""
+    from go_boilerpipe_ray.functions.text import (
+        BUDGET_TOKENS_PER_SOURCE,
+        token_budget_select,
+    )
+
+    rows = token_budget_select(SF).take_all()
+    assert len(rows) == 500
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        run = 0
+        for r in rs:
+            want = 1 if run < BUDGET_TOKENS_PER_SOURCE else 0
+            assert r["selected"] == want, (src, r)
+            run += r["n_tokens"]
+        flags = [r["selected"] for r in rs]
+        assert flags == sorted(flags, reverse=True)  # prefix property
+
+
+def test_embedding_dim_stats_bounds():
+    from go_boilerpipe_ray.functions.similarity import embedding_dim_stats
+
+    t = embedding_dim_stats(SF).to_pandas()
+    assert len(t) == 64 and (t["n"] == t["n"].iloc[0]).all()
+    assert (t["min_q"] <= t["max_q"]).all()
+    # Sum must sit inside [n*min, n*max] per dimension.
+    assert ((t["sum_q"] >= t["n"] * t["min_q"]) & (t["sum_q"] <= t["n"] * t["max_q"])).all()
+
+
+def test_url_dedup_canonical_keys():
+    from go_boilerpipe_ray.functions.urls import URL_DEDUP_MOD, url_dedup
+
+    rows = url_dedup(SF).take_all()
+    # 500 docs mod 300 → 300 canonical pages, keeper = min doc_id = m.
+    assert len(rows) == min(500, URL_DEDUP_MOD)
+    assert all(r["doc_id"] == r["doc_id"] % URL_DEDUP_MOD for r in rows)
+    assert all(r["url_norm"].startswith(("http://", "https://")) for r in rows)
+    assert all("?" not in r["url_norm"] and "/a/" not in r["url_norm"] for r in rows)
