@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_select": text.token_budget_select,
         "embedding_dim_stats": similarity.embedding_dim_stats,
         "url_dedup": urls.url_dedup,
+        "event_throttle": relational.event_throttle,
     }
 
 
@@ -261,6 +262,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_select": text.TOKEN_BUDGET_SQL,
         "embedding_dim_stats": similarity.EMBEDDING_DIM_STATS_SQL,
         "url_dedup": urls.URL_DEDUP_SQL,
+        "event_throttle": relational.EVENT_THROTTLE_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

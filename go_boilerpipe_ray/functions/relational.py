@@ -1544,3 +1544,73 @@ SELECT event_id, event_type,
            AS pr_permille
 FROM events
 """
+
+
+# -- event throttling (windowed keep-first dedup) ------------------------------
+
+THROTTLE_MINUTES = 10
+
+
+def event_throttle(sf_dir: str) -> "ray.data.Dataset":
+    """Windowed rate-limit dedup over the event stream: at most one event
+    per (user, event_type) per fixed 10-minute bucket — the keeper is the
+    earliest (ts, event_id).  The dedup flavor a feature-store ingest or
+    notification pipeline runs.
+
+    Scale shape: the bucket key is derived vectorized in a narrow stage;
+    the only shuffle is the groupby on (user, type, bucket) — fixed-width
+    rows, keeper chosen per group with an in-group argmin, output is the
+    kept minority."""
+    win_us = THROTTLE_MINUTES * 60 * 1_000_000
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64())
+        bucket = pc.multiply(pc.divide(ts, win_us), win_us)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+                "ts": batch.column("ts"),
+                "bucket": pc.cast(bucket, pa.int64()),
+            }
+        )
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((eid, ts))[0])
+        row = group.slice(i, 1)
+        return pa.table(
+            {
+                "event_id": row.column("event_id"),
+                "user_id": row.column("user_id"),
+                "event_type": row.column("event_type"),
+                "bucket_start": pa.array(
+                    [int(ts[i] // (THROTTLE_MINUTES * 60 * 1_000_000))
+                     * THROTTLE_MINUTES * 60 * 1_000_000],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "event_type", "bucket"])
+        .map_groups(keep_first, batch_format="pyarrow")
+    )
+
+
+EVENT_THROTTLE_SQL = f"""
+WITH b AS (
+  SELECT event_id, user_id, event_type, ts,
+         (epoch_us(ts) // {THROTTLE_MINUTES * 60 * 1_000_000})
+           * {THROTTLE_MINUTES * 60 * 1_000_000} AS bucket_start
+  FROM events
+)
+SELECT event_id, user_id, event_type, CAST(bucket_start AS BIGINT) AS bucket_start
+FROM b
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, event_type, bucket_start ORDER BY ts, event_id) = 1
+"""

@@ -1491,3 +1491,19 @@ def test_url_dedup_canonical_keys():
     assert all(r["doc_id"] == r["doc_id"] % URL_DEDUP_MOD for r in rows)
     assert all(r["url_norm"].startswith(("http://", "https://")) for r in rows)
     assert all("?" not in r["url_norm"] and "/a/" not in r["url_norm"] for r in rows)
+
+
+def test_event_throttle_rate_limit():
+    """At most one kept event per (user, type, 10-min bucket); the keeper
+    is the earliest (ts, event_id) of its bucket."""
+    from go_boilerpipe_ray.functions.relational import (
+        THROTTLE_MINUTES,
+        event_throttle,
+    )
+
+    rows = event_throttle(SF).take_all()
+    assert rows
+    keys = [(r["user_id"], r["event_type"], r["bucket_start"]) for r in rows]
+    assert len(keys) == len(set(keys))  # one keeper per bucket
+    win = THROTTLE_MINUTES * 60 * 1_000_000
+    assert all(r["bucket_start"] % win == 0 for r in rows)
