@@ -15,8 +15,12 @@ import ray.data
 from ..stages.extract import ExtractDocuments, SizeRoutedExtract, add_doc_bytes
 
 # Defaults sized so that batch_size × avg doc size stays in the tens of MB
-# per task; giant docs are routed to batch_size=1 tasks.
-DEFAULT_BATCH_SIZE = 128
+# per task (256 × ~50 KB ≈ 13 MB of HTML per call); giant docs are
+# dispatched row-at-a-time by the size router.  256 measured faster than
+# 128 in four of four interleaved fresh-process draws on the bench corpus
+# (8-45%: fewer per-call Arrow assembly/slice overheads per doc); 512 was
+# a wash — keep 256 for the smaller memory envelope.
+DEFAULT_BATCH_SIZE = 256
 DEFAULT_GIANT_THRESHOLD = 4 << 20  # 4 MiB of HTML in one row
 
 
