@@ -165,6 +165,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": similarity.embedding_dim_stats,
         "url_dedup": urls.url_dedup,
         "event_throttle": relational.event_throttle,
+        # round-3 session-2 additions
+        "chunk_documents": text.chunk_documents,
+        "vocab_build": text.vocab_build,
+        "encode_tokens": text.encode_tokens,
+        "skipgram_counts": text.skipgram_counts,
+        "salted_event_stats": relational.salted_event_stats,
     }
 
 
@@ -263,6 +269,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dim_stats": similarity.EMBEDDING_DIM_STATS_SQL,
         "url_dedup": urls.URL_DEDUP_SQL,
         "event_throttle": relational.EVENT_THROTTLE_SQL,
+        "chunk_documents": text.CHUNK_DOCUMENTS_SQL,
+        "vocab_build": text.VOCAB_BUILD_SQL,
+        "encode_tokens": text.ENCODE_TOKENS_SQL,
+        "skipgram_counts": text.SKIPGRAM_SQL,
+        "salted_event_stats": relational.SALTED_EVENT_STATS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -1614,3 +1614,76 @@ FROM b
 QUALIFY row_number() OVER (
   PARTITION BY user_id, event_type, bucket_start ORDER BY ts, event_id) = 1
 """
+
+
+# -- skew-mitigated (salted) aggregation ---------------------------------------
+
+SALT_BUCKETS = 16
+
+
+def salted_event_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-event-type count + exact-integer value sum via an explicitly
+    SALTED two-stage aggregate — the skew-mitigation pattern for hot keys
+    (the north rule calls for explicit skew handling; a web corpus's
+    "click" key can be 100x every other key).
+
+    Stage 1 pre-combines per batch, then shuffles on (event_type, salt)
+    where salt = event_id % SALT_BUCKETS: a hot key's rows spread over
+    SALT_BUCKETS reducers instead of one.  Stage 2 re-shuffles only the
+    O(#keys x SALT_BUCKETS) stage-1 rows on event_type — a few hundred
+    rows at any corpus size.  Values quantize to integer cents row-wise
+    (floor(x*100+0.5), the cross-engine-exact convention) so the sum is
+    associativity-exact against the SQL oracle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        etype = batch.column("event_type").to_numpy(zero_copy_only=False)
+        salt = (
+            batch.column("event_id").to_numpy(zero_copy_only=False)
+            % SALT_BUCKETS
+        )
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        keys: dict = {}
+        for e, s, c in zip(etype, salt, cents):
+            k = (e, int(s))
+            agg = keys.get(k)
+            if agg is None:
+                keys[k] = [1, int(c)]
+            else:
+                agg[0] += 1
+                agg[1] += int(c)
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in keys], pa.string()),
+                "salt": pa.array([k[1] for k in keys], pa.int64()),
+                "n_part": pa.array([v[0] for v in keys.values()], pa.int64()),
+                "sum_part": pa.array([v[1] for v in keys.values()], pa.int64()),
+            }
+        )
+
+    salted = (
+        _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "salt"])
+        .aggregate(
+            ray.data.aggregate.Sum("n_part", alias_name="n_s"),
+            ray.data.aggregate.Sum("sum_part", alias_name="sum_s"),
+        )
+    )
+    return (
+        salted.groupby("event_type")
+        .aggregate(
+            ray.data.aggregate.Sum("n_s", alias_name="n_events"),
+            ray.data.aggregate.Sum("sum_s", alias_name="sum_cents"),
+        )
+    )
+
+
+SALTED_EVENT_STATS_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM events GROUP BY event_type
+"""

@@ -1589,3 +1589,334 @@ SELECT doc_id, source, n_tokens,
             AS BIGINT) AS selected
 FROM s
 """
+
+
+# -- RAG-style token-window chunking ------------------------------------------
+
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_documents(
+    sf_dir: str, window: int = CHUNK_WINDOW, stride: int = CHUNK_STRIDE
+) -> "ray.data.Dataset":
+    """Split each document into overlapping token windows — the chunking
+    pass of a RAG / embedding-index build (window tokens per chunk,
+    ``window - stride`` token overlap).
+
+    Embarrassingly parallel narrow ``map_batches``: each doc's chunks are
+    computed locally from its own token list, no shuffle.  Output rows are
+    (doc_id, chunk_id, start_tok, n_tokens, chunk_text); chunk_id is the
+    0-based window index within the doc, so downstream stages can
+    repartition on (doc_id) or (doc_id, chunk_id) without re-reading the
+    corpus.  Docs with zero tokens emit no rows (mirrored in the oracle's
+    ``len(ts) > 0`` guard).  At 100 TB the output is ~window/stride x the
+    input text volume — it streams straight to the sink, never
+    materialized."""
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        d_id: list[int] = []
+        d_chunk: list[int] = []
+        d_start: list[int] = []
+        d_len: list[int] = []
+        d_text: list[str] = []
+        ids = batch.column("doc_id").to_pylist()
+        for did, t in zip(ids, batch.column("text").to_pylist()):
+            toks = _TOKEN_RE.findall(t.lower())
+            for ci, start in enumerate(range(0, len(toks), stride)):
+                win = toks[start : start + window]
+                d_id.append(did)
+                d_chunk.append(ci)
+                d_start.append(start)
+                d_len.append(len(win))
+                d_text.append(" ".join(win))
+        return pa.table(
+            {
+                "doc_id": pa.array(d_id, pa.int64()),
+                "chunk_id": pa.array(d_chunk, pa.int64()),
+                "start_tok": pa.array(d_start, pa.int64()),
+                "n_tokens": pa.array(d_len, pa.int64()),
+                "chunk_text": pa.array(d_text, pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir).map_batches(
+        chunk, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, ts,
+         unnest(range(0, len(ts), {CHUNK_STRIDE})) AS start_tok
+  FROM toks WHERE len(ts) > 0
+)
+SELECT doc_id,
+       CAST(start_tok // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(least({CHUNK_WINDOW}, len(ts) - start_tok) AS BIGINT) AS n_tokens,
+       array_to_string(ts[start_tok + 1 : start_tok + {CHUNK_WINDOW}], ' ')
+           AS chunk_text
+FROM starts
+"""
+
+
+# -- vocabulary build (contiguous id assignment) ------------------------------
+
+VOCAB_MIN_DF = 2
+
+
+def _vocab_df(sf_dir: str, min_df: int) -> "ray.data.Dataset":
+    """(token, df) rows with df >= min_df — one keyed shuffle of per-batch
+    partial document frequencies (same combiner discipline as
+    ``doc_frequency``: hot tokens like "the" ship one bounded partial row
+    per batch, never one row per occurrence)."""
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for t in batch.column("text").to_pylist():
+            for tok in set(_TOKEN_RE.findall(t.lower())):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "df_part": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, columns=["text"])
+        .map_batches(partial_df, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .sum("df_part")
+        .rename_columns({"sum(df_part)": "df"})
+        .filter(expr=f"df >= {min_df}")
+    )
+
+
+def vocab_build(sf_dir: str, min_df: int = VOCAB_MIN_DF) -> "ray.data.Dataset":
+    """Tokenizer vocabulary: document frequency per token, pruned at
+    ``min_df``, with contiguous 1-based ids in (df DESC, token ASC) order
+    — the id-assignment step before corpus encoding (id 0 is reserved for
+    OOV by convention, see :func:`encode_tokens`).
+
+    Contiguous global ids need a total order, but NOT a driver-side
+    materialize: ids come from the same two-pass prefix-offset scan as
+    ``running_total``, keyed on value buckets that are contiguous in the
+    (df DESC, token ASC) total order — bucket = (df, first token char).
+    Pass 1 is a tiny groupby counting rows per bucket; the driver turns
+    those O(#distinct df x alphabet) counts into exclusive offsets and
+    broadcasts them; pass 2 sorts within each bucket and adds the offset.
+    Web-crawl vocabularies (1e9+ junk tokens pre-prune) never collapse
+    onto the driver.  If one (df, char) bucket is still hot at scale
+    (df=min_df junk), extend the prefix to 2 chars — same math."""
+    import ray
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        first = pc.utf8_slice_codeunits(batch.column("token"), 0, 1)
+        return batch.append_column("ch", first)
+
+    bucketed = _vocab_df(sf_dir, min_df).map_batches(
+        with_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed twice (pass-1 counts + pass-2 ids)
+
+    # Pass 1: per-bucket row counts -> exclusive prefix offsets in the
+    # (df DESC, ch ASC) bucket order.  O(#buckets) driver state.
+    counts = bucketed.groupby(["df", "ch"]).count().to_pandas()
+    counts = counts.sort_values(["df", "ch"], ascending=[False, True])
+    cum = np.concatenate([[0], np.cumsum(counts["count()"].to_numpy())[:-1]])
+    offsets = {
+        (int(d), c): int(o)
+        for d, c, o in zip(counts["df"], counts["ch"], cum)
+    }
+    offsets_ref = ray.put(offsets)
+
+    def assign(group: pa.Table) -> pa.Table:
+        off = ray.get(offsets_ref)
+        toks = group.column("token").to_numpy(zero_copy_only=False)
+        order = np.argsort(toks, kind="stable")
+        base = off[
+            (int(group.column("df")[0].as_py()), group.column("ch")[0].as_py())
+        ]
+        ids = base + 1 + np.arange(group.num_rows)
+        out = pa.table(
+            {
+                "token": pa.array(toks[order], pa.string()),
+                "df": group.column("df").take(pa.array(order)),
+                "token_id": pa.array(ids, pa.int64()),
+            }
+        )
+        return out
+
+    return bucketed.groupby(["df", "ch"]).map_groups(
+        assign, batch_format="pyarrow"
+    )
+
+
+VOCAB_BUILD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+tok AS (SELECT DISTINCT doc_id, unnest(ts) AS token FROM toks),
+df AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df
+  FROM tok GROUP BY token HAVING count(*) >= {VOCAB_MIN_DF}
+)
+SELECT token, df,
+       CAST(row_number() OVER (ORDER BY df DESC, token ASC) AS BIGINT)
+           AS token_id
+FROM df
+"""
+
+
+# -- corpus encoding against the vocabulary -----------------------------------
+
+
+def encode_tokens(sf_dir: str, min_df: int = VOCAB_MIN_DF) -> "ray.data.Dataset":
+    """Encode every document as (doc_id, pos, token_id) rows using the
+    :func:`vocab_build` vocabulary; out-of-vocabulary tokens get id 0 —
+    the corpus-numericalization step before sequence packing.
+
+    The vocab is the SMALL side (bounded by the prune), so it broadcasts
+    once via ``ray.put`` and every encode task reads it from the object
+    store — no shuffle of the corpus and no per-batch re-ship.  Long
+    format (one row per token) keeps the driver compare hash-stable and
+    lets downstream ``pack_sequences`` repartition on doc_id; at 100 TB
+    the output streams to the sink."""
+    import ray
+
+    vocab_tbl = vocab_build(sf_dir, min_df).to_pandas()
+    mapping = dict(
+        zip(vocab_tbl["token"].tolist(), vocab_tbl["token_id"].astype(int))
+    )
+    map_ref = ray.put(mapping)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        d_id: list[int] = []
+        d_pos: list[int] = []
+        d_tid: list[int] = []
+        ids = batch.column("doc_id").to_pylist()
+        for did, t in zip(ids, batch.column("text").to_pylist()):
+            for pos, tok in enumerate(_TOKEN_RE.findall(t.lower())):
+                d_id.append(did)
+                d_pos.append(pos)
+                d_tid.append(m.get(tok, 0))
+        return pa.table(
+            {
+                "doc_id": pa.array(d_id, pa.int64()),
+                "pos": pa.array(d_pos, pa.int64()),
+                "token_id": pa.array(d_tid, pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+ENCODE_TOKENS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS p
+  FROM toks WHERE len(ts) > 0
+),
+tok AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos, ts[p] AS token FROM pos),
+dtok AS (
+  SELECT doc_id AS vdoc, unnest(ts) AS token FROM toks
+),
+df AS (
+  SELECT token, count(DISTINCT vdoc) AS df
+  FROM dtok GROUP BY token HAVING count(DISTINCT vdoc) >= {VOCAB_MIN_DF}
+),
+vocab AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY df DESC, token ASC) AS BIGINT)
+             AS token_id
+  FROM df
+)
+SELECT t.doc_id, t.pos, CAST(COALESCE(v.token_id, 0) AS BIGINT) AS token_id
+FROM tok t LEFT JOIN vocab v USING (token)
+"""
+
+
+# -- skip-gram co-occurrence counts --------------------------------------------
+
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_MIN_COUNT = 2
+
+
+def skipgram_counts(
+    sf_dir: str,
+    window: int = SKIPGRAM_WINDOW,
+    min_count: int = SKIPGRAM_MIN_COUNT,
+) -> "ray.data.Dataset":
+    """Directional token co-occurrence counts within a +-window context —
+    the (center, context) pair statistics a word2vec/SGNS or PMI pipeline
+    trains on.
+
+    Combiner discipline: each batch counts its own pairs into a dict and
+    emits one (w1, w2, partial n) row per distinct pair per batch, so the
+    single keyed shuffle moves bounded partials, not one row per token
+    position (a hot pair like "of the" would otherwise funnel the corpus
+    through one reducer).  The ``min_count`` prune runs AFTER the rollup,
+    distributed, as a narrow filter."""
+
+    def partial_pairs(batch: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for t in batch.column("text").to_pylist():
+            toks = _TOKEN_RE.findall(t.lower())
+            n = len(toks)
+            for i, w1 in enumerate(toks):
+                for j in range(max(0, i - window), min(n, i + window + 1)):
+                    if j != i:
+                        key = (w1, toks[j])
+                        counts[key] = counts.get(key, 0) + 1
+        w1s = [k[0] for k in counts]
+        w2s = [k[1] for k in counts]
+        return pa.table(
+            {
+                "w1": pa.array(w1s, pa.string()),
+                "w2": pa.array(w2s, pa.string()),
+                "n_part": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, columns=["text"])
+        .map_batches(partial_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["w1", "w2"])
+        .sum("n_part")
+        .rename_columns({"sum(n_part)": "n"})
+        .filter(expr=f"n >= {min_count}")
+    )
+
+
+SKIPGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS p
+  FROM toks WHERE len(ts) > 0
+),
+tok AS (SELECT doc_id, p, ts[p] AS token FROM pos),
+pairs AS (
+  SELECT a.token AS w1, b.token AS w2
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id
+   AND b.p BETWEEN a.p - {SKIPGRAM_WINDOW} AND a.p + {SKIPGRAM_WINDOW}
+   AND b.p <> a.p
+)
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY w1, w2 HAVING count(*) >= {SKIPGRAM_MIN_COUNT}
+"""

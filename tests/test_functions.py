@@ -1507,3 +1507,135 @@ def test_event_throttle_rate_limit():
     assert len(keys) == len(set(keys))  # one keeper per bucket
     win = THROTTLE_MINUTES * 60 * 1_000_000
     assert all(r["bucket_start"] % win == 0 for r in rows)
+
+
+# -- round-3 session-2 additions ------------------------------------------------
+
+
+def test_chunk_documents_windows():
+    """Chunk invariants: per-doc chunk_ids are contiguous from 0, starts
+    advance by the stride, every chunk except possibly the last is full
+    width, and reassembling the stride-prefixes of the chunks recovers the
+    tokenized document."""
+    import re
+
+    from go_boilerpipe_ray.functions._util import TOKEN_PATTERN
+    from go_boilerpipe_ray.functions.text import (
+        CHUNK_STRIDE,
+        CHUNK_WINDOW,
+        chunk_documents,
+        read_documents,
+    )
+
+    rows = chunk_documents(SF).take_all()
+    docs = {
+        r["doc_id"]: re.findall(TOKEN_PATTERN, r["text"].lower())
+        for r in read_documents(SF).take_all()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {d for d, t in docs.items() if t}
+    for did, rs in by_doc.items():
+        rs.sort(key=lambda r: r["chunk_id"])
+        toks = docs[did]
+        assert [r["chunk_id"] for r in rs] == list(range(len(rs)))
+        for r in rs:
+            assert r["start_tok"] == r["chunk_id"] * CHUNK_STRIDE
+            want = toks[r["start_tok"] : r["start_tok"] + CHUNK_WINDOW]
+            assert r["chunk_text"] == " ".join(want)
+            assert r["n_tokens"] == len(want)
+        # full coverage: last chunk reaches the end of the doc
+        last = rs[-1]
+        assert last["start_tok"] + last["n_tokens"] == len(toks)
+
+
+def test_vocab_build_contiguous_ids():
+    """Ids are 1..n_vocab with no gaps, ordered by (df desc, token asc),
+    and every kept token meets the min_df prune."""
+    from go_boilerpipe_ray.functions.text import VOCAB_MIN_DF, vocab_build
+
+    t = vocab_build(SF).to_pandas().sort_values("token_id")
+    assert t["token_id"].tolist() == list(range(1, len(t) + 1))
+    assert (t["df"] >= VOCAB_MIN_DF).all()
+    order = t.sort_values(["df", "token"], ascending=[False, True])
+    assert order["token_id"].tolist() == list(range(1, len(t) + 1))
+
+
+def test_encode_tokens_roundtrip():
+    """Every in-vocab token encodes to its vocab id; OOV encodes to 0;
+    positions are dense 0..len-1 per doc."""
+    import re
+
+    from go_boilerpipe_ray.functions._util import TOKEN_PATTERN
+    from go_boilerpipe_ray.functions.text import (
+        encode_tokens,
+        read_documents,
+        vocab_build,
+    )
+
+    vocab = vocab_build(SF).to_pandas()
+    v = dict(zip(vocab["token"], vocab["token_id"].astype(int)))
+    enc = encode_tokens(SF).to_pandas()
+    docs = {
+        r["doc_id"]: re.findall(TOKEN_PATTERN, r["text"].lower())
+        for r in read_documents(SF).take_all()
+    }
+    for did, g in enc.groupby("doc_id"):
+        g = g.sort_values("pos")
+        toks = docs[did]
+        assert g["pos"].tolist() == list(range(len(toks)))
+        assert g["token_id"].tolist() == [v.get(tok, 0) for tok in toks]
+
+
+def test_skipgram_counts_match_bruteforce():
+    """Distributed pair counts equal a single-process brute force over the
+    same window, post-prune."""
+    import collections
+    import re
+
+    from go_boilerpipe_ray.functions._util import TOKEN_PATTERN
+    from go_boilerpipe_ray.functions.text import (
+        SKIPGRAM_MIN_COUNT,
+        SKIPGRAM_WINDOW,
+        read_documents,
+        skipgram_counts,
+    )
+
+    got = {
+        (r["w1"], r["w2"]): r["n"] for r in skipgram_counts(SF).take_all()
+    }
+    want: collections.Counter = collections.Counter()
+    for r in read_documents(SF).take_all():
+        toks = re.findall(TOKEN_PATTERN, r["text"].lower())
+        for i, w1 in enumerate(toks):
+            lo, hi = max(0, i - SKIPGRAM_WINDOW), min(
+                len(toks), i + SKIPGRAM_WINDOW + 1
+            )
+            for j in range(lo, hi):
+                if j != i:
+                    want[(w1, toks[j])] += 1
+    want = {k: n for k, n in want.items() if n >= SKIPGRAM_MIN_COUNT}
+    assert got == want
+
+
+def test_salted_event_stats_exact():
+    """The salted two-stage aggregate equals the unsalted exact answer."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.relational import salted_event_stats
+
+    got = {
+        r["event_type"]: (r["n_events"], r["sum_cents"])
+        for r in salted_event_stats(SF).take_all()
+    }
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "value"])
+    want: dict = {}
+    for e, v in zip(
+        t.column("event_type").to_pylist(), t.column("value").to_pylist()
+    ):
+        n, s = want.get(e, (0, 0))
+        want[e] = (n + 1, s + int(math.floor(v * 100 + 0.5)))
+    assert got == want
