@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_tokens": text.encode_tokens,
         "skipgram_counts": text.skipgram_counts,
         "salted_event_stats": relational.salted_event_stats,
+        "pmi_scores": text.pmi_scores,
     }
 
 
@@ -274,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
         "encode_tokens": text.ENCODE_TOKENS_SQL,
         "skipgram_counts": text.SKIPGRAM_SQL,
         "salted_event_stats": relational.SALTED_EVENT_STATS_SQL,
+        "pmi_scores": text.PMI_SCORES_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

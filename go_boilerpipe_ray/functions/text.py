@@ -1920,3 +1920,97 @@ pairs AS (
 SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
 FROM pairs GROUP BY w1, w2 HAVING count(*) >= {SKIPGRAM_MIN_COUNT}
 """
+
+
+# -- PMI-style association scores over co-occurrence pairs ---------------------
+
+PMI_SCALE = 1000
+
+
+def pmi_scores(sf_dir: str) -> "ray.data.Dataset":
+    """Association (lift) score for each skip-gram pair: how much more
+    often (w1, w2) co-occurs than independence predicts — the collocation
+    / phrase-mining statistic (integer lift = floor(n_pair * n_total *
+    SCALE / (n_w1 * n_w2)), monotone in PMI for fixed totals, exact on
+    both engines; a float log would rank identically).
+
+    Composition without re-tokenizing: pairs come from
+    :func:`skipgram_counts`; marginals are the same pair table re-rolled
+    by w1 (each token's context-slot count), so the corpus is tokenized
+    ONCE and the marginal table is vocab-bounded.  Marginals broadcast
+    via ``ray.put`` and attach in a narrow map_batches — no join shuffle
+    of the pair table.  At web scale swap the broadcast for the
+    repartition equi-join in ``relational.py`` once marginals outgrow a
+    worker heap (documented assumption: pruned vocab fits in one)."""
+    import ray
+
+    pairs = skipgram_counts(sf_dir).materialize()  # consumed 3x below
+
+    # Marginals from the pair table itself: n_w1 = total context slots
+    # token appears in as center; n_total = all pair occurrences.
+    marg = pairs.groupby("w1").sum("n").rename_columns({"sum(n)": "n_w"})
+    marg_pd = marg.to_pandas()  # vocab-bounded small side
+    n_total = int(marg_pd["n_w"].sum())
+    marg_ref = ray.put(dict(zip(marg_pd["w1"], marg_pd["n_w"].astype(int))))
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = ray.get(marg_ref)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        w1 = batch.column("w1").to_pylist()
+        w2 = batch.column("w2").to_pylist()
+        n1 = np.array([m[w] for w in w1], dtype=np.int64)
+        # w2 marginal: context tokens are the same vocabulary (every pair
+        # (a,b) has its mirror (b,a) in the directional count), so the
+        # w1-marginal serves both slots.
+        n2 = np.array([m[w] for w in w2], dtype=np.int64)
+        # int64 guard: n * n_total * SCALE must not wrap (numpy is silent
+        # where BIGINT errors).  n <= n_total, so bound via the max pair.
+        if n.size and int(n.max()) * n_total * PMI_SCALE > 2**63 - 1:
+            raise OverflowError(
+                "lift_milli exceeds int64 at this corpus scale — "
+                "rescale or switch to log-PMI"
+            )
+        lift = n * n_total * PMI_SCALE // (n1 * n2)
+        return pa.table(
+            {
+                "w1": batch.column("w1"),
+                "w2": batch.column("w2"),
+                "n": batch.column("n"),
+                "lift_milli": pa.array(lift, pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+PMI_SCORES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS p
+  FROM toks WHERE len(ts) > 0
+),
+tok AS (SELECT doc_id, p, ts[p] AS token FROM pos),
+allpairs AS (
+  SELECT a.token AS w1, b.token AS w2
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id
+   AND b.p BETWEEN a.p - {SKIPGRAM_WINDOW} AND a.p + {SKIPGRAM_WINDOW}
+   AND b.p <> a.p
+),
+pairs AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+  FROM allpairs GROUP BY w1, w2 HAVING count(*) >= {SKIPGRAM_MIN_COUNT}
+),
+marg AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n_w FROM pairs GROUP BY w1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM pairs)
+SELECT p.w1, p.w2, p.n,
+       CAST(p.n * t.n_total * {PMI_SCALE} // (m1.n_w * m2.n_w) AS BIGINT)
+           AS lift_milli
+FROM pairs p
+JOIN marg m1 ON m1.w1 = p.w1
+JOIN marg m2 ON m2.w1 = p.w2
+CROSS JOIN tot t
+"""

@@ -1639,3 +1639,20 @@ def test_salted_event_stats_exact():
         n, s = want.get(e, (0, 0))
         want[e] = (n + 1, s + int(math.floor(v * 100 + 0.5)))
     assert got == want
+
+
+def test_pmi_scores_lift_semantics():
+    """lift_milli is the exact integer lift over the pruned pair table:
+    independence baseline ~1000; the mirror pair (b, a) scores identically
+    (symmetric window); marginals/total recompute from the output."""
+    from go_boilerpipe_ray.functions.text import PMI_SCALE, pmi_scores
+
+    t = pmi_scores(SF).to_pandas()
+    n_w = t.groupby("w1")["n"].sum().to_dict()
+    n_total = int(t["n"].sum())
+    for r in t.itertuples():
+        assert r.lift_milli == r.n * n_total * PMI_SCALE // (
+            n_w[r.w1] * n_w[r.w2]
+        )
+    mirror = {(r.w1, r.w2): r.lift_milli for r in t.itertuples()}
+    assert all(mirror[(b, a)] == v for (a, b), v in mirror.items())
