@@ -1636,7 +1636,8 @@ def salted_event_stats(sf_dir: str) -> "ray.data.Dataset":
     associativity-exact against the SQL oracle."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        etype = batch.column("event_type").to_numpy(zero_copy_only=False)
+        enc = batch.column("event_type").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         salt = (
             batch.column("event_id").to_numpy(zero_copy_only=False)
             % SALT_BUCKETS
@@ -1644,21 +1645,21 @@ def salted_event_stats(sf_dir: str) -> "ray.data.Dataset":
         cents = np.floor(
             batch.column("value").to_numpy(zero_copy_only=False) * 100 + 0.5
         ).astype(np.int64)
-        keys: dict = {}
-        for e, s, c in zip(etype, salt, cents):
-            k = (e, int(s))
-            agg = keys.get(k)
-            if agg is None:
-                keys[k] = [1, int(c)]
-            else:
-                agg[0] += 1
-                agg[1] += int(c)
+        # Vectorized combiner: composite (type-code, salt) key -> bincount.
+        key = codes * SALT_BUCKETS + salt
+        size = len(enc.dictionary) * SALT_BUCKETS
+        n = np.bincount(key, minlength=size)
+        s = np.zeros(size, np.int64)
+        np.add.at(s, key, cents)  # exact int64 scatter-add
+        nz = np.flatnonzero(n)
         return pa.table(
             {
-                "event_type": pa.array([k[0] for k in keys], pa.string()),
-                "salt": pa.array([k[1] for k in keys], pa.int64()),
-                "n_part": pa.array([v[0] for v in keys.values()], pa.int64()),
-                "sum_part": pa.array([v[1] for v in keys.values()], pa.int64()),
+                "event_type": enc.dictionary.take(
+                    pa.array(nz // SALT_BUCKETS)
+                ).cast(pa.string()),
+                "salt": pa.array(nz % SALT_BUCKETS, pa.int64()),
+                "n_part": pa.array(n[nz], pa.int64()),
+                "sum_part": pa.array(s[nz], pa.int64()),
             }
         )
 
