@@ -172,6 +172,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_counts": text.skipgram_counts,
         "salted_event_stats": relational.salted_event_stats,
         "pmi_scores": text.pmi_scores,
+        # round-3 session-3 additions
+        "segment_dedup": text.segment_dedup,
+        "lexical_diversity": text.lexical_diversity,
+        "user_interarrival": relational.user_interarrival,
+        "dominant_event_type": relational.dominant_event_type,
+        "label_text_stats": relational.label_text_stats,
     }
 
 
@@ -276,6 +282,11 @@ def oracle_sql() -> dict[str, str]:
         "skipgram_counts": text.SKIPGRAM_SQL,
         "salted_event_stats": relational.SALTED_EVENT_STATS_SQL,
         "pmi_scores": text.PMI_SCORES_SQL,
+        "segment_dedup": text.SEGMENT_DEDUP_SQL,
+        "lexical_diversity": text.LEXICAL_DIVERSITY_SQL,
+        "user_interarrival": relational.USER_INTERARRIVAL_SQL,
+        "dominant_event_type": relational.DOMINANT_EVENT_TYPE_SQL,
+        "label_text_stats": relational.LABEL_TEXT_STATS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

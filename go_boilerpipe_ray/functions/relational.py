@@ -1688,3 +1688,178 @@ SELECT event_type,
            AS sum_cents
 FROM events GROUP BY event_type
 """
+
+
+# -- per-user inter-arrival gap statistics -----------------------------------
+
+
+def user_interarrival(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user event inter-arrival stats (gap count / sum / max in
+    microseconds) — the burstiness profile rate-limiting and bot
+    detection read.  Same shape as sessionize: one shuffle keyed on
+    user_id, the only ordering needed is within a key, so a per-group
+    numpy sort+diff replaces any global sort."""
+
+    def gaps(group: pa.Table) -> pa.Table:
+        ts = np.sort(
+            pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        d = np.diff(ts)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [group.column("user_id")[0].as_py()], pa.int64()
+                ),
+                "n_events": pa.array([len(ts)], pa.int64()),
+                "n_gaps": pa.array([len(d)], pa.int64()),
+                "sum_gap_us": pa.array(
+                    [int(d.sum()) if len(d) else 0], pa.int64()
+                ),
+                "max_gap_us": pa.array(
+                    [int(d.max()) if len(d) else 0], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(gaps, batch_format="pyarrow")
+    )
+
+
+USER_INTERARRIVAL_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(prev_ts) AS BIGINT) AS n_gaps,
+       CAST(COALESCE(sum(epoch_us(ts - prev_ts)), 0) AS BIGINT) AS sum_gap_us,
+       CAST(COALESCE(max(epoch_us(ts - prev_ts)), 0) AS BIGINT) AS max_gap_us
+FROM ordered GROUP BY user_id
+"""
+
+
+# -- per-group mode (dominant event type) ------------------------------------
+
+
+def dominant_event_type(sf_dir: str) -> "ray.data.Dataset":
+    """Mode per group: each user's most frequent event_type (ties broken
+    lexicographically).  Two-stage: a vectorized per-batch combiner
+    collapses raw events to (user, type, partial count) rows, a
+    groupby((user, type)) sums the bounded partials, and a per-user
+    argmax picks the winner — the raw event stream crosses the wire
+    only as pre-aggregated counts."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = (
+            batch.select(["user_id", "event_type"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "user_id": agg.column("user_id"),
+                "event_type": agg.column("event_type"),
+                "n_part": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    def argmax(group: pa.Table) -> pa.Table:
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        types = group.column("event_type").to_pylist()
+        best = min(range(len(n)), key=lambda i: (-n[i], types[i]))
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [group.column("user_id")[0].as_py()], pa.int64()
+                ),
+                "event_type": pa.array([types[best]], pa.string()),
+                "n_events": pa.array([int(n[best])], pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "event_type"])
+        .sum("n_part")
+        .rename_columns({"sum(n_part)": "n"})
+        .groupby("user_id")
+        .map_groups(argmax, batch_format="pyarrow")
+    )
+
+
+DOMINANT_EVENT_TYPE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY n DESC, event_type
+         ) AS rn
+  FROM c
+)
+SELECT user_id, event_type, CAST(n AS BIGINT) AS n_events
+FROM r WHERE rn = 1
+"""
+
+
+# -- cross-table enrichment: documents x embeddings --------------------------
+
+
+def label_text_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-label text statistics from joining the documents table to the
+    embeddings table (doc_id = vec_id) — the enrichment join a
+    curation pipeline runs to profile text volume per cluster/label.
+    Large-large, so it goes through the general repartition join (one
+    keyed shuffle per side), then a per-batch combiner + tiny
+    groupby(label) rollup."""
+    import ray.data
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label"])
+    joined = repartition_join(
+        docs,
+        emb,
+        "doc_id",
+        "vec_id",
+        [("n_chars", pa.int64())],
+        [("label", pa.int64())],
+        how="inner",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("label").aggregate(
+            [([], "count_all"), ("n_chars", "sum")]
+        )
+        return pa.table(
+            {
+                "label": pc.cast(agg.column("label"), pa.int64()),
+                "d_part": pc.cast(agg.column("count_all"), pa.int64()),
+                "c_part": pc.cast(agg.column("n_chars_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .aggregate(
+            ray.data.aggregate.Sum("d_part", alias_name="n_docs"),
+            ray.data.aggregate.Sum("c_part", alias_name="sum_chars"),
+        )
+    )
+
+
+LABEL_TEXT_STATS_SQL = """
+SELECT CAST(e.label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY e.label
+"""

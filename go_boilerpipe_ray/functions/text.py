@@ -2014,3 +2014,223 @@ JOIN marg m1 ON m1.w1 = p.w1
 JOIN marg m2 ON m2.w1 = p.w2
 CROSS JOIN tot t
 """
+
+
+# -- CCNet-style common-segment removal ---------------------------------------
+
+SEGMENT_LEN = 16  # tokens per segment (the corpus has no newlines to split on)
+SEGMENT_DUP_MIN = 2  # corpus occurrences at which a segment is boilerplate
+
+
+def segment_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """CCNet-style duplicated-segment removal accounting: cut each document
+    into non-overlapping SEGMENT_LEN-token segments (the corpus analogue of
+    CCNet's per-line dedup — this corpus has no newlines), drop every
+    occurrence of any segment that appears >= SEGMENT_DUP_MIN times in the
+    whole corpus, and report per document how many segments existed, how
+    many were removed, and how many tokens survive.
+
+    Differs from dup_ngram_profile (first-writer-wins attribution over
+    OVERLAPPING grams): here ALL copies of a common segment are removed,
+    the boilerplate-stripping semantics of CCNet Sec. 3.1.
+
+    Scale shape: segments hash to int64 before the shuffle (8-byte keys);
+    stage 1 emits one narrow row per segment, a groupby(seg) marks
+    duplicate groups against the group's occurrence count, and a
+    groupby(doc_id) rolls partials up — two keyed exchanges, no driver
+    materialization.  Token-less docs emit a unique per-doc sentinel so
+    the final rollup covers every doc_id (LEFT-JOIN parity with the
+    oracle)."""
+    import ray.data
+
+    def seg_rows(batch: pa.Table) -> pa.Table:
+        out_g: list[int] = []
+        out_d: list[int] = []
+        out_t: list[int] = []
+        out_o: list[int] = []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = _TOKEN_RE.findall(t.lower())
+            if not toks:
+                out_g.append(-int(doc_id) - 1)  # unique sentinel group
+                out_d.append(doc_id)
+                out_t.append(0)
+                out_o.append(0)
+                continue
+            for i in range(0, len(toks), SEGMENT_LEN):
+                seg = toks[i : i + SEGMENT_LEN]
+                h = (
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            " ".join(seg).encode(), digest_size=8
+                        ).digest(),
+                        "big",
+                    )
+                    >> 1
+                )
+                out_g.append(h)
+                out_d.append(doc_id)
+                out_t.append(len(seg))
+                out_o.append(1)
+        return pa.table(
+            {
+                "seg": pa.array(out_g, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "n_toks": pa.array(out_t, pa.int64()),
+                "is_seg": pa.array(out_o, pa.int64()),
+            }
+        )
+
+    def per_seg(group: pa.Table) -> pa.Table:
+        is_seg = group.column("is_seg").to_numpy(zero_copy_only=False)
+        n_toks = group.column("n_toks").to_numpy(zero_copy_only=False)
+        dup = int(is_seg.sum()) >= SEGMENT_DUP_MIN
+        removed = is_seg if dup else np.zeros(len(is_seg), np.int64)
+        kept = np.zeros(len(is_seg), np.int64) if dup else n_toks
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id"),
+                "p_segs": pa.array(is_seg, pa.int64()),
+                "p_removed": pa.array(removed, pa.int64()),
+                "p_kept": pa.array(kept, pa.int64()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir)
+        .map_batches(seg_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("seg")
+        .map_groups(per_seg, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            ray.data.aggregate.Sum("p_segs", alias_name="n_segments"),
+            ray.data.aggregate.Sum("p_removed", alias_name="n_removed"),
+            ray.data.aggregate.Sum("p_kept", alias_name="kept_tokens"),
+        )
+    )
+
+
+SEGMENT_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS p
+  FROM toks WHERE len(ts) > 0
+),
+segs AS (
+  SELECT doc_id, (p - 1) // {SEGMENT_LEN} AS seg_no,
+         string_agg(ts[p], ' ' ORDER BY p) AS seg,
+         count(*) AS n_toks
+  FROM pos GROUP BY doc_id, (p - 1) // {SEGMENT_LEN}
+),
+freq AS (SELECT seg, count(*) AS f FROM segs GROUP BY seg),
+perdoc AS (
+  SELECT s.doc_id,
+         count(*) AS n_segments,
+         sum(CASE WHEN fr.f >= {SEGMENT_DUP_MIN} THEN 1 ELSE 0 END)
+             AS n_removed,
+         sum(CASE WHEN fr.f >= {SEGMENT_DUP_MIN} THEN 0 ELSE s.n_toks END)
+             AS kept_tokens
+  FROM segs s JOIN freq fr USING (seg) GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(p.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(COALESCE(p.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
+# -- per-source lexical diversity (type/token ratio) --------------------------
+
+
+def lexical_diversity(sf_dir: str) -> "ray.data.Dataset":
+    """Type/token ratio per source — the vocabulary-richness signal corpus
+    curation uses to spot template-generated or low-diversity sources.
+
+    Combiner discipline for the hot keys (a token like "the" appears in
+    every batch of every source): each batch pre-aggregates to one
+    (source, token, partial count) row per distinct pair, the
+    groupby((source, token)) shuffles only those bounded partials, and a
+    second per-batch partial collapses the pair table to per-source
+    (distinct, total) counts before a tiny groupby(source) rollup.  The
+    distinct count never round-trips raw token occurrences."""
+    import ray.data
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for src, t in zip(
+            batch.column("source").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for tok in _TOKEN_RE.findall(t.lower()):
+                k = (src, tok)
+                counts[k] = counts.get(k, 0) + 1
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in counts], pa.string()),
+                "token": pa.array([k[1] for k in counts], pa.string()),
+                "n_part": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def per_source_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("source").aggregate(
+            [("token", "count"), ("n", "sum")]
+        )
+        return pa.table(
+            {
+                "source": agg.column("source"),
+                "d_part": pc.cast(agg.column("token_count"), pa.int64()),
+                "t_part": pc.cast(agg.column("n_sum"), pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch.column("n_distinct")
+        t = batch.column("n_tokens")
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_tokens": t,
+                "n_distinct": d,
+                "distinct_permille": pc.cast(
+                    pc.divide(pc.multiply(d, 1000), pc.max_element_wise(t, 1)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, columns=["source", "text"])
+        .map_batches(pair_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "token"])
+        .sum("n_part")
+        .rename_columns({"sum(n_part)": "n"})
+        .map_batches(
+            per_source_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("source")
+        .aggregate(
+            ray.data.aggregate.Sum("d_part", alias_name="n_distinct"),
+            ray.data.aggregate.Sum("t_part", alias_name="n_tokens"),
+        )
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+LEXICAL_DIVERSITY_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+         AS token
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT token) AS BIGINT) AS n_distinct,
+       CAST(count(DISTINCT token) * 1000 // greatest(count(*), 1) AS BIGINT)
+           AS distinct_permille
+FROM tok GROUP BY source
+"""

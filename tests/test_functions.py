@@ -1656,3 +1656,130 @@ def test_pmi_scores_lift_semantics():
         )
     mirror = {(r.w1, r.w2): r.lift_milli for r in t.itertuples()}
     assert all(mirror[(b, a)] == v for (a, b), v in mirror.items())
+
+
+def test_segment_dedup_reference():
+    """Per-doc accounting equals a whole-corpus Counter reference: segments
+    with corpus frequency >= SEGMENT_DUP_MIN are removed (ALL copies, not
+    first-writer), survivors keep their token counts."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.text import (
+        _TOKEN_RE,
+        SEGMENT_DUP_MIN,
+        SEGMENT_LEN,
+        segment_dedup,
+    )
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    per_doc: dict = {}
+    freq: Counter = Counter()
+    for doc_id, txt in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        toks = _TOKEN_RE.findall(txt.lower())
+        segs = [
+            " ".join(toks[i : i + SEGMENT_LEN])
+            for i in range(0, len(toks), SEGMENT_LEN)
+        ]
+        per_doc[doc_id] = segs
+        freq.update(segs)
+    want = {}
+    for doc_id, segs in per_doc.items():
+        removed = sum(1 for s in segs if freq[s] >= SEGMENT_DUP_MIN)
+        kept = sum(
+            len(s.split()) for s in segs if freq[s] < SEGMENT_DUP_MIN
+        )
+        want[doc_id] = (len(segs), removed, kept)
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_removed"], r["kept_tokens"])
+        for r in segment_dedup(SF).take_all()
+    }
+    assert got == want
+    assert sum(v[1] for v in want.values()) > 0  # corpus exercises removal
+
+
+def test_lexical_diversity_reference():
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.text import _TOKEN_RE, lexical_diversity
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["source", "text"])
+    toks: dict = {}
+    total: dict = {}
+    for src, txt in zip(
+        t.column("source").to_pylist(), t.column("text").to_pylist()
+    ):
+        ts = _TOKEN_RE.findall(txt.lower())
+        toks.setdefault(src, set()).update(ts)
+        total[src] = total.get(src, 0) + len(ts)
+    got = {
+        r["source"]: (r["n_tokens"], r["n_distinct"], r["distinct_permille"])
+        for r in lexical_diversity(SF).take_all()
+    }
+    want = {
+        s: (total[s], len(toks[s]), len(toks[s]) * 1000 // max(total[s], 1))
+        for s in total
+    }
+    assert got == want
+
+
+def test_user_interarrival_matches_pandas_diff():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import user_interarrival
+
+    df = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    got = {
+        r["user_id"]: (r["n_events"], r["n_gaps"], r["sum_gap_us"], r["max_gap_us"])
+        for r in user_interarrival(SF).take_all()
+    }
+    for uid, g in df.groupby("user_id"):
+        d = (
+            g["ts"].sort_values().astype("datetime64[us]").astype("int64")
+        ).diff().dropna()
+        assert got[int(uid)] == (
+            len(g),
+            len(d),
+            int(d.sum()),
+            int(d.max()) if len(d) else 0,
+        )
+    assert len(got) == df["user_id"].nunique()
+
+
+def test_dominant_event_type_argmax_with_ties():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import dominant_event_type
+
+    df = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    got = {
+        r["user_id"]: (r["event_type"], r["n_events"])
+        for r in dominant_event_type(SF).take_all()
+    }
+    for uid, g in df.groupby("user_id"):
+        counts = g["event_type"].value_counts()
+        top = counts.max()
+        want_type = min(t for t, c in counts.items() if c == top)
+        assert got[int(uid)] == (want_type, int(top))
+
+
+def test_label_text_stats_join_rollup():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import label_text_stats
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "label"])
+    j = docs.merge(emb, left_on="doc_id", right_on="vec_id")
+    want = {
+        int(lbl): (len(g), int(g["n_chars"].sum()))
+        for lbl, g in j.groupby("label")
+    }
+    got = {
+        r["label"]: (r["n_docs"], r["sum_chars"])
+        for r in label_text_stats(SF).take_all()
+    }
+    assert got == want
