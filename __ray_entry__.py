@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_interarrival": relational.user_interarrival,
         "dominant_event_type": relational.dominant_event_type,
         "label_text_stats": relational.label_text_stats,
+        "shipping_priority": relational.shipping_priority,
+        "returned_order_priority": relational.returned_order_priority,
     }
 
 
@@ -287,6 +289,8 @@ def oracle_sql() -> dict[str, str]:
         "user_interarrival": relational.USER_INTERARRIVAL_SQL,
         "dominant_event_type": relational.DOMINANT_EVENT_TYPE_SQL,
         "label_text_stats": relational.LABEL_TEXT_STATS_SQL,
+        "shipping_priority": relational.SHIPPING_PRIORITY_SQL,
+        "returned_order_priority": relational.RETURNED_ORDER_PRIORITY_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -1863,3 +1863,202 @@ SELECT CAST(e.label AS BIGINT) AS label,
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 GROUP BY e.label
 """
+
+
+# -- TPC-H Q3-shaped: shipping priority (filter + star join + top-k) ----------
+
+Q3_CUTOFF = "1998-06-01"
+_Q3_CUT_US = 896_659_200_000_000  # 1998-06-01T00:00:00Z in epoch micros
+
+
+def shipping_priority(sf_dir: str, k: int = 10) -> pa.Table:
+    """TPC-H Q3 shape: revenue of not-yet-shipped lineitems for
+    BUILDING-segment orders placed before the cutoff, top-k orders by
+    revenue.  Plan by side size: the lineitem date filter and the
+    revenue pre-combine happen inside the scan batches (the shuffle
+    moves one row per (orderkey, block)); the customer-segment
+    predicate is a broadcast semi-filter on orders (ray.put once, an
+    index_in probe per batch — never a shuffle of the dimension); the
+    fact-fact edge is ONE repartition join; top-k is per-block select_k
+    + a bounded driver merge, never a global sort.  Revenue in exact
+    integer cents (floor(x*100+0.5), same arithmetic in the oracle)."""
+    import pyarrow.parquet as pq
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(batch.column("l_shipdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = np.flatnonzero(ship > _Q3_CUT_US)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey").take(
+                    pa.array(keep, pa.int64())
+                ),
+                "rev_cents": pa.array(cents, pa.int64()),
+            }
+        )
+        g = t.group_by("l_orderkey").aggregate([("rev_cents", "sum")])
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "rev_cents": g.column("rev_cents_sum"),
+            }
+        )
+
+    fact = lineitem.map_batches(
+        rev_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    building = pc.filter(
+        cust.column("c_custkey"),
+        pc.equal(cust.column("c_mktsegment"), "BUILDING"),
+    ).combine_chunks()
+    dim_ref = ray.put(building)
+
+    def order_filter(batch: pa.Table) -> pa.Table:
+        keys = ray.get(dim_ref)
+        date = pc.cast(batch.column("o_orderdate"), pa.int64())
+        in_seg = pc.is_in(batch.column("o_custkey"), value_set=keys)
+        mask = pc.and_(in_seg, pc.less(date, _Q3_CUT_US))
+        kept = batch.filter(mask)
+        return pa.table(
+            {
+                "o_orderkey": kept.column("o_orderkey"),
+                "o_date_us": pc.cast(kept.column("o_orderdate"), pa.int64()),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = repartition_join(
+        fact,
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        [("rev_cents", pa.int64())],
+        [("o_orderkey", pa.int64()), ("o_date_us", pa.int64())],
+        how="inner",
+    )
+    per_order = joined.groupby("o_orderkey").aggregate(
+        ray.data.aggregate.Sum("rev_cents", alias_name="revenue_cents"),
+        ray.data.aggregate.Min("o_date_us", alias_name="date_us"),
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch,
+            k=min(k, batch.num_rows),
+            sort_keys=[("revenue_cents", "descending"), ("o_orderkey", "ascending")],
+        )
+        return batch.take(idx)
+
+    cand = per_order.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    cand = cand.sort_values(
+        ["revenue_cents", "o_orderkey"], ascending=[False, True]
+    ).head(k)
+    return pa.table(
+        {
+            "o_orderkey": pa.array(cand["o_orderkey"].astype("int64"), pa.int64()),
+            "o_orderdate": pa.array(
+                cand["date_us"].astype("int64"), pa.timestamp("us")
+            ),
+            "revenue_cents": pa.array(
+                cand["revenue_cents"].astype("int64"), pa.int64()
+            ),
+        }
+    )
+
+
+SHIPPING_PRIORITY_SQL = f"""
+WITH rev AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem
+  WHERE l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+  GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, o.o_orderdate, r.revenue_cents
+FROM rev r
+JOIN orders o ON r.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND c.c_mktsegment = 'BUILDING'
+ORDER BY r.revenue_cents DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
+# -- TPC-H Q4-shaped: order priority counts via distributed semi join --------
+
+
+def returned_order_priority(sf_dir: str) -> "ray.data.Dataset":
+    """Orders with at least one returned lineitem, counted per order
+    priority — the Q4 EXISTS shape.  The probe side collapses to
+    distinct orderkeys within each batch before the shuffle; the semi
+    mode of the general repartition join does the existence test
+    without ever building the joined fan-out; the final count moves
+    O(#priorities) partial rows per block."""
+
+    def returned_keys(batch: pa.Table) -> pa.Table:
+        keys = pc.filter(
+            batch.column("l_orderkey"),
+            pc.equal(batch.column("l_returnflag"), "R"),
+        )
+        return pa.table({"l_orderkey": pc.unique(keys)})
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+        returned_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    semi = repartition_join(
+        orders,
+        li,
+        "o_orderkey",
+        "l_orderkey",
+        [("o_orderpriority", pa.string())],
+        [],
+        how="semi",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("o_orderpriority").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "o_orderpriority": g.column("o_orderpriority"),
+                "n_part": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    return (
+        semi.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .aggregate(ray.data.aggregate.Sum("n_part", alias_name="n_orders"))
+    )
+
+
+RETURNED_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+"""

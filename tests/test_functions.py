@@ -1783,3 +1783,74 @@ def test_label_text_stats_join_rollup():
         for r in label_text_stats(SF).take_all()
     }
     assert got == want
+
+
+def test_shipping_priority_matches_pandas_reference():
+    import math
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import Q3_CUTOFF, shipping_priority
+
+    cut = pd.Timestamp(Q3_CUTOFF)
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    li = li[li["l_shipdate"] > cut]
+    li["rev"] = [
+        int(math.floor(p * (1 - d) * 100 + 0.5))
+        for p, d in zip(li["l_extendedprice"], li["l_discount"])
+    ]
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cust = pd.read_parquet(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keep = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = orders[
+        (orders["o_orderdate"] < cut) & orders["o_custkey"].isin(keep)
+    ]
+    j = li.groupby("l_orderkey", as_index=False)["rev"].sum().merge(
+        orders, left_on="l_orderkey", right_on="o_orderkey"
+    )
+    want = (
+        j.sort_values(["rev", "o_orderkey"], ascending=[False, True])
+        .head(10)[["o_orderkey", "rev"]]
+        .itertuples(index=False)
+    )
+    got = shipping_priority(SF).to_pandas()
+    assert list(zip(got["o_orderkey"], got["revenue_cents"])) == [
+        (int(a), int(b)) for a, b in want
+    ]
+    # dates come from the joined order rows
+    dd = dict(zip(j["o_orderkey"], j["o_orderdate"]))
+    assert all(
+        dd[int(k)] == d for k, d in zip(got["o_orderkey"], got["o_orderdate"])
+    )
+
+
+def test_returned_order_priority_exists_semantics():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import returned_order_priority
+
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+    returned = set(li.loc[li["l_returnflag"] == "R", "l_orderkey"])
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    want = (
+        orders[orders["o_orderkey"].isin(returned)]
+        .groupby("o_orderpriority")
+        .size()
+        .to_dict()
+    )
+    got = {
+        r["o_orderpriority"]: r["n_orders"]
+        for r in returned_order_priority(SF).take_all()
+    }
+    assert got == want
