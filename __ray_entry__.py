@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_text_stats": relational.label_text_stats,
         "shipping_priority": relational.shipping_priority,
         "returned_order_priority": relational.returned_order_priority,
+        "docs_rollup": text.docs_rollup,
+        "table_profile": text.table_profile,
     }
 
 
@@ -291,6 +293,8 @@ def oracle_sql() -> dict[str, str]:
         "label_text_stats": relational.LABEL_TEXT_STATS_SQL,
         "shipping_priority": relational.SHIPPING_PRIORITY_SQL,
         "returned_order_priority": relational.RETURNED_ORDER_PRIORITY_SQL,
+        "docs_rollup": text.DOCS_ROLLUP_SQL,
+        "table_profile": text.TABLE_PROFILE_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -2234,3 +2234,210 @@ SELECT source,
            AS distinct_permille
 FROM tok GROUP BY source
 """
+
+
+# -- multi-level rollup (GROUP BY ROLLUP) -------------------------------------
+
+
+def docs_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(lang, source) over the documents table: leaf
+    (lang, source) rows plus per-lang subtotals plus the grand total,
+    NULL-marked exactly like SQL ROLLUP.  One pass: per-batch partials
+    collapse to the leaf grain, one tiny groupby over #langs × #sources
+    rows, and the upper levels derive from the bounded leaf table on
+    the driver — the corpus is never re-scanned per level."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["lang", "source", "n_chars"])
+        g = t.group_by(["lang", "source"]).aggregate(
+            [([], "count_all"), ("n_chars", "sum")]
+        )
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "source": g.column("source"),
+                "d_part": pc.cast(g.column("count_all"), pa.int64()),
+                "c_part": pc.cast(g.column("n_chars_sum"), pa.int64()),
+            }
+        )
+
+    leaf = (
+        read_documents(sf_dir, columns=["lang", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "source"])
+        .aggregate(
+            ray.data.aggregate.Sum("d_part", alias_name="n_docs"),
+            ray.data.aggregate.Sum("c_part", alias_name="sum_chars"),
+        )
+        .to_pandas()  # bounded: #langs × #sources rows
+    )
+    per_lang = (
+        leaf.groupby("lang", as_index=False)[["n_docs", "sum_chars"]]
+        .sum()
+        .assign(source=None)
+    )
+    total = pa.table(
+        {
+            "lang": pa.array([None], pa.string()),
+            "source": pa.array([None], pa.string()),
+            "n_docs": pa.array([int(leaf["n_docs"].sum())], pa.int64()),
+            "sum_chars": pa.array([int(leaf["sum_chars"].sum())], pa.int64()),
+        }
+    )
+    cols = ["lang", "source", "n_docs", "sum_chars"]
+
+    def to_arrow(df) -> pa.Table:
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"], pa.string()),
+                "source": pa.array(df["source"], pa.string()),
+                "n_docs": pa.array(df["n_docs"].astype("int64"), pa.int64()),
+                "sum_chars": pa.array(
+                    df["sum_chars"].astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    return pa.concat_tables([to_arrow(leaf[cols]), to_arrow(per_lang[cols]), total])
+
+
+DOCS_ROLLUP_SQL = """
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY ROLLUP(lang, source)
+"""
+
+
+# -- one-pass column profiler -------------------------------------------------
+
+_PROFILE_COLS = [
+    ("doc_id", "int"),
+    ("text", "str"),
+    ("lang", "str"),
+    ("source", "str"),
+    ("n_chars", "int"),
+]
+
+
+def table_profile(sf_dir: str) -> pa.Table:
+    """Column profile of the documents table — rows / nulls / exact
+    distinct per column, the first report any ingestion pipeline runs.
+
+    One scan for all columns: each batch emits (col, value-hash) rows
+    deduplicated within the batch (ints hash as themselves, strings as
+    blake2b-64 — only equality matters for distinct counting) plus one
+    null-count and one row-count partial per column; a
+    groupby((col, kind, h)) collapses duplicates corpus-wide, a
+    per-batch partial then reduces each column to three numbers, and
+    the driver pivots the bounded #cols × 3 table."""
+    import ray.data
+
+    def partials(batch: pa.Table) -> pa.Table:
+        out_c: list[str] = []
+        out_k: list[int] = []
+        out_h: list[int] = []
+        out_n: list[int] = []
+        n = batch.num_rows
+        for col, typ in _PROFILE_COLS:
+            arr = batch.column(col)
+            nulls = arr.null_count
+            valid = arr.drop_null()
+            if typ == "int":
+                hs = np.unique(valid.to_numpy(zero_copy_only=False))
+                hs = hs.astype(np.int64)
+            else:
+                seen = {
+                    int.from_bytes(
+                        hashlib.blake2b(v.encode(), digest_size=8).digest(),
+                        "big",
+                    )
+                    >> 1
+                    for v in set(valid.to_pylist())
+                }
+                hs = np.fromiter(seen, np.int64, len(seen))
+            out_c.extend([col] * len(hs))
+            out_k.extend([0] * len(hs))
+            out_h.extend(hs.tolist())
+            out_n.extend([1] * len(hs))
+            out_c.extend([col, col])
+            out_k.extend([1, 2])
+            out_h.extend([0, 0])
+            out_n.extend([nulls, n])
+        return pa.table(
+            {
+                "col": pa.array(out_c, pa.string()),
+                "kind": pa.array(out_k, pa.int64()),
+                "h": pa.array(out_h, pa.int64()),
+                "n_part": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    def reduce_partial(batch: pa.Table) -> pa.Table:
+        kind = batch.column("kind").to_numpy(zero_copy_only=False)
+        nsum = batch.column("sum(n_part)").to_numpy(zero_copy_only=False)
+        contrib = np.where(kind == 0, 1, nsum).astype(np.int64)
+        t = pa.table(
+            {
+                "col": batch.column("col"),
+                "kind": batch.column("kind"),
+                "c": pa.array(contrib, pa.int64()),
+            }
+        )
+        g = t.group_by(["col", "kind"]).aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "col": g.column("col"),
+                "kind": g.column("kind"),
+                "c_part": g.column("c_sum"),
+            }
+        )
+
+    stats = (
+        read_documents(sf_dir, columns=[c for c, _ in _PROFILE_COLS])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["col", "kind", "h"])
+        .sum("n_part")
+        .map_batches(reduce_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["col", "kind"])
+        .aggregate(ray.data.aggregate.Sum("c_part", alias_name="v"))
+        .to_pandas()  # bounded: #cols × 3 rows
+    )
+    piv = stats.pivot(index="col", columns="kind", values="v")
+    piv = piv.reindex([c for c, _ in _PROFILE_COLS])
+    return pa.table(
+        {
+            "col_name": pa.array(piv.index, pa.string()),
+            "n_rows": pa.array(piv[2].astype("int64"), pa.int64()),
+            "n_nulls": pa.array(piv[1].astype("int64"), pa.int64()),
+            "n_distinct": pa.array(piv[0].astype("int64"), pa.int64()),
+        }
+    )
+
+
+TABLE_PROFILE_SQL = """
+SELECT * FROM (
+  SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+  FROM documents
+  UNION ALL
+  SELECT 'text', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(text) AS BIGINT),
+         CAST(count(DISTINCT text) AS BIGINT) FROM documents
+  UNION ALL
+  SELECT 'lang', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(lang) AS BIGINT),
+         CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+  UNION ALL
+  SELECT 'source', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(source) AS BIGINT),
+         CAST(count(DISTINCT source) AS BIGINT) FROM documents
+  UNION ALL
+  SELECT 'n_chars', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(n_chars) AS BIGINT),
+         CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents
+)
+"""

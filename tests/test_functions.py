@@ -1854,3 +1854,34 @@ def test_returned_order_priority_exists_semantics():
         for r in returned_order_priority(SF).take_all()
     }
     assert got == want
+
+
+def test_docs_rollup_levels_are_consistent():
+    """Leaf rows sum to per-lang subtotals sum to the grand total, with
+    SQL ROLLUP NULL marking."""
+    from go_boilerpipe_ray.functions.text import docs_rollup
+
+    t = docs_rollup(SF).to_pandas()
+    leaf = t[t["source"].notna()]
+    lang = t[t["source"].isna() & t["lang"].notna()]
+    total = t[t["lang"].isna()]
+    assert len(total) == 1
+    assert int(total["n_docs"].iloc[0]) == int(leaf["n_docs"].sum())
+    assert int(total["sum_chars"].iloc[0]) == int(leaf["sum_chars"].sum())
+    per_lang = leaf.groupby("lang")[["n_docs", "sum_chars"]].sum()
+    for r in lang.itertuples():
+        assert per_lang.loc[r.lang, "n_docs"] == r.n_docs
+        assert per_lang.loc[r.lang, "sum_chars"] == r.sum_chars
+
+
+def test_table_profile_matches_pandas():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.text import _PROFILE_COLS, table_profile
+
+    df = pd.read_parquet(f"{SF}/documents.parquet")
+    got = table_profile(SF).to_pandas().set_index("col_name")
+    for col, _typ in _PROFILE_COLS:
+        assert got.loc[col, "n_rows"] == len(df)
+        assert got.loc[col, "n_nulls"] == int(df[col].isna().sum())
+        assert got.loc[col, "n_distinct"] == df[col].nunique()
