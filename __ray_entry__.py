@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_order_priority": relational.returned_order_priority,
         "docs_rollup": text.docs_rollup,
         "table_profile": text.table_profile,
+        "revenue_by_brand": relational.revenue_by_brand,
+        "supplier_region_stats": relational.supplier_region_stats,
     }
 
 
@@ -295,6 +297,8 @@ def oracle_sql() -> dict[str, str]:
         "returned_order_priority": relational.RETURNED_ORDER_PRIORITY_SQL,
         "docs_rollup": text.DOCS_ROLLUP_SQL,
         "table_profile": text.TABLE_PROFILE_SQL,
+        "revenue_by_brand": relational.REVENUE_BY_BRAND_SQL,
+        "supplier_region_stats": relational.SUPPLIER_REGION_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

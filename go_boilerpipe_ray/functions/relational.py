@@ -2062,3 +2062,136 @@ WHERE EXISTS (
 )
 GROUP BY o_orderpriority
 """
+
+
+# -- fact x part dimension: revenue by brand ----------------------------------
+
+
+def revenue_by_brand(sf_dir: str) -> "ray.data.Dataset":
+    """Revenue and item count per part brand: lineitem ⋈ part on partkey.
+    part is the dimension side — broadcast ONCE via ray.put and probed
+    with a vectorized index_in per batch (never a shuffle of lineitem
+    by partkey); per-batch partials collapse to the brand grain before
+    the O(#brands) rollup.  Revenue in exact integer cents, same rule
+    as every pricing operator (floor(x*100+0.5))."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    dim_ref = ray.put(
+        (
+            part.column("p_partkey").combine_chunks(),
+            part.column("p_brand").combine_chunks(),
+        )
+    )
+
+    def to_brand(batch: pa.Table) -> pa.Table:
+        keys, brands = ray.get(dim_ref)
+        idx = pc.index_in(batch.column("l_partkey"), value_set=keys)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "p_brand": pc.take(brands, idx),
+                "rev": pa.array(cents, pa.int64()),
+            }
+        )
+        g = t.group_by("p_brand").aggregate([("rev", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "p_brand": g.column("p_brand"),
+                "r_part": g.column("rev_sum"),
+                "n_part": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(to_brand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_brand")
+        .aggregate(
+            ray.data.aggregate.Sum("r_part", alias_name="revenue_cents"),
+            ray.data.aggregate.Sum("n_part", alias_name="n_items"),
+        )
+    )
+
+
+REVENUE_BY_BRAND_SQL = """
+SELECT p.p_brand,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+# -- supplier x nation x region dimension chain -------------------------------
+
+
+def supplier_region_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Suppliers and total account balance per region: supplier streamed
+    as the fact, the nation→region name chain resolved on the driver
+    (50 rows) and broadcast once.  Balance in exact integer cents."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    ridx = pc.index_in(
+        nation.column("n_regionkey"),
+        value_set=region.column("r_regionkey").combine_chunks(),
+    )
+    nation_region = pc.take(region.column("r_name").combine_chunks(), ridx)
+    dim_ref = ray.put(
+        (nation.column("n_nationkey").combine_chunks(), nation_region)
+    )
+
+    def to_region(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(dim_ref)
+        idx = pc.index_in(
+            pc.cast(batch.column("s_nationkey"), pa.int32()), value_set=keys
+        )
+        bal = batch.column("s_acctbal").to_numpy(zero_copy_only=False)
+        cents = np.floor(bal * 100 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "r_name": pc.take(names, idx),
+                "bal": pa.array(cents, pa.int64()),
+            }
+        )
+        g = t.group_by("r_name").aggregate([("bal", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "r_name": g.column("r_name"),
+                "b_part": g.column("bal_sum"),
+                "n_part": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(to_region, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("r_name")
+        .aggregate(
+            ray.data.aggregate.Sum("n_part", alias_name="n_suppliers"),
+            ray.data.aggregate.Sum("b_part", alias_name="balance_cents"),
+        )
+    )
+
+
+SUPPLIER_REGION_SQL = """
+SELECT r.r_name,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS balance_cents
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""

@@ -1885,3 +1885,54 @@ def test_table_profile_matches_pandas():
         assert got.loc[col, "n_rows"] == len(df)
         assert got.loc[col, "n_nulls"] == int(df[col].isna().sum())
         assert got.loc[col, "n_distinct"] == df[col].nunique()
+
+
+def test_revenue_by_brand_matches_pandas():
+    import math
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import revenue_by_brand
+
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    part = pd.read_parquet(f"{SF}/part.parquet", columns=["p_partkey", "p_brand"])
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    j["rev"] = [
+        int(math.floor(p * (1 - d) * 100 + 0.5))
+        for p, d in zip(j["l_extendedprice"], j["l_discount"])
+    ]
+    want = {
+        b: (int(g["rev"].sum()), len(g)) for b, g in j.groupby("p_brand")
+    }
+    got = {
+        r["p_brand"]: (r["revenue_cents"], r["n_items"])
+        for r in revenue_by_brand(SF).take_all()
+    }
+    assert got == want
+
+
+def test_supplier_region_stats_dim_chain():
+    import math
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import supplier_region_stats
+
+    sup = pd.read_parquet(f"{SF}/supplier.parquet")
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    reg = pd.read_parquet(f"{SF}/region.parquet")
+    j = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    j["cents"] = [int(math.floor(b * 100 + 0.5)) for b in j["s_acctbal"]]
+    want = {
+        r: (len(g), int(g["cents"].sum())) for r, g in j.groupby("r_name")
+    }
+    got = {
+        r["r_name"]: (r["n_suppliers"], r["balance_cents"])
+        for r in supplier_region_stats(SF).take_all()
+    }
+    assert got == want
