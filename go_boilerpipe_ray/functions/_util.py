@@ -83,3 +83,15 @@ def md5_u64(vals) -> "np.ndarray":
             hashlib.md5(str(int(v)).encode("ascii")).digest()[8:], "little"
         )
     return out
+
+
+def money_cents(values) -> "np.ndarray":
+    """floor(x*100 + 0.5) as int64 — THE fixed-point money/value rule every
+    pricing operator and its DuckDB oracle share (floor+0.5 agrees across
+    numpy and DuckDB where round() half-modes differ).  One definition; do
+    not re-implement inline."""
+    import numpy as np
+
+    return np.floor(np.asarray(values, dtype=np.float64) * 100 + 0.5).astype(
+        np.int64
+    )

@@ -14,6 +14,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ._util import money_cents
+
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> "ray.data.Dataset":
     from ._util import read_parquet_clean
@@ -1423,7 +1425,7 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
     def rev_partial(batch: pa.Table) -> pa.Table:
         price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
-        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        cents = money_cents(price * (1 - disc))
         t = pa.table(
             {"l_orderkey": batch.column("l_orderkey"),
              "rev_cents": pa.array(cents, pa.int64())}
@@ -1637,26 +1639,38 @@ def salted_event_stats(sf_dir: str) -> "ray.data.Dataset":
 
     def partial(batch: pa.Table) -> pa.Table:
         enc = batch.column("event_type").combine_chunks().dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # Null event_type rows form their OWN group (SQL GROUP BY keeps a
+        # NULL group): give them the code one past the dictionary instead
+        # of letting a null index turn into INT64_MIN garbage.
+        null_code = len(enc.dictionary)
+        codes = (
+            enc.indices.fill_null(null_code)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         salt = (
             batch.column("event_id").to_numpy(zero_copy_only=False)
             % SALT_BUCKETS
         )
-        cents = np.floor(
-            batch.column("value").to_numpy(zero_copy_only=False) * 100 + 0.5
-        ).astype(np.int64)
+        cents = money_cents(
+            batch.column("value").to_numpy(zero_copy_only=False)
+        )
         # Vectorized combiner: composite (type-code, salt) key -> bincount.
         key = codes * SALT_BUCKETS + salt
-        size = len(enc.dictionary) * SALT_BUCKETS
+        size = (null_code + 1) * SALT_BUCKETS
         n = np.bincount(key, minlength=size)
         s = np.zeros(size, np.int64)
         np.add.at(s, key, cents)  # exact int64 scatter-add
         nz = np.flatnonzero(n)
+        # NULL rides the shuffle as a reserved marker (Ray's sort-based
+        # groupby cannot order None against str); decoded back after the
+        # final rollup.
+        names = pa.concat_arrays(
+            [enc.dictionary.cast(pa.string()), pa.array(["\x00"], pa.string())]
+        )
         return pa.table(
             {
-                "event_type": enc.dictionary.take(
-                    pa.array(nz // SALT_BUCKETS)
-                ).cast(pa.string()),
+                "event_type": names.take(pa.array(nz // SALT_BUCKETS)),
                 "salt": pa.array(nz % SALT_BUCKETS, pa.int64()),
                 "n_part": pa.array(n[nz], pa.int64()),
                 "sum_part": pa.array(s[nz], pa.int64()),
@@ -1672,12 +1686,22 @@ def salted_event_stats(sf_dir: str) -> "ray.data.Dataset":
             ray.data.aggregate.Sum("sum_part", alias_name="sum_s"),
         )
     )
+    def decode_null(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        decoded = pc.if_else(
+            pc.equal(et, "\x00"), pa.scalar(None, pa.string()), et
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("event_type"), "event_type", decoded
+        )
+
     return (
         salted.groupby("event_type")
         .aggregate(
             ray.data.aggregate.Sum("n_s", alias_name="n_events"),
             ray.data.aggregate.Sum("sum_s", alias_name="sum_cents"),
         )
+        .map_batches(decode_null, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
@@ -1869,9 +1893,10 @@ GROUP BY e.label
 
 Q3_CUTOFF = "1998-06-01"
 _Q3_CUT_US = 896_659_200_000_000  # 1998-06-01T00:00:00Z in epoch micros
+Q3_TOPK = 10  # single source of truth for both the Ray default and the SQL
 
 
-def shipping_priority(sf_dir: str, k: int = 10) -> pa.Table:
+def shipping_priority(sf_dir: str, k: int = Q3_TOPK) -> pa.Table:
     """TPC-H Q3 shape: revenue of not-yet-shipped lineitems for
     BUILDING-segment orders placed before the cutoff, top-k orders by
     revenue.  Plan by side size: the lineitem date filter and the
@@ -1897,7 +1922,7 @@ def shipping_priority(sf_dir: str, k: int = 10) -> pa.Table:
         keep = np.flatnonzero(ship > _Q3_CUT_US)
         price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
         disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
-        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        cents = money_cents(price * (1 - disc))
         t = pa.table(
             {
                 "l_orderkey": batch.column("l_orderkey").take(
@@ -2001,7 +2026,7 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
   AND c.c_mktsegment = 'BUILDING'
 ORDER BY r.revenue_cents DESC, o.o_orderkey
-LIMIT 10
+LIMIT {Q3_TOPK}
 """
 
 
@@ -2089,9 +2114,14 @@ def revenue_by_brand(sf_dir: str) -> "ray.data.Dataset":
     def to_brand(batch: pa.Table) -> pa.Table:
         keys, brands = ray.get(dim_ref)
         idx = pc.index_in(batch.column("l_partkey"), value_set=keys)
-        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
-        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        # Inner-join semantics: drop fact rows with no dimension match
+        # (the oracle's JOIN does) instead of emitting a NULL-brand group.
+        valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(valid)
+        idx = idx.take(pa.array(keep, pa.int64()))
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        cents = money_cents(price * (1 - disc))
         t = pa.table(
             {
                 "p_brand": pc.take(brands, idx),
@@ -2147,9 +2177,20 @@ def supplier_region_stats(sf_dir: str) -> "ray.data.Dataset":
         nation.column("n_regionkey"),
         value_set=region.column("r_regionkey").combine_chunks(),
     )
-    nation_region = pc.take(region.column("r_name").combine_chunks(), ridx)
+    # A nation with no region row leaves the chain entirely (inner-join
+    # parity): filter it out of the broadcast dim instead of carrying a
+    # NULL region name.
+    resolved = pc.is_valid(ridx)
+    nation_region = pc.filter(
+        pc.take(region.column("r_name").combine_chunks(), ridx), resolved
+    ).combine_chunks()
     dim_ref = ray.put(
-        (nation.column("n_nationkey").combine_chunks(), nation_region)
+        (
+            pc.filter(
+                nation.column("n_nationkey").combine_chunks(), resolved
+            ).combine_chunks(),
+            nation_region,
+        )
     )
 
     def to_region(batch: pa.Table) -> pa.Table:
@@ -2157,8 +2198,12 @@ def supplier_region_stats(sf_dir: str) -> "ray.data.Dataset":
         idx = pc.index_in(
             pc.cast(batch.column("s_nationkey"), pa.int32()), value_set=keys
         )
-        bal = batch.column("s_acctbal").to_numpy(zero_copy_only=False)
-        cents = np.floor(bal * 100 + 0.5).astype(np.int64)
+        # Inner-join semantics: unmatched nation keys drop, as in the oracle.
+        valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(valid)
+        idx = idx.take(pa.array(keep, pa.int64()))
+        bal = batch.column("s_acctbal").to_numpy(zero_copy_only=False)[keep]
+        cents = money_cents(bal)
         t = pa.table(
             {
                 "r_name": pc.take(names, idx),

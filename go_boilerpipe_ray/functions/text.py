@@ -2053,7 +2053,10 @@ def segment_dedup(sf_dir: str) -> "ray.data.Dataset":
         ):
             toks = _TOKEN_RE.findall(t.lower())
             if not toks:
-                out_g.append(-int(doc_id) - 1)  # unique sentinel group
+                # Unique NEGATIVE sentinel group (real segment hashes are
+                # 63-bit non-negative); masking keeps it negative even for
+                # negative doc_ids.
+                out_g.append(-1 - (int(doc_id) & ((1 << 62) - 1)))
                 out_d.append(doc_id)
                 out_t.append(0)
                 out_o.append(0)
@@ -2249,7 +2252,17 @@ def docs_rollup(sf_dir: str) -> pa.Table:
     import ray.data
 
     def partial(batch: pa.Table) -> pa.Table:
-        t = batch.select(["lang", "source", "n_chars"])
+        # Data NULLs in the group keys ride through the shuffle as a
+        # reserved marker (decoded back to NULL at output) so they form
+        # their own group exactly like SQL GROUP BY — never dropped by a
+        # groupby and never confused with a missing group downstream.
+        t = pa.table(
+            {
+                "lang": batch.column("lang").fill_null("\x00"),
+                "source": batch.column("source").fill_null("\x00"),
+                "n_chars": batch.column("n_chars"),
+            }
+        )
         g = t.group_by(["lang", "source"]).aggregate(
             [([], "count_all"), ("n_chars", "sum")]
         )
@@ -2288,10 +2301,13 @@ def docs_rollup(sf_dir: str) -> pa.Table:
     cols = ["lang", "source", "n_docs", "sum_chars"]
 
     def to_arrow(df) -> pa.Table:
+        dec = lambda vals: [  # noqa: E731 - marker -> SQL NULL
+            None if v == "\x00" else v for v in vals
+        ]
         return pa.table(
             {
-                "lang": pa.array(df["lang"], pa.string()),
-                "source": pa.array(df["source"], pa.string()),
+                "lang": pa.array(dec(df["lang"]), pa.string()),
+                "source": pa.array(dec(df["source"]), pa.string()),
                 "n_docs": pa.array(df["n_docs"].astype("int64"), pa.int64()),
                 "sum_chars": pa.array(
                     df["sum_chars"].astype("int64"), pa.int64()
@@ -2406,7 +2422,13 @@ def table_profile(sf_dir: str) -> pa.Table:
         .to_pandas()  # bounded: #cols × 3 rows
     )
     piv = stats.pivot(index="col", columns="kind", values="v")
-    piv = piv.reindex([c for c, _ in _PROFILE_COLS])
+    # An all-null column never emits kind-0 (distinct) rows: reindex the
+    # pivot so the column exists and reads 0 instead of raising.
+    piv = (
+        piv.reindex([c for c, _ in _PROFILE_COLS])
+        .reindex(columns=[0, 1, 2])
+        .fillna(0)
+    )
     return pa.table(
         {
             "col_name": pa.array(piv.index, pa.string()),

@@ -1936,3 +1936,147 @@ def test_supplier_region_stats_dim_chain():
         for r in supplier_region_stats(SF).take_all()
     }
     assert got == want
+
+
+def _write_pq(dirpath, name, table):
+    import pyarrow.parquet as pq
+
+    pq.write_table(table, f"{dirpath}/{name}.parquet")
+
+
+def test_salted_event_stats_null_event_type(tmp_path):
+    """Null event_type rows form their own group (SQL GROUP BY parity) —
+    regression for the vectorized combiner's null-index handling."""
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.relational import salted_event_stats
+
+    _write_pq(
+        tmp_path,
+        "events",
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "event_type": pa.array(["a", None, "b", None], pa.string()),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            }
+        ),
+    )
+    got = {
+        r["event_type"]: (r["n_events"], r["sum_cents"])
+        for r in salted_event_stats(str(tmp_path)).take_all()
+    }
+    assert got == {"a": (1, 100), "b": (1, 300), None: (2, 600)}
+
+
+def test_docs_rollup_null_keys_match_duckdb(tmp_path):
+    import duckdb
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.text import docs_rollup
+
+    _write_pq(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "lang": pa.array(["en", None, "en", None], pa.string()),
+                "source": pa.array(["web", "web", None, None], pa.string()),
+                "n_chars": pa.array([10, 20, 30, 40], pa.int64()),
+            }
+        ),
+    )
+    got = sorted(
+        [
+            (r["lang"], r["source"], r["n_docs"], r["sum_chars"])
+            for r in docs_rollup(str(tmp_path)).to_pylist()
+        ],
+        key=lambda t: (str(t[0]), str(t[1]), t[2], t[3]),
+    )
+    con = duckdb.connect()
+    want = sorted(
+        con.execute(
+            f"""SELECT lang, source, CAST(count(*) AS BIGINT),
+                CAST(sum(n_chars) AS BIGINT)
+                FROM read_parquet('{tmp_path}/documents.parquet')
+                GROUP BY ROLLUP(lang, source)"""
+        ).fetchall(),
+        key=lambda t: (str(t[0]), str(t[1]), t[2], t[3]),
+    )
+    assert got == [tuple(w) for w in want]
+
+
+def test_table_profile_all_null_column(tmp_path):
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.text import table_profile
+
+    _write_pq(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["x", "y"], pa.string()),
+                "lang": pa.array([None, None], pa.string()),
+                "source": pa.array(["s", None], pa.string()),
+                "n_chars": pa.array([1, 1], pa.int64()),
+            }
+        ),
+    )
+    got = table_profile(str(tmp_path)).to_pandas().set_index("col_name")
+    assert got.loc["lang", "n_nulls"] == 2 and got.loc["lang", "n_distinct"] == 0
+    assert got.loc["source", "n_nulls"] == 1 and got.loc["source", "n_distinct"] == 1
+    assert got.loc["n_chars", "n_distinct"] == 1
+
+
+def test_revenue_by_brand_drops_unmatched_keys(tmp_path):
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.relational import revenue_by_brand
+
+    _write_pq(
+        tmp_path,
+        "part",
+        pa.table(
+            {
+                "p_partkey": pa.array([1], pa.int64()),
+                "p_brand": pa.array(["B1"], pa.string()),
+            }
+        ),
+    )
+    _write_pq(
+        tmp_path,
+        "lineitem",
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 999], pa.int64()),  # 999 dangles
+                "l_extendedprice": pa.array([10.0, 50.0], pa.float64()),
+                "l_discount": pa.array([0.0, 0.0], pa.float64()),
+            }
+        ),
+    )
+    rows = revenue_by_brand(str(tmp_path)).take_all()
+    assert rows == [{"p_brand": "B1", "revenue_cents": 1000, "n_items": 1}]
+
+
+def test_segment_dedup_negative_doc_id_empty_text(tmp_path):
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.text import segment_dedup
+
+    _write_pq(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([-5, -7, 3], pa.int64()),
+                "text": pa.array(["", "", "alpha beta"], pa.string()),
+            }
+        ),
+    )
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_removed"], r["kept_tokens"])
+        for r in segment_dedup(str(tmp_path)).take_all()
+    }
+    assert got == {-5: (0, 0, 0), -7: (0, 0, 0), 3: (1, 0, 2)}
