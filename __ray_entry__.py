@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": text.table_profile,
         "revenue_by_brand": relational.revenue_by_brand,
         "supplier_region_stats": relational.supplier_region_stats,
+        "lang_confusion": text.lang_confusion,
     }
 
 
@@ -299,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": text.TABLE_PROFILE_SQL,
         "revenue_by_brand": relational.REVENUE_BY_BRAND_SQL,
         "supplier_region_stats": relational.SUPPLIER_REGION_SQL,
+        "lang_confusion": text.LANG_CONFUSION_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

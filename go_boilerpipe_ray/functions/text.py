@@ -2463,3 +2463,49 @@ SELECT * FROM (
          CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents
 )
 """
+
+
+# -- declared-vs-predicted language confusion matrix ---------------------------
+
+
+def lang_confusion(sf_dir: str) -> "ray.data.Dataset":
+    """Confusion matrix between the table's declared lang column and the
+    heuristic language-ID prediction — the QA report a curation team
+    reads before trusting either signal.  Composes the existing LangId
+    stage (one scan: prediction and declared label ride the same batch);
+    per-batch partials collapse to the (declared, predicted) grain
+    before an O(#langs²) rollup."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = _LANG_ID_STAGE(batch)
+        t = pa.table(
+            {
+                "declared": batch.column("lang"),
+                "predicted": pred.column("lang"),
+            }
+        )
+        g = t.group_by(["declared", "predicted"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "declared": g.column("declared"),
+                "predicted": g.column("predicted"),
+                "n_part": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, columns=["doc_id", "lang", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["declared", "predicted"])
+        .aggregate(ray.data.aggregate.Sum("n_part", alias_name="n_docs"))
+    )
+
+
+LANG_CONFUSION_SQL = f"""
+WITH pred AS ({LANG_ID_SQL})
+SELECT d.lang AS declared, p.lang AS predicted,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY d.lang, p.lang
+"""

@@ -2080,3 +2080,22 @@ def test_segment_dedup_negative_doc_id_empty_text(tmp_path):
         for r in segment_dedup(str(tmp_path)).take_all()
     }
     assert got == {-5: (0, 0, 0), -7: (0, 0, 0), 3: (1, 0, 2)}
+
+
+def test_lang_confusion_consistent_with_lang_id():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.text import lang_confusion, lang_id
+
+    pred = {r["doc_id"]: r["lang"] for r in lang_id(SF).take_all()}
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    want: dict = {}
+    for doc_id, declared in zip(docs["doc_id"], docs["lang"]):
+        k = (declared, pred[int(doc_id)])
+        want[k] = want.get(k, 0) + 1
+    got = {
+        (r["declared"], r["predicted"]): r["n_docs"]
+        for r in lang_confusion(SF).take_all()
+    }
+    assert got == want
+    assert sum(got.values()) == len(docs)
