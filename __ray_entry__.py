@@ -185,6 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_brand": relational.revenue_by_brand,
         "supplier_region_stats": relational.supplier_region_stats,
         "lang_confusion": text.lang_confusion,
+        "zorder_keys": relational.zorder_keys,
+        "heavy_hitters_by_source": text.heavy_hitters_by_source,
     }
 
 
@@ -301,6 +303,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_brand": relational.REVENUE_BY_BRAND_SQL,
         "supplier_region_stats": relational.SUPPLIER_REGION_SQL,
         "lang_confusion": text.LANG_CONFUSION_SQL,
+        "zorder_keys": relational.ZORDER_KEYS_SQL,
+        "heavy_hitters_by_source": text.HEAVY_HITTERS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -2240,3 +2240,66 @@ JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
 """
+
+
+# -- Z-order (Morton) layout keys ---------------------------------------------
+
+_ZORDER_HOUR_US = 3_600_000_000
+
+
+def _spread16(x: "np.ndarray") -> "np.ndarray":
+    """Interleave zeros between the low 16 bits of x (uint64 in/out) —
+    the classic Morton spread."""
+    x = x.astype(np.uint64) & np.uint64(0xFFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+    return x
+
+
+def zorder_keys(sf_dir: str) -> "ray.data.Dataset":
+    """Z-order (Morton) layout key per event, interleaving the low 16
+    bits of user_id with the low 16 bits of the event's hour bucket —
+    the data-layout trick that makes BOTH per-user scans and per-time
+    scans read clustered row groups after a repartition/sort by zkey.
+    At 100 TB this is the difference between touching every file for a
+    (user, time-range) query and touching a handful; the key itself is
+    a narrow vectorized map, and any downstream repartition(zkey) is
+    one explicit keyed exchange.  Bit math is identical in the oracle
+    (a generated sum of shift/mask terms)."""
+
+    def keys(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        hour = (ts // _ZORDER_HOUR_US).astype(np.uint64)
+        z = _spread16(u.astype(np.uint64)) | (_spread16(hour) << np.uint64(1))
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "zkey": pa.array(z.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _zorder_sql() -> str:
+    u_terms = " + ".join(
+        f"(((user_id >> {i}) & 1) << {2 * i})" for i in range(16)
+    )
+    h_terms = " + ".join(
+        f"(((epoch_us(ts) // {_ZORDER_HOUR_US} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+    return f"""
+SELECT event_id, CAST({u_terms} + {h_terms} AS BIGINT) AS zkey
+FROM events
+"""
+
+
+ZORDER_KEYS_SQL = _zorder_sql()

@@ -2509,3 +2509,79 @@ SELECT d.lang AS declared, p.lang AS predicted,
 FROM documents d JOIN pred p USING (doc_id)
 GROUP BY d.lang, p.lang
 """
+
+
+# -- exact heavy hitters per source --------------------------------------------
+
+HEAVY_HITTERS_K = 3
+
+
+def heavy_hitters_by_source(sf_dir: str) -> "ray.data.Dataset":
+    """Exact top-K tokens per source by occurrence count (ties broken
+    lexicographically) — the per-group heavy-hitter report (the exact
+    counterpart of the Count-Min sketch path in sketches.py).  Hot
+    tokens ship as per-batch (source, token, partial count) rows, one
+    keyed shuffle sums them, and a per-source group argsort picks the
+    winners — group size is bounded by the source's distinct-token
+    vocabulary, never its token volume."""
+    import ray.data
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for src, t in zip(
+            batch.column("source").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for tok in _TOKEN_RE.findall(t.lower()):
+                k = (src, tok)
+                counts[k] = counts.get(k, 0) + 1
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in counts], pa.string()),
+                "token": pa.array([k[1] for k in counts], pa.string()),
+                "n_part": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            group,
+            k=min(HEAVY_HITTERS_K, group.num_rows),
+            sort_keys=[("n", "descending"), ("token", "ascending")],
+        )
+        picked = group.take(idx)
+        return pa.table(
+            {
+                "source": picked.column("source"),
+                "token": picked.column("token"),
+                "n": picked.column("n"),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, columns=["source", "text"])
+        .map_batches(pair_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "token"])
+        .sum("n_part")
+        .rename_columns({"sum(n_part)": "n"})
+        .groupby("source")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+         AS token
+  FROM documents
+),
+c AS (SELECT source, token, count(*) AS n FROM tok GROUP BY source, token),
+r AS (
+  SELECT source, token, n,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n DESC, token
+         ) AS rn
+  FROM c
+)
+SELECT source, token, CAST(n AS BIGINT) AS n
+FROM r WHERE rn <= {HEAVY_HITTERS_K}
+"""

@@ -2099,3 +2099,55 @@ def test_lang_confusion_consistent_with_lang_id():
     }
     assert got == want
     assert sum(got.values()) == len(docs)
+
+
+def test_zorder_keys_bit_interleave():
+    """zkey's even bits reconstruct user_id (low 16) and odd bits the
+    hour bucket — and z-ordering actually clusters: sorting by zkey
+    groups same-user-same-hour events adjacently."""
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import (
+        _ZORDER_HOUR_US,
+        zorder_keys,
+    )
+
+    df = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "user_id", "ts"])
+    hours = (
+        df["ts"].astype("datetime64[us]").astype("int64") // _ZORDER_HOUR_US
+    )
+    want_u = dict(zip(df["event_id"], df["user_id"] & 0xFFFF))
+    want_h = dict(zip(df["event_id"], hours & 0xFFFF))
+    for r in zorder_keys(SF).take_all():
+        z = r["zkey"]
+        u = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+        h = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert u == want_u[r["event_id"]]
+        assert h == want_h[r["event_id"]]
+
+
+def test_heavy_hitters_by_source_exact():
+    from collections import Counter
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.text import (
+        _TOKEN_RE,
+        HEAVY_HITTERS_K,
+        heavy_hitters_by_source,
+    )
+
+    df = pd.read_parquet(f"{SF}/documents.parquet", columns=["source", "text"])
+    counts: dict = {}
+    for src, txt in zip(df["source"], df["text"]):
+        c = counts.setdefault(src, Counter())
+        c.update(_TOKEN_RE.findall(txt.lower()))
+    want = {}
+    for src, c in counts.items():
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:HEAVY_HITTERS_K]
+        want[src] = top
+    got: dict = {}
+    for r in heavy_hitters_by_source(SF).take_all():
+        got.setdefault(r["source"], []).append((r["token"], r["n"]))
+    got = {s: sorted(v, key=lambda kv: (-kv[1], kv[0])) for s, v in got.items()}
+    assert got == want
