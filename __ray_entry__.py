@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": text.lang_confusion,
         "zorder_keys": relational.zorder_keys,
         "heavy_hitters_by_source": text.heavy_hitters_by_source,
+        "approx_percentiles": sketches.approx_percentiles,
+        "session_stats": relational.session_stats,
     }
 
 
@@ -305,6 +307,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": text.LANG_CONFUSION_SQL,
         "zorder_keys": relational.ZORDER_KEYS_SQL,
         "heavy_hitters_by_source": text.HEAVY_HITTERS_SQL,
+        "approx_percentiles": sketches.APPROX_PERCENTILES_SQL,
+        "session_stats": relational.SESSION_STATS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

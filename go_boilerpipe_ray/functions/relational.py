@@ -2303,3 +2303,82 @@ FROM events
 
 
 ZORDER_KEYS_SQL = _zorder_sql()
+
+
+# -- per-session rows (sessionize with durations) ------------------------------
+
+
+def session_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-SESSION rows — sessionize's detailed sibling: each (user,
+    session) with its event count and wall duration.  Same single
+    user-keyed shuffle; the session split is a vectorized
+    cumsum(diff > gap) over the per-group sorted timestamps."""
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = np.sort(
+            pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        if len(ts) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_no": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "duration_us": pa.array([], pa.int64()),
+                }
+            )
+        new_s = np.empty(len(ts), np.int64)
+        new_s[0] = 1
+        new_s[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(new_s)
+        n_sessions = int(sid[-1])
+        n_events = np.bincount(sid, minlength=n_sessions + 1)[1:]
+        starts = ts[new_s.astype(bool)]
+        ends = ts[np.concatenate([new_s[1:].astype(bool), [True]])]
+        uid = group.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(n_sessions, uid, np.int64), pa.int64()
+                ),
+                "session_no": pa.array(
+                    np.arange(1, n_sessions + 1), pa.int64()
+                ),
+                "n_events": pa.array(n_events, pa.int64()),
+                "duration_us": pa.array(ends - starts, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+SESSION_STATS_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+f AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL
+                OR ts - prev > INTERVAL {SESSION_GAP_MINUTES} MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS session_no
+  FROM f
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(epoch_us(max(ts) - min(ts)) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, session_no
+"""

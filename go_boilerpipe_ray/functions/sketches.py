@@ -324,3 +324,55 @@ SELECT event_type,
            END) AS max_rho
 FROM h GROUP BY 1, 2
 """
+
+
+# -- approximate percentiles from the histogram sketch ------------------------
+
+APPROX_PCTS = (50, 90, 99)
+
+
+def approx_percentiles(sf_dir: str) -> pa.Table:
+    """Quantiles from the mergeable fixed-bin histogram — the
+    fixed-memory scale path next to the exact percentiles operator
+    (which shuffles per distinct value).  The distributed part is the
+    same (bin, cnt) partial rollup as value_histogram; the quantile
+    walk happens on the bounded bin table.  Integer target rule
+    target = (pct*total + 99) // 100 (ceil) on BOTH engines, so the
+    answer is the exact left-edge bin, hash-stable."""
+    hist = value_histogram(sf_dir)
+    bins = hist.column("bin").to_numpy(zero_copy_only=False)
+    cnt = hist.column("cnt").to_numpy(zero_copy_only=False)
+    order = np.argsort(bins)
+    bins, cnt = bins[order], cnt[order]
+    cum = np.cumsum(cnt)
+    total = int(cum[-1]) if len(cum) else 0
+    out_p: list[int] = []
+    out_b: list[int] = []
+    for pct in APPROX_PCTS:
+        target = max((pct * total + 99) // 100, 1)
+        pos = int(np.searchsorted(cum, target))
+        out_p.append(pct)
+        out_b.append(int(bins[min(pos, len(bins) - 1)]))
+    return pa.table(
+        {
+            "pct": pa.array(out_p, pa.int64()),
+            "bin": pa.array(out_b, pa.int64()),
+        }
+    )
+
+
+APPROX_PERCENTILES_SQL = f"""
+WITH h AS (
+  SELECT CAST(floor(value * {HIST_BIN_CENTS}) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum, sum(cnt) OVER () AS total
+  FROM h
+)
+SELECT CAST(p.pct AS BIGINT) AS pct, CAST(min(c.bin) AS BIGINT) AS bin
+FROM (VALUES (50), (90), (99)) AS p(pct), c
+WHERE c.cum >= greatest((p.pct * c.total + 99) // 100, 1)
+GROUP BY p.pct
+"""

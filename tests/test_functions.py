@@ -2151,3 +2151,42 @@ def test_heavy_hitters_by_source_exact():
         got.setdefault(r["source"], []).append((r["token"], r["n"]))
     got = {s: sorted(v, key=lambda kv: (-kv[1], kv[0])) for s, v in got.items()}
     assert got == want
+
+
+def test_approx_percentiles_within_one_bin_of_exact():
+    import numpy as np
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.sketches import (
+        APPROX_PCTS,
+        HIST_BIN_CENTS,
+        approx_percentiles,
+    )
+
+    vals = pd.read_parquet(f"{SF}/events.parquet", columns=["value"])["value"]
+    got = {r["pct"]: r["bin"] for r in approx_percentiles(SF).to_pylist()}
+    n = len(vals)
+    svals = np.sort(vals.to_numpy())
+    for pct in APPROX_PCTS:
+        target = max((pct * n + 99) // 100, 1)
+        exact = svals[target - 1]
+        # left edge of the bin holding the target value
+        assert got[pct] == int(np.floor(exact * HIST_BIN_CENTS))
+
+
+def test_session_stats_consistent_with_sessionize():
+    from go_boilerpipe_ray.functions.relational import session_stats, sessionize
+
+    per_session = session_stats(SF).to_pandas()
+    roll = {
+        r["user_id"]: (r["n_events"], r["n_sessions"])
+        for r in sessionize(SF).take_all()
+    }
+    g = per_session.groupby("user_id")
+    assert {
+        int(u): (int(gr["n_events"].sum()), len(gr)) for u, gr in g
+    } == roll
+    # session_no is 1..k per user, durations non-negative
+    for u, gr in g:
+        assert sorted(gr["session_no"]) == list(range(1, len(gr) + 1))
+    assert (per_session["duration_us"] >= 0).all()
