@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_by_source": text.heavy_hitters_by_source,
         "approx_percentiles": sketches.approx_percentiles,
         "session_stats": relational.session_stats,
+        "kmeans_train": similarity.kmeans_train,
+        "value_outliers": relational.value_outliers,
     }
 
 
@@ -309,6 +311,8 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters_by_source": text.HEAVY_HITTERS_SQL,
         "approx_percentiles": sketches.APPROX_PERCENTILES_SQL,
         "session_stats": relational.SESSION_STATS_SQL,
+        "kmeans_train": similarity.KMEANS_TRAIN_SQL,
+        "value_outliers": relational.VALUE_OUTLIERS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

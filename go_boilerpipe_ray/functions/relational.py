@@ -2382,3 +2382,109 @@ SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
        CAST(epoch_us(max(ts) - min(ts)) AS BIGINT) AS duration_us
 FROM s GROUP BY user_id, session_no
 """
+
+
+# -- exact-integer 3-sigma anomaly flags --------------------------------------
+
+
+def value_outliers(sf_dir: str) -> "ray.data.Dataset":
+    """Events whose value is a >3-sigma outlier within its event_type —
+    anomaly flagging in EXACT integer arithmetic: z² > 9 rewritten as
+    (c·n − s)² > 9·(n·ssq − s²) with c in cents, so no float mean/std
+    ever enters and the oracle comparison is hash-stable.
+
+    Two passes: a tiny per-type (n, s, ssq) rollup (combiner shape),
+    then the driver turns each type's bound into an integer threshold
+    t = isqrt(9·(n·ssq − s²)) + 1 in arbitrary-precision Python ints
+    (|x| ≥ t ⟺ x² > B exactly), broadcasts the O(#types) lookup, and a
+    narrow second pass flags rows.  The corpus is scanned twice but
+    never shuffled."""
+    import math
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        cents = money_cents(
+            batch.column("value").to_numpy(zero_copy_only=False)
+        )
+        # Loud overflow guard: per-batch int64 square-sum must fit; at
+        # corpus scale the per-type rollup below re-sums in pandas int64 —
+        # switch s/ssq to object (Python int) columns past ~10^14 rows.
+        assert (
+            len(cents) == 0
+            or abs(int(cents.max(initial=0))) < 3_000_000_000
+        ), "cents too large for int64 square-sum"
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "c": pa.array(cents, pa.int64()),
+                "c2": pa.array(cents * cents, pa.int64()),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [([], "count_all"), ("c", "sum"), ("c2", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n_p": pc.cast(g.column("count_all"), pa.int64()),
+                "s_p": g.column("c_sum"),
+                "q_p": g.column("c2_sum"),
+            }
+        )
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            ray.data.aggregate.Sum("n_p", alias_name="n"),
+            ray.data.aggregate.Sum("s_p", alias_name="s"),
+            ray.data.aggregate.Sum("q_p", alias_name="ssq"),
+        )
+        .to_pandas()  # bounded: one row per event_type
+    )
+    lut = {}
+    for r in stats.itertuples():
+        n, s, ssq = int(r.n), int(r.s), int(r.ssq)
+        b = 9 * (n * ssq - s * s)  # Python ints: no overflow
+        lut[r.event_type] = (n, s, math.isqrt(b) + 1)
+    lut_ref = ray.put(lut)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)
+        cents = money_cents(
+            batch.column("value").to_numpy(zero_copy_only=False)
+        )
+        et = batch.column("event_type").to_pylist()
+        n = np.fromiter((table[e][0] for e in et), np.int64, len(et))
+        s = np.fromiter((table[e][1] for e in et), np.int64, len(et))
+        t = np.fromiter((table[e][2] for e in et), np.int64, len(et))
+        keep = np.flatnonzero(np.abs(cents * n - s) >= t)
+        take = pa.array(keep, pa.int64())
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").take(take),
+                "event_type": batch.column("event_type").take(take),
+                "cents": pa.array(cents[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+VALUE_OUTLIERS_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+st AS (
+  SELECT event_type, count(*) AS n, sum(cents) AS s,
+         sum(cents * cents) AS ssq
+  FROM c GROUP BY 1
+)
+SELECT c.event_id, c.event_type, c.cents
+FROM c JOIN st USING (event_type)
+WHERE (c.cents * st.n - st.s) * (c.cents * st.n - st.s)
+      > 9 * (st.n * st.ssq - st.s * st.s)
+"""

@@ -1155,3 +1155,129 @@ SELECT dim, count(*) AS n,
        CAST(max(qv) AS BIGINT) AS max_q
 FROM q GROUP BY dim
 """
+
+
+# -- full Lloyd training loop (iterative, evolving broadcast state) -----------
+
+KMEANS_ITERS = 3
+
+
+def kmeans_train(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> pa.Table:
+    """T full Lloyd iterations — the iterative-training shape: each round
+    is one narrow distributed pass (assignment + partial centroid
+    registers, <= k*d rows per block) + a constant-size rollup, then the
+    driver derives the next centroids (s // n in exact int64 fixed-point,
+    floor division on both engines) and re-broadcasts them via ray.put.
+    The corpus dataset is materialized ONCE and re-consumed per round —
+    never re-read from storage.  Empty clusters drop out of the live set
+    (the oracle's join drops them identically); ties keep breaking toward
+    the lowest live centroid id.  Output: the final (cell, dim, qc)
+    centroid table."""
+    c = _load_centroids(sf_dir, k)
+    cids = np.arange(k, dtype=np.int64)
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()  # consumed `iters` times
+
+    def make_partial(ref):
+        def partial(batch: pa.Table) -> pa.Table:
+            cc, live = ray.get(ref)
+            k_, d = cc.shape
+            q = _quantize(np.asarray(batch.column("embedding").to_pylist()))
+            cell = _assign_cells(q, cc)
+            sums = np.zeros((k_, d), dtype=np.int64)
+            np.add.at(sums, cell, q)
+            counts = np.bincount(cell, minlength=k_)
+            touched = np.flatnonzero(counts)
+            cells = np.repeat(live[touched], d)
+            dims = np.tile(np.arange(1, d + 1, dtype=np.int64), len(touched))
+            return pa.table(
+                {
+                    "cell": pa.array(cells, pa.int64()),
+                    "dim": pa.array(dims, pa.int64()),
+                    "s": pa.array(sums[touched].ravel(), pa.int64()),
+                    "n": pa.array(np.repeat(counts[touched], d), pa.int64()),
+                }
+            )
+
+        return partial
+
+    for _ in range(iters):
+        ref = ray.put((c, cids))
+        rolled = (
+            ds.map_batches(
+                make_partial(ref), batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby(["cell", "dim"])
+            .aggregate(
+                ray.data.aggregate.Sum("s", alias_name="s"),
+                ray.data.aggregate.Sum("n", alias_name="n"),
+            )
+            .to_pandas()  # bounded: k x d rows
+            .sort_values(["cell", "dim"])
+        )
+        live = np.sort(rolled["cell"].unique()).astype(np.int64)
+        d = int(rolled["dim"].max())
+        s = rolled["s"].to_numpy().astype(np.int64).reshape(len(live), d)
+        n = rolled["n"].to_numpy().astype(np.int64).reshape(len(live), d)
+        c = s // n  # exact floor division, identical in DuckDB
+        cids = live
+
+    d = c.shape[1]
+    return pa.table(
+        {
+            "cell": pa.array(np.repeat(cids, d), pa.int64()),
+            "dim": pa.array(
+                np.tile(np.arange(1, d + 1, dtype=np.int64), len(cids)),
+                pa.int64(),
+            ),
+            "qc": pa.array(c.ravel(), pa.int64()),
+        }
+    )
+
+
+def _kmeans_train_sql(iters: int = KMEANS_ITERS) -> str:
+    parts = [
+        f"""q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(unnest(embedding)::DOUBLE * {_QUANT} + 0.5) AS BIGINT) AS qv
+  FROM embeddings
+)""",
+        f"c0 AS (SELECT vec_id AS cid, dim, qv AS qc FROM q WHERE vec_id < {KMEANS_K})",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""d{t} AS (
+  SELECT q.vec_id, c.cid, sum((q.qv - c.qc) * (q.qv - c.qc)) AS dist2
+  FROM q JOIN c{t - 1} c USING (dim) GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, cid AS cell FROM d{t}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
+)"""
+        )
+        parts.append(
+            f"""u{t} AS (
+  SELECT a.cell, q.dim, CAST(sum(q.qv) AS BIGINT) AS s, count(*) AS n
+  FROM a{t} a JOIN q USING (vec_id) GROUP BY 1, 2
+)"""
+        )
+        # numpy's int // is FLOOR division; DuckDB's // truncates toward
+        # zero — mimic floor exactly with the positive-mod identity
+        # (n > 0 always: a cell exists only with members).
+        parts.append(
+            f"c{t} AS (SELECT cell AS cid, dim, "
+            f"CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS qc FROM u{t})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT cid AS cell, dim, CAST(qc AS BIGINT) AS qc FROM c{iters}"
+    )
+
+
+KMEANS_TRAIN_SQL = _kmeans_train_sql()

@@ -2190,3 +2190,64 @@ def test_session_stats_consistent_with_sessionize():
     for u, gr in g:
         assert sorted(gr["session_no"]) == list(range(1, len(gr) + 1))
     assert (per_session["duration_us"] >= 0).all()
+
+
+def test_kmeans_train_iterations_reduce_inertia():
+    """Three Lloyd rounds: centroids change from the seed, every live
+    cell id is one of the seeds' 0..k-1, and assignment inertia against
+    the trained centroids is <= inertia against the seed centroids."""
+    import numpy as np
+
+    from go_boilerpipe_ray.functions.similarity import (
+        KMEANS_K,
+        _assign_cells,
+        _load_centroids,
+        _quantize,
+        kmeans_train,
+    )
+
+    out = kmeans_train(SF).to_pandas()
+    cells = sorted(out["cell"].unique())
+    assert set(cells) <= set(range(KMEANS_K))
+    d = int(out["dim"].max())
+    trained = (
+        out.sort_values(["cell", "dim"])["qc"].to_numpy().reshape(len(cells), d)
+    )
+    seed = _load_centroids(SF, KMEANS_K)
+
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    q = _quantize(np.asarray(emb.column("embedding").to_pylist()))
+
+    def inertia(c):
+        a = _assign_cells(q, c)
+        diff = q - c[a]
+        return int(np.einsum("nd,nd->", diff.astype(object), diff.astype(object)))
+
+    assert not np.array_equal(trained, seed[cells])
+    assert inertia(trained) <= inertia(seed)
+
+
+def test_value_outliers_exact_rule():
+    import math
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import value_outliers
+
+    df = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    df["cents"] = [int(math.floor(v * 100 + 0.5)) for v in df["value"]]
+    want = set()
+    for et, g in df.groupby("event_type"):
+        n, s = len(g), int(g["cents"].sum())
+        ssq = int((g["cents"].astype(object) ** 2).sum())
+        b = 9 * (n * ssq - s * s)
+        for r in g.itertuples():
+            x = r.cents * n - s
+            if x * x > b:
+                want.add(r.event_id)
+    got = {r["event_id"] for r in value_outliers(SF).take_all()}
+    assert got == want
