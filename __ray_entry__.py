@@ -191,6 +191,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats": relational.session_stats,
         "kmeans_train": similarity.kmeans_train,
         "value_outliers": relational.value_outliers,
+        # round-3 session-4 additions
+        "promo_revenue": relational.promo_revenue,
+        "late_shipment_priority": relational.late_shipment_priority,
+        "discount_revenue": relational.discount_revenue,
+        "returned_customers": relational.returned_customers,
     }
 
 
@@ -313,6 +318,10 @@ def oracle_sql() -> dict[str, str]:
         "session_stats": relational.SESSION_STATS_SQL,
         "kmeans_train": similarity.KMEANS_TRAIN_SQL,
         "value_outliers": relational.VALUE_OUTLIERS_SQL,
+        "promo_revenue": relational.PROMO_REVENUE_SQL,
+        "late_shipment_priority": relational.LATE_SHIPMENT_SQL,
+        "discount_revenue": relational.DISCOUNT_REVENUE_SQL,
+        "returned_customers": relational.RETURNED_CUSTOMERS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

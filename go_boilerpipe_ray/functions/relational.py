@@ -2488,3 +2488,376 @@ FROM c JOIN st USING (event_type)
 WHERE (c.cents * st.n - st.s) * (c.cents * st.n - st.s)
       > 9 * (st.n * st.ssq - st.s * st.s)
 """
+
+
+# -- TPC-H Q14-shaped: promo revenue share per ship month ---------------------
+
+
+def promo_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """Share of revenue from PROMO-type parts per ship month (the Q14
+    shape).  part is the dimension side — its (partkey, is-promo) pair is
+    broadcast ONCE via ray.put and probed vectorized per lineitem batch;
+    the per-batch partial collapses to the ~84-month grain before the
+    O(#months) rollup, so the shuffle moves a few rows per block no
+    matter how large lineitem is.  Revenue in exact integer cents
+    (floor(x*100+0.5), the module-wide money rule); the permille share is
+    integer floor division so the oracle can mirror it bit-for-bit.
+    At a 100-TB lineitem the 1000×total_cents product stays < 2^63 while
+    total revenue per month < ~9.2e15 cents (~$92T) — guarded loudly."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    dim_ref = ray.put(
+        (
+            part.column("p_partkey").combine_chunks(),
+            pc.equal(part.column("p_type"), "PROMO").combine_chunks(),
+        )
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, is_promo = ray.get(dim_ref)
+        idx = pc.index_in(batch.column("l_partkey"), value_set=keys)
+        valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(valid)  # inner-join parity: drop no-match rows
+        idx = idx.take(pa.array(keep, pa.int64()))
+        promo = pc.take(is_promo, idx).to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        cents = money_cents(price * (1 - disc))
+        ship = batch.column("l_shipdate")
+        ym = pc.add(
+            pc.multiply(pc.year(ship), pa.scalar(100, pa.int64())),
+            pc.month(ship),
+        ).to_numpy(zero_copy_only=False)[keep]
+        t = pa.table(
+            {
+                "ym": pa.array(ym, pa.int64()),
+                "p_rev": pa.array(np.where(promo, cents, 0), pa.int64()),
+                "t_rev": pa.array(cents, pa.int64()),
+            }
+        )
+        g = t.group_by("ym").aggregate([("p_rev", "sum"), ("t_rev", "sum")])
+        return pa.table(
+            {
+                "ym": g.column("ym"),
+                "p_rev": g.column("p_rev_sum"),
+                "t_rev": g.column("t_rev_sum"),
+            }
+        )
+
+    rolled = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ym")
+        .aggregate(
+            ray.data.aggregate.Sum("p_rev", alias_name="promo_cents"),
+            ray.data.aggregate.Sum("t_rev", alias_name="total_cents"),
+        )
+    )
+
+    def share(batch: pa.Table) -> pa.Table:
+        p = batch.column("promo_cents").to_numpy(zero_copy_only=False)
+        t = batch.column("total_cents").to_numpy(zero_copy_only=False)
+        if t.size and int(t.max()) > (1 << 53):
+            raise OverflowError(
+                "promo_revenue: monthly revenue_cents too large for an exact "
+                "1000x product — switch the share to a per-partial rational"
+            )
+        return batch.append_column(
+            "promo_permille", pa.array((1000 * p) // np.maximum(t, 1), pa.int64())
+        )
+
+    return rolled.map_batches(share, batch_format="pyarrow", zero_copy_batch=True)
+
+
+PROMO_REVENUE_SQL = """
+WITH j AS (
+  SELECT CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS BIGINT) AS ym,
+         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+              AS BIGINT) AS cents,
+         (p.p_type = 'PROMO') AS promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT ym,
+       CAST(sum(CASE WHEN promo THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST((1000 * sum(CASE WHEN promo THEN cents ELSE 0 END))
+            // greatest(sum(cents), 1) AS BIGINT) AS promo_permille
+FROM j GROUP BY ym
+"""
+
+
+# -- TPC-H Q12-shaped: late shipments by order priority per ship year ---------
+
+
+def late_shipment_priority(sf_dir: str) -> "ray.data.Dataset":
+    """Lines shipped more than 60 days after their order date, split into
+    high-priority (1-URGENT / 2-HIGH) vs other order priorities per ship
+    year — the Q12 shape over this schema's columns.  orders and
+    lineitem are BOTH facts, so the edge is one repartition join on
+    orderkey (each row shuffled exactly once); the late predicate needs
+    the per-line shipdate against the per-order date so the lineitem
+    side cannot pre-collapse, but the post-join partial reduces straight
+    to the O(#years) grain inside each join group's batch stream."""
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "ship_us": pc.cast(batch.column("l_shipdate"), pa.int64()),
+            }
+        )
+
+    def order_prep(batch: pa.Table) -> pa.Table:
+        prio = batch.column("o_orderpriority")
+        high = pc.is_in(
+            prio, value_set=pa.array(["1-URGENT", "2-HIGH"], pa.string())
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "order_us": pc.cast(batch.column("o_orderdate"), pa.int64()),
+                "high": pc.cast(high, pa.int8()),
+            }
+        )
+
+    joined = repartition_join(
+        lineitem.map_batches(line_prep, batch_format="pyarrow", zero_copy_batch=True),
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+        .map_batches(order_prep, batch_format="pyarrow", zero_copy_batch=True),
+        "l_orderkey",
+        "o_orderkey",
+        [("ship_us", pa.int64())],
+        [("order_us", pa.int64()), ("high", pa.int8())],
+        how="inner",
+    )
+
+    _LATE_US = 60 * 86_400_000_000  # 60 days in microseconds
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("ship_us").to_numpy(zero_copy_only=False)
+        order = batch.column("order_us").to_numpy(zero_copy_only=False)
+        high = batch.column("high").to_numpy(zero_copy_only=False)
+        late = np.flatnonzero(ship > order + _LATE_US)
+        yr = (ship[late].astype("datetime64[us]").astype("datetime64[Y]")
+              .astype(np.int64) + 1970)
+        h = high[late].astype(np.int64)
+        t = pa.table(
+            {
+                "ship_year": pa.array(yr, pa.int64()),
+                "h": pa.array(h, pa.int64()),
+                "l": pa.array(1 - h, pa.int64()),
+            }
+        )
+        g = t.group_by("ship_year").aggregate([("h", "sum"), ("l", "sum")])
+        return pa.table(
+            {
+                "ship_year": g.column("ship_year"),
+                "h": g.column("h_sum"),
+                "l": g.column("l_sum"),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ship_year")
+        .aggregate(
+            ray.data.aggregate.Sum("h", alias_name="high_line_count"),
+            ray.data.aggregate.Sum("l", alias_name="low_line_count"),
+        )
+    )
+
+
+LATE_SHIPMENT_SQL = """
+SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+"""
+
+
+# -- TPC-H Q6-shaped: filtered scalar revenue aggregate -----------------------
+
+
+def discount_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """Potential revenue from mid-discount small-quantity 1997 shipments
+    (the Q6 forecasting shape): a pure filter + scalar aggregate with
+    every predicate pushed into the scan batches — no shuffle at all;
+    the driver sees one partial row per block.  The discount band
+    compares on floor(d*100+0.5) integer percent so the oracle's
+    predicate is bit-identical (raw float BETWEEN is representation-
+    dependent); revenue = sum(price * discount) in exact integer cents."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch.column("l_shipdate")).to_numpy(zero_copy_only=False)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        pct = np.floor(disc * 100 + 0.5).astype(np.int64)
+        keep = (yr == 1997) & (qty < 24) & (pct >= 5) & (pct <= 7)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        cents = money_cents(price * disc[keep])
+        return pa.table(
+            {
+                "r": pa.array([int(cents.sum())], pa.int64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "revenue_cents": pa.array(
+                    [int(batch.column("r").to_numpy().sum())], pa.int64()
+                ),
+                "n_lines": pa.array(
+                    [int(batch.column("n").to_numpy().sum())], pa.int64()
+                ),
+            }
+        )
+
+    partials = _read(
+        sf_dir,
+        "lineitem",
+        ["l_shipdate", "l_quantity", "l_discount", "l_extendedprice"],
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # O(#blocks) partial rows collapse on one node; at any scale this is
+    # a few int64s per block, so repartition(1) moves kilobytes.
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+DISCOUNT_REVENUE_SQL = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE year(l_shipdate) = 1997
+  AND l_quantity < 24
+  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+"""
+
+
+# -- TPC-H Q10-shaped: top customers by returned-item revenue -----------------
+
+
+def returned_customers(sf_dir: str, k: int = 20) -> pa.Table:
+    """Top-k customers by revenue on returned lineitems (the Q10 shape):
+    the returnflag filter and a per-(orderkey, block) revenue combine
+    happen inside the lineitem scan; the lineitem→orders edge is one
+    repartition join (both facts); the per-customer rollup is a keyed
+    groupby; customer/nation names resolve via a broadcast probe of the
+    bounded dimension chain; top-k is per-block select_k + an O(k·blocks)
+    driver merge — never a global sort, never a full to_pandas."""
+    import pyarrow.parquet as pq
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        flag = pc.equal(batch.column("l_returnflag"), "R")
+        kept = batch.filter(flag)
+        price = kept.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = kept.column("l_discount").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_orderkey": kept.column("l_orderkey"),
+                "rev": pa.array(money_cents(price * (1 - disc)), pa.int64()),
+            }
+        )
+        g = t.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return pa.table(
+            {"l_orderkey": g.column("l_orderkey"), "rev": g.column("rev_sum")}
+        )
+
+    fact = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    per_cust = (
+        repartition_join(
+            fact,
+            orders,
+            "l_orderkey",
+            "o_orderkey",
+            [("rev", pa.int64())],
+            [("o_custkey", pa.int64())],
+            how="inner",
+        )
+        .groupby("o_custkey")
+        .aggregate(ray.data.aggregate.Sum("rev", alias_name="revenue_cents"))
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nidx = pc.index_in(
+        cust.column("c_nationkey"),
+        value_set=nation.column("n_nationkey").combine_chunks(),
+    )
+    dim_ref = ray.put(
+        (
+            cust.column("c_custkey").combine_chunks(),
+            cust.column("c_name").combine_chunks(),
+            pc.take(nation.column("n_name").combine_chunks(), nidx).combine_chunks(),
+        )
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch,
+            k=min(k, batch.num_rows),
+            sort_keys=[("revenue_cents", "descending"), ("o_custkey", "ascending")],
+        )
+        return batch.take(idx)
+
+    cand = (
+        per_cust.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values(["revenue_cents", "o_custkey"], ascending=[False, True])
+        .head(k)
+    )
+    keys, names, nnames = ray.get(dim_ref)
+    took = pc.index_in(
+        pa.array(cand["o_custkey"].astype("int64"), pa.int64()), value_set=keys
+    )
+    return pa.table(
+        {
+            "c_custkey": pa.array(cand["o_custkey"].astype("int64"), pa.int64()),
+            "c_name": pc.take(names, took),
+            "n_name": pc.take(nnames, took),
+            "revenue_cents": pa.array(
+                cand["revenue_cents"].astype("int64"), pa.int64()
+            ),
+        }
+    )
+
+
+RETURNED_CUSTOMERS_SQL = """
+WITH rev AS (
+  SELECT o.o_custkey,
+         CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY o.o_custkey
+)
+SELECT c.c_custkey, c.c_name, n.n_name, r.revenue_cents
+FROM rev r
+JOIN customer c ON r.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY r.revenue_cents DESC, c.c_custkey
+LIMIT 20
+"""

@@ -2251,3 +2251,126 @@ def test_value_outliers_exact_rule():
                 want.add(r.event_id)
     got = {r["event_id"] for r in value_outliers(SF).take_all()}
     assert got == want
+
+
+def test_promo_revenue_matches_pandas():
+    import math
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import promo_revenue
+
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    part = pd.read_parquet(f"{SF}/part.parquet", columns=["p_partkey", "p_type"])
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    j["ym"] = j["l_shipdate"].dt.year * 100 + j["l_shipdate"].dt.month
+    j["cents"] = [
+        int(math.floor(p * (1 - d) * 100 + 0.5))
+        for p, d in zip(j["l_extendedprice"], j["l_discount"])
+    ]
+    j["pc"] = j["cents"].where(j["p_type"] == "PROMO", 0)
+    want = j.groupby("ym").agg(promo=("pc", "sum"), total=("cents", "sum"))
+    got = promo_revenue(SF).to_pandas().set_index("ym").sort_index()
+    assert list(got.index) == list(want.sort_index().index)
+    for ym, row in got.iterrows():
+        assert int(row["promo_cents"]) == int(want.loc[ym, "promo"])
+        assert int(row["total_cents"]) == int(want.loc[ym, "total"])
+        assert int(row["promo_permille"]) == (
+            1000 * int(want.loc[ym, "promo"])
+        ) // max(int(want.loc[ym, "total"]), 1)
+
+
+def test_late_shipment_priority_matches_pandas():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import late_shipment_priority
+
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    j = j[j["l_shipdate"] > j["o_orderdate"] + pd.Timedelta(days=60)]
+    j["high"] = j["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).astype(int)
+    j["yr"] = j["l_shipdate"].dt.year
+    want = j.groupby("yr").agg(h=("high", "sum"), n=("high", "size"))
+    got = (
+        late_shipment_priority(SF).to_pandas().set_index("ship_year").sort_index()
+    )
+    assert list(got.index) == list(want.sort_index().index)
+    for yr, row in got.iterrows():
+        assert int(row["high_line_count"]) == int(want.loc[yr, "h"])
+        assert int(row["low_line_count"]) == int(
+            want.loc[yr, "n"] - want.loc[yr, "h"]
+        )
+
+
+def test_discount_revenue_matches_pandas():
+    import math
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import discount_revenue
+
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_shipdate", "l_quantity", "l_discount", "l_extendedprice"],
+    )
+    pct = (li["l_discount"] * 100 + 0.5).apply(math.floor)
+    keep = li[
+        (li["l_shipdate"].dt.year == 1997)
+        & (li["l_quantity"] < 24)
+        & (pct >= 5)
+        & (pct <= 7)
+    ]
+    want_rev = sum(
+        int(math.floor(p * d * 100 + 0.5))
+        for p, d in zip(keep["l_extendedprice"], keep["l_discount"])
+    )
+    got = discount_revenue(SF).to_pandas()
+    assert len(got) == 1
+    assert int(got["revenue_cents"].iloc[0]) == want_rev
+    assert int(got["n_lines"].iloc[0]) == len(keep)
+
+
+def test_returned_customers_matches_pandas():
+    import math
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import returned_customers
+
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+    li = li[li["l_returnflag"] == "R"]
+    li["rev"] = [
+        int(math.floor(p * (1 - d) * 100 + 0.5))
+        for p, d in zip(li["l_extendedprice"], li["l_discount"])
+    ]
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    per = j.groupby("o_custkey", as_index=False)["rev"].sum()
+    want = per.sort_values(["rev", "o_custkey"], ascending=[False, True]).head(20)
+    got = returned_customers(SF).to_pandas()
+    assert list(got["c_custkey"]) == list(want["o_custkey"])
+    assert list(got["revenue_cents"]) == list(want["rev"])
+    cust = pd.read_parquet(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    nation = pd.read_parquet(f"{SF}/nation.parquet")
+    names = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    ).set_index("c_custkey")
+    for r in got.itertuples():
+        assert r.c_name == names.loc[r.c_custkey, "c_name"]
+        assert r.n_name == names.loc[r.c_custkey, "n_name"]
