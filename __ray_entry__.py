@@ -196,6 +196,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_shipment_priority": relational.late_shipment_priority,
         "discount_revenue": relational.discount_revenue,
         "returned_customers": relational.returned_customers,
+        "media_frame_sample": xq.media_frame_sample,
+        "unigram_likelihood": text.unigram_likelihood,
+        "daily_active_users": relational.daily_active_users,
+        "fk_violations": relational.fk_violations,
     }
 
 
@@ -322,6 +326,10 @@ def oracle_sql() -> dict[str, str]:
         "late_shipment_priority": relational.LATE_SHIPMENT_SQL,
         "discount_revenue": relational.DISCOUNT_REVENUE_SQL,
         "returned_customers": relational.RETURNED_CUSTOMERS_SQL,
+        "media_frame_sample": xq.MEDIA_FRAME_SAMPLE_SQL,
+        "unigram_likelihood": text.UNIGRAM_LIKELIHOOD_SQL,
+        "daily_active_users": relational.DAILY_ACTIVE_USERS_SQL,
+        "fk_violations": relational.FK_VIOLATIONS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

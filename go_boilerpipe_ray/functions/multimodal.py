@@ -149,23 +149,27 @@ def decode_media_dataset(
 
 def frame_sample_refs(ds: "ray.data.Dataset", every_n: int = 10) -> "ray.data.Dataset":
     """Video frame-sampling plumbing: emit (media_ref, frame_idx) rows for
-    every n-th frame; the actual frame decode is the stubbed stage above."""
+    every n-th frame (frame count derives from the typed metadata; the
+    actual frame decode is the stubbed stage above).  The fan-out is a
+    vectorized repeat/arange expansion, no per-row loop."""
 
     def sample(batch: pa.Table) -> pa.Table:
-        refs: list[str] = []
-        idxs: list[int] = []
-        for ref, w in zip(
-            batch.column("media_ref").to_pylist(),
-            batch.column("meta_width").to_pylist(),
-        ):
-            n_frames = max(1, (w or 0) // 8)
-            for i in range(0, n_frames, every_n):
-                refs.append(ref)
-                idxs.append(i)
+        w = (
+            batch.column("meta_width")
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_frames = np.maximum(1, w // 8)
+        counts = (n_frames + every_n - 1) // every_n
+        total = int(counts.sum())
+        offsets = np.cumsum(counts) - counts
+        local = np.arange(total, dtype=np.int64) - np.repeat(offsets, counts)
+        take = pa.array(np.repeat(np.arange(len(w)), counts), pa.int64())
         return pa.table(
             {
-                "media_ref": pa.array(refs, pa.string()),
-                "frame_idx": pa.array(idxs, pa.int32()),
+                "media_ref": batch.column("media_ref").take(take),
+                "frame_idx": pa.array((local * every_n).astype(np.int32), pa.int32()),
             }
         )
 

@@ -2861,3 +2861,174 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 ORDER BY r.revenue_cents DESC, c.c_custkey
 LIMIT 20
 """
+
+
+# -- daily active users (exact distinct per window) ---------------------------
+
+
+def daily_active_users(sf_dir: str) -> "ray.data.Dataset":
+    """Per-day activity rollup with EXACT distinct users: the classic DAU
+    report.  Exact distinct at scale = two keyed reductions on the same
+    partitioning key family: per-batch partials collapse duplicate
+    (day, user) pairs inside each block, one groupby((day, user))
+    deduplicates globally, then a second partial + groupby(day) reduces
+    to the O(#days) result — user rows are never collected anywhere."""
+
+    def per_user_partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        purch = pc.cast(
+            pc.equal(batch.column("event_type"), "purchase"), pa.int64()
+        )
+        t = pa.table(
+            {
+                "day": day,
+                "user_id": batch.column("user_id"),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                "p": purch,
+            }
+        )
+        g = t.group_by(["day", "user_id"]).aggregate([("n", "sum"), ("p", "sum")])
+        return g.rename_columns(["day", "user_id", "n", "p"])
+
+    per_user = (
+        _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+        .map_batches(per_user_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "user_id"])
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n"),
+            ray.data.aggregate.Sum("p", alias_name="p"),
+        )
+    )
+
+    def per_day_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "day": batch.column("day"),
+                "u": pa.array(np.ones(batch.num_rows, np.int64)),
+                "n": batch.column("n"),
+                "p": batch.column("p"),
+            }
+        )
+        g = t.group_by("day").aggregate([("u", "sum"), ("n", "sum"), ("p", "sum")])
+        return g.rename_columns(["day", "u", "n", "p"])
+
+    def cast_day(batch: pa.Table) -> pa.Table:
+        # Ray's sort-based groupby round-trips the timestamp key to
+        # seconds precision; pin the output to timestamp[us] so it hashes
+        # identically to the oracle's date_trunc.
+        return batch.set_column(
+            batch.schema.get_field_index("day"),
+            "day",
+            pc.cast(batch.column("day"), pa.timestamp("us")),
+        )
+
+    return (
+        per_user.map_batches(
+            per_day_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("day")
+        .aggregate(
+            ray.data.aggregate.Sum("u", alias_name="n_users"),
+            ray.data.aggregate.Sum("n", alias_name="n_events"),
+            ray.data.aggregate.Sum("p", alias_name="n_purchases"),
+        )
+        .map_batches(cast_day, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+DAILY_ACTIVE_USERS_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases
+FROM events GROUP BY 1
+"""
+
+
+# -- referential-integrity audit (orphan foreign keys) -------------------------
+
+
+def fk_violations(sf_dir: str) -> pa.Table:
+    """Data-quality audit: count of foreign-key orphans on each edge of
+    the schema (lineitems whose order is missing, orders whose customer
+    is missing, events whose user has no customer row).  Each edge is
+    one distributed anti join: the fact side pre-collapses to one
+    (key, multiplicity) row per distinct key per block, the repartition
+    anti join drops matched keys inside each hash partition, and only
+    per-block partial sums reach the driver — at any corpus size the
+    driver sees O(#blocks) int64s per edge."""
+
+    def _orphans(left: "ray.data.Dataset", lkey: str, right: "ray.data.Dataset",
+                 rkey: str) -> int:
+        def collapse(batch: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "k": pc.cast(batch.column(lkey), pa.int64()),
+                    "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                }
+            )
+            g = t.group_by("k").aggregate([("n", "sum")])
+            return g.rename_columns(["k", "n"])
+
+        anti = repartition_join(
+            left.map_batches(collapse, batch_format="pyarrow", zero_copy_batch=True),
+            right,
+            "k",
+            rkey,
+            [("n", pa.int64())],
+            [],
+            how="anti",
+        )
+        return int(anti.sum("n") or 0)
+
+    rows = [
+        (
+            "lineitem_orders",
+            _orphans(
+                _read(sf_dir, "lineitem", ["l_orderkey"]),
+                "l_orderkey",
+                _read(sf_dir, "orders", ["o_orderkey"]),
+                "o_orderkey",
+            ),
+        ),
+        (
+            "orders_customer",
+            _orphans(
+                _read(sf_dir, "orders", ["o_custkey"]),
+                "o_custkey",
+                _read(sf_dir, "customer", ["c_custkey"]),
+                "c_custkey",
+            ),
+        ),
+        (
+            "events_customer",
+            _orphans(
+                _read(sf_dir, "events", ["user_id"]),
+                "user_id",
+                _read(sf_dir, "customer", ["c_custkey"]),
+                "c_custkey",
+            ),
+        ),
+    ]
+    return pa.table(
+        {
+            "relation": pa.array([r for r, _ in rows], pa.string()),
+            "n_orphans": pa.array([n for _, n in rows], pa.int64()),
+        }
+    )
+
+
+FK_VIOLATIONS_SQL = """
+SELECT 'lineitem_orders' AS relation, CAST(count(*) AS BIGINT) AS n_orphans
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders_customer', CAST(count(*) AS BIGINT)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'events_customer', CAST(count(*) AS BIGINT)
+FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+"""

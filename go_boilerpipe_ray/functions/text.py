@@ -2585,3 +2585,120 @@ r AS (
 SELECT source, token, CAST(n AS BIGINT) AS n
 FROM r WHERE rn <= {HEAVY_HITTERS_K}
 """
+
+
+# -- unigram language-model likelihood (corpus-relative fluency proxy) --------
+
+
+def unigram_likelihood(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document mean corpus-unigram probability in parts-per-billion —
+    the quality signal a unigram LM gives (documents made of globally
+    common tokens score high, junk strings score low), kept in exact
+    integer arithmetic so the oracle hashes bit-identically (a log-prob
+    variant ranks similarly but is float).
+
+    Two passes, both streaming: (1) a scalar aggregate for the corpus
+    token total (a few int64s per block reach the driver); (2) the
+    tfidf-style vocabulary-free shape — (doc_id, token, tf, n_tok) rows,
+    ``groupby(token)`` computes each token's corpus frequency INSIDE its
+    group and converts it to a ppb probability with Python-int exactness
+    (tf·1e9 would overflow int64 at web scale), then ``groupby(doc_id)``
+    reduces to the per-doc mean.  No broadcast vocab table anywhere, so
+    billion-token junk vocabularies cannot blow a worker's heap."""
+    import collections
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        n = sum(
+            len(_TOKEN_RE.findall(t.lower()))
+            for t in batch.column("text").to_pylist()
+        )
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    total = (
+        read_documents(sf_dir, columns=["text"])
+        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sum("n")
+    ) or 0
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        d_ids: list[int] = []
+        d_tok: list[str] = []
+        d_tf: list[int] = []
+        d_n: list[int] = []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = _TOKEN_RE.findall(t.lower())
+            for tok, cnt in collections.Counter(toks).items():
+                d_ids.append(did)
+                d_tok.append(tok)
+                d_tf.append(cnt)
+                d_n.append(len(toks))
+        return pa.table(
+            {
+                "doc_id": pa.array(d_ids, pa.int64()),
+                "token": pa.array(d_tok, pa.string()),
+                "tf": pa.array(d_tf, pa.int64()),
+                "n_tok": pa.array(d_n, pa.int64()),
+            }
+        )
+
+    def attach_ppb(group: pa.Table) -> pa.Table:
+        tf = group.column("tf").to_numpy(zero_copy_only=False)
+        # Python-int product: exact at any corpus size (int64 would wrap
+        # once a token's corpus frequency exceeds ~9.2e9).
+        ppb = (int(tf.sum()) * 1_000_000_000) // max(total, 1)
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id"),
+                "contrib": pa.array(tf * ppb, pa.int64()),
+                "n_tok": group.column("n_tok"),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        c = batch.column("sum(contrib)").to_numpy(zero_copy_only=False)
+        n = batch.column("max(n_tok)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tok": pa.array(n, pa.int64()),
+                "mean_ppb": pa.array(c // np.maximum(n, 1), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(term_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .map_groups(attach_ppb, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            ray.data.aggregate.Sum("contrib", alias_name="sum(contrib)"),
+            ray.data.aggregate.Max("n_tok", alias_name="max(n_tok)"),
+        )
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+UNIGRAM_LIKELIHOOD_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY 1),
+ctf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS total FROM ctf)
+SELECT tf.doc_id,
+       CAST(max(nd.n_tok) AS BIGINT) AS n_tok,
+       CAST(sum(tf.tf * ((ctf.ctf * 1000000000) // tot.total))
+            // greatest(max(nd.n_tok), 1) AS BIGINT) AS mean_ppb
+FROM tf
+JOIN ctf ON tf.token = ctf.token
+JOIN nd ON tf.doc_id = nd.doc_id
+CROSS JOIN tot
+GROUP BY tf.doc_id
+"""

@@ -207,3 +207,38 @@ SELECT media_ref, kind,
        (1000 * s) // long_side AS scale_x1000
 FROM q
 """
+
+
+def media_frame_sample(_sf_dir: str):
+    """Video frame-sampling plumbing over the synth media table: every
+    10th frame reference per media item, frame count derived from typed
+    metadata (width//8 frames, min 1).  The expansion itself is the real
+    distributed fan-out pattern (vectorized repeat inside map_batches)."""
+    import ray.data
+
+    from ..functions.multimodal import frame_sample_refs, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(200))
+    return frame_sample_refs(ds, every_n=10)
+
+
+# Mirrors synth_media_table's width formula and the every-10th-frame
+# expansion.  DuckDB's range() table function rejects lateral column
+# bounds, so the fan-out is a bounded cross join (max possible frame
+# steps) filtered by each item's own frame count.
+MEDIA_FRAME_SAMPLE_SQL = """
+WITH m AS (
+  SELECT i,
+         'media://syn/' || i AS media_ref,
+         greatest((64 + (i % 16) * 32) // 8, 1) AS n_frames
+  FROM range(0, 200) t(i)
+),
+-- widths are 64..544 so n_frames <= 68 -> steps 0,10,..,60 (range() cannot
+-- take a subquery bound in DuckDB; the WHERE below enforces per-item counts)
+steps AS (
+  SELECT CAST(range AS INTEGER) * 10 AS frame_idx FROM range(0, 7)
+)
+SELECT m.media_ref, s.frame_idx
+FROM m CROSS JOIN steps s
+WHERE s.frame_idx < m.n_frames
+"""

@@ -2374,3 +2374,120 @@ def test_returned_customers_matches_pandas():
     for r in got.itertuples():
         assert r.c_name == names.loc[r.c_custkey, "c_name"]
         assert r.n_name == names.loc[r.c_custkey, "n_name"]
+
+
+def test_media_frame_sample_expansion():
+    import ray.data
+
+    from go_boilerpipe_ray.functions.multimodal import (
+        frame_sample_refs,
+        synth_media_table,
+    )
+
+    t = synth_media_table(50)
+    got = frame_sample_refs(ray.data.from_arrow(t), every_n=10).to_pandas()
+    want = []
+    for ref, w in zip(t.column("media_ref").to_pylist(),
+                      t.column("meta_width").to_pylist()):
+        for i in range(0, max(1, w // 8), 10):
+            want.append((ref, i))
+    assert list(zip(got["media_ref"], got["frame_idx"])) == want
+    assert str(got["frame_idx"].dtype) == "int32"
+
+
+def test_unigram_likelihood_matches_reference():
+    import collections
+    import re
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.text import TOKEN_PATTERN, unigram_likelihood
+
+    rx = re.compile(TOKEN_PATTERN)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ctf: collections.Counter = collections.Counter()
+    per_doc = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = rx.findall(text.lower())
+        if toks:
+            per_doc[did] = collections.Counter(toks)
+            ctf.update(per_doc[did])
+    total = sum(ctf.values())
+    got = unigram_likelihood(SF).to_pandas().set_index("doc_id")
+    assert set(got.index) == set(per_doc)
+    for did, cnt in per_doc.items():
+        n = sum(cnt.values())
+        want = sum(tf * ((ctf[t] * 10**9) // total) for t, tf in cnt.items()) // n
+        assert int(got.loc[did, "mean_ppb"]) == want
+        assert int(got.loc[did, "n_tok"]) == n
+
+
+def test_daily_active_users_matches_pandas():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import daily_active_users
+
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+    ev["day"] = ev["ts"].dt.floor("D")
+    want = ev.groupby("day").agg(
+        n_users=("user_id", "nunique"),
+        n_events=("user_id", "size"),
+        n_purchases=("event_type", lambda s: int((s == "purchase").sum())),
+    )
+    got = daily_active_users(SF).to_pandas().set_index("day").sort_index()
+    assert list(got.index) == list(want.sort_index().index)
+    for day, row in got.iterrows():
+        assert int(row["n_users"]) == int(want.loc[day, "n_users"])
+        assert int(row["n_events"]) == int(want.loc[day, "n_events"])
+        assert int(row["n_purchases"]) == int(want.loc[day, "n_purchases"])
+
+
+def test_fk_violations_matches_pandas(tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.relational import fk_violations
+
+    # Real testdata edges plus a synthetic dir with KNOWN orphans so the
+    # positive path is pinned, not just the all-zero one.
+    got = {
+        r["relation"]: r["n_orphans"]
+        for r in fk_violations(SF).to_pylist()
+    }
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey"])
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey"])
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    assert got["lineitem_orders"] == int(
+        (~li["l_orderkey"].isin(set(orders["o_orderkey"]))).sum()
+    )
+    assert got["orders_customer"] == int(
+        (~orders["o_custkey"].isin(set(cust["c_custkey"]))).sum()
+    )
+    assert got["events_customer"] == int(
+        (~ev["user_id"].isin(set(cust["c_custkey"]))).sum()
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    for name in ("lineitem", "orders", "customer", "events"):
+        src = pq.read_table(f"{SF}/{name}.parquet")
+        pq.write_table(src.slice(0, 50), str(d / f"{name}.parquet"))
+    li50 = pd.read_parquet(d / "lineitem.parquet", columns=["l_orderkey"])
+    o50 = pd.read_parquet(d / "orders.parquet", columns=["o_orderkey", "o_custkey"])
+    c50 = pd.read_parquet(d / "customer.parquet", columns=["c_custkey"])
+    e50 = pd.read_parquet(d / "events.parquet", columns=["user_id"])
+    got50 = {
+        r["relation"]: r["n_orphans"] for r in fk_violations(str(d)).to_pylist()
+    }
+    assert got50["lineitem_orders"] == int(
+        (~li50["l_orderkey"].isin(set(o50["o_orderkey"]))).sum()
+    )
+    assert got50["orders_customer"] == int(
+        (~o50["o_custkey"].isin(set(c50["c_custkey"]))).sum()
+    )
+    assert got50["events_customer"] == int(
+        (~e50["user_id"].isin(set(c50["c_custkey"]))).sum()
+    )
