@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         urls,
     )
     from go_boilerpipe_ray.pipelines import queries as xq
+    from go_boilerpipe_ray.sources import formats
 
     _ensure_workers_can_import()
     return {
@@ -200,6 +201,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_likelihood": text.unigram_likelihood,
         "daily_active_users": relational.daily_active_users,
         "fk_violations": relational.fk_violations,
+        "jsonl_roundtrip": formats.jsonl_roundtrip,
+        "csv_roundtrip": formats.csv_roundtrip,
+        "k_anonymity": text.k_anonymity,
+        "decile_stats": text.decile_stats,
+        "order_reconciliation": relational.order_reconciliation,
     }
 
 
@@ -214,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
         urls,
     )
     from go_boilerpipe_ray.pipelines import queries as xq
+    from go_boilerpipe_ray.sources import formats
 
     return {
         "extract_titles": xq.EXTRACT_TITLES_SQL,
@@ -330,6 +337,11 @@ def oracle_sql() -> dict[str, str]:
         "unigram_likelihood": text.UNIGRAM_LIKELIHOOD_SQL,
         "daily_active_users": relational.DAILY_ACTIVE_USERS_SQL,
         "fk_violations": relational.FK_VIOLATIONS_SQL,
+        "jsonl_roundtrip": formats.JSONL_ROUNDTRIP_SQL,
+        "csv_roundtrip": formats.CSV_ROUNDTRIP_SQL,
+        "k_anonymity": text.K_ANONYMITY_SQL,
+        "decile_stats": text.DECILE_STATS_SQL,
+        "order_reconciliation": relational.ORDER_RECONCILIATION_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

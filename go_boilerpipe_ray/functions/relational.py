@@ -3032,3 +3032,122 @@ SELECT 'events_customer', CAST(count(*) AS BIGINT)
 FROM events e
 WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
 """
+
+
+# -- order header vs line-total reconciliation --------------------------------
+
+
+def order_reconciliation(sf_dir: str) -> "ray.data.Dataset":
+    """Financial-reconciliation audit: compare each order header's
+    o_totalprice against the sum of its lines' charges
+    (price·(1−discount)·(1+tax)), in exact integer cents, and report the
+    mismatch histogram — exact matches, within-1%, and beyond.  The line
+    side pre-collapses to one (orderkey, sum) row per block, the
+    header-line edge is one repartition join, and the verdict buckets
+    reduce per batch to three counters, so the driver sees O(blocks)
+    int64s regardless of order count."""
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        tax = batch.column("l_tax").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "line_cents": pa.array(
+                    money_cents(price * (1 - disc) * (1 + tax)), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by("l_orderkey").aggregate([("line_cents", "sum")])
+        return g.rename_columns(["l_orderkey", "line_cents"])
+
+    lines = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    ).map_batches(line_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def order_prep(batch: pa.Table) -> pa.Table:
+        total = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "total_cents": pa.array(money_cents(total), pa.int64()),
+            }
+        )
+
+    joined = repartition_join(
+        lines,
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+            order_prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "l_orderkey",
+        "o_orderkey",
+        [("l_orderkey", pa.int64()), ("line_cents", pa.int64())],
+        [("total_cents", pa.int64())],
+        how="inner",
+    ).groupby("l_orderkey").aggregate(
+        ray.data.aggregate.Sum("line_cents", alias_name="line_cents"),
+        ray.data.aggregate.Max("total_cents", alias_name="total_cents"),
+    )
+
+    def verdict_partial(batch: pa.Table) -> pa.Table:
+        line = batch.column("line_cents").to_numpy(zero_copy_only=False)
+        total = batch.column("total_cents").to_numpy(zero_copy_only=False)
+        delta = np.abs(line - total)
+        exact = delta == 0
+        # within 1% of the header total (integer comparison: 100·Δ ≤ total)
+        close = (~exact) & (100 * delta <= total)
+        return pa.table(
+            {
+                "n_orders": pa.array([len(line)], pa.int64()),
+                "n_exact": pa.array([int(exact.sum())], pa.int64()),
+                "n_within_1pct": pa.array([int(close.sum())], pa.int64()),
+                "n_beyond": pa.array([int((~exact & ~close).sum())], pa.int64()),
+                "sum_abs_delta_cents": pa.array([int(delta.sum())], pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                name: pa.array(
+                    [int(batch.column(name).to_numpy().sum())], pa.int64()
+                )
+                for name in batch.column_names
+            }
+        )
+
+    return (
+        joined.map_batches(
+            verdict_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .repartition(1)
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+ORDER_RECONCILIATION_SQL = """
+WITH lines AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                             * 100 + 0.5) AS BIGINT)) AS BIGINT) AS line_cents
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT l.line_cents,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+         abs(l.line_cents - CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+             AS delta
+  FROM lines l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN delta > 0 AND 100 * delta <= total_cents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+       CAST(sum(CASE WHEN delta > 0 AND 100 * delta > total_cents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond,
+       CAST(sum(delta) AS BIGINT) AS sum_abs_delta_cents
+FROM j
+"""

@@ -2702,3 +2702,145 @@ JOIN nd ON tf.doc_id = nd.doc_id
 CROSS JOIN tot
 GROUP BY tf.doc_id
 """
+
+
+# -- k-anonymity audit over quasi-identifiers ---------------------------------
+
+K_ANONYMITY_K = 5
+
+
+def k_anonymity(sf_dir: str, k: int = K_ANONYMITY_K) -> "ray.data.Dataset":
+    """Privacy-governance audit: quasi-identifier combinations
+    (lang, source, length-bucket) whose group is smaller than k — rows a
+    release policy would need to suppress or generalize.  One keyed
+    shuffle of per-batch partial counts on the combo key; the under-k
+    filter runs where the groups live, so only violating combos (a tiny
+    result at any corpus size) ever reach the driver."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "source": batch.column("source"),
+                "len_bucket": pc.cast(
+                    pc.divide(batch.column("n_chars"), pa.scalar(100, pa.int64())),
+                    pa.int64(),
+                ),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["lang", "source", "len_bucket"]).aggregate([("n", "sum")])
+        return g.rename_columns(["lang", "source", "len_bucket", "n"])
+
+    def under_k(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.less(batch.column("n_docs"), k))
+        return kept
+
+    return (
+        read_documents(sf_dir, columns=["lang", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "source", "len_bucket"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n_docs"))
+        .map_batches(under_k, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+K_ANONYMITY_SQL = f"""
+SELECT lang, source,
+       CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1, 2, 3
+HAVING count(*) < {K_ANONYMITY_K}
+"""
+
+
+# -- decile profile (global quantile bounds broadcast + bucket rollup) --------
+
+DECILE_PERMILLE = tuple(range(100, 1000, 100))
+
+
+def decile_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-decile document-length profile: exact global decile bounds via
+    the distinct-value-count reduction (driver state = one row per
+    DISTINCT length, not per document — see percentiles_doclen), bounds
+    broadcast into a vectorized searchsorted bucketing pass, then an
+    O(10)-group rollup.  The two-phase compute-stat-then-broadcast shape
+    is the standard scale pattern for any 'bucket by global quantile'
+    step (winsorizing, curriculum binning, outlier capping)."""
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column("n_chars").value_counts()
+        return pa.table(
+            {
+                "n_chars": vc.field("values"),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts = (
+        read_documents(sf_dir, columns=["n_chars"])
+        .map_batches(vc_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_chars")
+        .sum("cnt")
+        .to_pandas()
+        .sort_values("n_chars")
+    )
+    vals = counts["n_chars"].to_numpy()
+    cum = np.cumsum(counts["sum(cnt)"].to_numpy())
+    n = int(cum[-1]) if len(cum) else 0
+    bounds = []
+    for pm in DECILE_PERMILLE:
+        idx = int(np.ceil((pm / 1000.0) * n))  # quantile_disc's 1-based rule
+        pos = int(np.searchsorted(cum, max(idx, 1)))
+        bounds.append(int(vals[min(pos, len(vals) - 1)]))
+    bounds_arr = np.asarray(bounds, dtype=np.int64)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        x = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        # bucket = count of bounds strictly below x (0..9); ties fall in
+        # the lower bucket, the same rule the oracle's CASE-sum applies.
+        b = np.searchsorted(bounds_arr, x, side="left").astype(np.int64)
+        t = pa.table(
+            {
+                "bucket": pa.array(b, pa.int64()),
+                "n": pa.array(np.ones(len(x), np.int64)),
+                "s": pa.array(x.astype(np.int64), pa.int64()),
+                "mn": pa.array(x.astype(np.int64), pa.int64()),
+                "mx": pa.array(x.astype(np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by("bucket").aggregate(
+            [("n", "sum"), ("s", "sum"), ("mn", "min"), ("mx", "max")]
+        )
+        return g.rename_columns(["bucket", "n", "s", "mn", "mx"])
+
+    return (
+        read_documents(sf_dir, columns=["n_chars"])
+        .map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n_docs"),
+            ray.data.aggregate.Sum("s", alias_name="sum_chars"),
+            ray.data.aggregate.Min("mn", alias_name="min_chars"),
+            ray.data.aggregate.Max("mx", alias_name="max_chars"),
+        )
+    )
+
+
+_DECILE_BOUNDS_SQL = ", ".join(
+    f"quantile_disc(n_chars, {pm / 1000.0}) AS b{pm}" for pm in DECILE_PERMILLE
+)
+_DECILE_CASE_SQL = " + ".join(
+    f"CASE WHEN d.n_chars > b.b{pm} THEN 1 ELSE 0 END" for pm in DECILE_PERMILLE
+)
+DECILE_STATS_SQL = f"""
+WITH b AS (SELECT {_DECILE_BOUNDS_SQL} FROM documents)
+SELECT CAST({_DECILE_CASE_SQL} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(d.n_chars) AS BIGINT) AS min_chars,
+       CAST(max(d.n_chars) AS BIGINT) AS max_chars
+FROM documents d CROSS JOIN b
+GROUP BY 1
+"""

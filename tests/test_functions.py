@@ -2491,3 +2491,102 @@ def test_fk_violations_matches_pandas(tmp_path):
     assert got50["events_customer"] == int(
         (~e50["user_id"].isin(set(c50["c_custkey"]))).sum()
     )
+
+
+def test_jsonl_roundtrip_preserves_text():
+    import pandas as pd
+
+    from go_boilerpipe_ray.sources.formats import jsonl_roundtrip
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    want = {d: len(t) for d, t in zip(docs["doc_id"], docs["text"])}
+    got = jsonl_roundtrip(SF).to_pandas()
+    assert len(got) == len(want)
+    assert {d: n for d, n in zip(got["doc_id"], got["n_chars_rt"])} == want
+
+
+def test_csv_roundtrip_aggregates_match():
+    import pandas as pd
+
+    from go_boilerpipe_ray.sources.formats import csv_roundtrip
+
+    part = pd.read_parquet(f"{SF}/part.parquet", columns=["p_brand", "p_size"])
+    want = part.groupby("p_brand").agg(n=("p_size", "size"), s=("p_size", "sum"))
+    got = csv_roundtrip(SF).to_pandas().set_index("p_brand")
+    assert set(got.index) == set(want.index)
+    for b in want.index:
+        assert int(got.loc[b, "n_parts"]) == int(want.loc[b, "n"])
+        assert int(got.loc[b, "sum_size"]) == int(want.loc[b, "s"])
+
+
+def test_k_anonymity_flags_small_groups():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.text import K_ANONYMITY_K, k_anonymity
+
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+    docs["len_bucket"] = docs["n_chars"] // 100
+    sizes = docs.groupby(["lang", "source", "len_bucket"]).size()
+    want = {k: int(v) for k, v in sizes.items() if v < K_ANONYMITY_K}
+    got = k_anonymity(SF).to_pandas()
+    assert {
+        (r.lang, r.source, int(r.len_bucket)): int(r.n_docs)
+        for r in got.itertuples()
+    } == want
+
+
+def test_decile_stats_buckets_cover_corpus():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.text import decile_stats
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["n_chars"])
+    got = decile_stats(SF).to_pandas().sort_values("bucket")
+    assert int(got["n_docs"].sum()) == len(docs)
+    assert int(got["sum_chars"].sum()) == int(docs["n_chars"].sum())
+    # buckets are ordered, non-overlapping ranges
+    assert list(got["bucket"]) == sorted(got["bucket"])
+    prev_max = None
+    for r in got.itertuples():
+        assert r.min_chars <= r.max_chars
+        if prev_max is not None:
+            assert r.min_chars >= prev_max
+        prev_max = r.max_chars
+
+
+def test_order_reconciliation_counts(tmp_path):
+    import math
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import order_reconciliation
+
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    li["cents"] = [
+        int(math.floor(p * (1 - d) * (1 + t) * 100 + 0.5))
+        for p, d, t in zip(li["l_extendedprice"], li["l_discount"], li["l_tax"])
+    ]
+    lines = li.groupby("l_orderkey")["cents"].sum()
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    orders["total_cents"] = [
+        int(math.floor(p * 100 + 0.5)) for p in orders["o_totalprice"]
+    ]
+    j = orders.join(lines, on="o_orderkey", how="inner")
+    delta = (j["cents"] - j["total_cents"]).abs()
+    got = order_reconciliation(SF).to_pandas().iloc[0]
+    assert int(got["n_orders"]) == len(j)
+    assert int(got["n_exact"]) == int((delta == 0).sum())
+    assert int(got["n_within_1pct"]) == int(
+        ((delta > 0) & (100 * delta <= j["total_cents"])).sum()
+    )
+    assert int(got["n_beyond"]) == int(
+        ((delta > 0) & (100 * delta > j["total_cents"])).sum()
+    )
+    assert int(got["sum_abs_delta_cents"]) == int(delta.sum())
