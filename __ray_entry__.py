@@ -206,6 +206,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": text.k_anonymity,
         "decile_stats": text.decile_stats,
         "order_reconciliation": relational.order_reconciliation,
+        "top_suppliers": relational.top_suppliers,
+        "large_orders": relational.large_orders,
+        "idle_rich_customers": relational.idle_rich_customers,
+        "winsorized_stats": relational.winsorized_stats,
     }
 
 
@@ -342,6 +346,10 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": text.K_ANONYMITY_SQL,
         "decile_stats": text.DECILE_STATS_SQL,
         "order_reconciliation": relational.ORDER_RECONCILIATION_SQL,
+        "top_suppliers": relational.TOP_SUPPLIERS_SQL,
+        "large_orders": relational.LARGE_ORDERS_SQL,
+        "idle_rich_customers": relational.IDLE_RICH_SQL,
+        "winsorized_stats": relational.WINSORIZED_STATS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -3151,3 +3151,434 @@ SELECT CAST(count(*) AS BIGINT) AS n_orders,
        CAST(sum(delta) AS BIGINT) AS sum_abs_delta_cents
 FROM j
 """
+
+
+# -- TPC-H Q15-shaped: top supplier(s) by windowed revenue ---------------------
+
+_Q15_LO = "1996-01-01"
+_Q15_HI = "1996-04-01"
+
+
+def top_suppliers(sf_dir: str) -> pa.Table:
+    """Supplier(s) with the maximum revenue over a 3-month ship window —
+    the Q15 global-stat-then-filter shape.  Per-supplier revenue is a
+    keyed rollup of in-scan partials (bounded by supplier count, a
+    dimension); the global max is a scalar aggregate over that bounded
+    table; the winners (ties kept, like Q15's view) resolve names via a
+    driver-side probe of the supplier dimension on O(#winners) rows."""
+    import pyarrow.parquet as pq
+
+    lo = np.datetime64(_Q15_LO, "us").astype(np.int64)
+    hi = np.datetime64(_Q15_HI, "us").astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(batch.column("l_shipdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = np.flatnonzero((ship >= lo) & (ship < hi))
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        t = pa.table(
+            {
+                "s_suppkey": batch.column("l_suppkey").take(
+                    pa.array(keep, pa.int64())
+                ),
+                "rev": pa.array(money_cents(price * (1 - disc)), pa.int64()),
+            }
+        )
+        g = t.group_by("s_suppkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["s_suppkey", "rev"])
+
+    per_supp = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("s_suppkey")
+        .aggregate(ray.data.aggregate.Sum("rev", alias_name="revenue_cents"))
+        .materialize()  # consumed twice: max scan + winner filter
+    )
+    best = per_supp.max("revenue_cents")
+
+    def winners_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("revenue_cents"), best))
+
+    winners = per_supp.map_batches(
+        winners_only, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    idx = pc.index_in(
+        pa.array(winners["s_suppkey"].astype("int64"), pa.int64()),
+        value_set=supp.column("s_suppkey").combine_chunks(),
+    )
+    return pa.table(
+        {
+            "s_suppkey": pa.array(winners["s_suppkey"].astype("int64"), pa.int64()),
+            "s_name": pc.take(supp.column("s_name").combine_chunks(), idx),
+            "revenue_cents": pa.array(
+                winners["revenue_cents"].astype("int64"), pa.int64()
+            ),
+        }
+    )
+
+
+TOP_SUPPLIERS_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}'
+    AND l_shipdate < TIMESTAMP '{_Q15_HI}'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.revenue_cents
+FROM rev r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+WHERE r.revenue_cents = (SELECT max(revenue_cents) FROM rev)
+"""
+
+
+# -- TPC-H Q18-shaped: large-volume orders -------------------------------------
+
+_Q18_QTY_X100 = 30000  # sum(l_quantity) > 300, in exact x100 fixed-point
+
+
+def large_orders(sf_dir: str) -> "ray.data.Dataset":
+    """Orders whose total line quantity exceeds 300 units, with customer
+    and order detail — the Q18 groupby-HAVING-then-join-back shape.
+    Quantity partials combine in-scan to (orderkey, block) grain; the
+    HAVING filter runs inside the keyed rollup's groups so only
+    qualifying orders (rare by construction) ever reach the joins; the
+    order/customer detail attaches via one repartition join plus a
+    broadcast probe of the customer dimension."""
+    import pyarrow.parquet as pq
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "q": pa.array(money_cents(qty), pa.int64()),
+            }
+        )
+        g = t.group_by("l_orderkey").aggregate([("q", "sum")])
+        return g.rename_columns(["l_orderkey", "q"])
+
+    def having(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.greater(batch.column("sum_qty_x100"), _Q18_QTY_X100))
+        return kept
+
+    big = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(ray.data.aggregate.Sum("q", alias_name="sum_qty_x100"))
+        .map_batches(having, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    dim_ref = ray.put(
+        (cust.column("c_custkey").combine_chunks(), cust.column("c_name").combine_chunks())
+    )
+
+    def order_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+                "o_date_us": pc.cast(batch.column("o_orderdate"), pa.int64()),
+                "total_cents": pa.array(
+                    money_cents(
+                        batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    joined = repartition_join(
+        big,
+        _read(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+        ).map_batches(order_prep, batch_format="pyarrow", zero_copy_batch=True),
+        "l_orderkey",
+        "o_orderkey",
+        [("l_orderkey", pa.int64()), ("sum_qty_x100", pa.int64())],
+        [
+            ("o_custkey", pa.int64()),
+            ("o_date_us", pa.int64()),
+            ("total_cents", pa.int64()),
+        ],
+        how="inner",
+    )
+
+    def attach_names(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(dim_ref)
+        idx = pc.index_in(batch.column("o_custkey"), value_set=keys)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("l_orderkey"),
+                "c_custkey": batch.column("o_custkey"),
+                "c_name": pc.take(names, idx),
+                "o_orderdate": pc.cast(
+                    batch.column("o_date_us"), pa.timestamp("us")
+                ),
+                "o_totalprice_cents": batch.column("total_cents"),
+                "sum_qty_x100": batch.column("sum_qty_x100"),
+            }
+        )
+
+    return joined.map_batches(
+        attach_names, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+LARGE_ORDERS_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_qty_x100
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > {_Q18_QTY_X100}
+)
+SELECT b.l_orderkey AS o_orderkey,
+       c.c_custkey, c.c_name, o.o_orderdate,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS o_totalprice_cents,
+       b.sum_qty_x100
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# -- TPC-H Q22-shaped: above-average-balance customers with no orders ----------
+
+
+def idle_rich_customers(sf_dir: str) -> "ray.data.Dataset":
+    """Per-nation count and balance of customers whose account balance
+    beats the positive-balance average but who show no activity (no
+    events) — the Q22 shape: a global scalar (computed as an exact
+    integer floor-mean over in-scan partials) broadcast into the
+    filter, then a distributed anti join against the activity fact,
+    then an O(#nations) rollup.  (The anti side is events rather than
+    orders because this synthetic schema gives every customer an
+    order — the orders variant is shape-identical.)"""
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        cents = money_cents(
+            batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        )
+        pos = cents[cents > 0]
+        return pa.table(
+            {
+                "s": pa.array([int(pos.sum())], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "customer", ["c_acctbal"])
+        .map_batches(bal_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    total, n = int(parts["s"].sum()), int(parts["n"].sum())
+    avg_cents = total // max(n, 1)  # exact integer floor mean, mirrored in SQL
+
+    def rich(batch: pa.Table) -> pa.Table:
+        cents = money_cents(
+            batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        )
+        keep = np.flatnonzero(cents > avg_cents)
+        take = pa.array(keep, pa.int64())
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey").take(take),
+                "nationkey": pc.cast(
+                    batch.column("c_nationkey").take(take), pa.int64()
+                ),
+                "bal_cents": pa.array(cents[keep], pa.int64()),
+            }
+        )
+
+    rich_ds = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(rich, batch_format="pyarrow", zero_copy_batch=True)
+
+    idle = repartition_join(
+        rich_ds,
+        _read(sf_dir, "events", ["user_id"]),
+        "c_custkey",
+        "user_id",
+        [("nationkey", pa.int64()), ("bal_cents", pa.int64())],
+        [],
+        how="anti",
+    )
+
+    def rollup_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "nationkey": batch.column("nationkey"),
+                "u": pa.array(np.ones(batch.num_rows, np.int64)),
+                "b": batch.column("bal_cents"),
+            }
+        )
+        g = t.group_by("nationkey").aggregate([("u", "sum"), ("b", "sum")])
+        return g.rename_columns(["nationkey", "u", "b"])
+
+    return (
+        idle.map_batches(rollup_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("nationkey")
+        .aggregate(
+            ray.data.aggregate.Sum("u", alias_name="n_custs"),
+            ray.data.aggregate.Sum("b", alias_name="total_bal_cents"),
+        )
+    )
+
+
+IDLE_RICH_SQL = """
+WITH c AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+),
+avgpos AS (
+  SELECT CAST(sum(bal_cents) // count(*) AS BIGINT) AS avg_cents
+  FROM c WHERE bal_cents > 0
+)
+SELECT c.nationkey,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(c.bal_cents) AS BIGINT) AS total_bal_cents
+FROM c CROSS JOIN avgpos
+WHERE c.bal_cents > avgpos.avg_cents
+  AND NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+GROUP BY c.nationkey
+"""
+
+
+# -- winsorized per-group statistics -------------------------------------------
+
+_WINSOR_LO_PM = 50   # p05
+_WINSOR_HI_PM = 950  # p95
+
+
+def winsorized_stats(sf_dir: str) -> pa.Table:
+    """Per-event-type winsorized value statistics: exact p05/p95 bounds
+    per group via the distinct-value-count reduction (driver state = one
+    row per distinct (type, cents), bounded by value cardinality), then
+    the bounds broadcast into a clipping pass whose partials collapse to
+    the O(#types) grain.  The outlier-robust mean every metrics pipeline
+    wants, in exact integer arithmetic end to end."""
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": pa.array(
+                    money_cents(
+                        batch.column("value").to_numpy(zero_copy_only=False)
+                    ),
+                    pa.int64(),
+                ),
+                "cnt": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["event_type", "cents", "cnt"])
+
+    counts = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(vc_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "cents"])
+        .sum("cnt")
+        .to_pandas()
+        .sort_values(["event_type", "cents"])
+    )
+    bounds: dict[str, tuple[int, int]] = {}
+    for etype, grp in counts.groupby("event_type"):
+        vals = grp["cents"].to_numpy()
+        cum = np.cumsum(grp["sum(cnt)"].to_numpy())
+        n = int(cum[-1])
+        picks = []
+        for pm in (_WINSOR_LO_PM, _WINSOR_HI_PM):
+            idx = int(np.ceil((pm / 1000.0) * n))  # quantile_disc rule
+            pos = int(np.searchsorted(cum, max(idx, 1)))
+            picks.append(int(vals[min(pos, len(vals) - 1)]))
+        bounds[str(etype)] = (picks[0], picks[1])
+    bounds_ref = ray.put(bounds)
+
+    def clip_partial(batch: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        etypes = batch.column("event_type")
+        cents = money_cents(batch.column("value").to_numpy(zero_copy_only=False))
+        uniq = pc.unique(etypes)
+        lo = np.empty(len(cents), np.int64)
+        hi = np.empty(len(cents), np.int64)
+        codes = pc.index_in(etypes, value_set=uniq).to_numpy(zero_copy_only=False)
+        lo_by = np.array([b[str(u)][0] for u in uniq.to_pylist()], np.int64)
+        hi_by = np.array([b[str(u)][1] for u in uniq.to_pylist()], np.int64)
+        lo = lo_by[codes]
+        hi = hi_by[codes]
+        clipped = np.clip(cents, lo, hi)
+        t = pa.table(
+            {
+                "event_type": etypes,
+                "s": pa.array(clipped, pa.int64()),
+                "n": pa.array(np.ones(len(cents), np.int64)),
+            }
+        )
+        g = t.group_by("event_type").aggregate([("s", "sum"), ("n", "sum")])
+        return g.rename_columns(["event_type", "s", "n"])
+
+    rolled = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(clip_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            ray.data.aggregate.Sum("s", alias_name="s"),
+            ray.data.aggregate.Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    etypes = rolled["event_type"].tolist()
+    return pa.table(
+        {
+            "event_type": pa.array(etypes, pa.string()),
+            "lo_cents": pa.array([bounds[e][0] for e in etypes], pa.int64()),
+            "hi_cents": pa.array([bounds[e][1] for e in etypes], pa.int64()),
+            "n_events": pa.array(rolled["n"].astype("int64"), pa.int64()),
+            "winsorized_mean_cents": pa.array(
+                (
+                    rolled["s"].astype("int64")
+                    // rolled["n"].astype("int64").clip(lower=1)
+                ),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+WINSORIZED_STATS_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+b AS (
+  SELECT event_type,
+         quantile_disc(cents, {_WINSOR_LO_PM / 1000.0}) AS lo_cents,
+         quantile_disc(cents, {_WINSOR_HI_PM / 1000.0}) AS hi_cents
+  FROM c GROUP BY 1
+)
+SELECT c.event_type, b.lo_cents, b.hi_cents,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(least(greatest(c.cents, b.lo_cents), b.hi_cents))
+            // count(*) AS BIGINT) AS winsorized_mean_cents
+FROM c JOIN b USING (event_type)
+GROUP BY c.event_type, b.lo_cents, b.hi_cents
+"""

@@ -2590,3 +2590,113 @@ def test_order_reconciliation_counts(tmp_path):
         ((delta > 0) & (100 * delta > j["total_cents"])).sum()
     )
     assert int(got["sum_abs_delta_cents"]) == int(delta.sum())
+
+
+def test_top_suppliers_matches_pandas():
+    import math
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import (
+        _Q15_HI,
+        _Q15_LO,
+        top_suppliers,
+    )
+
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    li = li[
+        (li["l_shipdate"] >= pd.Timestamp(_Q15_LO))
+        & (li["l_shipdate"] < pd.Timestamp(_Q15_HI))
+    ]
+    li["rev"] = [
+        int(math.floor(p * (1 - d) * 100 + 0.5))
+        for p, d in zip(li["l_extendedprice"], li["l_discount"])
+    ]
+    per = li.groupby("l_suppkey")["rev"].sum()
+    best = int(per.max())
+    want = {(int(k), best) for k, v in per.items() if int(v) == best}
+    got = top_suppliers(SF).to_pandas()
+    assert {(int(a), int(b)) for a, b in zip(got["s_suppkey"], got["revenue_cents"])} == want
+    supp = pd.read_parquet(f"{SF}/supplier.parquet").set_index("s_suppkey")
+    for r in got.itertuples():
+        assert r.s_name == supp.loc[r.s_suppkey, "s_name"]
+
+
+def test_large_orders_having_semantics():
+    import math
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import _Q18_QTY_X100, large_orders
+
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    li["q"] = [int(math.floor(q * 100 + 0.5)) for q in li["l_quantity"]]
+    per = li.groupby("l_orderkey")["q"].sum()
+    want = {int(k): int(v) for k, v in per.items() if v > _Q18_QTY_X100}
+    got = large_orders(SF).to_pandas()
+    assert {int(k): int(v) for k, v in zip(got["o_orderkey"], got["sum_qty_x100"])} == want
+    orders = pd.read_parquet(f"{SF}/orders.parquet").set_index("o_orderkey")
+    cust = pd.read_parquet(f"{SF}/customer.parquet").set_index("c_custkey")
+    for r in got.itertuples():
+        o = orders.loc[r.o_orderkey]
+        assert r.c_custkey == int(o["o_custkey"])
+        assert r.o_orderdate == o["o_orderdate"]
+        assert r.o_totalprice_cents == int(math.floor(o["o_totalprice"] * 100 + 0.5))
+        assert r.c_name == cust.loc[int(o["o_custkey"]), "c_name"]
+
+
+def test_idle_rich_customers_matches_pandas():
+    import math
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import idle_rich_customers
+
+    cust = pd.read_parquet(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+    cust["cents"] = [int(math.floor(b * 100 + 0.5)) for b in cust["c_acctbal"]]
+    pos = cust[cust["cents"] > 0]
+    avg = int(pos["cents"].sum()) // len(pos)
+    active = set(
+        pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])["user_id"]
+    )
+    idle = cust[(cust["cents"] > avg) & ~cust["c_custkey"].isin(active)]
+    want = idle.groupby(idle["c_nationkey"].astype("int64")).agg(
+        n=("cents", "size"), b=("cents", "sum")
+    )
+    got = idle_rich_customers(SF).to_pandas().set_index("nationkey")
+    assert set(got.index) == set(want.index)
+    for k in want.index:
+        assert int(got.loc[k, "n_custs"]) == int(want.loc[k, "n"])
+        assert int(got.loc[k, "total_bal_cents"]) == int(want.loc[k, "b"])
+
+
+def test_winsorized_stats_exact_bounds_and_mean():
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import winsorized_stats
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    ev["cents"] = [int(math.floor(v * 100 + 0.5)) for v in ev["value"]]
+    got = winsorized_stats(SF).to_pandas().set_index("event_type")
+    for etype, grp in ev.groupby("event_type"):
+        vals = np.sort(grp["cents"].to_numpy())
+        n = len(vals)
+        lo = int(vals[max(int(np.ceil(0.05 * n)), 1) - 1])
+        hi = int(vals[max(int(np.ceil(0.95 * n)), 1) - 1])
+        clipped = np.clip(vals, lo, hi)
+        assert int(got.loc[etype, "lo_cents"]) == lo
+        assert int(got.loc[etype, "hi_cents"]) == hi
+        assert int(got.loc[etype, "n_events"]) == n
+        assert int(got.loc[etype, "winsorized_mean_cents"]) == int(
+            clipped.sum() // n
+        )
