@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": relational.large_orders,
         "idle_rich_customers": relational.idle_rich_customers,
         "winsorized_stats": relational.winsorized_stats,
+        "mad_outliers": relational.mad_outliers,
     }
 
 
@@ -350,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "large_orders": relational.LARGE_ORDERS_SQL,
         "idle_rich_customers": relational.IDLE_RICH_SQL,
         "winsorized_stats": relational.WINSORIZED_STATS_SQL,
+        "mad_outliers": relational.MAD_OUTLIERS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -3582,3 +3582,124 @@ SELECT c.event_type, b.lo_cents, b.hi_cents,
 FROM c JOIN b USING (event_type)
 GROUP BY c.event_type, b.lo_cents, b.hi_cents
 """
+
+
+# -- robust (MAD) outlier flags ------------------------------------------------
+
+
+def mad_outliers(sf_dir: str) -> "ray.data.Dataset":
+    """Robust per-type outlier flags: |x − median| > 3·MAD, the
+    median-absolute-deviation rule that survives the heavy tails a
+    3-sigma z-score drowns in (compare value_outliers).  Three passes,
+    all bounded: per-type medians via the distinct-value-count reduction
+    (driver state = distinct cents per type, value-cardinality bounded),
+    a second identical reduction over |x − median|, then a vectorized
+    broadcast-threshold scan.  quantile_disc's lower-median rule keeps
+    every quantity an exact integer — the oracle mirrors it with
+    quantile_disc(0.5)."""
+
+    def _grouped_median(vc: "pd.DataFrame", val_col: str) -> dict[str, int]:
+        meds: dict[str, int] = {}
+        for etype, grp in vc.groupby("event_type"):
+            grp = grp.sort_values(val_col)
+            cum = np.cumsum(grp["sum(cnt)"].to_numpy())
+            n = int(cum[-1])
+            idx = int(np.ceil(0.5 * n))  # 1-based quantile_disc rule
+            pos = int(np.searchsorted(cum, max(idx, 1)))
+            meds[str(etype)] = int(grp[val_col].to_numpy()[pos])
+        return meds
+
+    def vc_cents(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": pa.array(
+                    money_cents(
+                        batch.column("value").to_numpy(zero_copy_only=False)
+                    ),
+                    pa.int64(),
+                ),
+                "cnt": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["event_type", "cents", "cnt"])
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    vc1 = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(vc_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "cents"])
+        .sum("cnt")
+        .to_pandas()
+    )
+    med = _grouped_median(vc1, "cents")
+    med_ref = ray.put(med)
+
+    def vc_dev(batch: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        etypes = batch.column("event_type")
+        cents = money_cents(batch.column("value").to_numpy(zero_copy_only=False))
+        uniq = pc.unique(etypes)
+        codes = pc.index_in(etypes, value_set=uniq).to_numpy(zero_copy_only=False)
+        med_by = np.array([m[str(u)] for u in uniq.to_pylist()], np.int64)
+        dev = np.abs(cents - med_by[codes])
+        t = pa.table(
+            {
+                "event_type": etypes,
+                "dev": pa.array(dev, pa.int64()),
+                "cnt": pa.array(np.ones(len(dev), np.int64)),
+            }
+        )
+        g = t.group_by(["event_type", "dev"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["event_type", "dev", "cnt"])
+
+    vc2 = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(vc_dev, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "dev"])
+        .sum("cnt")
+        .to_pandas()
+        .rename(columns={"dev": "cents"})
+    )
+    mad = _grouped_median(vc2, "cents")
+    thr_ref = ray.put({k: (med[k], 3 * mad[k]) for k in med})
+
+    def flag(batch: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        etypes = batch.column("event_type")
+        cents = money_cents(batch.column("value").to_numpy(zero_copy_only=False))
+        uniq = pc.unique(etypes)
+        codes = pc.index_in(etypes, value_set=uniq).to_numpy(zero_copy_only=False)
+        med_by = np.array([thr[str(u)][0] for u in uniq.to_pylist()], np.int64)
+        lim_by = np.array([thr[str(u)][1] for u in uniq.to_pylist()], np.int64)
+        keep = np.flatnonzero(np.abs(cents - med_by[codes]) > lim_by[codes])
+        take = pa.array(keep, pa.int64())
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").take(take),
+                "event_type": etypes.take(take),
+                "cents": pa.array(cents[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+MAD_OUTLIERS_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+med AS (
+  SELECT event_type, quantile_disc(cents, 0.5) AS m FROM c GROUP BY 1
+),
+mad AS (
+  SELECT c.event_type, quantile_disc(abs(c.cents - med.m), 0.5) AS mad
+  FROM c JOIN med USING (event_type) GROUP BY 1
+)
+SELECT c.event_id, c.event_type, c.cents
+FROM c JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE abs(c.cents - med.m) > 3 * mad.mad
+"""

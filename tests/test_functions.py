@@ -2700,3 +2700,31 @@ def test_winsorized_stats_exact_bounds_and_mean():
         assert int(got.loc[etype, "winsorized_mean_cents"]) == int(
             clipped.sum() // n
         )
+
+
+def test_mad_outliers_exact_rule():
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import mad_outliers
+
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    ev["cents"] = [int(math.floor(v * 100 + 0.5)) for v in ev["value"]]
+
+    def qdisc_median(vals: np.ndarray) -> int:
+        vals = np.sort(vals)
+        return int(vals[max(int(np.ceil(0.5 * len(vals))), 1) - 1])
+
+    want = set()
+    for etype, grp in ev.groupby("event_type"):
+        m = qdisc_median(grp["cents"].to_numpy())
+        mad = qdisc_median(np.abs(grp["cents"].to_numpy() - m))
+        for eid, c in zip(grp["event_id"], grp["cents"]):
+            if abs(c - m) > 3 * mad:
+                want.add(int(eid))
+    got = {r["event_id"] for r in mad_outliers(SF).take_all()}
+    assert got == want
