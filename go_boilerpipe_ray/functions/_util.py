@@ -95,3 +95,19 @@ def money_cents(values) -> "np.ndarray":
     return np.floor(np.asarray(values, dtype=np.float64) * 100 + 0.5).astype(
         np.int64
     )
+
+
+def quantile_disc_pick(values, cum_counts, permille: int) -> int:
+    """THE discrete-quantile pick every exact-percentile operator and its
+    DuckDB oracle share: quantile_disc's 1-based ceil(q*n) rule over a
+    sorted (value, cumulative count) run-length table.  One definition;
+    do not re-implement inline (drifted guards change which element a
+    query pins and silently break oracle parity)."""
+    import numpy as np
+
+    n = int(cum_counts[-1]) if len(cum_counts) else 0
+    if n == 0:
+        raise ValueError("quantile over an empty distribution")
+    idx = int(np.ceil((permille / 1000.0) * n))
+    pos = int(np.searchsorted(cum_counts, max(idx, 1)))
+    return int(values[min(pos, len(values) - 1)])

@@ -14,7 +14,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ._util import money_cents
+from ._util import money_cents, quantile_disc_pick
 
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> "ray.data.Dataset":
@@ -759,14 +759,11 @@ def percentiles_doclen(sf_dir: str) -> pa.Table:
     )
     vals = counts["n_chars"].to_numpy()
     cum = np.cumsum(counts["sum(cnt)"].to_numpy())
-    n = int(cum[-1]) if len(cum) else 0
     out_q: list[int] = []
     out_v: list[int] = []
     for pm in PERCENTILES_PERMILLE:
-        idx = int(np.ceil((pm / 1000.0) * n))  # 1-based, quantile_disc rule
-        pos = int(np.searchsorted(cum, max(idx, 1)))
         out_q.append(pm)
-        out_v.append(int(vals[min(pos, len(vals) - 1)]))
+        out_v.append(quantile_disc_pick(vals, cum, pm))
     return pa.table(
         {
             "q_permille": pa.array(out_q, pa.int64()),
@@ -1275,13 +1272,10 @@ def grouped_percentiles(sf_dir: str) -> pa.Table:
         g = group.take(order)
         vals = g.column("cents").to_numpy(zero_copy_only=False)
         cum = np.cumsum(g.column("cnt").to_numpy(zero_copy_only=False))
-        n = int(cum[-1])
         rows_q, rows_v = [], []
         for pm in PERCENTILES_PERMILLE:
-            idx = int(np.ceil((pm / 1000.0) * n))
-            pos = int(np.searchsorted(cum, max(idx, 1)))
             rows_q.append(pm)
-            rows_v.append(int(vals[min(pos, len(vals) - 1)]))
+            rows_v.append(quantile_disc_pick(vals, cum, pm))
         return pa.table(
             {
                 "event_type": pa.array([et] * len(rows_q), pa.string()),
@@ -3322,6 +3316,11 @@ def large_orders(sf_dir: str) -> "ray.data.Dataset":
     def attach_names(batch: pa.Table) -> pa.Table:
         keys, names = ray.get(dim_ref)
         idx = pc.index_in(batch.column("o_custkey"), value_set=keys)
+        # Inner-join parity with the oracle's JOIN customer: an orphan
+        # custkey drops the row rather than emitting a NULL name.
+        valid = pc.is_valid(idx)
+        batch = batch.filter(valid)
+        idx = idx.filter(valid)
         return pa.table(
             {
                 "o_orderkey": batch.column("l_orderkey"),
@@ -3411,9 +3410,16 @@ def idle_rich_customers(sf_dir: str) -> "ray.data.Dataset":
         sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
     ).map_batches(rich, batch_format="pyarrow", zero_copy_batch=True)
 
+    def distinct_users(batch: pa.Table) -> pa.Table:
+        # Match-existence only: collapse the activity fact to per-block
+        # distinct keys so the anti join shuffles users, not events.
+        return pa.table({"user_id": pc.unique(batch.column("user_id"))})
+
     idle = repartition_join(
         rich_ds,
-        _read(sf_dir, "events", ["user_id"]),
+        _read(sf_dir, "events", ["user_id"]).map_batches(
+            distinct_users, batch_format="pyarrow", zero_copy_batch=True
+        ),
         "c_custkey",
         "user_id",
         [("nationkey", pa.int64()), ("bal_cents", pa.int64())],
@@ -3504,13 +3510,10 @@ def winsorized_stats(sf_dir: str) -> pa.Table:
     for etype, grp in counts.groupby("event_type"):
         vals = grp["cents"].to_numpy()
         cum = np.cumsum(grp["sum(cnt)"].to_numpy())
-        n = int(cum[-1])
-        picks = []
-        for pm in (_WINSOR_LO_PM, _WINSOR_HI_PM):
-            idx = int(np.ceil((pm / 1000.0) * n))  # quantile_disc rule
-            pos = int(np.searchsorted(cum, max(idx, 1)))
-            picks.append(int(vals[min(pos, len(vals) - 1)]))
-        bounds[str(etype)] = (picks[0], picks[1])
+        bounds[str(etype)] = (
+            quantile_disc_pick(vals, cum, _WINSOR_LO_PM),
+            quantile_disc_pick(vals, cum, _WINSOR_HI_PM),
+        )
     bounds_ref = ray.put(bounds)
 
     def clip_partial(batch: pa.Table) -> pa.Table:
@@ -3603,10 +3606,9 @@ def mad_outliers(sf_dir: str) -> "ray.data.Dataset":
         for etype, grp in vc.groupby("event_type"):
             grp = grp.sort_values(val_col)
             cum = np.cumsum(grp["sum(cnt)"].to_numpy())
-            n = int(cum[-1])
-            idx = int(np.ceil(0.5 * n))  # 1-based quantile_disc rule
-            pos = int(np.searchsorted(cum, max(idx, 1)))
-            meds[str(etype)] = int(grp[val_col].to_numpy()[pos])
+            meds[str(etype)] = quantile_disc_pick(
+                grp[val_col].to_numpy(), cum, 500
+            )
         return meds
 
     def vc_cents(batch: pa.Table) -> pa.Table:

@@ -27,7 +27,7 @@ _LANG_PROFILES = [
     ("es", {"el", "la", "los", "las", "es", "un", "una", "en", "por"}),
 ]
 
-from ._util import TOKEN_PATTERN
+from ._util import TOKEN_PATTERN, quantile_disc_pick
 
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 _BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -2669,9 +2669,13 @@ def unigram_likelihood(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
+    term_rows = ds.map_batches(
+        term_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed twice: total scalar + scoring pipeline
+    total = int(term_rows.sum("tf") or 0)
+
     return (
-        ds.map_batches(term_counts, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("token")
+        term_rows.groupby("token")
         .map_groups(attach_ppb, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(
@@ -2788,12 +2792,7 @@ def decile_stats(sf_dir: str) -> "ray.data.Dataset":
     )
     vals = counts["n_chars"].to_numpy()
     cum = np.cumsum(counts["sum(cnt)"].to_numpy())
-    n = int(cum[-1]) if len(cum) else 0
-    bounds = []
-    for pm in DECILE_PERMILLE:
-        idx = int(np.ceil((pm / 1000.0) * n))  # quantile_disc's 1-based rule
-        pos = int(np.searchsorted(cum, max(idx, 1)))
-        bounds.append(int(vals[min(pos, len(vals) - 1)]))
+    bounds = [quantile_disc_pick(vals, cum, pm) for pm in DECILE_PERMILLE]
     bounds_arr = np.asarray(bounds, dtype=np.int64)
 
     def bucketize(batch: pa.Table) -> pa.Table:

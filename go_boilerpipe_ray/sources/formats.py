@@ -9,7 +9,8 @@ format hop and hash-comparing them against the parquet truth.
 
 from __future__ import annotations
 
-import tempfile
+import os
+import shutil
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -17,13 +18,29 @@ import pyarrow.compute as pc
 import ray.data
 
 
-def jsonl_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+def _sink_dir(kind: str, sf_dir: str, out_dir: str | None) -> str:
+    """Resolve the sink location.  On a real multi-node cluster this MUST
+    be shared storage (an s3://... / HDFS URI passed as ``out_dir``) —
+    Ray's distributed writers emit one shard per block from whichever
+    node runs the task, so a node-local path only works single-node.
+    The default is a deterministic local path (this sandbox is
+    single-node), wiped before each run so stale shards from a previous
+    run can never double-count."""
+    if out_dir is None:
+        out_dir = f"/tmp/gbr_formats/{kind}_{os.path.basename(os.path.normpath(sf_dir))}"
+    if out_dir.startswith("/"):  # only local paths are wipeable here
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
+    return out_dir
+
+
+def jsonl_roundtrip(sf_dir: str, out_dir: str | None = None) -> "ray.data.Dataset":
     """documents.parquet → JSONL (write_json, one shard per block) →
     read_json → recompute per-doc codepoint length from the
     roundtripped text.  Matching the oracle's length(text) over the
     ORIGINAL parquet proves the JSON escaping/decoding path preserved
     every document byte-for-byte (unicode escapes included)."""
-    out = tempfile.mkdtemp(prefix="gbr_jsonl_")
+    out = _sink_dir("jsonl", sf_dir, out_dir)
     ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
     ).write_json(out)
@@ -50,13 +67,13 @@ FROM documents
 """
 
 
-def csv_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+def csv_roundtrip(sf_dir: str, out_dir: str | None = None) -> "ray.data.Dataset":
     """part.parquet → CSV (write_csv) → read_csv → per-brand rollup of
     the roundtripped integer columns.  Integer/string columns only: CSV
     is not a lossless float carrier, and the oracle comparison would
     inherit the text-float ambiguity (documented limitation of the
     format, not of the pipeline)."""
-    out = tempfile.mkdtemp(prefix="gbr_csv_")
+    out = _sink_dir("csv", sf_dir, out_dir)
     ray.data.read_parquet(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
     ).write_csv(out)
