@@ -211,6 +211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_rich_customers": relational.idle_rich_customers,
         "winsorized_stats": relational.winsorized_stats,
         "mad_outliers": relational.mad_outliers,
+        "label_centroids": similarity.label_centroids,
+        "props_extract": relational.props_extract,
+        "time_weighted_average": relational.time_weighted_average,
     }
 
 
@@ -352,6 +355,9 @@ def oracle_sql() -> dict[str, str]:
         "idle_rich_customers": relational.IDLE_RICH_SQL,
         "winsorized_stats": relational.WINSORIZED_STATS_SQL,
         "mad_outliers": relational.MAD_OUTLIERS_SQL,
+        "label_centroids": similarity.LABEL_CENTROIDS_SQL,
+        "props_extract": relational.PROPS_EXTRACT_SQL,
+        "time_weighted_average": relational.TIME_WEIGHTED_AVG_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -3705,3 +3705,144 @@ SELECT c.event_id, c.event_type, c.cents
 FROM c JOIN med USING (event_type) JOIN mad USING (event_type)
 WHERE abs(c.cents - med.m) > 3 * mad.mad
 """
+
+
+# -- semi-structured JSON property extraction ----------------------------------
+
+
+def props_extract(sf_dir: str) -> "ray.data.Dataset":
+    """Per-event-type rollup of a field parsed out of the JSON `props`
+    column — the semi-structured-payload step every event pipeline has.
+    Extraction is a VECTORIZED RE2 pass (pyarrow extract_regex), never
+    json.loads in a Python row loop; unparseable rows drop like the
+    oracle's NULLIF-CAST; partials collapse to the O(#types) grain
+    in-scan."""
+
+    _PAT = r'"k":\s*(?P<k>\d+)'
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("props"), pattern=_PAT)
+        valid = pc.is_valid(hit)
+        k = pc.cast(pc.struct_field(hit, "k"), pa.int64())
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type").filter(valid),
+                "k": k.filter(valid),
+                "n": pa.array(
+                    np.ones(int(pc.sum(pc.cast(valid, pa.int64())).as_py() or 0),
+                            np.int64)
+                ),
+            }
+        )
+        g = t.group_by("event_type").aggregate([("k", "sum"), ("n", "sum")])
+        return g.rename_columns(["event_type", "k", "n"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = batch.column("sum_k").to_numpy(zero_copy_only=False)
+        n = batch.column("n_parsed").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "mean_k", pa.array(s // np.maximum(n, 1), pa.int64())
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            ray.data.aggregate.Sum("k", alias_name="sum_k"),
+            ray.data.aggregate.Sum("n", alias_name="n_parsed"),
+        )
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+PROPS_EXTRACT_SQL = r"""
+WITH e AS (
+  SELECT event_type,
+         CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)
+             AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(count(k) AS BIGINT) AS n_parsed,
+       CAST(sum(k) // count(k) AS BIGINT) AS mean_k
+FROM e WHERE k IS NOT NULL GROUP BY event_type
+"""
+
+
+# -- per-user time-weighted average value --------------------------------------
+
+
+def time_weighted_average(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user time-weighted average event value (left-constant step
+    interpolation): each value holds until the user's next event, the
+    weight is the interval length.  ONE user-keyed shuffle; inside each
+    group a vectorized sort + diff builds the intervals.  Exact integer
+    arithmetic: cents × Δms products are guarded against int64 overflow
+    (at ~5e4 cents and multi-year gaps the guard trips around 2e9
+    intervals per user — switch to Python-int accumulation there).
+    Tie order (same timestamp) is pinned by event_id on BOTH sides —
+    with ties the interval pairing depends on it."""
+
+    def twa_group(group: pa.Table) -> pa.Table:
+        us = pc.cast(group.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        cents = money_cents(group.column("value").to_numpy(zero_copy_only=False))
+        order = np.lexsort((eid, us))
+        us, cents = us[order], cents[order]
+        if len(us) < 2:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "twa_cents": pa.array([], pa.int64()),
+                }
+            )
+        dt_ms = np.diff(us) // 1000
+        if cents.size and int(cents.max()) * max(int(dt_ms.max()), 1) > (
+            2**63 - 1
+        ) // max(len(dt_ms), 1):
+            raise OverflowError(
+                "time_weighted_average: cents x interval sum exceeds int64 — "
+                "accumulate in Python ints for this key"
+            )
+        num = int((cents[:-1] * dt_ms).sum())
+        den = max(int(dt_ms.sum()), 1)
+        uid = int(group.column("user_id")[0].as_py())
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_events": pa.array([len(us)], pa.int64()),
+                "twa_cents": pa.array([num // den], pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(twa_group, batch_format="pyarrow")
+    )
+
+
+TIME_WEIGHTED_AVG_SQL = """
+WITH w AS (
+  SELECT user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         epoch_us(ts) AS us,
+         lead(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+iv AS (
+  SELECT user_id, cents, (nxt - us) // 1000 AS dt_ms
+  FROM w WHERE nxt IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) + 1 AS BIGINT) AS n_events,
+       CAST(sum(cents * dt_ms) // greatest(sum(dt_ms), 1) AS BIGINT)
+           AS twa_cents
+FROM iv GROUP BY user_id
+"""

@@ -1281,3 +1281,79 @@ def _kmeans_train_sql(iters: int = KMEANS_ITERS) -> str:
 
 
 KMEANS_TRAIN_SQL = _kmeans_train_sql()
+
+
+# -- per-label centroid (vector-valued grouped mean) ---------------------------
+
+
+def label_centroids(sf_dir: str) -> "ray.data.Dataset":
+    """Mean embedding per label in exact fixed-point — the class-prototype
+    computation behind semantic dedup seeds, nearest-class-mean
+    classifiers and drift monitors.  The vector-valued mean decomposes
+    into long-form (label, dim) scalar partials: each batch scatter-adds
+    its quantized matrix into an O(labels×d) accumulator (np.add.at, no
+    Python loop), one keyed groupby rolls the partials up, and the floor
+    division matches the oracle's positive-mod identity (numpy //
+    floors, DuckDB // truncates)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        q = _quantize(np.asarray(batch.column("embedding").to_pylist()))
+        d = q.shape[1]
+        uniq, codes = np.unique(labels, return_inverse=True)
+        acc = np.zeros((len(uniq), d), np.int64)
+        np.add.at(acc, codes, q)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, d + 1), len(uniq)), pa.int64()),
+                "s": pa.array(acc.reshape(-1), pa.int64()),
+                "n": pa.array(np.repeat(cnt, d), pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "label": batch.column("label"),
+                "dim": batch.column("dim"),
+                "centroid_q": pa.array(s // n, pa.int64()),  # floor, see SQL
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "dim"])
+        .aggregate(
+            ray.data.aggregate.Sum("s", alias_name="s"),
+            ray.data.aggregate.Sum("n", alias_name="n"),
+        )
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+LABEL_CENTROIDS_SQL = f"""
+WITH q AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         CAST(floor(unnest(embedding)::DOUBLE * {_QUANT} + 0.5) AS BIGINT) AS qv
+  FROM embeddings
+),
+u AS (
+  SELECT label, CAST(dim AS BIGINT) AS dim,
+         CAST(sum(qv) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM q GROUP BY 1, 2
+)
+SELECT label, dim,
+       CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS centroid_q, n
+FROM u
+"""

@@ -2728,3 +2728,71 @@ def test_mad_outliers_exact_rule():
                 want.add(int(eid))
     got = {r["event_id"] for r in mad_outliers(SF).take_all()}
     assert got == want
+
+
+def test_label_centroids_exact_fixed_point():
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.similarity import label_centroids
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["label", "embedding"])
+    m = np.array([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    q = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+    got = label_centroids(SF).to_pandas()
+    for lbl in sorted(set(emb["label"])):
+        rows = q[emb["label"].to_numpy() == lbl]
+        want = rows.sum(axis=0) // len(rows)  # numpy floor division
+        sub = got[got["label"] == lbl].sort_values("dim")
+        assert list(sub["centroid_q"]) == [int(x) for x in want]
+        assert set(sub["n"]) == {len(rows)}
+        assert list(sub["dim"]) == list(range(1, rows.shape[1] + 1))
+
+
+def test_props_extract_parses_json_field():
+    import json
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import props_extract
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "props"])
+    ev["k"] = [json.loads(p)["k"] for p in ev["props"]]
+    want = ev.groupby("event_type").agg(s=("k", "sum"), n=("k", "size"))
+    got = props_extract(SF).to_pandas().set_index("event_type")
+    assert set(got.index) == set(want.index)
+    for t in want.index:
+        assert int(got.loc[t, "sum_k"]) == int(want.loc[t, "s"])
+        assert int(got.loc[t, "n_parsed"]) == int(want.loc[t, "n"])
+        assert int(got.loc[t, "mean_k"]) == int(want.loc[t, "s"]) // int(
+            want.loc[t, "n"]
+        )
+
+
+def test_time_weighted_average_matches_reference():
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import time_weighted_average
+
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    ev["cents"] = [int(math.floor(v * 100 + 0.5)) for v in ev["value"]]
+    ev["us"] = ev["ts"].astype("int64")
+    got = time_weighted_average(SF).to_pandas().set_index("user_id")
+    for uid, grp in ev.groupby("user_id"):
+        grp = grp.sort_values(["us", "event_id"])
+        if len(grp) < 2:
+            assert uid not in got.index
+            continue
+        us = grp["us"].to_numpy()
+        cents = grp["cents"].to_numpy()
+        dt_ms = np.diff(us) // 1000
+        want = int((cents[:-1] * dt_ms).sum()) // max(int(dt_ms.sum()), 1)
+        assert int(got.loc[uid, "twa_cents"]) == want
+        assert int(got.loc[uid, "n_events"]) == len(grp)
