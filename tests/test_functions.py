@@ -2796,3 +2796,35 @@ def test_time_weighted_average_matches_reference():
         want = int((cents[:-1] * dt_ms).sum()) // max(int(dt_ms.sum()), 1)
         assert int(got.loc[uid, "twa_cents"]) == want
         assert int(got.loc[uid, "n_events"]) == len(grp)
+
+
+def test_jsonl_roundtrip_rerun_no_stale_shards():
+    from go_boilerpipe_ray.sources.formats import jsonl_roundtrip
+
+    n1 = jsonl_roundtrip(SF).count()
+    n2 = jsonl_roundtrip(SF).count()  # same deterministic sink dir, wiped
+    assert n1 == n2
+
+
+def test_props_extract_drops_malformed_json(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.relational import props_extract
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    t = pa.table(
+        {
+            "event_type": pa.array(["a", "a", "b", "b"], pa.string()),
+            "props": pa.array(
+                ['{"k": 7}', "not json at all", '{"k": 5}', '{"j": 9}'],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(t, str(d / "events.parquet"))
+    got = props_extract(str(d)).to_pandas().set_index("event_type")
+    assert int(got.loc["a", "sum_k"]) == 7 and int(got.loc["a", "n_parsed"]) == 1
+    assert int(got.loc["b", "sum_k"]) == 5 and int(got.loc["b", "n_parsed"]) == 1
