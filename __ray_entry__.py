@@ -214,6 +214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": similarity.label_centroids,
         "props_extract": relational.props_extract,
         "time_weighted_average": relational.time_weighted_average,
+        "decayed_value_sum": relational.decayed_value_sum,
+        "source_diversity": text.source_diversity,
     }
 
 
@@ -358,6 +360,8 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": similarity.LABEL_CENTROIDS_SQL,
         "props_extract": relational.PROPS_EXTRACT_SQL,
         "time_weighted_average": relational.TIME_WEIGHTED_AVG_SQL,
+        "decayed_value_sum": relational.DECAYED_VALUE_SQL,
+        "source_diversity": text.SOURCE_DIVERSITY_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

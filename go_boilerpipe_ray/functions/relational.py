@@ -3846,3 +3846,64 @@ SELECT user_id,
            AS twa_cents
 FROM iv GROUP BY user_id
 """
+
+
+# -- recency-decayed value sum (integer half-life) ------------------------------
+
+_DECAY_HALF_LIFE_US = 30 * 86_400_000_000  # 30-day half-life
+_DECAY_MAX_SHIFT = 50  # 2^-50 ~ 1e-15: beyond this the term is 0 anyway
+
+
+def decayed_value_sum(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user recency-weighted value: each event contributes
+    value · 2^-(age // half_life), the exponential-decay scoring a
+    recommendation / engagement pipeline applies — kept EXACT by using
+    the integer shift form (cents >> k is cents // 2^k for the
+    non-negative cents here; DuckDB mirrors with an exact power-of-two
+    BIGINT divisor, exact in IEEE doubles up to 2^53 ≫ the capped 2^50).
+    'Now' is the corpus max timestamp — a scalar pre-pass whose partials
+    are one int64 per block; the scoring scan is zero-shuffle until the
+    O(#users) keyed rollup."""
+    now_ts = _read(sf_dir, "events", ["ts"]).max("ts")
+    now_us = int(pa.scalar(now_ts, pa.timestamp("us")).cast(pa.int64()).as_py())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        cents = money_cents(batch.column("value").to_numpy(zero_copy_only=False))
+        shift = np.minimum((now_us - us) // _DECAY_HALF_LIFE_US, _DECAY_MAX_SHIFT)
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "d": pa.array(cents >> shift, pa.int64()),
+                "n": pa.array(np.ones(len(us), np.int64)),
+            }
+        )
+        g = t.group_by("user_id").aggregate([("d", "sum"), ("n", "sum")])
+        return g.rename_columns(["user_id", "d", "n"])
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            ray.data.aggregate.Sum("d", alias_name="decayed_cents"),
+            ray.data.aggregate.Sum("n", alias_name="n_events"),
+        )
+    )
+
+
+DECAYED_VALUE_SQL = f"""
+WITH mx AS (SELECT max(epoch_us(ts)) AS now_us FROM events),
+e AS (
+  SELECT user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         least((mx.now_us - epoch_us(ts)) // {_DECAY_HALF_LIFE_US},
+               {_DECAY_MAX_SHIFT}) AS shift
+  FROM events CROSS JOIN mx
+)
+SELECT user_id,
+       CAST(sum(cents // CAST(power(2, shift) AS BIGINT)) AS BIGINT)
+           AS decayed_cents,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM e GROUP BY user_id
+"""

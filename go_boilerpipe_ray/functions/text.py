@@ -2843,3 +2843,64 @@ SELECT CAST({_DECILE_CASE_SQL} AS BIGINT) AS bucket,
 FROM documents d CROSS JOIN b
 GROUP BY 1
 """
+
+
+# -- per-source language diversity (exact Gini impurity) -----------------------
+
+
+def source_diversity(sf_dir: str) -> "ray.data.Dataset":
+    """Gini impurity of each source's language mix, in exact permille —
+    the mixture-health stat a corpus curator watches (0 = monolingual,
+    →1000·(1−1/k) = uniform over k languages).  One keyed shuffle of
+    per-block (source, lang, count) partials; the impurity itself is
+    computed per source group in arbitrary-precision Python ints
+    (1000·Σc² overflows int64 once a source passes ~3e6 docs), so the
+    result is bit-exact against the oracle's HUGEINT arithmetic at any
+    scale."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "lang": batch.column("lang"),
+                "c": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["source", "lang"]).aggregate([("c", "sum")])
+        return g.rename_columns(["source", "lang", "c"])
+
+    def impurity(group: pa.Table) -> pa.Table:
+        c = [int(x) for x in group.column("c").to_pylist()]
+        n = sum(c)
+        gini = 1000 - (1000 * sum(x * x for x in c)) // (n * n)
+        return pa.table(
+            {
+                "source": pa.array([group.column("source")[0].as_py()], pa.string()),
+                "n_docs": pa.array([n], pa.int64()),
+                "n_langs": pa.array([len(c)], pa.int64()),
+                "gini_permille": pa.array([gini], pa.int64()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, columns=["source", "lang"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang"])
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
+        .groupby("source")
+        .map_groups(impurity, batch_format="pyarrow")
+    )
+
+
+SOURCE_DIVERSITY_SQL = """
+WITH cl AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       CAST(1000 - (1000 * sum(c * c)) // (sum(c) * sum(c)) AS BIGINT)
+           AS gini_permille
+FROM cl GROUP BY source
+"""

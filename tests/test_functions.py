@@ -2828,3 +2828,48 @@ def test_props_extract_drops_malformed_json(tmp_path):
     got = props_extract(str(d)).to_pandas().set_index("event_type")
     assert int(got.loc["a", "sum_k"]) == 7 and int(got.loc["a", "n_parsed"]) == 1
     assert int(got.loc["b", "sum_k"]) == 5 and int(got.loc["b", "n_parsed"]) == 1
+
+
+def test_decayed_value_sum_integer_halflife():
+    import math
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import (
+        _DECAY_HALF_LIFE_US,
+        _DECAY_MAX_SHIFT,
+        decayed_value_sum,
+    )
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+    ev["us"] = ev["ts"].astype("int64")
+    now = int(ev["us"].max())
+    ev["cents"] = [int(math.floor(v * 100 + 0.5)) for v in ev["value"]]
+    ev["shift"] = ((now - ev["us"]) // _DECAY_HALF_LIFE_US).clip(
+        upper=_DECAY_MAX_SHIFT
+    )
+    ev["d"] = [c >> int(s) for c, s in zip(ev["cents"], ev["shift"])]
+    want = ev.groupby("user_id").agg(d=("d", "sum"), n=("d", "size"))
+    got = decayed_value_sum(SF).to_pandas().set_index("user_id")
+    assert set(got.index) == set(want.index)
+    for uid in want.index:
+        assert int(got.loc[uid, "decayed_cents"]) == int(want.loc[uid, "d"])
+        assert int(got.loc[uid, "n_events"]) == int(want.loc[uid, "n"])
+
+
+def test_source_diversity_gini_bounds():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.text import source_diversity
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["source", "lang"])
+    got = source_diversity(SF).to_pandas().set_index("source")
+    for src, grp in docs.groupby("source"):
+        c = grp["lang"].value_counts()
+        n = int(c.sum())
+        gini = 1000 - (1000 * int((c**2).sum())) // (n * n)
+        assert int(got.loc[src, "gini_permille"]) == gini
+        assert int(got.loc[src, "n_docs"]) == n
+        assert int(got.loc[src, "n_langs"]) == len(c)
+        # impurity bounded by uniform-over-k limit
+        assert 0 <= gini <= 1000 - 1000 // len(c) if len(c) else gini == 0
