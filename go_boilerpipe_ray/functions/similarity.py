@@ -1297,6 +1297,15 @@ def label_centroids(sf_dir: str) -> "ray.data.Dataset":
     floors, DuckDB // truncates)."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty block: np.asarray would be 1-D
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
         labels = batch.column("label").to_numpy(zero_copy_only=False).astype(
             np.int64
         )

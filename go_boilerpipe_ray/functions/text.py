@@ -2597,30 +2597,21 @@ def unigram_likelihood(sf_dir: str) -> "ray.data.Dataset":
     integer arithmetic so the oracle hashes bit-identically (a log-prob
     variant ranks similarly but is float).
 
-    Two passes, both streaming: (1) a scalar aggregate for the corpus
-    token total (a few int64s per block reach the driver); (2) the
-    tfidf-style vocabulary-free shape — (doc_id, token, tf, n_tok) rows,
+    The tfidf-style vocabulary-free shape, tokenized ONCE: the
+    (doc_id, token, tf, n_tok) long-form rows are materialized and
+    re-used for both the corpus-total scalar (a cheap sum over the tiny
+    rows — no second regex pass over the text) and the scoring pipeline;
     ``groupby(token)`` computes each token's corpus frequency INSIDE its
     group and converts it to a ppb probability with Python-int exactness
     (tf·1e9 would overflow int64 at web scale), then ``groupby(doc_id)``
     reduces to the per-doc mean.  No broadcast vocab table anywhere, so
-    billion-token junk vocabularies cannot blow a worker's heap."""
+    billion-token junk vocabularies never land in one heap.  Honest skew
+    note: a stopword's token group holds one row per containing document
+    (the same bound tfidf_topk carries); at web scale salt the hot
+    tokens or join the per-token ppb back by hashed key instead."""
     import collections
 
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
-
-    def count_partial(batch: pa.Table) -> pa.Table:
-        n = sum(
-            len(_TOKEN_RE.findall(t.lower()))
-            for t in batch.column("text").to_pylist()
-        )
-        return pa.table({"n": pa.array([n], pa.int64())})
-
-    total = (
-        read_documents(sf_dir, columns=["text"])
-        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .sum("n")
-    ) or 0
 
     def term_counts(batch: pa.Table) -> pa.Table:
         d_ids: list[int] = []

@@ -23,12 +23,23 @@ def _sink_dir(kind: str, sf_dir: str, out_dir: str | None) -> str:
     be shared storage (an s3://... / HDFS URI passed as ``out_dir``) —
     Ray's distributed writers emit one shard per block from whichever
     node runs the task, so a node-local path only works single-node.
-    The default is a deterministic local path (this sandbox is
-    single-node), wiped before each run so stale shards from a previous
-    run can never double-count."""
+    The default is a deterministic local path keyed by a hash of the
+    FULL normalized input path (basename alone would collide across
+    datasets), wiped before each run so stale shards from a previous
+    run can never double-count.  Single-writer contract: two concurrent
+    roundtrips over the same input would wipe each other mid-flight —
+    pass distinct ``out_dir``s to parallelize.  Remote URIs cannot be
+    wiped from here; the CALLER must hand over an empty prefix (stale
+    remote shards double-count silently)."""
+    import hashlib
+
     if out_dir is None:
-        out_dir = f"/tmp/gbr_formats/{kind}_{os.path.basename(os.path.normpath(sf_dir))}"
-    if out_dir.startswith("/"):  # only local paths are wipeable here
+        key = hashlib.md5(
+            os.path.realpath(sf_dir).encode()
+        ).hexdigest()[:12]
+        out_dir = f"/tmp/gbr_formats/{kind}_{key}"
+    if "://" not in out_dir:  # local filesystem path: enforce hygiene
+        out_dir = os.path.abspath(out_dir)
         shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
     return out_dir
