@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_weighted_average": relational.time_weighted_average,
         "decayed_value_sum": relational.decayed_value_sum,
         "source_diversity": text.source_diversity,
+        "grouped_approx_percentiles": sketches.grouped_approx_percentiles,
     }
 
 
@@ -362,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted_average": relational.TIME_WEIGHTED_AVG_SQL,
         "decayed_value_sum": relational.DECAYED_VALUE_SQL,
         "source_diversity": text.SOURCE_DIVERSITY_SQL,
+        "grouped_approx_percentiles": sketches.GROUPED_APPROX_PERCENTILES_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

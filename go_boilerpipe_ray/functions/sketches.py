@@ -376,3 +376,78 @@ FROM (VALUES (50), (90), (99)) AS p(pct), c
 WHERE c.cum >= greatest((p.pct * c.total + 99) // 100, 1)
 GROUP BY p.pct
 """
+
+
+def grouped_approx_percentiles(sf_dir: str) -> pa.Table:
+    """Per-event-type quantiles from the mergeable fixed-bin histogram —
+    the grouped variant of approx_percentiles, and the fixed-memory
+    alternative to grouped exact percentiles when value cardinality is
+    unbounded.  Distributed work is one (event_type, bin, cnt) partial
+    rollup (bounded by types × bins at any corpus size); the per-group
+    quantile walk runs on that bounded table with the same integer ceil
+    target rule as the global sketch."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "bin": pa.array(
+                    np.floor(v * HIST_BIN_CENTS).astype(np.int64), pa.int64()
+                ),
+                "cnt": pa.array(np.ones(len(v), np.int64)),
+            }
+        )
+        g = t.group_by(["event_type", "bin"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["event_type", "bin", "cnt"])
+
+    hist = (
+        read_parquet_clean(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "bin"])
+        .sum("cnt")
+        .to_pandas()
+        .sort_values(["event_type", "bin"])
+    )
+    out_t: list[str] = []
+    out_p: list[int] = []
+    out_b: list[int] = []
+    for etype, grp in hist.groupby("event_type"):
+        bins = grp["bin"].to_numpy()
+        cum = np.cumsum(grp["sum(cnt)"].to_numpy())
+        total = int(cum[-1])
+        for pct in APPROX_PCTS:
+            target = max((pct * total + 99) // 100, 1)
+            pos = int(np.searchsorted(cum, target))
+            out_t.append(str(etype))
+            out_p.append(pct)
+            out_b.append(int(bins[min(pos, len(bins) - 1)]))
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "pct": pa.array(out_p, pa.int64()),
+            "bin": pa.array(out_b, pa.int64()),
+        }
+    )
+
+
+GROUPED_APPROX_PERCENTILES_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(value * {HIST_BIN_CENTS}) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bin,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS total
+  FROM h
+)
+SELECT c.event_type, CAST(p.pct AS BIGINT) AS pct, CAST(min(c.bin) AS BIGINT) AS bin
+FROM (VALUES (50), (90), (99)) AS p(pct), c
+WHERE c.cum >= greatest((p.pct * c.total + 99) // 100, 1)
+GROUP BY c.event_type, p.pct
+"""

@@ -2873,3 +2873,30 @@ def test_source_diversity_gini_bounds():
         assert int(got.loc[src, "n_langs"]) == len(c)
         # impurity bounded by uniform-over-k limit
         assert 0 <= gini <= 1000 - 1000 // len(c) if len(c) else gini == 0
+
+
+def test_grouped_approx_percentiles_within_one_bin():
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.sketches import (
+        APPROX_PCTS,
+        HIST_BIN_CENTS,
+        grouped_approx_percentiles,
+    )
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    got = grouped_approx_percentiles(SF).to_pandas()
+    for etype, grp in ev.groupby("event_type"):
+        bins = np.sort(np.floor(grp["value"].to_numpy() * HIST_BIN_CENTS).astype(
+            np.int64
+        ))
+        n = len(bins)
+        for pct in APPROX_PCTS:
+            target = max((pct * n + 99) // 100, 1)
+            want = int(bins[target - 1])  # exact bin of that rank
+            row = got[(got["event_type"] == etype) & (got["pct"] == pct)]
+            assert len(row) == 1
+            assert int(row["bin"].iloc[0]) == want
