@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_value_sum": relational.decayed_value_sum,
         "source_diversity": text.source_diversity,
         "grouped_approx_percentiles": sketches.grouped_approx_percentiles,
+        "activity_union": relational.activity_union,
     }
 
 
@@ -364,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         "decayed_value_sum": relational.DECAYED_VALUE_SQL,
         "source_diversity": text.SOURCE_DIVERSITY_SQL,
         "grouped_approx_percentiles": sketches.GROUPED_APPROX_PERCENTILES_SQL,
+        "activity_union": relational.ACTIVITY_UNION_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

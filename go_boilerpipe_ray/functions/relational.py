@@ -3907,3 +3907,115 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events
 FROM e GROUP BY user_id
 """
+
+
+# -- heterogeneous-source union (orders ∪ events activity) ---------------------
+
+
+def activity_union(sf_dir: str) -> "ray.data.Dataset":
+    """Unified per-user activity ledger across two heterogeneous facts:
+    orders and events normalize to one (user_id, kind, us, cents) shape
+    inside their own scan batches, ``Dataset.union`` concatenates the
+    streams WITHOUT a shuffle (union of block lists), and one keyed
+    rollup yields per-user totals and the last-activity timestamp.
+    The union-then-aggregate shape is how a lakehouse pipeline folds
+    N activity sources into one profile without N−1 joins."""
+
+    def from_orders(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("o_custkey"),
+                "is_order": pa.array(np.ones(batch.num_rows, np.int64)),
+                "us": pc.cast(batch.column("o_orderdate"), pa.int64()),
+                "cents": pa.array(
+                    money_cents(
+                        batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def from_events(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "is_order": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "us": pc.cast(batch.column("ts"), pa.int64()),
+                "cents": pa.array(
+                    money_cents(
+                        batch.column("value").to_numpy(zero_copy_only=False)
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(from_orders, batch_format="pyarrow", zero_copy_batch=True)
+    events = _read(
+        sf_dir, "events", ["user_id", "ts", "value"]
+    ).map_batches(from_events, batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_order = batch.column("is_order")
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "o": n_order,
+                "e": pc.subtract(pa.scalar(1, pa.int64()), n_order),
+                "cents": batch.column("cents"),
+                "us": batch.column("us"),
+            }
+        )
+        g = t.group_by("user_id").aggregate(
+            [("o", "sum"), ("e", "sum"), ("cents", "sum"), ("us", "max")]
+        )
+        return g.rename_columns(["user_id", "o", "e", "cents", "us"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "n_orders": batch.column("n_orders"),
+                "n_events": batch.column("n_events"),
+                "total_cents": batch.column("total_cents"),
+                "last_activity": pc.cast(
+                    batch.column("last_us"), pa.timestamp("us")
+                ),
+            }
+        )
+
+    return (
+        orders.union(events)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            ray.data.aggregate.Sum("o", alias_name="n_orders"),
+            ray.data.aggregate.Sum("e", alias_name="n_events"),
+            ray.data.aggregate.Sum("cents", alias_name="total_cents"),
+            ray.data.aggregate.Max("us", alias_name="last_us"),
+        )
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+ACTIVITY_UNION_SQL = """
+WITH u AS (
+  SELECT o_custkey AS user_id, 1 AS is_order,
+         epoch_us(o_orderdate) AS us,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  UNION ALL
+  SELECT user_id, 0, epoch_us(ts),
+         CAST(floor(value * 100 + 0.5) AS BIGINT)
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(is_order) AS BIGINT) AS n_orders,
+       CAST(sum(1 - is_order) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       make_timestamp(max(us)) AS last_activity
+FROM u GROUP BY user_id
+"""

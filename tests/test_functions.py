@@ -2900,3 +2900,53 @@ def test_grouped_approx_percentiles_within_one_bin():
             row = got[(got["event_type"] == etype) & (got["pct"] == pct)]
             assert len(row) == 1
             assert int(row["bin"].iloc[0]) == want
+
+
+def test_activity_union_matches_pandas():
+    import math
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import activity_union
+
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+    o = pd.DataFrame(
+        {
+            "user_id": orders["o_custkey"],
+            "is_order": 1,
+            "us": orders["o_orderdate"].astype("int64"),
+            "cents": [
+                int(math.floor(p * 100 + 0.5)) for p in orders["o_totalprice"]
+            ],
+        }
+    )
+    e = pd.DataFrame(
+        {
+            "user_id": ev["user_id"],
+            "is_order": 0,
+            "us": ev["ts"].astype("int64"),
+            "cents": [int(math.floor(v * 100 + 0.5)) for v in ev["value"]],
+        }
+    )
+    u = pd.concat([o, e], ignore_index=True)
+    want = u.groupby("user_id").agg(
+        n_orders=("is_order", "sum"),
+        n=("is_order", "size"),
+        cents=("cents", "sum"),
+        last=("us", "max"),
+    )
+    got = activity_union(SF).to_pandas().set_index("user_id")
+    assert set(got.index) == set(want.index)
+    for uid in want.index:
+        assert int(got.loc[uid, "n_orders"]) == int(want.loc[uid, "n_orders"])
+        assert int(got.loc[uid, "n_events"]) == int(
+            want.loc[uid, "n"] - want.loc[uid, "n_orders"]
+        )
+        assert int(got.loc[uid, "total_cents"]) == int(want.loc[uid, "cents"])
+        # Timestamp.value is ns; the reference int64 is µs
+        assert got.loc[uid, "last_activity"].value // 1000 == int(
+            want.loc[uid, "last"]
+        )
