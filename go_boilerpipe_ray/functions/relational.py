@@ -4019,3 +4019,29 @@ SELECT user_id,
        make_timestamp(max(us)) AS last_activity
 FROM u GROUP BY user_id
 """
+
+
+# -- global sort + limit -------------------------------------------------------
+
+
+def earliest_events(sf_dir: str, n: int = 100) -> "ray.data.Dataset":
+    """First n events in global time order — the one query in this repo
+    that exercises Ray Data's range-partitioned ``Dataset.sort`` +
+    ``limit`` directly (every other ordering need here is served by the
+    cheaper per-block select_k / in-group sort patterns; a true global
+    sort IS the right tool when the consumer needs a totally ordered
+    stream, e.g. replaying events into a simulator).  Tie order is
+    pinned with event_id as the secondary key — a bare sort("ts") is
+    nondeterministic across equal timestamps.  ``limit`` truncates the
+    ordered block stream; the narrow projection happens at the read."""
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+        .sort(["ts", "event_id"])
+        .limit(n)
+    )
+
+
+EARLIEST_EVENTS_SQL = """
+SELECT event_id, ts, user_id, event_type
+FROM events ORDER BY ts, event_id LIMIT 100
+"""

@@ -2950,3 +2950,18 @@ def test_activity_union_matches_pandas():
         assert got.loc[uid, "last_activity"].value // 1000 == int(
             want.loc[uid, "last"]
         )
+
+
+def test_earliest_events_global_order():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import earliest_events
+
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    want = ev.sort_values(["ts", "event_id"]).head(100)
+    got = earliest_events(SF).to_pandas()
+    assert list(got["event_id"]) == list(want["event_id"])
+    assert list(got["ts"]) == list(want["ts"])
