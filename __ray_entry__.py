@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_approx_percentiles": sketches.grouped_approx_percentiles,
         "activity_union": relational.activity_union,
         "earliest_events": relational.earliest_events,
+        "supplier_pagerank": relational.supplier_pagerank,
     }
 
 
@@ -368,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_approx_percentiles": sketches.GROUPED_APPROX_PERCENTILES_SQL,
         "activity_union": relational.ACTIVITY_UNION_SQL,
         "earliest_events": relational.EARLIEST_EVENTS_SQL,
+        "supplier_pagerank": relational.SUPPLIER_PAGERANK_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -4045,3 +4045,150 @@ EARLIEST_EVENTS_SQL = """
 SELECT event_id, ts, user_id, event_type
 FROM events ORDER BY ts, event_id LIMIT 100
 """
+
+
+# -- PageRank over the supplier co-supply graph --------------------------------
+
+_PAGERANK_ROUNDS = 3
+_PAGERANK_SCALE = 1_000_000_000  # rank mass in parts-per-billion
+
+
+def supplier_pagerank(sf_dir: str) -> pa.Table:
+    """PageRank (3 power-iteration rounds, d=0.85) over the supplier
+    co-supply graph: suppliers are linked when they supply the same
+    part.  The iterative-graph shape done scale-honestly: edge DISCOVERY
+    is distributed — distinct (part, supplier) rows reduce in-scan, the
+    per-part pair fan-out runs inside ``groupby(part)`` groups (bounded
+    by suppliers-per-part, a dimension property), and pair dedup is one
+    keyed rollup; the ITERATION then runs on the driver over the
+    bounded node/edge tables (nodes ≤ supplier dimension, edges ≤
+    nodes² — the same bounded-state pattern as kmeans' centroids).
+    All arithmetic is integer ppb with floor division, mirrored exactly
+    by the unrolled-CTE oracle; every quantity is non-negative so
+    DuckDB's truncating // and numpy's flooring // agree."""
+
+    def distinct_ps(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "p": batch.column("l_partkey"),
+                "s": batch.column("l_suppkey"),
+            }
+        )
+        g = t.group_by(["p", "s"]).aggregate([])
+        return g
+
+    def drop_cnt(batch: pa.Table) -> pa.Table:
+        return batch.select(["p", "s"])
+
+    # Distinct via a count aggregate (vectorized reducer) rather than a
+    # per-group Python map_groups call — same rows, far fewer task hops.
+    ps = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(distinct_ps, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["p", "s"])
+        .aggregate(ray.data.aggregate.Count(alias_name="c"))
+        .map_batches(drop_cnt, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def pairs_in_part(group: pa.Table) -> pa.Table:
+        supps = group.column("s").to_numpy(zero_copy_only=False)
+        k = len(supps)
+        if k < 2:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        src = np.repeat(supps, k)
+        dst = np.tile(supps, k)
+        keep = src != dst
+        return pa.table(
+            {
+                "src": pa.array(src[keep], pa.int64()),
+                "dst": pa.array(dst[keep], pa.int64()),
+            }
+        )
+
+    edges_pd = (
+        ps.groupby("p")
+        .map_groups(pairs_in_part, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(ray.data.aggregate.Count(alias_name="c"))
+        .to_pandas()  # bounded: ≤ supplier_dimension² rows
+    )
+    src = edges_pd["src"].to_numpy()
+    dst = edges_pd["dst"].to_numpy()
+    nodes = np.unique(np.concatenate([src, dst])) if len(src) else np.array(
+        [], dtype=np.int64
+    )
+    n = len(nodes)
+    if n == 0:
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "rank_ppb": pa.array([], pa.int64()),
+                "out_degree": pa.array([], pa.int64()),
+            }
+        )
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    si = np.array([idx[int(v)] for v in src], np.int64)
+    di = np.array([idx[int(v)] for v in dst], np.int64)
+    deg = np.bincount(si, minlength=n).astype(np.int64)
+    base = _PAGERANK_SCALE // n
+    r = np.full(n, base, np.int64)
+    for _ in range(_PAGERANK_ROUNDS):
+        share = r // np.maximum(deg, 1)  # deg > 0 for every edge source
+        inflow = np.zeros(n, np.int64)
+        np.add.at(inflow, di, share[si])
+        r = (15 * base + 85 * inflow) // 100
+    return pa.table(
+        {
+            "s_suppkey": pa.array(nodes, pa.int64()),
+            "rank_ppb": pa.array(r, pa.int64()),
+            "out_degree": pa.array(deg, pa.int64()),
+        }
+    )
+
+
+def _pagerank_sql() -> str:
+    parts = [
+        """ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem)""",
+        """e AS (
+  SELECT DISTINCT a.s AS src, b.s AS dst
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s <> b.s
+)""",
+        """nodes AS (SELECT DISTINCT src AS node FROM e
+           UNION SELECT DISTINCT dst FROM e)""",
+        """deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1)""",
+        f"""nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)""",
+        f"""r0 AS (SELECT node, CAST({_PAGERANK_SCALE} // nn.n AS BIGINT) AS r
+      FROM nodes CROSS JOIN nn)""",
+    ]
+    for t in range(1, _PAGERANK_ROUNDS + 1):
+        parts.append(
+            f"""f{t} AS (
+  SELECT e.dst AS node, CAST(sum(r{t-1}.r // deg.d) AS BIGINT) AS inflow
+  FROM e JOIN r{t-1} ON e.src = r{t-1}.node JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""r{t} AS (
+  SELECT n0.node,
+         CAST((15 * ({_PAGERANK_SCALE} // nn.n) + 85 * COALESCE(f{t}.inflow, 0))
+              // 100 AS BIGINT) AS r
+  FROM nodes n0 CROSS JOIN nn LEFT JOIN f{t} ON f{t}.node = n0.node
+)"""
+        )
+    last = f"r{_PAGERANK_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT n0.node AS s_suppkey, {last}.r AS rank_ppb,
+       CAST(COALESCE(deg.d, 0) AS BIGINT) AS out_degree
+FROM nodes n0
+JOIN {last} ON {last}.node = n0.node
+LEFT JOIN deg ON deg.src = n0.node"""
+    )
+
+
+SUPPLIER_PAGERANK_SQL = _pagerank_sql()

@@ -2965,3 +2965,46 @@ def test_earliest_events_global_order():
     got = earliest_events(SF).to_pandas()
     assert list(got["event_id"]) == list(want["event_id"])
     assert list(got["ts"]) == list(want["ts"])
+
+
+def test_supplier_pagerank_reference_iteration():
+    import numpy as np
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import (
+        _PAGERANK_ROUNDS,
+        _PAGERANK_SCALE,
+        supplier_pagerank,
+    )
+
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    ps = li.drop_duplicates()
+    edges = set()
+    for _, grp in ps.groupby("l_partkey"):
+        supps = list(grp["l_suppkey"])
+        for a in supps:
+            for b in supps:
+                if a != b:
+                    edges.add((int(a), int(b)))
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n, np.int64)
+    for a, _ in edges:
+        deg[idx[a]] += 1
+    base = _PAGERANK_SCALE // n
+    r = np.full(n, base, np.int64)
+    for _ in range(_PAGERANK_ROUNDS):
+        share = r // np.maximum(deg, 1)
+        inflow = np.zeros(n, np.int64)
+        for a, b in edges:
+            inflow[idx[b]] += share[idx[a]]
+        r = (15 * base + 85 * inflow) // 100
+    got = supplier_pagerank(SF).to_pandas().set_index("s_suppkey").sort_index()
+    assert list(got.index) == nodes
+    assert list(got["rank_ppb"]) == [int(x) for x in r]
+    assert list(got["out_degree"]) == [int(x) for x in deg]
+    # rank mass stays near the scale (floor losses only shrink it)
+    assert 0 < got["rank_ppb"].sum() <= _PAGERANK_SCALE
