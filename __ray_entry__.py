@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_union": relational.activity_union,
         "earliest_events": relational.earliest_events,
         "supplier_pagerank": relational.supplier_pagerank,
+        "bpe_train": text.bpe_train,
     }
 
 
@@ -374,5 +375,7 @@ def oracle_sql() -> dict[str, str]:
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf
         # (approximate; exhaustive-probe==brute pinned in pytest),
-        # media_decode (stub features are blake2b-based)
+        # media_decode (stub features are blake2b-based), bpe_train
+        # (iterative greedy segmentation; merge sequence pinned by a
+        # sequential pure-Python reference in pytest)
     }

@@ -2895,3 +2895,138 @@ SELECT source,
            AS gini_permille
 FROM cl GROUP BY source
 """
+
+
+# -- BPE merge-rule training (iterative, driver-coordinated) -------------------
+
+BPE_TRAIN_MERGES = 8
+
+
+def _bpe_apply_merges(
+    symbols: tuple[str, ...], merges: list[tuple[str, str]]
+) -> tuple[str, ...]:
+    """Apply merge rules IN TRAINING ORDER, each rule left-to-right —
+    the canonical greedy BPE segmentation both the distributed trainer
+    and the pytest reference share (one definition on purpose: a drift
+    in application order silently changes every later round's counts)."""
+    for left, right in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(symbols):
+            if (
+                i + 1 < len(symbols)
+                and symbols[i] == left
+                and symbols[i + 1] == right
+            ):
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = tuple(out)
+    return symbols
+
+
+def bpe_train(sf_dir: str, n_merges: int = BPE_TRAIN_MERGES) -> pa.Table:
+    """Train BPE merge rules over the corpus — the tokenizer-training
+    loop of an LLM data pipeline, done with the iterative-algorithm
+    scale shape (kmeans_train's): bounded driver state (the merge list),
+    per-round distributed work, state re-broadcast each round.
+
+    Round structure: the corpus first collapses to a WORD-FREQUENCY
+    table (one keyed shuffle; all later rounds run over unique words ×
+    freq, never raw tokens — the classic BPE trick that makes round
+    cost vocabulary-bounded).  Each round maps the current merge list
+    over the word table (ray.put once per round), counts adjacent
+    symbol pairs weighted by word frequency into per-batch partials,
+    rolls them up with one groupby, and the driver picks the argmax
+    pair (count desc, then lexicographic — deterministic) as the next
+    rule.  Not SQL-expressible (the segmentation is inherently
+    iterative), so the driver records a rows-only check; the exact
+    merge sequence is pinned by a sequential pure-Python reference in
+    pytest."""
+
+    def word_freq_partial(batch: pa.Table) -> pa.Table:
+        import collections
+
+        counts: collections.Counter = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            counts.update(_TOKEN_RE.findall(t.lower()))
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), pa.string()),
+                "freq": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    words = (
+        read_documents(sf_dir, columns=["text"])
+        .map_batches(word_freq_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .sum("freq")
+        .rename_columns({"sum(freq)": "freq"})
+        .materialize()  # re-streamed every round; vocabulary-bounded
+    )
+
+    merges: list[tuple[str, str]] = []
+    out_step: list[int] = []
+    out_left: list[str] = []
+    out_right: list[str] = []
+    out_count: list[int] = []
+    for step in range(1, n_merges + 1):
+        merges_ref = ray.put(list(merges))
+
+        def pair_partial(batch: pa.Table) -> pa.Table:
+            import collections
+
+            rules = ray.get(merges_ref)
+            pc_counts: collections.Counter = collections.Counter()
+            freqs = batch.column("freq").to_numpy(zero_copy_only=False)
+            for w, f in zip(batch.column("word").to_pylist(), freqs):
+                syms = _bpe_apply_merges(tuple(w), rules)
+                for i in range(len(syms) - 1):
+                    pc_counts[(syms[i], syms[i + 1])] += int(f)
+            if not pc_counts:
+                return pa.table(
+                    {
+                        "left": pa.array([], pa.string()),
+                        "right": pa.array([], pa.string()),
+                        "cnt": pa.array([], pa.int64()),
+                    }
+                )
+            ls, rs = zip(*pc_counts.keys())
+            return pa.table(
+                {
+                    "left": pa.array(list(ls), pa.string()),
+                    "right": pa.array(list(rs), pa.string()),
+                    "cnt": pa.array(list(pc_counts.values()), pa.int64()),
+                }
+            )
+
+        rolled = (
+            words.map_batches(
+                pair_partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby(["left", "right"])
+            .sum("cnt")
+            .to_pandas()  # bounded by live symbol-pair vocabulary
+        )
+        if not len(rolled):
+            break
+        rolled = rolled.sort_values(
+            ["sum(cnt)", "left", "right"], ascending=[False, True, True]
+        )
+        top = rolled.iloc[0]
+        merges.append((str(top["left"]), str(top["right"])))
+        out_step.append(step)
+        out_left.append(str(top["left"]))
+        out_right.append(str(top["right"]))
+        out_count.append(int(top["sum(cnt)"]))
+    return pa.table(
+        {
+            "step": pa.array(out_step, pa.int64()),
+            "left": pa.array(out_left, pa.string()),
+            "right": pa.array(out_right, pa.string()),
+            "pair_count": pa.array(out_count, pa.int64()),
+        }
+    )

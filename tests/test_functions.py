@@ -3008,3 +3008,47 @@ def test_supplier_pagerank_reference_iteration():
     assert list(got["out_degree"]) == [int(x) for x in deg]
     # rank mass stays near the scale (floor losses only shrink it)
     assert 0 < got["rank_ppb"].sum() <= _PAGERANK_SCALE
+
+
+def test_bpe_train_matches_sequential_reference():
+    import collections
+    import re
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.text import (
+        BPE_TRAIN_MERGES,
+        TOKEN_PATTERN,
+        _bpe_apply_merges,
+        bpe_train,
+    )
+
+    rx = re.compile(TOKEN_PATTERN)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    wf: collections.Counter = collections.Counter()
+    for t in docs["text"]:
+        wf.update(rx.findall(t.lower()))
+
+    merges = []
+    want = []
+    for step in range(1, BPE_TRAIN_MERGES + 1):
+        pairs: collections.Counter = collections.Counter()
+        for w, f in wf.items():
+            syms = _bpe_apply_merges(tuple(w), merges)
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append(best[0])
+        want.append((step, best[0][0], best[0][1], best[1]))
+
+    got = bpe_train(SF).to_pandas()
+    assert [
+        (int(r.step), r.left, r.right, int(r.pair_count))
+        for r in got.itertuples()
+    ] == want
+    # merged tokens really are concatenations of earlier symbols
+    for r in got.itertuples():
+        assert isinstance(r.left, str) and isinstance(r.right, str)
+        assert len(r.left + r.right) >= 2
