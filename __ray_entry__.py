@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "earliest_events": relational.earliest_events,
         "supplier_pagerank": relational.supplier_pagerank,
         "bpe_train": text.bpe_train,
+        "conversion_delay_stats": relational.conversion_delay_stats,
     }
 
 
@@ -371,6 +372,7 @@ def oracle_sql() -> dict[str, str]:
         "activity_union": relational.ACTIVITY_UNION_SQL,
         "earliest_events": relational.EARLIEST_EVENTS_SQL,
         "supplier_pagerank": relational.SUPPLIER_PAGERANK_SQL,
+        "conversion_delay_stats": relational.CONVERSION_DELAY_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

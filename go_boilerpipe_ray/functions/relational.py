@@ -4192,3 +4192,80 @@ LEFT JOIN deg ON deg.src = n0.node"""
 
 
 SUPPLIER_PAGERANK_SQL = _pagerank_sql()
+
+
+# -- signup → purchase conversion delay ---------------------------------------
+
+
+def conversion_delay_stats(sf_dir: str) -> pa.Table:
+    """Time-to-convert profile: for each user, the delay from FIRST
+    signup to the first purchase AFTER it; output is the converted-user
+    count plus exact min / median / max delay in milliseconds.  One
+    user-keyed shuffle computes both firsts inside the group scan
+    (vectorized masks, no sort needed for min-after-threshold); the
+    median uses the shared quantile_disc rule over a delay value-count
+    reduction whose driver state is bounded by converted-user count."""
+    from ._util import quantile_disc_pick
+
+    def firsts(group: pa.Table) -> pa.Table:
+        us = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        s_mask = et == "signup"
+        if not s_mask.any():
+            return pa.table({"delay_ms": pa.array([], pa.int64())})
+        s0 = int(us[s_mask].min())
+        p_mask = (et == "purchase") & (us >= s0)
+        if not p_mask.any():
+            return pa.table({"delay_ms": pa.array([], pa.int64())})
+        p0 = int(us[p_mask].min())
+        return pa.table({"delay_ms": pa.array([(p0 - s0) // 1000], pa.int64())})
+
+    delays = (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(firsts, batch_format="pyarrow")
+        .groupby("delay_ms")
+        .aggregate(ray.data.aggregate.Count(alias_name="cnt"))
+        .to_pandas()
+        .sort_values("delay_ms")
+    )
+    if not len(delays):
+        return pa.table(
+            {
+                "n_converted": pa.array([0], pa.int64()),
+                "min_delay_ms": pa.array([0], pa.int64()),
+                "median_delay_ms": pa.array([0], pa.int64()),
+                "max_delay_ms": pa.array([0], pa.int64()),
+            }
+        )
+    vals = delays["delay_ms"].to_numpy()
+    cum = np.cumsum(delays["cnt"].to_numpy())
+    return pa.table(
+        {
+            "n_converted": pa.array([int(cum[-1])], pa.int64()),
+            "min_delay_ms": pa.array([int(vals[0])], pa.int64()),
+            "median_delay_ms": pa.array(
+                [quantile_disc_pick(vals, cum, 500)], pa.int64()
+            ),
+            "max_delay_ms": pa.array([int(vals[-1])], pa.int64()),
+        }
+    )
+
+
+CONVERSION_DELAY_SQL = """
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS s0
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, (min(epoch_us(e.ts)) - min(s.s0)) // 1000 AS delay_ms
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s0
+  GROUP BY e.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(min(delay_ms) AS BIGINT) AS min_delay_ms,
+       CAST(quantile_disc(delay_ms, 0.5) AS BIGINT) AS median_delay_ms,
+       CAST(max(delay_ms) AS BIGINT) AS max_delay_ms
+FROM p
+"""

@@ -3052,3 +3052,33 @@ def test_bpe_train_matches_sequential_reference():
     for r in got.itertuples():
         assert isinstance(r.left, str) and isinstance(r.right, str)
         assert len(r.left + r.right) >= 2
+
+
+def test_conversion_delay_stats_matches_pandas():
+    import numpy as np
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import conversion_delay_stats
+
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    ev["us"] = ev["ts"].astype("int64")
+    delays = []
+    for _, grp in ev.groupby("user_id"):
+        s = grp[grp["event_type"] == "signup"]
+        if not len(s):
+            continue
+        s0 = int(s["us"].min())
+        p = grp[(grp["event_type"] == "purchase") & (grp["us"] >= s0)]
+        if not len(p):
+            continue
+        delays.append((int(p["us"].min()) - s0) // 1000)
+    delays = np.sort(np.array(delays))
+    got = conversion_delay_stats(SF).to_pandas().iloc[0]
+    assert int(got["n_converted"]) == len(delays)
+    assert int(got["min_delay_ms"]) == int(delays[0])
+    assert int(got["max_delay_ms"]) == int(delays[-1])
+    assert int(got["median_delay_ms"]) == int(
+        delays[max(int(np.ceil(0.5 * len(delays))), 1) - 1]
+    )
