@@ -4024,7 +4024,10 @@ FROM u GROUP BY user_id
 # -- global sort + limit -------------------------------------------------------
 
 
-def earliest_events(sf_dir: str, n: int = 100) -> "ray.data.Dataset":
+EARLIEST_EVENTS_N = 100
+
+
+def earliest_events(sf_dir: str, n: int = EARLIEST_EVENTS_N) -> "ray.data.Dataset":
     """First n events in global time order — the one query in this repo
     that exercises Ray Data's range-partitioned ``Dataset.sort`` +
     ``limit`` directly (every other ordering need here is served by the
@@ -4041,9 +4044,9 @@ def earliest_events(sf_dir: str, n: int = 100) -> "ray.data.Dataset":
     )
 
 
-EARLIEST_EVENTS_SQL = """
+EARLIEST_EVENTS_SQL = f"""
 SELECT event_id, ts, user_id, event_type
-FROM events ORDER BY ts, event_id LIMIT 100
+FROM events ORDER BY ts, event_id LIMIT {EARLIEST_EVENTS_N}
 """
 
 
@@ -4128,9 +4131,11 @@ def supplier_pagerank(sf_dir: str) -> pa.Table:
                 "out_degree": pa.array([], pa.int64()),
             }
         )
-    idx = {int(v): i for i, v in enumerate(nodes)}
-    si = np.array([idx[int(v)] for v in src], np.int64)
-    di = np.array([idx[int(v)] for v in dst], np.int64)
+    # nodes comes from np.unique (sorted) — searchsorted is an exact,
+    # vectorized index map (edges can reach dimension² rows; a Python
+    # loop over them would dominate the driver step).
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
     deg = np.bincount(si, minlength=n).astype(np.int64)
     base = _PAGERANK_SCALE // n
     r = np.full(n, base, np.int64)
@@ -4205,7 +4210,6 @@ def conversion_delay_stats(sf_dir: str) -> pa.Table:
     (vectorized masks, no sort needed for min-after-threshold); the
     median uses the shared quantile_disc rule over a delay value-count
     reduction whose driver state is bounded by converted-user count."""
-    from ._util import quantile_disc_pick
 
     def firsts(group: pa.Table) -> pa.Table:
         us = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
@@ -4230,12 +4234,14 @@ def conversion_delay_stats(sf_dir: str) -> pa.Table:
         .sort_values("delay_ms")
     )
     if not len(delays):
+        # Zero conversions: NULL stats, exactly like the oracle's empty
+        # aggregate (0 would conflate 'no cohort' with instant conversion).
         return pa.table(
             {
                 "n_converted": pa.array([0], pa.int64()),
-                "min_delay_ms": pa.array([0], pa.int64()),
-                "median_delay_ms": pa.array([0], pa.int64()),
-                "max_delay_ms": pa.array([0], pa.int64()),
+                "min_delay_ms": pa.array([None], pa.int64()),
+                "median_delay_ms": pa.array([None], pa.int64()),
+                "max_delay_ms": pa.array([None], pa.int64()),
             }
         )
     vals = delays["delay_ms"].to_numpy()
