@@ -3082,3 +3082,27 @@ def test_conversion_delay_stats_matches_pandas():
     assert int(got["median_delay_ms"]) == int(
         delays[max(int(np.ceil(0.5 * len(delays))), 1) - 1]
     )
+
+
+def test_conversion_delay_stats_empty_cohort_nulls(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.relational import conversion_delay_stats
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "ts": pa.array([1_000_000, 2_000_000, 3_000_000], pa.timestamp("us")),
+            "event_type": pa.array(["view", "click", "purchase"], pa.string()),
+        }
+    )
+    pq.write_table(t, str(d / "events.parquet"))
+    got = conversion_delay_stats(str(d)).to_pandas().iloc[0]
+    assert int(got["n_converted"]) == 0
+    assert pd.isna(got["min_delay_ms"])
+    assert pd.isna(got["median_delay_ms"])
+    assert pd.isna(got["max_delay_ms"])
