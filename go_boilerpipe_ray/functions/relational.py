@@ -4231,9 +4231,10 @@ def conversion_delay_stats(sf_dir: str) -> pa.Table:
         .groupby("delay_ms")
         .aggregate(ray.data.aggregate.Count(alias_name="cnt"))
         .to_pandas()
-        .sort_values("delay_ms")
     )
-    if not len(delays):
+    # An all-empty group stream loses its schema entirely — guard BEFORE
+    # touching columns (sort_values on the schema-less frame raises).
+    if not len(delays) or "delay_ms" not in delays.columns:
         # Zero conversions: NULL stats, exactly like the oracle's empty
         # aggregate (0 would conflate 'no cohort' with instant conversion).
         return pa.table(
@@ -4244,6 +4245,7 @@ def conversion_delay_stats(sf_dir: str) -> pa.Table:
                 "max_delay_ms": pa.array([None], pa.int64()),
             }
         )
+    delays = delays.sort_values("delay_ms")
     vals = delays["delay_ms"].to_numpy()
     cum = np.cumsum(delays["cnt"].to_numpy())
     return pa.table(
