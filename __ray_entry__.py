@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_pagerank": relational.supplier_pagerank,
         "bpe_train": text.bpe_train,
         "conversion_delay_stats": relational.conversion_delay_stats,
+        "cluster_aware_split": sampling.cluster_aware_split,
     }
 
 
@@ -373,6 +374,7 @@ def oracle_sql() -> dict[str, str]:
         "earliest_events": relational.EARLIEST_EVENTS_SQL,
         "supplier_pagerank": relational.SUPPLIER_PAGERANK_SQL,
         "conversion_delay_stats": relational.CONVERSION_DELAY_SQL,
+        "cluster_aware_split": sampling.CLUSTER_SPLIT_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

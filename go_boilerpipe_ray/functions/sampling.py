@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -240,3 +241,78 @@ SELECT doc_id, n_chars FROM documents
 WHERE md5_number_lower(doc_id::VARCHAR) % 1000
       < least(1000, n_chars * 1000 // 200)
 """
+
+
+def cluster_aware_split(sf_dir: str) -> "ray.data.Dataset":
+    """Leakage-safe train/valid/test assignment over the dup corpus:
+    near-duplicate CLUSTER members always land in the same split (the
+    classic failure this prevents: a test document whose near-copy sits
+    in train).  Composition of two existing distributed pieces — the
+    simhash connected components give each doc its cluster label, a
+    repartition LEFT join attaches labels to the full corpus (singleton
+    docs keep their own id as the label; the join is shuffle-based, so
+    a high-dup corpus where the cluster table rivals the corpus never
+    lands in one heap) — then the split is the standard salted-hash
+    rule applied to the CLUSTER label instead of the doc id."""
+    from .dedup import dedup_components, dup_corpus
+    from .relational import repartition_join
+
+    corpus_ids = dup_corpus(sf_dir).select_columns(["doc_id"])
+    comp = dedup_components(sf_dir)
+
+    joined = repartition_join(
+        corpus_ids,
+        comp,
+        "doc_id",
+        "doc_id",
+        [("doc_id", pa.int64())],
+        [("component", pa.int64())],
+        how="left",
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # Unmatched left rows (singleton docs) carry a NULL component —
+        # fill with the doc's own id BEFORE leaving Arrow, so the numpy
+        # view never goes through the NaN/float64 null representation.
+        comp_arr = batch.column("component")
+        null_mask = pc.is_null(comp_arr).to_numpy(zero_copy_only=False)
+        comp_filled = comp_arr.fill_null(0).to_numpy(zero_copy_only=False).copy()
+        comp_filled[null_mask] = ids[null_mask]
+        pm = (md5_u64(comp_filled) % 1000).astype(np.int64)
+        names = np.empty(len(ids), dtype=object)
+        lo = 0
+        for name, hi in _SPLIT_BOUNDS:
+            names[(pm >= lo) & (pm < hi)] = name
+            lo = hi
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "component": pa.array(comp_filled, pa.int64()),
+                "split": pa.array(list(names), pa.string()),
+            }
+        )
+
+    return joined.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _cluster_split_sql() -> str:
+    from .dedup import DEDUP_COMPONENTS_SQL, DUP_CORPUS_SQL
+
+    case = (
+        "CASE WHEN md5_number_lower(COALESCE(k.component, c.doc_id)::VARCHAR)"
+        " % 1000 < 980 THEN 'train' "
+        "WHEN md5_number_lower(COALESCE(k.component, c.doc_id)::VARCHAR)"
+        " % 1000 < 990 THEN 'valid' ELSE 'test' END"
+    )
+    return f"""
+WITH corpus AS ({DUP_CORPUS_SQL}),
+comp AS ({DEDUP_COMPONENTS_SQL})
+SELECT c.doc_id,
+       CAST(COALESCE(k.component, c.doc_id) AS BIGINT) AS component,
+       {case} AS split
+FROM corpus c LEFT JOIN comp k ON k.doc_id = c.doc_id
+"""
+
+
+CLUSTER_SPLIT_SQL = _cluster_split_sql()

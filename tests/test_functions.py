@@ -3106,3 +3106,23 @@ def test_conversion_delay_stats_empty_cohort_nulls(tmp_path):
     assert pd.isna(got["min_delay_ms"])
     assert pd.isna(got["median_delay_ms"])
     assert pd.isna(got["max_delay_ms"])
+
+
+def test_cluster_aware_split_no_leakage():
+    from go_boilerpipe_ray.functions.dedup import dedup_components
+    from go_boilerpipe_ray.functions.sampling import cluster_aware_split
+
+    comp = {
+        r["doc_id"]: r["component"] for r in dedup_components(SF).take_all()
+    }
+    got = cluster_aware_split(SF).to_pandas()
+    by_comp: dict = {}
+    for r in got.itertuples():
+        # docs in a dup cluster carry that cluster's label; singletons
+        # carry their own id
+        assert r.component == comp.get(r.doc_id, r.doc_id)
+        by_comp.setdefault(r.component, set()).add(r.split)
+    # leakage-safety: every cluster maps to exactly one split
+    assert all(len(s) == 1 for s in by_comp.values())
+    # and multi-member clusters exist in the dup corpus (test is not vacuous)
+    assert any(v != k for k, v in comp.items())
