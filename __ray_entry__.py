@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": text.bpe_train,
         "conversion_delay_stats": relational.conversion_delay_stats,
         "cluster_aware_split": sampling.cluster_aware_split,
+        "rebalance_mix": sampling.rebalance_mix,
     }
 
 
@@ -375,6 +376,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_pagerank": relational.SUPPLIER_PAGERANK_SQL,
         "conversion_delay_stats": relational.CONVERSION_DELAY_SQL,
         "cluster_aware_split": sampling.CLUSTER_SPLIT_SQL,
+        "rebalance_mix": sampling.REBALANCE_MIX_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -316,3 +316,93 @@ FROM corpus c LEFT JOIN comp k ON k.doc_id = c.doc_id
 
 
 CLUSTER_SPLIT_SQL = _cluster_split_sql()
+
+
+# Uniform target mix over the five corpus languages, in permille.
+REBALANCE_TARGETS = (("de", 200), ("en", 200), ("es", 200), ("fr", 200), ("zh", 200))
+
+
+def rebalance_mix(sf_dir: str) -> "ray.data.Dataset":
+    """Resample the corpus to a TARGET language distribution — the
+    data-mixing step that turns an organic crawl mix into the
+    curriculum a training run wants.  Exact and deterministic: a tiny
+    per-language count pass fixes the largest achievable corpus that
+    honors the target proportions (base = min over langs of
+    count·1000 // target_pm, all integer), each language keeps its
+    base·target_pm // 1000 documents with the SMALLEST key hash (the
+    same salted-hash ranking every sampler here uses — reproducible on
+    any cluster size), and the per-group truncation runs where the
+    groups live.  Languages absent from the target table are dropped,
+    like the oracle's inner join."""
+    targets = dict(REBALANCE_TARGETS)
+
+    counts = (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["lang"])
+        .groupby("lang")
+        .count()
+        .to_pandas()  # O(#languages)
+    )
+    base = None
+    for lang, cnt in zip(counts["lang"], counts["count()"]):
+        if lang in targets:
+            cap = (int(cnt) * 1000) // targets[lang]
+            base = cap if base is None else min(base, cap)
+    keep_n = {
+        lang: (base * pm) // 1000 if base else 0 for lang, pm in targets.items()
+    }
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = pc.is_in(
+            batch.column("lang"),
+            value_set=pa.array(list(targets), pa.string()),
+        )
+        batch = batch.filter(keep)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "h", pa.array(md5_u64(ids).astype(np.int64), pa.int64())
+        )
+
+    def truncate(group: pa.Table) -> pa.Table:
+        lang = group.column("lang")[0].as_py()
+        n = keep_n.get(lang, 0)
+        h = group.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))[:n]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "lang": group.column("lang").take(pa.array(order, pa.int64())),
+            }
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(truncate, batch_format="pyarrow")
+    )
+
+
+def _rebalance_sql() -> str:
+    values = ", ".join(f"('{lang}', {pm})" for lang, pm in REBALANCE_TARGETS)
+    return f"""
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1),
+t(lang, pm) AS (VALUES {values}),
+base AS (SELECT CAST(min(c.cnt * 1000 // t.pm) AS BIGINT) AS b
+         FROM c JOIN t USING (lang)),
+keepn AS (SELECT t.lang, CAST(base.b * t.pm // 1000 AS BIGINT) AS n
+          FROM t CROSS JOIN base)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN keepn k USING (lang)
+QUALIFY row_number() OVER (
+    PARTITION BY d.lang
+    ORDER BY md5_number_lower(d.doc_id::VARCHAR), d.doc_id
+) <= k.n
+"""
+
+
+REBALANCE_MIX_SQL = _rebalance_sql()

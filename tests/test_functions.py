@@ -3126,3 +3126,33 @@ def test_cluster_aware_split_no_leakage():
     assert all(len(s) == 1 for s in by_comp.values())
     # and multi-member clusters exist in the dup corpus (test is not vacuous)
     assert any(v != k for k, v in comp.items())
+
+
+def test_rebalance_mix_hits_target_distribution():
+    import collections
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.sampling import (
+        REBALANCE_TARGETS,
+        rebalance_mix,
+    )
+
+    targets = dict(REBALANCE_TARGETS)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    counts = docs["lang"].value_counts()
+    base = min((int(counts[l]) * 1000) // pm for l, pm in targets.items())
+    want_n = {l: (base * pm) // 1000 for l, pm in targets.items()}
+    got = rebalance_mix(SF).to_pandas()
+    got_n = collections.Counter(got["lang"])
+    assert dict(got_n) == {l: n for l, n in want_n.items() if n > 0}
+    # deterministic: kept docs are the smallest-hash ones per lang
+    from go_boilerpipe_ray.functions._util import md5_u64
+
+    import numpy as np
+
+    for lang, n in want_n.items():
+        ids = docs.loc[docs["lang"] == lang, "doc_id"].to_numpy()
+        h = md5_u64(ids)
+        keep = set(ids[np.lexsort((ids, h))[:n]])
+        assert set(got.loc[got["lang"] == lang, "doc_id"]) == keep
