@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_delay_stats": relational.conversion_delay_stats,
         "cluster_aware_split": sampling.cluster_aware_split,
         "rebalance_mix": sampling.rebalance_mix,
+        "incremental_hourly_merge": relational.incremental_hourly_merge,
     }
 
 
@@ -377,6 +378,7 @@ def oracle_sql() -> dict[str, str]:
         "conversion_delay_stats": relational.CONVERSION_DELAY_SQL,
         "cluster_aware_split": sampling.CLUSTER_SPLIT_SQL,
         "rebalance_mix": sampling.REBALANCE_MIX_SQL,
+        "incremental_hourly_merge": relational.INCREMENTAL_HOURLY_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

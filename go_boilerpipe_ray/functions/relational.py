@@ -4277,3 +4277,92 @@ SELECT CAST(count(*) AS BIGINT) AS n_converted,
        CAST(max(delay_ms) AS BIGINT) AS max_delay_ms
 FROM p
 """
+
+
+# -- incremental view maintenance (snapshot + delta merge) ---------------------
+
+_IVM_CUTOFF = "1996-01-01"
+
+
+def incremental_hourly_merge(sf_dir: str) -> pa.Table:
+    """Incremental view maintenance for the hourly-events rollup: a
+    PRIOR aggregate snapshot (events before the cutoff) merges with the
+    DELTA aggregate (events at/after it) by re-aggregating the union of
+    the two partial tables — the streaming-ingest pattern where
+    yesterday's materialized rollup absorbs today's batch without
+    rescanning history.  Because count/sum are commutative monoids the
+    merged view must equal the from-scratch aggregate, which is exactly
+    what the oracle computes (HOURLY_EVENTS_SQL over the whole table) —
+    the equality IS the IVM correctness proof.  Both sides aggregate
+    with in-scan partials; the merge is one keyed rollup over two
+    already-tiny aggregate tables."""
+    cutoff = int(np.datetime64(_IVM_CUTOFF, "us").astype(np.int64))
+
+    def agg_side(keep_before: bool) -> "ray.data.Dataset":
+        def partial(batch: pa.Table) -> pa.Table:
+            us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            mask = us < cutoff if keep_before else us >= cutoff
+            kept = batch.filter(pa.array(mask))
+            hour = pc.floor_temporal(kept.column("ts"), unit="hour")
+            cents = money_cents(
+                kept.column("value").to_numpy(zero_copy_only=False)
+            )
+            t = pa.table(
+                {
+                    "event_type": kept.column("event_type"),
+                    "window_start": hour,
+                    "n": pa.array(np.ones(kept.num_rows, np.int64)),
+                    "s": pa.array(cents, pa.int64()),
+                }
+            )
+            g = t.group_by(["event_type", "window_start"]).aggregate(
+                [("n", "sum"), ("s", "sum")]
+            )
+            return g.rename_columns(["event_type", "window_start", "n", "s"])
+
+        return (
+            _read(sf_dir, "events", ["ts", "event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["event_type", "window_start"])
+            .aggregate(
+                ray.data.aggregate.Sum("n", alias_name="n"),
+                ray.data.aggregate.Sum("s", alias_name="s"),
+            )
+        )
+
+    prior = agg_side(True)   # the materialized snapshot
+    delta = agg_side(False)  # the new ingest batch
+
+    merged = (
+        prior.union(delta)
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n_events"),
+            ray.data.aggregate.Sum("s", alias_name="sum_cents"),
+        )
+        .to_pandas()  # bounded: one row per (type, hour)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(merged["event_type"], pa.string()),
+            "window_start": pa.array(
+                merged["window_start"].astype("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "n_events": pa.array(merged["n_events"].astype("int64"), pa.int64()),
+            "sum_cents": pa.array(merged["sum_cents"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+INCREMENTAL_HOURLY_SQL = """
+SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM events
+GROUP BY 1, 2
+"""

@@ -3156,3 +3156,26 @@ def test_rebalance_mix_hits_target_distribution():
         h = md5_u64(ids)
         keep = set(ids[np.lexsort((ids, h))[:n]])
         assert set(got.loc[got["lang"] == lang, "doc_id"]) == keep
+
+
+def test_incremental_hourly_merge_equals_full_recompute():
+    import math
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import incremental_hourly_merge
+
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    ev["hour"] = ev["ts"].dt.floor("h")
+    ev["cents"] = [int(math.floor(v * 100 + 0.5)) for v in ev["value"]]
+    want = ev.groupby(["event_type", "hour"]).agg(
+        n=("cents", "size"), s=("cents", "sum")
+    )
+    got = incremental_hourly_merge(SF).to_pandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        key = (r.event_type, r.window_start)
+        assert int(r.n_events) == int(want.loc[key, "n"])
+        assert int(r.sum_cents) == int(want.loc[key, "s"])
