@@ -109,6 +109,39 @@ UNION ALL SELECT doc_id + {PERTURB_OFFSET}, text || '{PERTURB_SUFFIX}' FROM docu
 """
 
 
+def dup_corpus_ids(sf_dir: str) -> "ray.data.Dataset":
+    """The dup corpus's doc_id column alone — ids are documents ids plus
+    the two copy offsets, derivable WITHOUT reading text (consumers that
+    only key on ids, like cluster_aware_split, skip the whole text-column
+    construction cost of dup_corpus)."""
+    from ._util import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def expand_ids(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [
+                        ids.combine_chunks(),
+                        pc.add(ids, COPY_OFFSET).combine_chunks(),
+                        pc.add(ids, PERTURB_OFFSET).combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    return ds.map_batches(expand_ids, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DUP_CORPUS_IDS_SQL = f"""
+SELECT doc_id FROM documents
+UNION ALL SELECT doc_id + {COPY_OFFSET} FROM documents
+UNION ALL SELECT doc_id + {PERTURB_OFFSET} FROM documents
+"""
+
+
 # -- exact dedup ------------------------------------------------------------
 
 

@@ -4281,7 +4281,11 @@ FROM p
 
 # -- incremental view maintenance (snapshot + delta merge) ---------------------
 
-_IVM_CUTOFF = "1996-01-01"
+# Mid-range and deliberately NOT hour-aligned: the boundary hour has
+# events on BOTH sides, so the merge really combines two partials of
+# the same (type, window) key — an aligned cutoff would never overlap
+# keys and a merge bug could hide behind disjoint key sets.
+_IVM_CUTOFF = "2024-01-15 12:30:00"
 
 
 def incremental_hourly_merge(sf_dir: str) -> pa.Table:
@@ -4292,8 +4296,10 @@ def incremental_hourly_merge(sf_dir: str) -> pa.Table:
     yesterday's materialized rollup absorbs today's batch without
     rescanning history.  Because count/sum are commutative monoids the
     merged view must equal the from-scratch aggregate, which is exactly
-    what the oracle computes (HOURLY_EVENTS_SQL over the whole table) —
-    the equality IS the IVM correctness proof.  Both sides aggregate
+    what the oracle computes (INCREMENTAL_HOURLY_SQL: the from-scratch
+    aggregate over the whole table, in per-event integer cents — note
+    this is a different value rule than HOURLY_EVENTS_SQL's
+    round-of-sum) — the equality IS the IVM correctness proof.  Both sides aggregate
     with in-scan partials; the merge is one keyed rollup over two
     already-tiny aggregate tables."""
     cutoff = int(np.datetime64(_IVM_CUTOFF, "us").astype(np.int64))

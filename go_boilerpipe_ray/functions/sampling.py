@@ -27,14 +27,37 @@ def _key_permille(ids: np.ndarray) -> np.ndarray:
     return (md5_u64(ids) % 1000).astype(np.int64)
 
 
-def _split_batch(batch: pa.Table) -> pa.Table:
-    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    pm = _key_permille(ids)
-    names = np.empty(len(ids), dtype=object)
+def _split_names(keys: np.ndarray) -> np.ndarray:
+    """Map key values to split names via the shared permille bounds —
+    THE split rule (one definition; _split_batch and cluster_aware_split
+    both use it so the bounds can never drift apart)."""
+    pm = _key_permille(keys)
+    names = np.empty(len(keys), dtype=object)
     lo = 0
     for name, hi in _SPLIT_BOUNDS:
         names[(pm >= lo) & (pm < hi)] = name
         lo = hi
+    return names
+
+
+def _keep_smallest_hash(group: pa.Table, n: int) -> pa.Table:
+    """Keep the n rows with the smallest (key-hash, doc_id) — the shared
+    deterministic per-stratum truncation used by stratified_sample and
+    rebalance_mix (one tie-break rule, one hash dtype treatment)."""
+    h = group.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+    ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, h))[:n]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "lang": group.column("lang").take(pa.array(order, pa.int64())),
+        }
+    )
+
+
+def _split_batch(batch: pa.Table) -> pa.Table:
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    names = _split_names(ids)
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
@@ -81,15 +104,7 @@ def stratified_sample(sf_dir: str, k: int = STRATIFIED_K) -> "ray.data.Dataset":
         return batch.append_column("h", pa.array(h.astype(np.int64), pa.int64()))
 
     def topk(group: pa.Table) -> pa.Table:
-        h = group.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, h))[:k]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[order], pa.int64()),
-                "lang": group.column("lang").take(pa.array(order, pa.int64())),
-            }
-        )
+        return _keep_smallest_hash(group, k)
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
@@ -254,10 +269,10 @@ def cluster_aware_split(sf_dir: str) -> "ray.data.Dataset":
     a high-dup corpus where the cluster table rivals the corpus never
     lands in one heap) — then the split is the standard salted-hash
     rule applied to the CLUSTER label instead of the doc id."""
-    from .dedup import dedup_components, dup_corpus
+    from .dedup import dedup_components, dup_corpus_ids
     from .relational import repartition_join
 
-    corpus_ids = dup_corpus(sf_dir).select_columns(["doc_id"])
+    corpus_ids = dup_corpus_ids(sf_dir)  # never touches the text column
     comp = dedup_components(sf_dir)
 
     joined = repartition_join(
@@ -279,12 +294,7 @@ def cluster_aware_split(sf_dir: str) -> "ray.data.Dataset":
         null_mask = pc.is_null(comp_arr).to_numpy(zero_copy_only=False)
         comp_filled = comp_arr.fill_null(0).to_numpy(zero_copy_only=False).copy()
         comp_filled[null_mask] = ids[null_mask]
-        pm = (md5_u64(comp_filled) % 1000).astype(np.int64)
-        names = np.empty(len(ids), dtype=object)
-        lo = 0
-        for name, hi in _SPLIT_BOUNDS:
-            names[(pm >= lo) & (pm < hi)] = name
-            lo = hi
+        names = _split_names(comp_filled)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -297,7 +307,7 @@ def cluster_aware_split(sf_dir: str) -> "ray.data.Dataset":
 
 
 def _cluster_split_sql() -> str:
-    from .dedup import DEDUP_COMPONENTS_SQL, DUP_CORPUS_SQL
+    from .dedup import DEDUP_COMPONENTS_SQL, DUP_CORPUS_IDS_SQL
 
     case = (
         "CASE WHEN md5_number_lower(COALESCE(k.component, c.doc_id)::VARCHAR)"
@@ -306,7 +316,7 @@ def _cluster_split_sql() -> str:
         " % 1000 < 990 THEN 'valid' ELSE 'test' END"
     )
     return f"""
-WITH corpus AS ({DUP_CORPUS_SQL}),
+WITH corpus AS ({DUP_CORPUS_IDS_SQL}),
 comp AS ({DEDUP_COMPONENTS_SQL})
 SELECT c.doc_id,
        CAST(COALESCE(k.component, c.doc_id) AS BIGINT) AS component,
@@ -342,21 +352,21 @@ def rebalance_mix(sf_dir: str) -> "ray.data.Dataset":
         .count()
         .to_pandas()  # O(#languages)
     )
-    base = None
-    for lang, cnt in zip(counts["lang"], counts["count()"]):
-        if lang in targets:
-            cap = (int(cnt) * 1000) // targets[lang]
-            base = cap if base is None else min(base, cap)
-    keep_n = {
-        lang: (base * pm) // 1000 if base else 0 for lang, pm in targets.items()
-    }
+    present = dict(zip(counts["lang"], counts["count()"]))
+    # A target language absent from the corpus caps the achievable size
+    # at ZERO — emitting the other languages anyway would silently ship
+    # a different mix than the declared target (mirrored in the SQL's
+    # LEFT JOIN + COALESCE 0).
+    base = min(
+        (int(present.get(lang, 0)) * 1000) // pm for lang, pm in targets.items()
+    )
+    keep_n = {lang: (base * pm) // 1000 for lang, pm in targets.items()}
 
     ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         keep = pc.is_in(
             batch.column("lang"),
             value_set=pa.array(list(targets), pa.string()),
@@ -369,16 +379,7 @@ def rebalance_mix(sf_dir: str) -> "ray.data.Dataset":
 
     def truncate(group: pa.Table) -> pa.Table:
         lang = group.column("lang")[0].as_py()
-        n = keep_n.get(lang, 0)
-        h = group.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, h))[:n]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[order], pa.int64()),
-                "lang": group.column("lang").take(pa.array(order, pa.int64())),
-            }
-        )
+        return _keep_smallest_hash(group, keep_n.get(lang, 0))
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
@@ -392,8 +393,8 @@ def _rebalance_sql() -> str:
     return f"""
 WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1),
 t(lang, pm) AS (VALUES {values}),
-base AS (SELECT CAST(min(c.cnt * 1000 // t.pm) AS BIGINT) AS b
-         FROM c JOIN t USING (lang)),
+base AS (SELECT CAST(min(COALESCE(c.cnt, 0) * 1000 // t.pm) AS BIGINT) AS b
+         FROM t LEFT JOIN c USING (lang)),
 keepn AS (SELECT t.lang, CAST(base.b * t.pm // 1000 AS BIGINT) AS n
           FROM t CROSS JOIN base)
 SELECT d.doc_id, d.lang

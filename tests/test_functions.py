@@ -3179,3 +3179,23 @@ def test_incremental_hourly_merge_equals_full_recompute():
         key = (r.event_type, r.window_start)
         assert int(r.n_events) == int(want.loc[key, "n"])
         assert int(r.sum_cents) == int(want.loc[key, "s"])
+
+
+def test_rebalance_mix_absent_target_language_empty(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.sampling import rebalance_mix
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "lang": pa.array(["en", "en", "de", "fr"], pa.string()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    # 'zh'/'es' absent -> the declared five-way mix is unachievable: the
+    # honest answer is an empty corpus, not a silently different mix.
+    assert rebalance_mix(str(d)).count() == 0
