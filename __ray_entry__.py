@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_aware_split": sampling.cluster_aware_split,
         "rebalance_mix": sampling.rebalance_mix,
         "incremental_hourly_merge": relational.incremental_hourly_merge,
+        "nation_revenue_share": relational.nation_revenue_share,
     }
 
 
@@ -379,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_aware_split": sampling.CLUSTER_SPLIT_SQL,
         "rebalance_mix": sampling.REBALANCE_MIX_SQL,
         "incremental_hourly_merge": relational.INCREMENTAL_HOURLY_SQL,
+        "nation_revenue_share": relational.NATION_REVENUE_SHARE_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -4372,3 +4372,65 @@ SELECT event_type,
 FROM events
 GROUP BY 1, 2
 """
+
+
+# -- ratio-to-parent: nation share of region revenue ---------------------------
+
+
+def nation_revenue_share(sf_dir: str) -> pa.Table:
+    """Each nation's permille share of its REGION's revenue — the
+    ratio-to-parent report shape (window share over a grouped rollup).
+    The heavy lifting is exactly revenue_by_nation's star-join plan; the
+    share computation runs on its bounded O(#nations) result with the
+    nation→region chain resolved from the two tiny dimension tables,
+    all in Python-int arithmetic (no float shares, no overflow)."""
+    import pyarrow.parquet as pq
+
+    rev = revenue_by_nation(sf_dir)
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_name", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    ridx = pc.index_in(
+        nation.column("n_regionkey"),
+        value_set=region.column("r_regionkey").combine_chunks(),
+    )
+    chain = dict(
+        zip(
+            nation.column("n_name").to_pylist(),
+            pc.take(region.column("r_name").combine_chunks(), ridx).to_pylist(),
+        )
+    )
+    names = rev.column("n_name").to_pylist()
+    cents = [int(x) for x in rev.column("revenue_cents").to_pylist()]
+    rnames = [chain[n] for n in names]
+    region_total: dict[str, int] = {}
+    for r, c in zip(rnames, cents):
+        region_total[r] = region_total.get(r, 0) + c
+    share = [
+        (1000 * c) // max(region_total[r], 1) for r, c in zip(rnames, cents)
+    ]
+    return pa.table(
+        {
+            "r_name": pa.array(rnames, pa.string()),
+            "n_name": pa.array(names, pa.string()),
+            "revenue_cents": pa.array(cents, pa.int64()),
+            "share_permille": pa.array(share, pa.int64()),
+        }
+    )
+
+
+NATION_REVENUE_SHARE_SQL = f"""
+WITH rv AS ({REVENUE_BY_NATION_SQL}),
+chain AS (
+  SELECT n.n_name, r.r_name
+  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT c.r_name, rv.n_name, rv.revenue_cents,
+       CAST((1000 * rv.revenue_cents)
+            // greatest(sum(rv.revenue_cents) OVER (PARTITION BY c.r_name), 1)
+            AS BIGINT) AS share_permille
+FROM rv JOIN chain c ON rv.n_name = c.n_name
+"""

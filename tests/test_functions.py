@@ -3199,3 +3199,22 @@ def test_rebalance_mix_absent_target_language_empty(tmp_path):
     # 'zh'/'es' absent -> the declared five-way mix is unachievable: the
     # honest answer is an empty corpus, not a silently different mix.
     assert rebalance_mix(str(d)).count() == 0
+
+
+def test_nation_revenue_share_sums_to_parent():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import nation_revenue_share
+
+    got = nation_revenue_share(SF).to_pandas()
+    for _, grp in got.groupby("r_name"):
+        total = int(grp["revenue_cents"].sum())
+        for r in grp.itertuples():
+            assert int(r.share_permille) == (1000 * int(r.revenue_cents)) // total
+        # floor shares can undershoot 1000 by at most the group size
+        assert 1000 - len(grp) <= int(grp["share_permille"].sum()) <= 1000
+    nation = pd.read_parquet(f"{SF}/nation.parquet")
+    region = pd.read_parquet(f"{SF}/region.parquet")
+    chain = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    want = dict(zip(chain["n_name"], chain["r_name"]))
+    assert all(want[r.n_name] == r.r_name for r in got.itertuples())
