@@ -58,6 +58,39 @@ def entry() -> Any:
     return extract_dataset(read_spans(path))
 
 
+# The driver oracle-checks only the FIRST 50 ``queries()`` entries per
+# round.  Rounds 1-3 all saw the same leading window (51 distinct names
+# across CORRECTNESS_r01-r03); round 4 rotates 46 never-driver-checked
+# entries into the window.  extract_* stay first — they are the engine's
+# core and must be re-checked every round.  Round 5 should rotate in the
+# ~46 still-unchecked names (see the tail of the dict).
+_R4_WINDOW = [
+    "extract_titles", "extract_authors", "extract_stats", "extract_golden",
+    "asof_join", "top_event_per_user", "customers_without_events",
+    "range_join", "running_total", "percentiles", "moving_sum",
+    "join_customer_orders", "left_join_orders", "funnel_stages",
+    "pivot_event_counts", "user_event_seq", "event_transitions",
+    "grouped_percentiles", "retention_cohorts", "revenue_by_nation",
+    "percent_rank", "hll_registers", "hll_by_group", "cms_registers",
+    "value_histogram", "sample_split", "stratified_sample", "domain_cap",
+    "shard_shuffle", "weighted_sample", "media_resize", "dup_ngram_profile",
+    "bpe_pair_counts", "corpus_mix_report", "embedding_outliers",
+    "token_budget_select", "embedding_dim_stats", "url_dedup",
+    "event_throttle", "chunk_documents", "vocab_build", "encode_tokens",
+    "skipgram_counts", "salted_event_stats", "pmi_scores", "segment_dedup",
+    "lexical_diversity", "user_interarrival", "dominant_event_type",
+    "label_text_stats",
+]
+
+
+def _window_order(d: dict[str, Any]) -> dict[str, Any]:
+    """Reorder so the driver's first-50 window hits _R4_WINDOW; every
+    other entry keeps its registration order after the window."""
+    out = {k: d[k] for k in _R4_WINDOW if k in d}
+    out.update({k: v for k, v in d.items() if k not in out})
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from go_boilerpipe_ray.functions import (
         dedup,
@@ -72,7 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from go_boilerpipe_ray.sources import formats
 
     _ensure_workers_can_import()
-    return {
+    return _window_order({
         # extraction (the engine's core)
         "extract_titles": xq.extract_titles,
         "extract_authors": xq.extract_authors,
@@ -226,7 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rebalance_mix": sampling.rebalance_mix,
         "incremental_hourly_merge": relational.incremental_hourly_merge,
         "nation_revenue_share": relational.nation_revenue_share,
-    }
+    })
 
 
 def oracle_sql() -> dict[str, str]:

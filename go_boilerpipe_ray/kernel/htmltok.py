@@ -202,13 +202,18 @@ _WS_CLS = r"[\t\n\r\f ]"
 _FAST_TAG_RE = _re.compile(
     r"([a-zA-Z][^\t\n\r\f />]*)"  # 1: tag name
     r"(?:" + _WS_CLS + r"*"
+    # attr key: empty (terminated by '/'), leading-'=' (WHATWG 13.2.5.32:
+    # '=' before the name is part of the name), or a normal key.
     r"(?:/"
     r"|=[^\t\n\r\f /=>]*"
     r"|[^\t\n\r\f /=>]+"
+    r")"
+    # _read_attr_val runs after EVERY key (even an empty '/'-terminated
+    # one): optional ws* '=' ws* then a quote-aware value — a quote right
+    # after '=' starts a quoted value that may swallow '>' and run to EOF.
     r"(?:" + _WS_CLS + r"*=" + _WS_CLS + r"*"
     r"(?:\"[^\"]*\"?|'[^']*'?|[^\t\n\r\f >]*)"
     r")?"
-    r")"
     r")*"
     + _WS_CLS + r"*(>?)"  # 2: present iff the tag closed before EOF
 )

@@ -4,7 +4,7 @@ swallows all HTML malformations — content_handler.go:129-131)."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from go_boilerpipe_ray.kernel.document import parse_document
 from go_boilerpipe_ray.kernel.filters import article_pipeline
@@ -68,6 +68,10 @@ _attr_soup = st.lists(
 
 @settings(max_examples=300, deadline=None)
 @given(_attr_soup)
+# Round-3 Hypothesis counterexample: a quote right after '=' in a
+# malformed end tag starts a quoted value that swallows '>' and runs to
+# EOF — the fast regex used to emit END_TAG div [0,17) here.
+@example(html='</div/="<p/q r=s>')
 def test_fast_tag_scan_matches_char_parser(html):
     from go_boilerpipe_ray.kernel.htmltok import Tokenizer
 
