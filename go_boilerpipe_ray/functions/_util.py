@@ -85,6 +85,78 @@ def md5_u64(vals) -> "np.ndarray":
     return out
 
 
+def partitioned_by_key(ds, key_col: str, kernel, P: int | None = None):
+    """Partition-vectorized per-key execution: the scalable replacement
+    for ``groupby(key).map_groups(per_key_fn)`` when the key has
+    unbounded cardinality (e.g. user_id at 10⁹ users = 10⁹ Python
+    invocations and 10⁹ tiny Arrow tables).
+
+    Appends ``pk = key % P`` (P = wide_partitions(), scales with the
+    cluster) and runs ONE ``kernel(partition_table)`` call per hash
+    partition — every key's rows are co-located, so the kernel computes
+    all per-key results at once with a numpy lexsort + run-boundary
+    sweep (see ``run_bounds``).  Same single keyed shuffle as the naive
+    shape, but UDF calls are bounded by P instead of key cardinality —
+    the pattern dedup.ngram_jaccard_pairs and salted_event_stats
+    established.  The kernel receives (and should ignore/drop) the
+    ``pk`` column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if P is None:
+        P = wide_partitions()
+
+    def add_pk(batch):
+        k = pc.cast(batch.column(key_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return batch.append_column(
+            "pk", pa.array((k % P).astype("int32"), pa.int32())
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def blake2_u63(strs) -> "np.ndarray":
+    """blake2b-8 (>>1, non-negative int64) of each UTF-8 string — the
+    stable cross-process hash for partitioning STRING keys (Python's
+    builtin ``hash`` is per-process salted and cannot key a shuffle;
+    this matches the convention dedup's shingle hashing uses).  Python
+    loop by necessity, but it runs in a narrow pre-shuffle stage over
+    the key column only."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.empty(len(strs), dtype=np.int64)
+    for i, s in enumerate(strs):
+        out[i] = (
+            int.from_bytes(
+                hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
+                "big",
+            )
+            >> 1
+        )
+    return out
+
+
+def run_bounds(sorted_key) -> "np.ndarray":
+    """Boundaries of equal-key runs in an already-sorted array: returns
+    indices b with len = #runs+1 so run i spans [b[i], b[i+1]).  The
+    companion sweep primitive for partitioned_by_key kernels."""
+    import numpy as np
+
+    if len(sorted_key) == 0:
+        return np.zeros(1, dtype=np.int64)
+    return np.flatnonzero(
+        np.r_[True, sorted_key[1:] != sorted_key[:-1], True]
+    ).astype(np.int64)
+
+
 def money_cents(values) -> "np.ndarray":
     """floor(x*100 + 0.5) as int64 — THE fixed-point money/value rule every
     pricing operator and its DuckDB oracle share (floor+0.5 agrees across

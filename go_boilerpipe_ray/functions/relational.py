@@ -227,26 +227,41 @@ SESSION_GAP_MINUTES = 30
 
 
 def sessionize(sf_dir: str) -> "ray.data.Dataset":
-    """Sessions per user: shuffle on user_id, sort within each group by ts,
-    count gaps > 30 min.  The per-group sort replaces any global sort —
-    the only ordering the operator needs is within a key."""
+    """Sessions per user: one keyed shuffle, count gaps > 30 min within
+    each user's time-ordered stream.  Partition-vectorized: rows shuffle
+    on user_id % P (P = wide_partitions()) and ONE numpy kernel per
+    partition computes every user's counts via lexsort + run boundaries
+    — P UDF calls total instead of one per user (10⁹ users = 10⁹ Python
+    invocations under the naive groupby(user_id).map_groups shape)."""
+    from ._util import partitioned_by_key, run_bounds
+
     gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
 
-    def sessions(group: pa.Table) -> pa.Table:
-        ts = np.sort(
-            pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
-        )
-        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
+    def sessions_part(part: pa.Table) -> pa.Table:
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(part.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        b = run_bounds(uid)
+        starts = b[:-1]
+        n_events = np.diff(b)
+        # A session break is a same-user gap > gap_us; count per user run.
+        same_user = uid[1:] == uid[:-1]
+        breaks = same_user & (np.diff(ts) > gap_us)
+        uidx = np.cumsum(np.r_[False, ~same_user])  # run index per row
+        n_sessions = 1 + np.bincount(
+            uidx[1:][breaks], minlength=len(starts)
+        ).astype(np.int64)
         return pa.table(
             {
-                "user_id": pa.array([group.column("user_id")[0].as_py()], pa.int64()),
-                "n_events": pa.array([len(ts)], pa.int64()),
-                "n_sessions": pa.array([n_sessions], pa.int64()),
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
             }
         )
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    return partitioned_by_key(ds, "user_id", sessions_part)
 
 
 SESSIONIZE_SQL = f"""
@@ -427,23 +442,34 @@ DISTINCT_EVENT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
 
 def top_event_per_user(sf_dir: str) -> "ray.data.Dataset":
     """Each user's highest-value event (ties broken by event_id) — the
-    row_number()-per-partition window expressed as groupby + in-group
-    argmin over a composite order, no global sort."""
+    row_number()-per-partition window, partition-vectorized: rows
+    shuffle on user_id % P and one lexsort-per-partition kernel picks
+    every user's winner at once (first row of each user run under the
+    (user, -value, event_id) order) — P UDF calls, not one per user.
 
-    def pick(group: pa.Table) -> pa.Table:
-        vals = group.column("value").to_numpy(zero_copy_only=False)
-        ids = group.column("event_id").to_numpy(zero_copy_only=False)
-        i = int(np.lexsort((ids, -vals))[0])
+    A per-batch combiner could pre-reduce each block to one candidate
+    per user before the shuffle (like pivot_event_counts); skipped here
+    because winner rows are as wide as input rows — the shuffle saves
+    nothing unless users repeat within a block."""
+    from ._util import partitioned_by_key, run_bounds
+
+    def pick_part(part: pa.Table) -> pa.Table:
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        vals = part.column("value").to_numpy(zero_copy_only=False)
+        ids = part.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -vals, uid))
+        uid, vals, ids = uid[order], vals[order], ids[order]
+        first = run_bounds(uid)[:-1]
         return pa.table(
             {
-                "user_id": pa.array([group.column("user_id")[0].as_py()], pa.int64()),
-                "event_id": pa.array([int(ids[i])], pa.int64()),
-                "value": pa.array([float(vals[i])], pa.float64()),
+                "user_id": pa.array(uid[first], pa.int64()),
+                "event_id": pa.array(ids[first], pa.int64()),
+                "value": pa.array(vals[first], pa.float64()),
             }
         )
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
-    return ds.groupby("user_id").map_groups(pick, batch_format="pyarrow")
+    return partitioned_by_key(ds, "user_id", pick_part)
 
 
 TOP_EVENT_PER_USER_SQL = """
@@ -502,10 +528,13 @@ def asof_join_events_orders(sf_dir: str) -> "ray.data.Dataset":
     with o_orderdate <= event ts (ties on date broken by max o_orderkey).
 
     Ray Data has no asof join; the scalable composition is a single keyed
-    shuffle: union both tables tagged with a side flag, groupby(key), and
-    inside each group sort the build side once and answer every probe with
-    a vectorized searchsorted.  One shuffle of (key, ts, id) triples — the
-    inequality predicate never becomes an all-pairs join."""
+    shuffle: union both tables tagged with a side flag, co-locate each
+    customer (key % P), and answer every probe with ONE vectorized
+    searchsorted per partition — probes and builds of all keys share a
+    composite (key_index · span + ts) axis so a probe can never match
+    into a neighbouring key's run.  One shuffle of (key, ts, id)
+    triples, P kernel calls — the inequality predicate never becomes an
+    all-pairs join and no per-key Python call exists."""
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
     events = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
@@ -538,13 +567,14 @@ def asof_join_events_orders(sf_dir: str) -> "ray.data.Dataset":
         events.map_batches(event_rows, batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    def probe(group: pa.Table) -> pa.Table:
-        side = group.column("side").to_numpy(zero_copy_only=False)
-        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
-        rid = group.column("row_id").to_numpy(zero_copy_only=False)
+    def probe_part(part: pa.Table) -> pa.Table:
+        side = part.column("side").to_numpy(zero_copy_only=False)
+        key = part.column("key").to_numpy(zero_copy_only=False)
+        ts = part.column("ts_us").to_numpy(zero_copy_only=False)
+        rid = part.column("row_id").to_numpy(zero_copy_only=False)
         is_order = side == 0
-        o_ts, o_id = ts[is_order], rid[is_order]
-        e_ts, e_id = ts[~is_order], rid[~is_order]
+        o_key, o_ts, o_id = key[is_order], ts[is_order], rid[is_order]
+        e_key, e_ts, e_id = key[~is_order], ts[~is_order], rid[~is_order]
         empty = pa.table(
             {
                 "event_id": pa.array([], pa.int64()),
@@ -556,29 +586,43 @@ def asof_join_events_orders(sf_dir: str) -> "ray.data.Dataset":
         )
         if len(o_ts) == 0 or len(e_ts) == 0:
             return empty
-        order = np.lexsort((o_id, o_ts))
-        o_ts, o_id = o_ts[order], o_id[order]
-        # rightmost order with ts <= event ts: ties on ts land on max id
-        # because the build side is sorted by (ts, id).
-        pos = np.searchsorted(o_ts, e_ts, side="right") - 1
-        hit = pos >= 0
+        # Composite axis: key-index · span + (ts - t0) keeps every key's
+        # build run disjoint, so one searchsorted answers all probes.
+        uniq = np.unique(key)
+        t0 = int(ts.min())
+        span = int(ts.max()) - t0 + 2
+        if len(uniq) * span >= 2**62:
+            raise OverflowError(
+                "asof_join: key-count x time-span exceeds the composite "
+                "searchsorted key — shrink the partition (raise P)"
+            )
+        o_kidx = np.searchsorted(uniq, o_key)
+        e_kidx = np.searchsorted(uniq, e_key)
+        order = np.lexsort((o_id, o_ts, o_kidx))
+        o_kidx, o_ts, o_id = o_kidx[order], o_ts[order], o_id[order]
+        bcomp = o_kidx * span + (o_ts - t0)
+        # rightmost order with ts <= event ts IN THE SAME KEY RUN: ties
+        # on ts land on max id because builds sort by (key, ts, id).
+        pos = np.searchsorted(bcomp, e_kidx * span + (e_ts - t0), side="right") - 1
+        hit = (pos >= 0) & (o_kidx[np.maximum(pos, 0)] == e_kidx)
         if not hit.any():
             return empty
-        key = group.column("key")[0].as_py()
-        n = int(hit.sum())
+        ph = pos[hit]
         return pa.table(
             {
                 "event_id": pa.array(e_id[hit], pa.int64()),
-                "user_id": pa.array(np.full(n, key, dtype=np.int64)),
+                "user_id": pa.array(e_key[hit], pa.int64()),
                 "ts": pa.array(e_ts[hit], pa.int64()).cast(pa.timestamp("us")),
-                "o_orderkey": pa.array(o_id[pos[hit]], pa.int64()),
-                "o_orderdate": pa.array(o_ts[pos[hit]], pa.int64()).cast(
+                "o_orderkey": pa.array(o_id[ph], pa.int64()),
+                "o_orderdate": pa.array(o_ts[ph], pa.int64()).cast(
                     pa.timestamp("us")
                 ),
             }
         )
 
-    return both.groupby("key").map_groups(probe, batch_format="pyarrow")
+    from ._util import partitioned_by_key
+
+    return partitioned_by_key(both, "key", probe_part)
 
 
 ASOF_JOIN_SQL = """
@@ -602,18 +646,37 @@ def range_join_prior_events(sf_dir: str) -> "ray.data.Dataset":
     """Range join (self-join form): every pair of events of the same user
     where the earlier one falls strictly within the 24 h before the later
     one.  Same single-keyed-shuffle shape as the as-of join, but each
-    probe emits a [lo, hi) slice of the time-sorted group (variable
+    probe emits a [lo, hi) slice of the time-sorted run (variable
     fan-out via repeat + flat slice indices) instead of one row — an
-    interval join that never goes all-pairs."""
+    interval join that never goes all-pairs.  Partition-vectorized on
+    user_id % P: the searchsorted window bounds for ALL users come from
+    one pass by offsetting each probe onto a per-user composite key
+    (run_index · span) so a user's window can never cross into a
+    neighbouring run — no per-user Python call, P kernel calls total."""
+    from ._util import partitioned_by_key, run_bounds
+
     win_us = RANGE_JOIN_HOURS * 3600 * 1_000_000
 
-    def probe(group: pa.Table) -> pa.Table:
-        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
-        eid = group.column("event_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        ts, eid = ts[order], eid[order]
-        lo = np.searchsorted(ts, ts - win_us, side="right")
-        hi = np.searchsorted(ts, ts, side="left")
+    def probe_part(part: pa.Table) -> pa.Table:
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(part.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        b = run_bounds(uid)
+        ridx = np.repeat(
+            np.arange(len(b) - 1, dtype=np.int64), np.diff(b)
+        )  # run index per row
+        t0 = int(ts.min()) if len(ts) else 0
+        span = (int(ts.max()) - t0 if len(ts) else 0) + win_us + 2
+        if (len(b) - 1) * span >= 2**62:  # composite key must fit int64
+            raise OverflowError(
+                "range_join: run-count x time-span exceeds the composite "
+                "searchsorted key — shrink the partition (raise P)"
+            )
+        key = ridx * span + (ts - t0)
+        lo = np.searchsorted(key, key - win_us, side="right")
+        hi = np.searchsorted(key, key, side="left")
         counts = hi - lo
         keep = counts > 0
         if not keep.any():
@@ -637,7 +700,7 @@ def range_join_prior_events(sf_dir: str) -> "ray.data.Dataset":
         )
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
-    return ds.groupby("user_id").map_groups(probe, batch_format="pyarrow")
+    return partitioned_by_key(ds, "user_id", probe_part)
 
 
 RANGE_JOIN_SQL = f"""
@@ -785,33 +848,40 @@ PERCENTILES_SQL = "\nUNION ALL\n".join(
 def moving_sum_events(sf_dir: str) -> "ray.data.Dataset":
     """Per-user moving 3-row window over event value (integer cents so
     the float-sum order can't diverge from the oracle).  One shuffle on
-    user_id; the window itself is a vectorized in-group cumsum
-    difference.  Skew note: a hot user concentrates in one group — at
-    crawl scale, salt the key with a coarse time bucket and stitch the
-    two edge windows, as sessionize documents."""
+    user_id % P; one kernel per partition computes every user's windows
+    at once — a global cumsum differenced against a per-row window
+    floor clamped to the user's run start, so no per-user Python call
+    exists anywhere.  Skew note: a hot user concentrates in one
+    partition — at crawl scale, salt the key with a coarse time bucket
+    and stitch the two edge windows."""
+    from ._util import partitioned_by_key, run_bounds
+
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
 
-    def window(group: pa.Table) -> pa.Table:
-        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
-        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+    def window_part(part: pa.Table) -> pa.Table:
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(part.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
         cents = np.rint(
-            group.column("value").to_numpy(zero_copy_only=False) * 100
+            part.column("value").to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
-        order = np.lexsort((eid, ts))
-        eid, cents = eid[order], cents[order]
-        csum = np.cumsum(cents)
-        w3 = csum - np.concatenate([[0, 0, 0], csum[:-3]])
-        nwin = np.minimum(np.arange(len(eid)) + 1, 3)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, cents = uid[order], eid[order], cents[order]
+        b = run_bounds(uid)
+        starts_rep = np.repeat(b[:-1], np.diff(b))
+        csum0 = np.r_[0, np.cumsum(cents)]
+        i = np.arange(len(uid), dtype=np.int64)
+        lo = np.maximum(i + 1 - 3, starts_rep)  # window floor, run-clamped
         return pa.table(
             {
                 "event_id": pa.array(eid, pa.int64()),
-                "user_id": group.column("user_id"),
-                "w3_cents": pa.array(w3, pa.int64()),
-                "n_window": pa.array(nwin, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "w3_cents": pa.array(csum0[i + 1] - csum0[lo], pa.int64()),
+                "n_window": pa.array(i + 1 - lo, pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(window, batch_format="pyarrow")
+    return partitioned_by_key(ds, "user_id", window_part)
 
 
 MOVING_SUM_SQL = """
@@ -1035,34 +1105,42 @@ def funnel_stages(sf_dir: str) -> "ray.data.Dataset":
     3 at the first 'purchase' strictly after that click.  The product-
     analytics primitive Ray Data has no built-in for.
 
-    One shuffle on user_id; the per-group pass is three vectorized
-    min-reductions over the group's timestamps (no sort needed — each
-    stage only needs the min qualifying timestamp).  Only (user_id,
-    event_type, ts) rows move, pruned at the read."""
-    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    One shuffle on user_id % P; inside each partition the per-user
+    "first qualifying timestamp" of every stage is a masked
+    ``np.minimum.at`` scatter over the user index — three vectorized
+    reductions for ALL users in the partition, no sort and no per-user
+    Python call anywhere.  Only (user_id, event_type, ts) rows move,
+    pruned at the read."""
+    from ._util import partitioned_by_key
 
-    def stage_of(group: pa.Table) -> pa.Table:
-        ts = group.column("ts").to_numpy(zero_copy_only=False)
-        et = np.asarray(group.column("event_type").to_pylist())
-        stage = 0
-        cutoff = None
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    INF = np.iinfo(np.int64).max
+
+    def stage_part(part: pa.Table) -> pa.Table:
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(part.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        et = part.column("event_type")
+        uniq, uidx = np.unique(uid, return_inverse=True)
+        stage = np.zeros(len(uniq), dtype=np.int64)
+        cutoff = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
         for name in _FUNNEL_STAGES:
-            mask = et == name
-            if cutoff is not None:
-                mask &= ts > cutoff
-            if not mask.any():
-                break
-            cutoff = ts[mask].min()
-            stage += 1
-        uid = group.column("user_id")[0].as_py()
+            m = pc.fill_null(pc.equal(et, name), False).to_numpy(
+                zero_copy_only=False
+            )
+            m &= ts > cutoff[uidx]  # strictly after the previous stage
+            t = np.full(len(uniq), INF, dtype=np.int64)
+            np.minimum.at(t, uidx[m], ts[m])
+            reached = t < INF
+            stage += reached
+            cutoff = np.where(reached, t, INF)  # unreached: no next stage
         return pa.table(
             {
-                "user_id": pa.array([uid], pa.int64()),
-                "funnel_stage": pa.array([stage], pa.int64()),
+                "user_id": pa.array(uniq, pa.int64()),
+                "funnel_stage": pa.array(stage, pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(stage_of, batch_format="pyarrow")
+    return partitioned_by_key(ds, "user_id", stage_part)
 
 
 FUNNEL_SQL = """
@@ -1153,25 +1231,33 @@ FROM events GROUP BY user_id
 def user_event_seq(sf_dir: str) -> "ray.data.Dataset":
     """Per-user time-ordered event-type sequence as one string — the
     "assemble a session/trajectory document" primitive for behavioral
-    training data.  One shuffle on user_id; in-group lexsort by
-    (ts, event_id) makes the concatenation deterministic (hash-stable
-    against the string_agg ORDER BY oracle)."""
+    training data.  One shuffle on user_id % P; a lexsort by
+    (user, ts, event_id) per PARTITION makes every user's concatenation
+    deterministic (hash-stable against the string_agg ORDER BY oracle).
+    The join itself is one str.join per user run over a pre-sorted
+    object array — the only per-key step left, and it allocates no
+    Arrow table and crosses no task boundary per key."""
+    from ._util import partitioned_by_key, run_bounds
+
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
 
-    def concat(group: pa.Table) -> pa.Table:
-        ts = group.column("ts").to_numpy(zero_copy_only=False)
-        eid = group.column("event_id").to_numpy(zero_copy_only=False)
-        et = group.column("event_type").to_pylist()
-        order = np.lexsort((eid, ts))
-        uid = group.column("user_id")[0].as_py()
+    def concat_part(part: pa.Table) -> pa.Table:
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(part.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid = uid[order]
+        et = np.asarray(part.column("event_type").to_pylist(), dtype=object)[order]
+        b = run_bounds(uid)
+        seqs = [">".join(et[s:e]) for s, e in zip(b[:-1], b[1:])]
         return pa.table(
             {
-                "user_id": pa.array([uid], pa.int64()),
-                "seq": pa.array([">".join(et[i] for i in order)], pa.string()),
+                "user_id": pa.array(uid[b[:-1]], pa.int64()),
+                "seq": pa.array(seqs, pa.string()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(concat, batch_format="pyarrow")
+    return partitioned_by_key(ds, "user_id", concat_part)
 
 
 USER_EVENT_SEQ_SQL = """
@@ -1185,34 +1271,38 @@ def event_transitions(sf_dir: str) -> pa.Table:
     """Global Markov transition counts over per-user ordered event
     streams: (from_type, to_type, cnt).
 
-    The per-user pass emits PARTIAL transition counts (≤ types² rows
-    per user), then one tiny groupby-sum rolls them up — the hot pair
-    ("view"→"view") pre-combines inside every group, so the second
-    shuffle moves bounded fixed-width rows no matter how long the
-    streams are."""
+    The per-partition pass emits PARTIAL transition counts (≤ types²
+    rows per user_id % P partition — one vectorized bincount over coded
+    consecutive pairs, not a Python Counter per user), then one tiny
+    groupby-sum rolls them up — the hot pair ("view"→"view")
+    pre-combines inside every partition, so the second shuffle moves
+    bounded fixed-width rows no matter how long the streams are."""
+    from ._util import partitioned_by_key
+
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
 
-    def partial_transitions(group: pa.Table) -> pa.Table:
-        import collections
-
-        ts = group.column("ts").to_numpy(zero_copy_only=False)
-        eid = group.column("event_id").to_numpy(zero_copy_only=False)
-        et = group.column("event_type").to_pylist()
-        order = np.lexsort((eid, ts))
-        counts: collections.Counter = collections.Counter(
-            (et[a], et[b]) for a, b in zip(order, order[1:])
-        )
+    def partial_transitions(part: pa.Table) -> pa.Table:
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(part.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        types = np.asarray(part.column("event_type").to_pylist(), dtype=object)
+        uniq, code = np.unique(types, return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        uid, code = uid[order], code[order]
+        same = uid[1:] == uid[:-1]  # transitions stay within a user
+        pair = code[:-1][same] * len(uniq) + code[1:][same]
+        cnt = np.bincount(pair, minlength=len(uniq) * len(uniq))
+        nz = np.flatnonzero(cnt)
         return pa.table(
             {
-                "from_type": pa.array([k[0] for k in counts], pa.string()),
-                "to_type": pa.array([k[1] for k in counts], pa.string()),
-                "cnt_part": pa.array(list(counts.values()), pa.int64()),
+                "from_type": pa.array(uniq[nz // len(uniq)], pa.string()),
+                "to_type": pa.array(uniq[nz % len(uniq)], pa.string()),
+                "cnt_part": pa.array(cnt[nz], pa.int64()),
             }
         )
 
     out = (
-        ds.groupby("user_id")
-        .map_groups(partial_transitions, batch_format="pyarrow")
+        partitioned_by_key(ds, "user_id", partial_transitions)
         .groupby(["from_type", "to_type"])
         .aggregate(ray.data.aggregate.Sum("cnt_part", alias_name="cnt"))
         .to_pandas()
@@ -1330,19 +1420,28 @@ def retention_cohorts(sf_dir: str) -> pa.Table:
             }
         )
 
-    def user_deltas(group: pa.Table) -> pa.Table:
-        uid = group.column("user_id")[0].as_py()
-        wk = group.column("wk").to_numpy(zero_copy_only=False)
-        uniq = np.unique(wk)
-        cohort = uniq[0]
-        deltas = ((uniq - cohort) // np.timedelta64(7, "D")).astype(np.int64)
+    def user_deltas_part(part: pa.Table) -> pa.Table:
+        """All users in the partition at once: distinct (user, week)
+        rows via sort + change mask, cohort = each user run's first
+        week, delta vectorized against the run-start broadcast."""
+        from ._util import run_bounds
+
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        wk = pc.cast(part.column("wk"), pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((wk, uid))
+        uid, wk = uid[order], wk[order]
+        keep = np.r_[True, (uid[1:] != uid[:-1]) | (wk[1:] != wk[:-1])]
+        uid, wk = uid[keep], wk[keep]
+        b = run_bounds(uid)
+        cohort = np.repeat(wk[b[:-1]], np.diff(b))
+        week_us = 7 * 86_400_000_000
         return pa.table(
             {
-                "user_id": pa.array([uid] * len(deltas), pa.int64()),
-                "cohort_week": pa.array([cohort] * len(deltas)).cast(
+                "user_id": pa.array(uid, pa.int64()),
+                "cohort_week": pa.array(cohort, pa.int64()).cast(
                     pa.timestamp("us")
                 ),
-                "week_delta": pa.array(deltas, pa.int64()),
+                "week_delta": pa.array((wk - cohort) // week_us, pa.int64()),
             }
         )
 
@@ -1358,10 +1457,14 @@ def retention_cohorts(sf_dir: str) -> pa.Table:
             }
         )
 
+    from ._util import partitioned_by_key
+
     out = (
-        ds.map_batches(add_week, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(user_deltas, batch_format="pyarrow")
+        partitioned_by_key(
+            ds.map_batches(add_week, batch_format="pyarrow", zero_copy_batch=True),
+            "user_id",
+            user_deltas_part,
+        )
         .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["cohort_week", "week_delta"])
         .aggregate(ray.data.aggregate.Sum("n_part", alias_name="n_users"))
@@ -1508,28 +1611,122 @@ GROUP BY 1
 def percent_rank_events(sf_dir: str) -> "ray.data.Dataset":
     """Integer percent-rank of each event's value within its event type:
     ``(rank - 1) * 1000 // (n - 1)`` permille under the deterministic
-    order (value, event_id) — the group-wise normalization used to
-    compare scores across heterogeneous groups.  One shuffle on the
-    group key; the rank is an in-group lexsort."""
+    order (value, event_id).
+
+    Exact GLOBAL ranks without a global sort and without one giant
+    group per type (the naive groupby(event_type) puts 1/|types| of the
+    whole corpus in a single task).  Two stages:
+
+    1. A bounded (type, value-bucket) histogram — buckets are integer
+       currency units, ``money_cents(v) // 100``, which is monotone in
+       v and maps equal values to equal buckets, so exclusive prefix
+       sums over buckets are exact global rank offsets.  Histogram size
+       is types x value-range — independent of corpus size — so the
+       driver-side rollup + broadcast is bounded.
+    2. One keyed shuffle co-locating each (type, bucket); a vectorized
+       per-partition kernel lexsorts, assigns within-bucket local ranks
+       via run boundaries, and adds the broadcast offset.  UDF calls
+       are bounded by wide_partitions(); every group a task sees is at
+       most one bucket's rows, not one type's."""
+    from ._util import money_cents, partitioned_by_key
+
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
 
-    def rank(group: pa.Table) -> pa.Table:
-        v = group.column("value").to_numpy(zero_copy_only=False)
-        eid = group.column("event_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, v))
-        n = len(order)
-        r = np.empty(n, dtype=np.int64)
-        r[order] = np.arange(n, dtype=np.int64)  # rank-1
-        pr = r * 1000 // max(n - 1, 1)
+    # -- stage 1: bounded histogram -> offsets + totals, broadcast once
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        bucket = money_cents(
+            batch.column("value").to_numpy(zero_copy_only=False)
+        ) // 100
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type", "bucket"]).aggregate([([], "count_all")])
         return pa.table(
             {
-                "event_id": group.column("event_id"),
-                "event_type": group.column("event_type"),
+                "event_type": g.column("event_type"),
+                "bucket": g.column("bucket"),
+                "n_part": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(bucket_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "bucket"])
+        .sum("n_part")
+        .rename_columns({"sum(n_part)": "n_part"})
+        .to_pandas()  # bounded: types x value-range units, not rows
+        .sort_values(["event_type", "bucket"])
+    )
+    types = sorted(hist["event_type"].unique())
+    tcode = {t: i for i, t in enumerate(types)}
+    offsets: dict[tuple[int, int], int] = {}
+    denom: dict[int, int] = {}
+    for t, sub in hist.groupby("event_type", sort=True):
+        counts = sub["n_part"].to_numpy()
+        excl = np.r_[0, np.cumsum(counts)[:-1]]
+        for bk, off in zip(sub["bucket"].to_numpy(), excl):
+            offsets[(tcode[t], int(bk))] = int(off)
+        denom[tcode[t]] = max(int(counts.sum()) - 1, 1)
+    ref = ray.put((types, offsets, denom))
+
+    # -- stage 2: co-locate (type, bucket), rank locally, add offset
+    ntypes = max(len(types), 1)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        bucket = money_cents(
+            batch.column("value").to_numpy(zero_copy_only=False)
+        ) // 100
+        enc = batch.column("event_type").combine_chunks().dictionary_encode()
+        dmap = np.array(
+            [tcode[t] for t in enc.dictionary.to_pylist()], np.int64
+        )
+        tc = dmap[enc.indices.to_numpy(zero_copy_only=False)]
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "value": batch.column("value"),
+                "tc": pa.array(tc, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+                "bkey": pa.array(bucket * ntypes + tc, pa.int64()),
+            }
+        )
+
+    def rank_part(part: pa.Table) -> pa.Table:
+        types_l, offs, den = ray.get(ref)
+        tc = part.column("tc").to_numpy(zero_copy_only=False)
+        bk = part.column("bucket").to_numpy(zero_copy_only=False)
+        v = part.column("value").to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, v, bk, tc))
+        tc, bk, eid = tc[order], bk[order], eid[order]
+        v = v[order]
+        change = (tc[1:] != tc[:-1]) | (bk[1:] != bk[:-1])
+        b = np.flatnonzero(np.r_[True, change, True]).astype(np.int64)
+        lens = np.diff(b)
+        starts = b[:-1]
+        # per-run offset/denominator lookups: one per (type, bucket)
+        # run — bounded by the histogram size, not by rows.
+        off = np.array(
+            [offs[(int(tc[s]), int(bk[s]))] for s in starts], np.int64
+        )
+        dd = np.array([den[int(tc[s])] for s in starts], np.int64)
+        local = np.arange(len(tc), dtype=np.int64) - np.repeat(starts, lens)
+        rank = local + np.repeat(off, lens)
+        pr = rank * 1000 // np.repeat(dd, lens)
+        etypes = np.asarray(types_l, dtype=object)[tc]
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "event_type": pa.array(etypes, pa.string()),
                 "pr_permille": pa.array(pr, pa.int64()),
             }
         )
 
-    return ds.groupby("event_type").map_groups(rank, batch_format="pyarrow")
+    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    return partitioned_by_key(keyed, "bkey", rank_part)
 
 
 PERCENT_RANK_SQL = """
@@ -1553,10 +1750,11 @@ def event_throttle(sf_dir: str) -> "ray.data.Dataset":
     earliest (ts, event_id).  The dedup flavor a feature-store ingest or
     notification pipeline runs.
 
-    Scale shape: the bucket key is derived vectorized in a narrow stage;
-    the only shuffle is the groupby on (user, type, bucket) — fixed-width
-    rows, keeper chosen per group with an in-group argmin, output is the
-    kept minority."""
+    Scale shape: the bucket key is derived vectorized in a narrow
+    stage; the only shuffle co-locates each user's rows (user_id % P,
+    which contains every (user, type, bucket) group whole), and one
+    lexsort kernel per partition keeps each group's first row — P UDF
+    calls instead of one per (user, type, bucket) group."""
     win_us = THROTTLE_MINUTES * 60 * 1_000_000
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -1572,30 +1770,48 @@ def event_throttle(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
-        eid = group.column("event_id").to_numpy(zero_copy_only=False)
-        i = int(np.lexsort((eid, ts))[0])
-        row = group.slice(i, 1)
+    def keep_first_part(part: pa.Table) -> pa.Table:
+        from ._util import run_bounds
+
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        bucket = part.column("bucket").to_numpy(zero_copy_only=False)
+        ts = pc.cast(part.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        # Group on integer type codes (np.unique order is irrelevant —
+        # codes only need to separate groups; the keeper order within a
+        # group is (ts, event_id)).
+        types = np.asarray(part.column("event_type").to_pylist(), dtype=object)
+        _, tcode = np.unique(types, return_inverse=True)
+        order = np.lexsort((eid, ts, bucket, tcode, uid))
+        uid, bucket, tcode = uid[order], bucket[order], tcode[order]
+        change = (
+            (uid[1:] != uid[:-1])
+            | (tcode[1:] != tcode[:-1])
+            | (bucket[1:] != bucket[:-1])
+        )
+        first = order[np.flatnonzero(np.r_[True, change])]
         return pa.table(
             {
-                "event_id": row.column("event_id"),
-                "user_id": row.column("user_id"),
-                "event_type": row.column("event_type"),
+                "event_id": pa.array(eid[first], pa.int64()),
+                "user_id": pa.array(
+                    part.column("user_id").to_numpy(zero_copy_only=False)[first],
+                    pa.int64(),
+                ),
+                "event_type": pa.array(types[first], pa.string()),
                 "bucket_start": pa.array(
-                    [int(ts[i] // (THROTTLE_MINUTES * 60 * 1_000_000))
-                     * THROTTLE_MINUTES * 60 * 1_000_000],
+                    part.column("bucket").to_numpy(zero_copy_only=False)[first],
                     pa.int64(),
                 ),
             }
         )
 
+    from ._util import partitioned_by_key
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "event_type", "bucket"])
-        .map_groups(keep_first, batch_format="pyarrow")
+    bucketed = ds.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
     )
+    return partitioned_by_key(bucketed, "user_id", keep_first_part)
 
 
 EVENT_THROTTLE_SQL = f"""
@@ -1715,34 +1931,40 @@ def user_interarrival(sf_dir: str) -> "ray.data.Dataset":
     """Per-user event inter-arrival stats (gap count / sum / max in
     microseconds) — the burstiness profile rate-limiting and bot
     detection read.  Same shape as sessionize: one shuffle keyed on
-    user_id, the only ordering needed is within a key, so a per-group
-    numpy sort+diff replaces any global sort."""
+    user_id % P, one numpy kernel per partition — every user's gap
+    stats come from a single sort + masked diff + scatter-reduce, no
+    per-user Python call."""
+    from ._util import partitioned_by_key, run_bounds
 
-    def gaps(group: pa.Table) -> pa.Table:
-        ts = np.sort(
-            pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
-        )
-        d = np.diff(ts)
+    def gaps_part(part: pa.Table) -> pa.Table:
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(part.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        b = run_bounds(uid)
+        nruns = len(b) - 1
+        same = uid[1:] == uid[:-1]
+        d = np.diff(ts)[same]  # within-user gaps only
+        gidx = (np.cumsum(np.r_[False, ~same]))[1:][same]  # run per gap
+        sums = np.zeros(nruns, np.int64)
+        np.add.at(sums, gidx, d)
+        maxs = np.zeros(nruns, np.int64)
+        np.maximum.at(maxs, gidx, d)
         return pa.table(
             {
-                "user_id": pa.array(
-                    [group.column("user_id")[0].as_py()], pa.int64()
+                "user_id": pa.array(uid[b[:-1]], pa.int64()),
+                "n_events": pa.array(np.diff(b), pa.int64()),
+                "n_gaps": pa.array(
+                    np.bincount(gidx, minlength=nruns).astype(np.int64),
+                    pa.int64(),
                 ),
-                "n_events": pa.array([len(ts)], pa.int64()),
-                "n_gaps": pa.array([len(d)], pa.int64()),
-                "sum_gap_us": pa.array(
-                    [int(d.sum()) if len(d) else 0], pa.int64()
-                ),
-                "max_gap_us": pa.array(
-                    [int(d.max()) if len(d) else 0], pa.int64()
-                ),
+                "sum_gap_us": pa.array(sums, pa.int64()),
+                "max_gap_us": pa.array(maxs, pa.int64()),
             }
         )
 
-    return (
-        _read(sf_dir, "events", ["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(gaps, batch_format="pyarrow")
+    return partitioned_by_key(
+        _read(sf_dir, "events", ["user_id", "ts"]), "user_id", gaps_part
     )
 
 
@@ -1768,9 +1990,20 @@ def dominant_event_type(sf_dir: str) -> "ray.data.Dataset":
     """Mode per group: each user's most frequent event_type (ties broken
     lexicographically).  Two-stage: a vectorized per-batch combiner
     collapses raw events to (user, type, partial count) rows, a
-    groupby((user, type)) sums the bounded partials, and a per-user
-    argmax picks the winner — the raw event stream crosses the wire
-    only as pre-aggregated counts."""
+    groupby((user, type)) sums the bounded partials, and a
+    partition-vectorized per-user argmax picks the winner (one lexsort
+    kernel per user_id % P partition, not one Python call per user) —
+    the raw event stream crosses the wire only as pre-aggregated
+    counts.
+
+    NULL event_type rides the shuffle as U+10FFFF (Ray's sort-based
+    groupby cannot order None against str, and the tie-break compare
+    would TypeError); the max code point sorts AFTER every real type in
+    both numpy and DuckDB's UTF-8 collation, matching the oracle's
+    NULLS LAST tie order, and is decoded back at output."""
+    from ._util import partitioned_by_key, run_bounds
+
+    _NULL_MARK = "\U0010ffff"
 
     def partial(batch: pa.Table) -> pa.Table:
         agg = (
@@ -1781,34 +2014,41 @@ def dominant_event_type(sf_dir: str) -> "ray.data.Dataset":
         return pa.table(
             {
                 "user_id": agg.column("user_id"),
-                "event_type": agg.column("event_type"),
+                "event_type": pc.fill_null(
+                    agg.column("event_type"), _NULL_MARK
+                ),
                 "n_part": pc.cast(agg.column("count_all"), pa.int64()),
             }
         )
 
-    def argmax(group: pa.Table) -> pa.Table:
-        n = group.column("n").to_numpy(zero_copy_only=False)
-        types = group.column("event_type").to_pylist()
-        best = min(range(len(n)), key=lambda i: (-n[i], types[i]))
+    def argmax_part(part: pa.Table) -> pa.Table:
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        n = part.column("n").to_numpy(zero_copy_only=False)
+        types = np.asarray(part.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((types, -n, uid))
+        uid, n, types = uid[order], n[order], types[order]
+        first = run_bounds(uid)[:-1]
+        win = types[first]
         return pa.table(
             {
-                "user_id": pa.array(
-                    [group.column("user_id")[0].as_py()], pa.int64()
+                "user_id": pa.array(uid[first], pa.int64()),
+                "event_type": pc.if_else(
+                    pc.equal(pa.array(win, pa.string()), _NULL_MARK),
+                    pa.scalar(None, pa.string()),
+                    pa.array(win, pa.string()),
                 ),
-                "event_type": pa.array([types[best]], pa.string()),
-                "n_events": pa.array([int(n[best])], pa.int64()),
+                "n_events": pa.array(n[first], pa.int64()),
             }
         )
 
-    return (
+    counts = (
         _read(sf_dir, "events", ["user_id", "event_type"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["user_id", "event_type"])
         .sum("n_part")
         .rename_columns({"sum(n_part)": "n"})
-        .groupby("user_id")
-        .map_groups(argmax, batch_format="pyarrow")
     )
+    return partitioned_by_key(counts, "user_id", argmax_part)
 
 
 DOMINANT_EVENT_TYPE_SQL = """
@@ -2305,49 +2545,50 @@ ZORDER_KEYS_SQL = _zorder_sql()
 def session_stats(sf_dir: str) -> "ray.data.Dataset":
     """Per-SESSION rows — sessionize's detailed sibling: each (user,
     session) with its event count and wall duration.  Same single
-    user-keyed shuffle; the session split is a vectorized
-    cumsum(diff > gap) over the per-group sorted timestamps."""
+    shuffle keyed on user_id % P; one kernel per partition splits EVERY
+    user's stream at once — a session starts at each user boundary or
+    same-user gap > 30 min, so session ids are one global cumsum and
+    per-session stats are bincount / boundary picks (no per-user
+    Python call)."""
+    from ._util import partitioned_by_key
+
     gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
 
-    def per_user(group: pa.Table) -> pa.Table:
-        ts = np.sort(
-            pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+    def sessions_part(part: pa.Table) -> pa.Table:
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(part.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        n = len(uid)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        new_s = new_user | np.r_[False, np.diff(ts) > gap_us]
+        sid = np.cumsum(new_s) - 1  # global session index
+        n_sessions = int(sid[-1]) + 1 if n else 0
+        n_events = np.bincount(sid, minlength=n_sessions).astype(np.int64)
+        s_start = np.flatnonzero(new_s)
+        s_end = np.r_[s_start[1:] - 1, n - 1] if n else s_start
+        # session_no within user: session index minus the user's first
+        # session index, + 1.
+        user_first_sid = sid[np.flatnonzero(new_user)]
+        sess_per_user = np.diff(
+            np.r_[user_first_sid, n_sessions]
+        )  # sessions per user run (runs are contiguous in sid)
+        session_no = (
+            np.arange(n_sessions, dtype=np.int64)
+            - np.repeat(user_first_sid, sess_per_user)
+            + 1
         )
-        if len(ts) == 0:
-            return pa.table(
-                {
-                    "user_id": pa.array([], pa.int64()),
-                    "session_no": pa.array([], pa.int64()),
-                    "n_events": pa.array([], pa.int64()),
-                    "duration_us": pa.array([], pa.int64()),
-                }
-            )
-        new_s = np.empty(len(ts), np.int64)
-        new_s[0] = 1
-        new_s[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        sid = np.cumsum(new_s)
-        n_sessions = int(sid[-1])
-        n_events = np.bincount(sid, minlength=n_sessions + 1)[1:]
-        starts = ts[new_s.astype(bool)]
-        ends = ts[np.concatenate([new_s[1:].astype(bool), [True]])]
-        uid = group.column("user_id")[0].as_py()
         return pa.table(
             {
-                "user_id": pa.array(
-                    np.full(n_sessions, uid, np.int64), pa.int64()
-                ),
-                "session_no": pa.array(
-                    np.arange(1, n_sessions + 1), pa.int64()
-                ),
+                "user_id": pa.array(uid[s_start], pa.int64()),
+                "session_no": pa.array(session_no, pa.int64()),
                 "n_events": pa.array(n_events, pa.int64()),
-                "duration_us": pa.array(ends - starts, pa.int64()),
+                "duration_us": pa.array(ts[s_end] - ts[s_start], pa.int64()),
             }
         )
 
-    return (
-        _read(sf_dir, "events", ["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
+    return partitioned_by_key(
+        _read(sf_dir, "events", ["user_id", "ts"]), "user_id", sessions_part
     )
 
 
@@ -3777,53 +4018,57 @@ FROM e WHERE k IS NOT NULL GROUP BY event_type
 def time_weighted_average(sf_dir: str) -> "ray.data.Dataset":
     """Per-user time-weighted average event value (left-constant step
     interpolation): each value holds until the user's next event, the
-    weight is the interval length.  ONE user-keyed shuffle; inside each
-    group a vectorized sort + diff builds the intervals.  Exact integer
-    arithmetic: cents × Δms products are guarded against int64 overflow
-    (at ~5e4 cents and multi-year gaps the guard trips around 2e9
-    intervals per user — switch to Python-int accumulation there).
-    Tie order (same timestamp) is pinned by event_id on BOTH sides —
-    with ties the interval pairing depends on it."""
+    weight is the interval length.  ONE shuffle keyed on user_id % P; a
+    per-partition kernel builds every user's intervals with one sort +
+    masked diff and accumulates num/den per run with scatter-adds — no
+    per-user Python call.  Exact integer arithmetic: cents × Δms
+    products are guarded against int64 overflow on |cents| (a
+    large-magnitude NEGATIVE cent value must trip the guard too); at
+    ~5e4 cents and multi-year gaps that's around 2e9 intervals per user
+    — switch to Python-int accumulation there.  Tie order (same
+    timestamp) is pinned by event_id on BOTH sides — with ties the
+    interval pairing depends on it."""
+    from ._util import partitioned_by_key, run_bounds
 
-    def twa_group(group: pa.Table) -> pa.Table:
-        us = pc.cast(group.column("ts"), pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        eid = group.column("event_id").to_numpy(zero_copy_only=False)
-        cents = money_cents(group.column("value").to_numpy(zero_copy_only=False))
-        order = np.lexsort((eid, us))
-        us, cents = us[order], cents[order]
-        if len(us) < 2:
-            return pa.table(
-                {
-                    "user_id": pa.array([], pa.int64()),
-                    "n_events": pa.array([], pa.int64()),
-                    "twa_cents": pa.array([], pa.int64()),
-                }
-            )
-        dt_ms = np.diff(us) // 1000
-        if cents.size and int(cents.max()) * max(int(dt_ms.max()), 1) > (
-            2**63 - 1
-        ) // max(len(dt_ms), 1):
+    def twa_part(part: pa.Table) -> pa.Table:
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        us = pc.cast(part.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        cents = money_cents(part.column("value").to_numpy(zero_copy_only=False))
+        order = np.lexsort((eid, us, uid))
+        uid, us, cents = uid[order], us[order], cents[order]
+        b = run_bounds(uid)
+        lens = np.diff(b)
+        nruns = len(lens)
+        same = uid[1:] == uid[:-1]
+        dt_ms = np.diff(us)[same] // 1000
+        if dt_ms.size and int(np.abs(cents).max()) * max(
+            int(dt_ms.max()), 1
+        ) > (2**63 - 1) // max(int(lens.max()), 1):
             raise OverflowError(
                 "time_weighted_average: cents x interval sum exceeds int64 — "
-                "accumulate in Python ints for this key"
+                "accumulate in Python ints for this partition"
             )
-        num = int((cents[:-1] * dt_ms).sum())
-        den = max(int(dt_ms.sum()), 1)
-        uid = int(group.column("user_id")[0].as_py())
+        gidx = (np.cumsum(np.r_[False, ~same]))[1:][same]  # run per interval
+        num = np.zeros(nruns, np.int64)
+        np.add.at(num, gidx, cents[:-1][same] * dt_ms)
+        den = np.zeros(nruns, np.int64)
+        np.add.at(den, gidx, dt_ms)
+        keep = lens >= 2  # single-event users emit nothing (oracle parity)
         return pa.table(
             {
-                "user_id": pa.array([uid], pa.int64()),
-                "n_events": pa.array([len(us)], pa.int64()),
-                "twa_cents": pa.array([num // den], pa.int64()),
+                "user_id": pa.array(uid[b[:-1]][keep], pa.int64()),
+                "n_events": pa.array(lens[keep], pa.int64()),
+                "twa_cents": pa.array(
+                    num[keep] // np.maximum(den[keep], 1), pa.int64()
+                ),
             }
         )
 
-    return (
-        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-        .groupby("user_id")
-        .map_groups(twa_group, batch_format="pyarrow")
+    return partitioned_by_key(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        "user_id",
+        twa_part,
     )
 
 
@@ -3870,6 +4115,16 @@ def decayed_value_sum(sf_dir: str) -> "ray.data.Dataset":
     def partial(batch: pa.Table) -> pa.Table:
         us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
         cents = money_cents(batch.column("value").to_numpy(zero_copy_only=False))
+        if cents.size and int(cents.min()) < 0:
+            # The shift form floors (-5 >> 1 == -3) while the oracle's
+            # DuckDB '//' truncates toward zero (-5 // 2 == -2): the two
+            # diverge on negative cents, so fail loudly instead of
+            # returning silently-wrong sums.
+            raise ValueError(
+                "decayed_value_sum: negative value cents — the >> decay "
+                "(floor) diverges from the SQL '//' (truncate) on "
+                "negatives; extend both sides before lifting this guard"
+            )
         shift = np.minimum((now_us - us) // _DECAY_HALF_LIFE_US, _DECAY_MAX_SHIFT)
         t = pa.table(
             {
@@ -4206,28 +4461,42 @@ def conversion_delay_stats(sf_dir: str) -> pa.Table:
     """Time-to-convert profile: for each user, the delay from FIRST
     signup to the first purchase AFTER it; output is the converted-user
     count plus exact min / median / max delay in milliseconds.  One
-    user-keyed shuffle computes both firsts inside the group scan
-    (vectorized masks, no sort needed for min-after-threshold); the
-    median uses the shared quantile_disc rule over a delay value-count
+    shuffle keyed on user_id % P; every user's two firsts come from two
+    masked ``np.minimum.at`` scatter passes per partition (the
+    funnel_stages shape — no sort, no per-user Python call); the median
+    uses the shared quantile_disc rule over a delay value-count
     reduction whose driver state is bounded by converted-user count."""
+    from ._util import partitioned_by_key
 
-    def firsts(group: pa.Table) -> pa.Table:
-        us = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
-        et = group.column("event_type").to_numpy(zero_copy_only=False)
-        s_mask = et == "signup"
-        if not s_mask.any():
-            return pa.table({"delay_ms": pa.array([], pa.int64())})
-        s0 = int(us[s_mask].min())
-        p_mask = (et == "purchase") & (us >= s0)
-        if not p_mask.any():
-            return pa.table({"delay_ms": pa.array([], pa.int64())})
-        p0 = int(us[p_mask].min())
-        return pa.table({"delay_ms": pa.array([(p0 - s0) // 1000], pa.int64())})
+    INF = np.iinfo(np.int64).max
+
+    def firsts_part(part: pa.Table) -> pa.Table:
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        us = pc.cast(part.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        et = part.column("event_type")
+        uniq, uidx = np.unique(uid, return_inverse=True)
+        s0 = np.full(len(uniq), INF, dtype=np.int64)
+        m = pc.fill_null(pc.equal(et, "signup"), False).to_numpy(
+            zero_copy_only=False
+        )
+        np.minimum.at(s0, uidx[m], us[m])
+        p0 = np.full(len(uniq), INF, dtype=np.int64)
+        m = pc.fill_null(pc.equal(et, "purchase"), False).to_numpy(
+            zero_copy_only=False
+        )
+        m &= (s0[uidx] < INF) & (us >= s0[uidx])
+        np.minimum.at(p0, uidx[m], us[m])
+        conv = p0 < INF
+        return pa.table(
+            {"delay_ms": pa.array((p0[conv] - s0[conv]) // 1000, pa.int64())}
+        )
 
     delays = (
-        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
-        .groupby("user_id")
-        .map_groups(firsts, batch_format="pyarrow")
+        partitioned_by_key(
+            _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+            "user_id",
+            firsts_part,
+        )
         .groupby("delay_ms")
         .aggregate(ray.data.aggregate.Count(alias_name="cnt"))
         .to_pandas()

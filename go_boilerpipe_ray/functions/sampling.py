@@ -159,10 +159,28 @@ def domain_cap(sf_dir: str, n: int = DOMAIN_CAP_N) -> "ray.data.Dataset":
     def cap(tbl: pa.Table) -> pa.Table:
         return lowest_n_per_source(tbl, n)
 
+    def cap_part(part: pa.Table) -> pa.Table:
+        # lowest_n_per_source already caps every source in its input
+        # independently, so the per-partition finisher IS the batch
+        # combiner — one call per blake2(source) % P partition instead
+        # of one Python call per domain.
+        return cap(part.select(["doc_id", "source"]))
+
+    from ._util import blake2_u63, wide_partitions
+
+    P = wide_partitions()
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        h = blake2_u63(batch.column("source").to_pylist())
+        return batch.append_column(
+            "pk", pa.array((h % P).astype("int32"), pa.int32())
+        )
+
     return (
         ds.map_batches(cap, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("source")
-        .map_groups(cap, batch_format="pyarrow")
+        .map_batches(add_pk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .map_groups(cap_part, batch_format="pyarrow")
     )
 
 

@@ -236,8 +236,14 @@ def value_histogram(sf_dir: str) -> pa.Table:
         .groupby("bin")
         .sum("cnt")
         .to_pandas()
-        .sort_values("bin")
     )
+    if len(out) == 0:
+        # Empty events table: Ray's empty groupby loses the column
+        # names; return the typed empty histogram (GROUP BY of nothing).
+        return pa.table(
+            {"bin": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+        )
+    out = out.sort_values("bin")
     return pa.table(
         {
             "bin": pa.array(out["bin"].to_numpy(), pa.int64()),
@@ -346,6 +352,13 @@ def approx_percentiles(sf_dir: str) -> pa.Table:
     bins, cnt = bins[order], cnt[order]
     cum = np.cumsum(cnt)
     total = int(cum[-1]) if len(cum) else 0
+    if total == 0:
+        # Empty events table: the oracle's CROSS JOIN over an empty
+        # histogram yields no rows; mirror that instead of indexing
+        # bins[-1] of an empty array.
+        return pa.table(
+            {"pct": pa.array([], pa.int64()), "bin": pa.array([], pa.int64())}
+        )
     out_p: list[int] = []
     out_b: list[int] = []
     for pct in APPROX_PCTS:

@@ -646,15 +646,18 @@ def tfidf_topk(sf_dir: str, k: int = TFIDF_K) -> "ray.data.Dataset":
     """Per-document top-k terms by TF-IDF — the keyword/feature-selection
     step of a corpus profiler.
 
-    Two keyed shuffles of fixed-width rows, no broadcast table:
+    Two keyed shuffles of fixed-width rows, no broadcast table, and
+    both wide steps are PARTITION-vectorized (P kernel calls each, not
+    one Python call per token or per doc):
     (1) per-batch term counting emits (doc_id, token, tf) rows;
-    (2) ``groupby(token)`` computes each token's document frequency
-        INSIDE its group (one row per doc per distinct token, so
-        ``df == group row count``) and re-emits the rows with df
-        attached — no separate vocabulary table exists anywhere, which
-        matters when web-crawl vocabularies run to billions of junk
-        tokens;
-    (3) ``groupby(doc_id)`` scores and keeps the local top-k.
+    (2) a blake2(token) % P shuffle co-locates each token; df per
+        distinct token is a bincount over np.unique codes (one row per
+        doc per token, so ``df == rows per token``) and the rows
+        re-emit with df attached — no separate vocabulary table exists
+        anywhere, which matters when web-crawl vocabularies run to
+        billions of junk tokens;
+    (3) a doc_id % P shuffle scores and keeps each doc's top-k via one
+        lexsort + run-position cut per partition.
 
     The score is integer (``tf * 1000 * N // df`` — monotone in
     tf x N/df) so the DuckDB oracle comparison is hash-stable; a float
@@ -689,14 +692,32 @@ def tfidf_topk(sf_dir: str, k: int = TFIDF_K) -> "ray.data.Dataset":
             }
         )
 
-    def attach_df(group: pa.Table) -> pa.Table:
-        return group.append_column(
-            "df", pa.array(np.full(group.num_rows, group.num_rows), pa.int64())
+    def attach_df_part(part: pa.Table) -> pa.Table:
+        """All tokens of a blake2(token) % P partition at once: df per
+        distinct token is one bincount over np.unique codes (df == rows
+        per token because stage 1 emits one row per (doc, token))."""
+        toks = np.asarray(part.column("token").to_pylist(), dtype=object)
+        uniq, inv = np.unique(toks, return_inverse=True)
+        df = np.bincount(inv, minlength=len(uniq))[inv]
+        return pa.table(
+            {
+                "doc_id": part.column("doc_id"),
+                "token": part.column("token"),
+                "tf": part.column("tf"),
+                "df": pa.array(df.astype(np.int64), pa.int64()),
+            }
         )
 
-    def topk(group: pa.Table) -> pa.Table:
-        tf = group.column("tf").to_numpy(zero_copy_only=False)
-        df = group.column("df").to_numpy(zero_copy_only=False)
+    def topk_part(part: pa.Table) -> pa.Table:
+        """All docs of a doc_id % P partition at once: lexsort by
+        (doc, -score, token), positions within each doc run give both
+        the top-k cut and the rank."""
+        from ._util import run_bounds
+
+        doc = part.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = part.column("tf").to_numpy(zero_copy_only=False)
+        df = part.column("df").to_numpy(zero_copy_only=False)
+        toks = np.asarray(part.column("token").to_pylist(), dtype=object)
         # Guard the int64 product: numpy wraps silently where the BIGINT
         # oracle would error.  At corpus scales where tf*1000*N no longer
         # fits (N ~ 1e10 with tf ~ 1e6), switch the score to log-idf.
@@ -705,25 +726,43 @@ def tfidf_topk(sf_dir: str, k: int = TFIDF_K) -> "ray.data.Dataset":
                 "tfidf_milli exceeds int64 at this corpus scale — "
                 "use a log-idf score"
             )
-        scored = group.append_column(
-            "tfidf_milli", pa.array(tf * 1000 * n_docs // df, pa.int64())
+        score = tf * 1000 * n_docs // df
+        order = np.lexsort((toks, -score, doc))
+        doc_s = doc[order]
+        b = run_bounds(doc_s)
+        pos = np.arange(len(doc_s), dtype=np.int64) - np.repeat(
+            b[:-1], np.diff(b)
         )
-        idx = pc.sort_indices(
-            scored,
-            sort_keys=[("tfidf_milli", "descending"), ("token", "ascending")],
-        )[: min(k, scored.num_rows)]
-        top = scored.take(idx)
-        return top.append_column(
-            "rank", pa.array(np.arange(1, top.num_rows + 1), pa.int64())
+        keep = pos < k
+        sel = order[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[sel], pa.int64()),
+                "token": pa.array(toks[sel], pa.string()),
+                "tf": pa.array(tf[sel], pa.int64()),
+                "df": pa.array(df[sel], pa.int64()),
+                "tfidf_milli": pa.array(score[sel], pa.int64()),
+                "rank": pa.array(pos[keep] + 1, pa.int64()),
+            }
         )
 
-    return (
+    from ._util import blake2_u63, partitioned_by_key, wide_partitions
+
+    P = wide_partitions()
+
+    def add_token_pk(batch: pa.Table) -> pa.Table:
+        h = blake2_u63(batch.column("token").to_pylist())
+        return batch.append_column(
+            "pk", pa.array((h % P).astype("int32"), pa.int32())
+        )
+
+    with_df = (
         ds.map_batches(term_counts, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("token")
-        .map_groups(attach_df, batch_format="pyarrow")
-        .groupby("doc_id")
-        .map_groups(topk, batch_format="pyarrow")
+        .map_batches(add_token_pk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .map_groups(attach_df_part, batch_format="pyarrow")
     )
+    return partitioned_by_key(with_df, "doc_id", topk_part)
 
 
 TFIDF_TOPK_SQL = f"""
@@ -1220,9 +1259,9 @@ def dup_ngram_profile(sf_dir: str) -> "ray.data.Dataset":
 
     Scale shape: grams are hashed to int64 before the shuffle (8-byte
     keys, never strings — same trick as n-gram Jaccard); stage 1 emits
-    per-(doc, gram) count rows, a groupby(gram) attributes duplicates
-    against the group's min doc_id, and a groupby(doc_id) rolls the
-    partials up.  Two keyed exchanges of narrow fixed-width rows; no
+    per-(doc, gram) count rows, a gram % P shuffle attributes duplicates
+    against each gram run's min doc_id (one vectorized kernel per
+    partition), and a groupby(doc_id) rolls the partials up.  Two keyed exchanges of narrow fixed-width rows; no
     driver materialization.  A doc too short for any gram emits one
     per-doc sentinel key (unique, so no hot group) to keep LEFT-JOIN
     semantics with the oracle."""
@@ -1268,10 +1307,19 @@ def dup_ngram_profile(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    def per_gram(group: pa.Table) -> pa.Table:
-        docs = group.column("doc_id").to_numpy(zero_copy_only=False)
-        cnts = group.column("cnt").to_numpy(zero_copy_only=False)
-        first = docs.min()
+    def per_gram_part(part: pa.Table) -> pa.Table:
+        """All grams of a gram % P partition at once: sort by (gram,
+        doc), each run's first doc is its min, dup = counts of every
+        later doc — one kernel per partition, not per gram."""
+        from ._util import run_bounds
+
+        gram = part.column("gram").to_numpy(zero_copy_only=False)
+        docs = part.column("doc_id").to_numpy(zero_copy_only=False)
+        cnts = part.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((docs, gram))
+        gram, docs, cnts = gram[order], docs[order], cnts[order]
+        b = run_bounds(gram)
+        first = np.repeat(docs[b[:-1]], np.diff(b))
         dup = np.where(docs > first, cnts, 0).astype(np.int64)
         return pa.table(
             {
@@ -1298,11 +1346,15 @@ def dup_ngram_profile(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
+    from ._util import partitioned_by_key
+
     ds = read_documents(sf_dir)
     return (
-        ds.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gram")
-        .map_groups(per_gram, batch_format="pyarrow")
+        partitioned_by_key(
+            ds.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True),
+            "gram",
+            per_gram_part,
+        )
         .groupby("doc_id")
         .aggregate(
             ray.data.aggregate.Sum("p_grams", alias_name="n_grams"),
@@ -2085,26 +2137,46 @@ def segment_dedup(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    def per_seg(group: pa.Table) -> pa.Table:
-        is_seg = group.column("is_seg").to_numpy(zero_copy_only=False)
-        n_toks = group.column("n_toks").to_numpy(zero_copy_only=False)
-        dup = int(is_seg.sum()) >= SEGMENT_DUP_MIN
-        removed = is_seg if dup else np.zeros(len(is_seg), np.int64)
-        kept = np.zeros(len(is_seg), np.int64) if dup else n_toks
+    def per_seg_part(part: pa.Table) -> pa.Table:
+        """All segments of a seg % P partition at once: per-run is_seg
+        sums via a scatter over run indices decide duplication, the
+        verdict broadcasts back with repeat — one kernel per partition,
+        not one Python call per distinct segment."""
+        from ._util import run_bounds
+
+        seg = part.column("seg").to_numpy(zero_copy_only=False)
+        order = np.argsort(seg, kind="stable")
+        seg = seg[order]
+        is_seg = part.column("is_seg").to_numpy(zero_copy_only=False)[order]
+        n_toks = part.column("n_toks").to_numpy(zero_copy_only=False)[order]
+        docs = part.column("doc_id").to_numpy(zero_copy_only=False)[order]
+        b = run_bounds(seg)
+        lens = np.diff(b)
+        ridx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        seg_occurrences = np.zeros(len(lens), np.int64)
+        np.add.at(seg_occurrences, ridx, is_seg)
+        dup = (seg_occurrences >= SEGMENT_DUP_MIN)[ridx]
+        removed = np.where(dup, is_seg, 0).astype(np.int64)
+        kept = np.where(dup, 0, n_toks).astype(np.int64)
         return pa.table(
             {
-                "doc_id": group.column("doc_id"),
+                "doc_id": pa.array(docs, pa.int64()),
                 "p_segs": pa.array(is_seg, pa.int64()),
                 "p_removed": pa.array(removed, pa.int64()),
                 "p_kept": pa.array(kept, pa.int64()),
             }
         )
 
+    from ._util import partitioned_by_key
+
     return (
-        read_documents(sf_dir)
-        .map_batches(seg_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("seg")
-        .map_groups(per_seg, batch_format="pyarrow")
+        partitioned_by_key(
+            read_documents(sf_dir).map_batches(
+                seg_rows, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "seg",
+            per_seg_part,
+        )
         .groupby("doc_id")
         .aggregate(
             ray.data.aggregate.Sum("p_segs", alias_name="n_segments"),
@@ -2542,19 +2614,39 @@ def heavy_hitters_by_source(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    def topk(group: pa.Table) -> pa.Table:
-        idx = pc.select_k_unstable(
-            group,
-            k=min(HEAVY_HITTERS_K, group.num_rows),
-            sort_keys=[("n", "descending"), ("token", "ascending")],
+    def topk_part(part: pa.Table) -> pa.Table:
+        """Top-k for every source in a blake2(source) % P partition at
+        once: lexsort by (source, -n, token), run positions give the
+        cut — one kernel per partition, not one Python call per
+        source/domain."""
+        from ._util import run_bounds
+
+        src = np.asarray(part.column("source").to_pylist(), dtype=object)
+        toks = np.asarray(part.column("token").to_pylist(), dtype=object)
+        n = part.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((toks, -n, src))
+        src_s = src[order]
+        b = run_bounds(src_s)
+        pos = np.arange(len(src_s), dtype=np.int64) - np.repeat(
+            b[:-1], np.diff(b)
         )
-        picked = group.take(idx)
+        sel = order[pos < HEAVY_HITTERS_K]
         return pa.table(
             {
-                "source": picked.column("source"),
-                "token": picked.column("token"),
-                "n": picked.column("n"),
+                "source": pa.array(src[sel], pa.string()),
+                "token": pa.array(toks[sel], pa.string()),
+                "n": pa.array(n[sel], pa.int64()),
             }
+        )
+
+    from ._util import blake2_u63, wide_partitions
+
+    P = wide_partitions()
+
+    def add_src_pk(batch: pa.Table) -> pa.Table:
+        h = blake2_u63(batch.column("source").to_pylist())
+        return batch.append_column(
+            "pk", pa.array((h % P).astype("int32"), pa.int32())
         )
 
     return (
@@ -2563,8 +2655,9 @@ def heavy_hitters_by_source(sf_dir: str) -> "ray.data.Dataset":
         .groupby(["source", "token"])
         .sum("n_part")
         .rename_columns({"sum(n_part)": "n"})
-        .groupby("source")
-        .map_groups(topk, batch_format="pyarrow")
+        .map_batches(add_src_pk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .map_groups(topk_part, batch_format="pyarrow")
     )
 
 

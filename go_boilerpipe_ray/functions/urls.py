@@ -125,9 +125,11 @@ def url_dedup(sf_dir: str) -> "ray.data.Dataset":
     keep the lowest doc_id per canonical url_norm.
 
     Scale shape: normalization is a narrow vectorized stage; the only
-    shuffle is groupby(url_norm) over (url_norm, doc_id) rows, then a
-    per-group min — identical to exact content dedup with the canonical
-    URL as the key."""
+    shuffle is an int-keyed groupby(blake2(url_norm) % P) over
+    (url_norm, doc_id) rows — a bounded number of partitions with one
+    vectorized min-scatter kernel each (one Python call per PARTITION,
+    not per distinct URL, and the sort-based shuffle orders 8-byte ints
+    instead of URL strings)."""
     from ._util import read_parquet_clean
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
@@ -150,12 +152,36 @@ def url_dedup(sf_dir: str) -> "ray.data.Dataset":
         ds.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
     ).select_columns(["doc_id", "url_norm"])
 
-    def keep_min(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id")
-        i = pc.index(ids, pc.min(ids))
-        return group.take(pa.array([i.as_py()]))
+    from ._util import blake2_u63, wide_partitions
 
-    return normed.groupby("url_norm").map_groups(keep_min, batch_format="pyarrow")
+    P = wide_partitions()
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        h = blake2_u63(batch.column("url_norm").to_pylist())
+        return batch.append_column(
+            "pk", pa.array((h % P).astype("int32"), pa.int32())
+        )
+
+    def keep_min_part(part: pa.Table) -> pa.Table:
+        import numpy as np
+
+        urls = np.asarray(part.column("url_norm").to_pylist(), dtype=object)
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(urls, return_inverse=True)
+        mins = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mins, inv, ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(mins, pa.int64()),
+                "url_norm": pa.array(uniq, pa.string()),
+            }
+        )
+
+    return (
+        normed.map_batches(add_pk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .map_groups(keep_min_part, batch_format="pyarrow")
+    )
 
 
 # Scheme in the canonical form: explicit https on even doc_ids survives

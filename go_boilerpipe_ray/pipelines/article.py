@@ -175,23 +175,28 @@ def extract_with_size_router(
 _REASSEMBLE_EXTRACTOR: ExtractDocuments | None = None
 
 
-def _reassemble_group(group: pa.Table) -> pa.Table:
-    """Concatenate the span fragments of one doc_id and extract.  Fragment
-    rows may arrive in any order; spans are globally ordered by their
-    ``offset`` field, so a plain concat + in-kernel sort reassembles the
-    document (the "groupby doc_id, sort by offset" path of the north
-    rule)."""
+def _reassemble_part(part: pa.Table) -> pa.Table:
+    """Concatenate each doc_id's span fragments and extract — for EVERY
+    document in the partition with one extractor call (a multi-row
+    batch), not one Python call + one-row Arrow table per document.
+    Fragment rows may arrive in any order; spans are globally ordered by
+    their ``offset`` field, so a plain concat + in-kernel sort
+    reassembles the document (the "groupby doc_id, sort by offset" path
+    of the north rule)."""
+    import numpy as np
+
     global _REASSEMBLE_EXTRACTOR
     if _REASSEMBLE_EXTRACTOR is None:
         _REASSEMBLE_EXTRACTOR = ExtractDocuments()
-    doc_id = group.column("doc_id")[0].as_py()
-    all_spans: list[dict] = []
-    for frag in group.column("spans").to_pylist():
-        all_spans.extend(frag)
+    ids = np.asarray(part.column("doc_id").to_pylist(), dtype=object)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    spans_per_doc: list[list[dict]] = [[] for _ in uniq]
+    for code, frag in zip(inv, part.column("spans").to_pylist()):
+        spans_per_doc[code].extend(frag)
     batch = pa.Table.from_pydict(
-        {"doc_id": [doc_id], "spans": [all_spans]},
+        {"doc_id": list(uniq), "spans": spans_per_doc},
         schema=pa.schema(
-            [("doc_id", pa.string()), ("spans", group.schema.field("spans").type)]
+            [("doc_id", pa.string()), ("spans", part.schema.field("spans").type)]
         ),
     )
     return _REASSEMBLE_EXTRACTOR(batch)
@@ -199,8 +204,22 @@ def _reassemble_group(group: pa.Table) -> pa.Table:
 
 def reassemble_and_extract(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Sharded-ingest path: input rows carry *fragments* of a document's
-    span list (same doc_id on multiple rows).  One shuffle on doc_id
-    co-locates fragments; extraction then runs per group."""
-    return ds.groupby("doc_id").map_groups(
-        _reassemble_group, batch_format="pyarrow"
+    span list (same doc_id on multiple rows).  One shuffle keyed on
+    blake2(doc_id) % P co-locates fragments; extraction then runs once
+    per PARTITION over a multi-document batch (doc_id is a string — the
+    int-keyed shuffle also avoids sorting strings)."""
+    from ..functions._util import blake2_u63, wide_partitions
+
+    P = wide_partitions()
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        h = blake2_u63(batch.column("doc_id").to_pylist())
+        return batch.append_column(
+            "pk", pa.array((h % P).astype("int32"), pa.int32())
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .map_groups(_reassemble_part, batch_format="pyarrow")
     )

@@ -3218,3 +3218,107 @@ def test_nation_revenue_share_sums_to_parent():
     chain = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     want = dict(zip(chain["n_name"], chain["r_name"]))
     assert all(want[r.n_name] == r.r_name for r in got.itertuples())
+
+
+def test_dominant_event_type_null_safe(tmp_path):
+    """NULL event_type rides the shuffle as the max-codepoint marker and
+    decodes back to NULL; on ties it loses to any real type (the
+    oracle's NULLS LAST tie order) — the naive None-vs-str compare
+    TypeError'd before the marker existed."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.relational import (
+        DOMINANT_EVENT_TYPE_SQL,
+        dominant_event_type,
+    )
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "event_type": pa.array(
+                ["click", None, None, "view", None, None], pa.string()
+            ),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = sorted(
+        dominant_event_type(str(tmp_path)).take_all(),
+        key=lambda r: r["user_id"],
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(DOMINANT_EVENT_TYPE_SQL + " ORDER BY user_id").fetchall()
+    assert [(r["user_id"], r["event_type"], r["n_events"]) for r in got] == want
+    # user 2 is the tie case: 'view' must beat NULL
+    assert got[1]["event_type"] == "view"
+    # user 3 has only NULLs: the marker must decode back to None
+    assert got[2]["event_type"] is None
+
+
+def test_approx_percentiles_empty_events(tmp_path):
+    """An empty events table yields the oracle's empty result, not an
+    IndexError on bins[-1]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.sketches import approx_percentiles
+
+    pq.write_table(
+        pa.table({"value": pa.array([], pa.float64())}),
+        tmp_path / "events.parquet",
+    )
+    out = approx_percentiles(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.column_names == ["pct", "bin"]
+
+
+def test_decayed_value_sum_rejects_negative_values(tmp_path):
+    """Negative cents would make the >> (floor) decay diverge from the
+    SQL '//' (truncate) oracle — the operator must fail loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from go_boilerpipe_ray.functions.relational import decayed_value_sum
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1_600_000_000_000_000, 1_600_000_100_000_000],
+                           pa.timestamp("us")),
+            "value": pa.array([1.0, -2.5], pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    with _pytest.raises(Exception, match="negative value cents"):
+        decayed_value_sum(str(tmp_path)).take_all()
+
+
+def test_time_weighted_average_overflow_guard_uses_abs(tmp_path):
+    """A large-magnitude NEGATIVE cent value must trip the int64
+    overflow guard too (guarding on cents.max() alone lets it wrap)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from go_boilerpipe_ray.functions.relational import time_weighted_average
+
+    two_years_us = 2 * 365 * 86_400_000_000
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "user_id": pa.array([7, 7], pa.int64()),
+            "ts": pa.array(
+                [1_600_000_000_000_000, 1_600_000_000_000_000 + two_years_us],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([-1e7, 0.0], pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    with _pytest.raises(Exception, match="exceeds int64"):
+        time_weighted_average(str(tmp_path)).take_all()

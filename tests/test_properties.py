@@ -202,3 +202,40 @@ def test_semdedup_integer_cosine_matches_float_off_boundary(vectors):
             )
             if abs(cos - math.sqrt(SEMDEDUP_COS2_BP / 10000.0)) > 1e-4:
                 assert int_verdict == (cos >= 0.99), (i, j, cos, int_verdict)
+
+
+# Round-4 hardening (the round-3 harness found a real fast-path
+# divergence): a nastier alphabet aimed at the remaining fast paths —
+# raw-text `</script ` tails, CR/NUL inside attributes, `<!` bogus
+# comments, CDATA-ish and processing-instruction openers.
+_nasty_soup = st.lists(
+    st.sampled_from(
+        list("ab<>/='\"\r\n\x00 \t-!?")
+        + [
+            "<script>", "</script", "</script ", "</script/>", "</script\t",
+            "<script a='", "<!--", "-->", "--!>", "<!-", "<!doctype h",
+            "<?php", "</ ", "<style>", "</style", "<textarea>",
+            "</textarea >", "<title>", "</title\t>", "<![CDATA[", "]]>",
+            "<!>", "<a b\x00c=d>", "=\r", "=\x00", "<a a=\"", "<a a='",
+        ]
+    ),
+    max_size=80,
+).map("".join)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_nasty_soup)
+def test_fast_tag_scan_matches_char_parser_nasty(html):
+    from go_boilerpipe_ray.kernel.htmltok import Tokenizer
+
+    fast = [(t[0], t[1], t[3], t[4]) for t in Tokenizer(html, fast=True)]
+    slow = [(t[0], t[1], t[3], t[4]) for t in Tokenizer(html, fast=False)]
+    assert fast == slow
+
+
+@settings(max_examples=200, deadline=None)
+@given(_nasty_soup)
+def test_kernel_never_raises_nasty(html):
+    doc = parse_document(html)
+    article_pipeline().process(doc)
+    doc.content()

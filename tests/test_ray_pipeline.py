@@ -217,3 +217,51 @@ def test_write_spans_lance_gate(ray_session, tmp_path):
     assert sorted(r["doc_id"] for r in back) == sorted(
         t.column("doc_id").to_pylist()
     )
+
+
+def test_lance_api_contract(monkeypatch, tmp_path):
+    """Pin the exact ray.data lance call signatures the capability gate
+    depends on (the sandbox lacks the lance package, so the real-IO
+    round-trip above skips — this catches read_lance/write_lance API
+    rot without it).  Two layers: (1) the Ray API still exposes the
+    entry points with the parameter names we call; (2) with a mocked
+    lance module the gate opens and routes the exact path through."""
+    import inspect
+    import sys
+    import types
+
+    import ray.data
+
+    from go_boilerpipe_ray.pipelines import article
+
+    # (1) signature pins — first parameter names are what we pass.
+    sig_read = inspect.signature(ray.data.read_lance)
+    assert list(sig_read.parameters)[0] == "uri"
+    sig_write = inspect.signature(ray.data.Dataset.write_lance)
+    assert list(sig_write.parameters)[:2] == ["self", "path"]
+
+    # (2) mocked-module behavior: gate opens, calls route verbatim.
+    monkeypatch.setitem(sys.modules, "lance", types.ModuleType("lance"))
+    assert article.lance_available()
+
+    calls: dict[str, str] = {}
+    sentinel = object()
+
+    def fake_read_lance(uri, **kwargs):
+        calls["read"] = uri
+        return sentinel
+
+    monkeypatch.setattr(ray.data, "read_lance", fake_read_lance)
+    got = article.read_spans(str(tmp_path / "in.lance"))
+    assert got is sentinel
+    assert calls["read"] == str(tmp_path / "in.lance")
+
+    class FakeDS:
+        def write_lance(self, path, **kwargs):
+            calls["write"] = path
+
+        def write_parquet(self, path, **kwargs):  # pragma: no cover
+            raise AssertionError("lance path must not fall back to parquet")
+
+    article.write_spans(FakeDS(), str(tmp_path / "out.lance"))
+    assert calls["write"] == str(tmp_path / "out.lance")
