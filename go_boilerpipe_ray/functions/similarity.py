@@ -366,22 +366,47 @@ def near_dup_embeddings(
         concurrency=(1, 8),
     )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids, m = _batch_matrix(group)
-        mn = _normalize(m)
-        sims = mn @ mn.T
-        ii, jj = np.nonzero(sims >= threshold)
-        keep = ids[ii] < ids[jj]
+    def bucket_pairs_part(part: pa.Table) -> pa.Table:
+        """All LSH buckets of a bucket % P partition in one kernel call:
+        rows sort by bucket once, then each run gets its own similarity
+        matmul — the all-pairs work is per BUCKET (the algorithm's
+        semantic unit), while Python/Arrow dispatch is per partition
+        (bucket count scales with the corpus; P does not)."""
+        from ._util import run_bounds
+
+        bkt = part.column("bucket").to_numpy(zero_copy_only=False)
+        order = np.argsort(bkt, kind="stable")
+        t = part.take(pa.array(order))
+        b = run_bounds(bkt[order])
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(b[:-1], b[1:]):
+            if e - s < 2:
+                continue
+            ids, m = _batch_matrix(t.slice(s, e - s))
+            mn = _normalize(m)
+            sims = mn @ mn.T
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = ids[ii] < ids[jj]
+            out_a.append(ids[ii][keep])
+            out_b.append(ids[jj][keep])
+        if not out_a:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                }
+            )
         return pa.table(
             {
-                "id_a": pa.array(ids[ii][keep], pa.int64()),
-                "id_b": pa.array(ids[jj][keep], pa.int64()),
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
             }
         )
 
-    pairs = bucketed.groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
+    from ._util import partitioned_by_key
+
+    pairs = partitioned_by_key(bucketed, "bucket", bucket_pairs_part)
     # A pair is rediscovered in up to 1 + n_planes shared buckets —
     # dedupe with a keyed groupby (distributed, not a driver set).
     return (

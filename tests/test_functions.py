@@ -3322,3 +3322,31 @@ def test_time_weighted_average_overflow_guard_uses_abs(tmp_path):
     pq.write_table(t, tmp_path / "events.parquet")
     with _pytest.raises(Exception, match="exceeds int64"):
         time_weighted_average(str(tmp_path)).take_all()
+
+
+def test_partitioned_by_key_invariant_to_partition_count(monkeypatch):
+    """Results of the partition-vectorized per-key operators must not
+    depend on the hash-partition count P (pure partitioning detail) —
+    re-run a representative set at a tiny non-default P and compare
+    row-for-row."""
+    import go_boilerpipe_ray.functions._util as util
+    from go_boilerpipe_ray.functions import relational, text
+
+    cases = {
+        "sessionize": relational.sessionize,
+        "moving_sum": relational.moving_sum_events,
+        "asof_join": relational.asof_join_events_orders,
+        "tfidf_topk": text.tfidf_topk,
+        "session_stats": relational.session_stats,
+        "percent_rank": relational.percent_rank_events,
+    }
+
+    def rows(fn):
+        out = fn(SF)
+        recs = out.take_all() if hasattr(out, "take_all") else out.to_pylist()
+        return sorted(tuple(sorted(r.items())) for r in recs)
+
+    base = {name: rows(fn) for name, fn in cases.items()}
+    monkeypatch.setattr(util, "wide_partitions", lambda floor=64: 5)
+    for name, fn in cases.items():
+        assert rows(fn) == base[name] and base[name], name
