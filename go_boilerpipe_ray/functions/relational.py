@@ -1169,7 +1169,7 @@ LEFT JOIN p USING (user_id)
 _PIVOT_TYPES = ("view", "click", "purchase", "signup", "error")
 
 
-def pivot_event_counts(sf_dir: str) -> pa.Table:
+def pivot_event_counts(sf_dir: str) -> "ray.data.Dataset":
     """Per-user event-type count pivot — long-to-wide reshape.
 
     Combiner-first: each batch pivots LOCALLY to one fixed-width row per
@@ -1189,7 +1189,21 @@ def pivot_event_counts(sf_dir: str) -> pa.Table:
             cols[f"p_{name}"] = pa.array(cnt, pa.int64())
         return pa.table(cols)
 
-    agg = (
+    def cast_counts(batch: pa.Table) -> pa.Table:
+        # Normalize aggregate dtypes to int64 in a streaming stage — the
+        # per-user result is UNBOUNDED (one row per user), so it must
+        # never round-trip through the driver as pandas.
+        return pa.table(
+            {
+                "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+                **{
+                    f"n_{name}": pc.cast(batch.column(f"n_{name}"), pa.int64())
+                    for name in _PIVOT_TYPES
+                },
+            }
+        )
+
+    return (
         ds.map_batches(partial_pivot, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("user_id")
         .aggregate(
@@ -1198,19 +1212,7 @@ def pivot_event_counts(sf_dir: str) -> pa.Table:
                 for name in _PIVOT_TYPES
             ]
         )
-        .to_pandas()
-        .sort_values("user_id")
-    )
-    return pa.table(
-        {
-            "user_id": pa.array(agg["user_id"].to_numpy(), pa.int64()),
-            **{
-                f"n_{name}": pa.array(
-                    agg[f"n_{name}"].to_numpy().astype(np.int64), pa.int64()
-                )
-                for name in _PIVOT_TYPES
-            },
-        }
+        .map_batches(cast_counts, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
