@@ -984,7 +984,7 @@ def test_pivot_event_counts_matches_counter():
     true: collections.Counter = collections.Counter(
         zip(ev.column("user_id").to_pylist(), ev.column("event_type").to_pylist())
     )
-    rows = tbl.to_pylist()
+    rows = tbl.to_pandas().to_dict("records")
     assert len(rows) == len({u for u, _ in true})
     for r in rows:
         for name in ("view", "click", "purchase", "signup", "error"):
