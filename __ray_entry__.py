@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rebalance_mix": sampling.rebalance_mix,
         "incremental_hourly_merge": relational.incremental_hourly_merge,
         "nation_revenue_share": relational.nation_revenue_share,
+        "dup_span_stats": text.dup_span_stats,
     })
 
 
@@ -414,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
         "rebalance_mix": sampling.REBALANCE_MIX_SQL,
         "incremental_hourly_merge": relational.INCREMENTAL_HOURLY_SQL,
         "nation_revenue_share": relational.NATION_REVENUE_SHARE_SQL,
+        "dup_span_stats": text.DUP_SPAN_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -1399,6 +1399,186 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 DUP_NGRAM_SQL = _dup_ngram_sql()
 
 
+# -- duplicated-substring SPANS (exact-substring dedup, Lee et al. 2022) -----
+
+
+def dup_span_stats(sf_dir: str, k: int = DUP_NGRAM_K) -> "ray.data.Dataset":
+    """Exact-substring duplicate SPANS (the span-level view of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022): a K-token window is duplicated when its gram first
+    appeared in a lower-doc_id document (first-writer-wins, the same
+    attribution dup_ngram_profile uses); overlapping/contiguous
+    duplicated windows merge into MAXIMAL spans.  Per doc: token count,
+    tokens covered by duplicated spans (union, not window sum), and the
+    number of maximal spans — the stats a span-cutting dedup pass needs.
+
+    Scale shape: the shuffle moves (gram_hash, doc_id, pos, n_tok)
+    fixed-width int64 rows — one per token window, linear in corpus
+    token count, never text.  gram % P co-locates each gram's
+    occurrences (vectorized min-doc attribution per partition, P
+    bounded by wide_partitions); surviving dup windows re-shuffle on
+    doc_id % P and one numpy interval sweep per partition merges them
+    into spans for ALL docs of the partition at once.  One sentinel row
+    per doc (unique negative gram, pos = -1) rides both shuffles so
+    short/clean docs keep LEFT-JOIN output semantics without a third
+    scan.  64-bit gram hashes: collisions are ~n²/2⁶⁴ at any
+    realistic shard size and only over-mark duplication."""
+    from ._util import partitioned_by_key, run_bounds
+
+    def window_rows(batch: pa.Table) -> pa.Table:
+        out_g: list[int] = []
+        out_d: list[int] = []
+        out_p: list[int] = []
+        out_n: list[int] = []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = _TOKEN_RE.findall(t.lower())
+            # Sentinel: one per doc, unique gram => singleton group.
+            out_g.append(-int(doc_id) - 1)
+            out_d.append(doc_id)
+            out_p.append(-1)
+            out_n.append(len(toks))
+            for i in range(len(toks) - k + 1):
+                h = (
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            " ".join(toks[i : i + k]).encode(), digest_size=8
+                        ).digest(),
+                        "big",
+                    )
+                    >> 1
+                )
+                out_g.append(h)
+                out_d.append(doc_id)
+                out_p.append(i)
+                out_n.append(len(toks))
+        return pa.table(
+            {
+                "gram": pa.array(out_g, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "pos": pa.array(out_p, pa.int64()),
+                "n_tok": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    def per_gram_part(part: pa.Table) -> pa.Table:
+        """Keep every sentinel; keep window rows whose gram's min doc_id
+        (within its run) is lower — one lexsort per partition."""
+        gram = part.column("gram").to_numpy(zero_copy_only=False)
+        docs = part.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = part.column("pos").to_numpy(zero_copy_only=False)
+        ntok = part.column("n_tok").to_numpy(zero_copy_only=False)
+        order = np.lexsort((docs, gram))
+        gram, docs, pos, ntok = gram[order], docs[order], pos[order], ntok[order]
+        b = run_bounds(gram)
+        first = np.repeat(docs[b[:-1]], np.diff(b))
+        keep = (pos < 0) | (docs > first)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs[keep], pa.int64()),
+                "pos": pa.array(pos[keep], pa.int64()),
+                "n_tok": pa.array(ntok[keep], pa.int64()),
+            }
+        )
+
+    def per_doc_part(part: pa.Table) -> pa.Table:
+        """Merge each doc's duplicated windows into maximal spans: one
+        sorted sweep over the whole partition.  Window at pos p covers
+        tokens [p, p+K); window q extends the current span iff
+        q <= prev + K (coverage contiguous or overlapping), so span
+        coverage = last - first + K."""
+        docs = part.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = part.column("pos").to_numpy(zero_copy_only=False)
+        ntok = part.column("n_tok").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, docs))
+        docs, pos, ntok = docs[order], pos[order], ntok[order]
+        # Per-doc token counts from the sentinels (pos = -1 sorts first
+        # within each doc; exactly one per doc by construction).
+        sent = pos < 0
+        all_docs = docs[sent]
+        all_ntok = ntok[sent]
+        dd, pp = docs[~sent], pos[~sent]
+        if dd.size:
+            prev_d = np.concatenate(([dd[0] - 1], dd[:-1]))
+            prev_p = np.concatenate(([-(2 * k)], pp[:-1]))
+            start = (dd != prev_d) | (pp > prev_p + k)
+            span_id = np.cumsum(start) - 1
+            sb = run_bounds(span_id)
+            first_p = pp[sb[:-1]]
+            last_p = pp[sb[1:] - 1]
+            cov = last_p - first_p + k
+            span_doc = dd[sb[:-1]]
+            db = run_bounds(span_doc)
+            d_tokens = np.add.reduceat(cov, db[:-1])
+            d_spans = np.diff(db)
+            span_docs = span_doc[db[:-1]]
+        else:
+            d_tokens = d_spans = span_docs = np.empty(0, np.int64)
+        dup_tokens = np.zeros(all_docs.size, np.int64)
+        dup_spans = np.zeros(all_docs.size, np.int64)
+        idx = np.searchsorted(all_docs, span_docs)
+        dup_tokens[idx] = d_tokens
+        dup_spans[idx] = d_spans
+        return pa.table(
+            {
+                "doc_id": pa.array(all_docs, pa.int64()),
+                "n_tokens": pa.array(all_ntok, pa.int64()),
+                "dup_tokens": pa.array(dup_tokens, pa.int64()),
+                "dup_spans": pa.array(dup_spans, pa.int64()),
+            }
+        )
+
+    rows = read_documents(sf_dir).map_batches(
+        window_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    attributed = partitioned_by_key(rows, "gram", per_gram_part)
+    return partitioned_by_key(attributed, "doc_id", per_doc_part)
+
+
+def _dup_span_sql(k: int = DUP_NGRAM_K) -> str:
+    gram_expr = " || ' ' || ".join(f"ts[i+{j}]" for j in range(k)).replace(
+        "ts[i+0]", "ts[i]"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i, {gram_expr} AS g
+  FROM toks, UNNEST(range(1, len(ts) - {k - 2})) AS r(i)
+  WHERE len(ts) >= {k}
+),
+firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g),
+dupwin AS (
+  SELECT gr.doc_id, gr.i FROM grams gr JOIN firsts f USING (g)
+  WHERE f.first_doc < gr.doc_id
+),
+cov AS (
+  SELECT DISTINCT doc_id, i + j AS t
+  FROM dupwin, UNNEST(range(0, {k})) AS u(j)
+),
+isl AS (
+  SELECT doc_id, t,
+         t - row_number() OVER (PARTITION BY doc_id ORDER BY t) AS grp
+  FROM cov
+),
+agg AS (
+  SELECT doc_id, count(*) AS dup_tokens, count(DISTINCT grp) AS dup_spans
+  FROM isl GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       CAST(len(tk.ts) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(a.dup_spans, 0) AS BIGINT) AS dup_spans
+FROM toks tk LEFT JOIN agg a USING (doc_id)
+"""
+
+
+DUP_SPAN_SQL = _dup_span_sql()
+
+
 # -- BPE-style adjacent-pair counting (tokenizer induction, step 1) ----------
 
 BPE_TOPK = 20

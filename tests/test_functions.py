@@ -1411,6 +1411,63 @@ def test_dup_ngram_profile_properties():
     assert by_id[min(by_id)]["n_dup"] == 0
 
 
+def test_dup_span_stats_matches_bruteforce():
+    """Span-level exact-substring dedup: the distributed two-shuffle
+    pipeline must equal a sequential recomputation (gram -> min doc,
+    dup windows, interval merge with the q <= p + K contiguity rule)."""
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.text import (
+        DUP_NGRAM_K,
+        _TOKEN_RE,
+        dup_span_stats,
+    )
+
+    k = DUP_NGRAM_K
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        d: _TOKEN_RE.findall(t.lower())
+        for d, t in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+        )
+    }
+    first: dict[tuple, int] = {}
+    for d in sorted(toks):
+        ts = toks[d]
+        for i in range(len(ts) - k + 1):
+            g = tuple(ts[i : i + k])
+            if g not in first:
+                first[g] = d
+    want = {}
+    for d, ts in toks.items():
+        dup_pos = [
+            i
+            for i in range(len(ts) - k + 1)
+            if first[tuple(ts[i : i + k])] < d
+        ]
+        n_cov = n_spans = 0
+        prev = None
+        span_first = None
+        for p in dup_pos:
+            if prev is None or p > prev + k:
+                if prev is not None:
+                    n_cov += prev - span_first + k
+                n_spans += 1
+                span_first = p
+            prev = p
+        if prev is not None:
+            n_cov += prev - span_first + k
+        want[d] = (len(ts), n_cov, n_spans)
+    rows = dup_span_stats(SF).take_all()
+    assert len(rows) == len(want)
+    for r in rows:
+        assert (r["n_tokens"], r["dup_tokens"], r["dup_spans"]) == want[
+            r["doc_id"]
+        ], r
+    # The synthetic corpus repeats templates: some doc must carry a span.
+    assert any(v[2] > 0 for v in want.values())
+
+
 def test_bpe_pair_counts_topk():
     from go_boilerpipe_ray.functions.text import BPE_TOPK, bpe_pair_counts
 
