@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_hourly_merge": relational.incremental_hourly_merge,
         "nation_revenue_share": relational.nation_revenue_share,
         "dup_span_stats": text.dup_span_stats,
+        "dup_span_removal": text.dup_span_removal,
     })
 
 
@@ -416,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_hourly_merge": relational.INCREMENTAL_HOURLY_SQL,
         "nation_revenue_share": relational.NATION_REVENUE_SHARE_SQL,
         "dup_span_stats": text.DUP_SPAN_SQL,
+        "dup_span_removal": text.DUP_SPAN_REMOVAL_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -1425,62 +1425,12 @@ def dup_span_stats(sf_dir: str, k: int = DUP_NGRAM_K) -> "ray.data.Dataset":
     realistic shard size and only over-mark duplication."""
     from ._util import partitioned_by_key, run_bounds
 
-    def window_rows(batch: pa.Table) -> pa.Table:
-        out_g: list[int] = []
-        out_d: list[int] = []
-        out_p: list[int] = []
-        out_n: list[int] = []
-        for doc_id, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            toks = _TOKEN_RE.findall(t.lower())
-            # Sentinel: one per doc, unique gram => singleton group.
-            out_g.append(-int(doc_id) - 1)
-            out_d.append(doc_id)
-            out_p.append(-1)
-            out_n.append(len(toks))
-            for i in range(len(toks) - k + 1):
-                h = (
-                    int.from_bytes(
-                        hashlib.blake2b(
-                            " ".join(toks[i : i + k]).encode(), digest_size=8
-                        ).digest(),
-                        "big",
-                    )
-                    >> 1
-                )
-                out_g.append(h)
-                out_d.append(doc_id)
-                out_p.append(i)
-                out_n.append(len(toks))
-        return pa.table(
-            {
-                "gram": pa.array(out_g, pa.int64()),
-                "doc_id": pa.array(out_d, pa.int64()),
-                "pos": pa.array(out_p, pa.int64()),
-                "n_tok": pa.array(out_n, pa.int64()),
-            }
-        )
-
-    def per_gram_part(part: pa.Table) -> pa.Table:
-        """Keep every sentinel; keep window rows whose gram's min doc_id
-        (within its run) is lower — one lexsort per partition."""
-        gram = part.column("gram").to_numpy(zero_copy_only=False)
-        docs = part.column("doc_id").to_numpy(zero_copy_only=False)
-        pos = part.column("pos").to_numpy(zero_copy_only=False)
-        ntok = part.column("n_tok").to_numpy(zero_copy_only=False)
-        order = np.lexsort((docs, gram))
-        gram, docs, pos, ntok = gram[order], docs[order], pos[order], ntok[order]
-        b = run_bounds(gram)
-        first = np.repeat(docs[b[:-1]], np.diff(b))
-        keep = (pos < 0) | (docs > first)
-        return pa.table(
-            {
-                "doc_id": pa.array(docs[keep], pa.int64()),
-                "pos": pa.array(pos[keep], pa.int64()),
-                "n_tok": pa.array(ntok[keep], pa.int64()),
-            }
-        )
+    rows = read_documents(sf_dir).map_batches(
+        lambda b: _dup_window_rows(b, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    attributed = partitioned_by_key(rows, "gram", _dup_attr_part)
 
     def per_doc_part(part: pa.Table) -> pa.Table:
         """Merge each doc's duplicated windows into maximal spans: one
@@ -1529,11 +1479,197 @@ def dup_span_stats(sf_dir: str, k: int = DUP_NGRAM_K) -> "ray.data.Dataset":
             }
         )
 
-    rows = read_documents(sf_dir).map_batches(
-        window_rows, batch_format="pyarrow", zero_copy_batch=True
-    )
-    attributed = partitioned_by_key(rows, "gram", per_gram_part)
     return partitioned_by_key(attributed, "doc_id", per_doc_part)
+
+
+def _dup_window_rows(batch: pa.Table, k: int = DUP_NGRAM_K) -> pa.Table:
+    """(gram_hash, doc_id, pos, n_tok) row per K-token window, plus one
+    unique-gram sentinel per doc (pos = -1) that survives attribution."""
+    out_g: list[int] = []
+    out_d: list[int] = []
+    out_p: list[int] = []
+    out_n: list[int] = []
+    for doc_id, t in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        toks = _TOKEN_RE.findall(t.lower())
+        # Sentinel: one per doc, unique gram => singleton group.
+        out_g.append(-int(doc_id) - 1)
+        out_d.append(doc_id)
+        out_p.append(-1)
+        out_n.append(len(toks))
+        for i in range(len(toks) - k + 1):
+            h = (
+                int.from_bytes(
+                    hashlib.blake2b(
+                        " ".join(toks[i : i + k]).encode(), digest_size=8
+                    ).digest(),
+                    "big",
+                )
+                >> 1
+            )
+            out_g.append(h)
+            out_d.append(doc_id)
+            out_p.append(i)
+            out_n.append(len(toks))
+    return pa.table(
+        {
+            "gram": pa.array(out_g, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "pos": pa.array(out_p, pa.int64()),
+            "n_tok": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def _dup_attr_part(part: pa.Table) -> pa.Table:
+    """Keep every sentinel; keep window rows whose gram's min doc_id
+    (within its run) is lower — one lexsort per partition."""
+    from ._util import run_bounds
+
+    gram = part.column("gram").to_numpy(zero_copy_only=False)
+    docs = part.column("doc_id").to_numpy(zero_copy_only=False)
+    pos = part.column("pos").to_numpy(zero_copy_only=False)
+    ntok = part.column("n_tok").to_numpy(zero_copy_only=False)
+    order = np.lexsort((docs, gram))
+    gram, docs, pos, ntok = gram[order], docs[order], pos[order], ntok[order]
+    b = run_bounds(gram)
+    first = np.repeat(docs[b[:-1]], np.diff(b))
+    keep = (pos < 0) | (docs > first)
+    return pa.table(
+        {
+            "doc_id": pa.array(docs[keep], pa.int64()),
+            "pos": pa.array(pos[keep], pa.int64()),
+            "n_tok": pa.array(ntok[keep], pa.int64()),
+        }
+    )
+
+
+def dup_span_removal(sf_dir: str, k: int = DUP_NGRAM_K) -> "ray.data.Dataset":
+    """Span-CUTTING exact-substring dedup (the rewrite step of Lee et
+    al. 2022): every token covered by a duplicated K-window (first seen
+    in a lower doc_id) is removed; output is the kept tokens re-joined
+    with single spaces (the canonical lowercased token stream the
+    attribution ran on) plus the removed-token count.
+
+    Scale shape: attribution is the same fixed-width (hash, doc, pos)
+    exchange as dup_span_stats — text never rides the gram shuffle.
+    The rewrite co-partitions the surviving dup positions WITH the
+    document text on doc_id % P (schema-aligned union, one keyed
+    exchange of the corpus — the unavoidable minimum for a text
+    rewrite) and rebuilds every doc of a partition in one kernel call;
+    UDF invocations stay bounded by P."""
+    from ._util import partitioned_by_key, run_bounds
+
+    rows = read_documents(sf_dir).map_batches(
+        lambda b: _dup_window_rows(b, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    dup_pos = partitioned_by_key(rows, "gram", _dup_attr_part).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "pos": b.column("pos"),
+                "text": pa.array([""] * b.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    text_rows = read_documents(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "pos": pa.array(np.full(b.num_rows, -2, np.int64), pa.int64()),
+                "text": b.column("text"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def rebuild_part(part: pa.Table) -> pa.Table:
+        docs = part.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = part.column("pos").to_numpy(zero_copy_only=False)
+        texts = part.column("text").to_pylist()
+        order = np.lexsort((pos, docs))
+        docs, pos = docs[order], pos[order]
+        texts = [texts[i] for i in order]
+        b = run_bounds(docs)
+        out_d: list[int] = []
+        out_t: list[str] = []
+        out_r: list[int] = []
+        for s, e in zip(b[:-1], b[1:]):
+            # pos = -2 (text row) sorts first in each doc run; exactly
+            # one per doc.  pos = -1 sentinels are attribution
+            # pass-throughs; pos >= 0 are duplicated window starts.
+            assert pos[s] == -2, "text row missing for doc"
+            toks = _TOKEN_RE.findall(texts[s].lower())
+            covered = np.zeros(len(toks), bool)
+            for p in pos[s:e]:
+                if p >= 0:
+                    covered[p : p + k] = True
+            kept = [t for t, c in zip(toks, covered) if not c]
+            out_d.append(int(docs[s]))
+            out_t.append(" ".join(kept))
+            out_r.append(int(covered.sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "clean_text": pa.array(out_t, pa.string()),
+                "removed_tokens": pa.array(out_r, pa.int64()),
+            }
+        )
+
+    return partitioned_by_key(
+        text_rows.union(dup_pos), "doc_id", rebuild_part
+    )
+
+
+def _dup_span_removal_sql(k: int = DUP_NGRAM_K) -> str:
+    gram_expr = " || ' ' || ".join(f"ts[i+{j}]" for j in range(k)).replace(
+        "ts[i+0]", "ts[i]"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i, {gram_expr} AS g
+  FROM toks, UNNEST(range(1, len(ts) - {k - 2})) AS r(i)
+  WHERE len(ts) >= {k}
+),
+firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g),
+dupwin AS (
+  SELECT gr.doc_id, gr.i FROM grams gr JOIN firsts f USING (g)
+  WHERE f.first_doc < gr.doc_id
+),
+cov AS (
+  SELECT DISTINCT doc_id, i + j AS t
+  FROM dupwin, UNNEST(range(0, {k})) AS u(j)
+),
+pos AS (
+  SELECT doc_id, i, ts[i] AS tok
+  FROM toks, UNNEST(range(1, len(ts) + 1)) AS r(i)
+),
+kept AS (
+  SELECT p.doc_id,
+         string_agg(p.tok, ' ' ORDER BY p.i) AS txt,
+         count(*) AS n_kept
+  FROM pos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.t = p.i
+  WHERE c.t IS NULL
+  GROUP BY p.doc_id
+)
+SELECT tk.doc_id,
+       COALESCE(k.txt, '') AS clean_text,
+       CAST(len(tk.ts) - COALESCE(k.n_kept, 0) AS BIGINT) AS removed_tokens
+FROM toks tk LEFT JOIN kept k USING (doc_id)
+"""
+
+
+DUP_SPAN_REMOVAL_SQL = _dup_span_removal_sql()
 
 
 def _dup_span_sql(k: int = DUP_NGRAM_K) -> str:

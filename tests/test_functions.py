@@ -1468,6 +1468,23 @@ def test_dup_span_stats_matches_bruteforce():
     assert any(v[2] > 0 for v in want.values())
 
 
+def test_dup_span_removal_consistent_with_stats():
+    """The rewrite and the stats view must agree doc-by-doc:
+    removed_tokens == dup_tokens, kept tokens == n_tokens - dup_tokens,
+    and the clean text is exactly the kept lowercased tokens."""
+    from go_boilerpipe_ray.functions.text import dup_span_removal, dup_span_stats
+
+    stats = {r["doc_id"]: r for r in dup_span_stats(SF).take_all()}
+    rows = dup_span_removal(SF).take_all()
+    assert len(rows) == len(stats)
+    for r in rows:
+        s = stats[r["doc_id"]]
+        assert r["removed_tokens"] == s["dup_tokens"], r["doc_id"]
+        n_clean = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert n_clean == s["n_tokens"] - s["dup_tokens"], r["doc_id"]
+    assert any(r["removed_tokens"] > 0 for r in rows)
+
+
 def test_bpe_pair_counts_topk():
     from go_boilerpipe_ray.functions.text import BPE_TOPK, bpe_pair_counts
 
