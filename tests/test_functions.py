@@ -1468,6 +1468,58 @@ def test_dup_span_stats_matches_bruteforce():
     assert any(v[2] > 0 for v in want.values())
 
 
+def test_dup_span_edges_crafted_corpus(tmp_path):
+    """Edge semantics pinned on a crafted corpus: full-copy coverage,
+    boundary-gapped repeats (two spans), WITHIN-doc-only repeats (no
+    dup — first writer is the doc itself), empty and sub-K docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.text import dup_span_removal, dup_span_stats
+
+    base = "a b c d e f g h i j"  # 10 tokens
+    docs = {
+        1: base,
+        2: base,  # exact copy: all 10 tokens covered, 1 span
+        3: "a b c d e f g h x a b c d e f g h",  # dup 8-grams at 0 and 9
+        4: "z z z z z z z z z z",  # self-repeat only: NOT dup
+        5: "",
+        6: "a b c",  # < K tokens
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), pa.int64()),
+                "text": pa.array(list(docs.values()), pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {r["doc_id"]: r for r in dup_span_stats(str(tmp_path)).take_all()}
+    assert got[1] == {
+        "doc_id": 1, "n_tokens": 10, "dup_tokens": 0, "dup_spans": 0,
+    }
+    assert got[2] == {
+        "doc_id": 2, "n_tokens": 10, "dup_tokens": 10, "dup_spans": 1,
+    }
+    # Windows at pos 0 and 9: 9 > 0 + 8, so two maximal spans of 8.
+    assert got[3] == {
+        "doc_id": 3, "n_tokens": 17, "dup_tokens": 16, "dup_spans": 2,
+    }
+    assert got[4]["dup_tokens"] == 0 and got[4]["dup_spans"] == 0
+    assert got[5] == {
+        "doc_id": 5, "n_tokens": 0, "dup_tokens": 0, "dup_spans": 0,
+    }
+    assert got[6] == {
+        "doc_id": 6, "n_tokens": 3, "dup_tokens": 0, "dup_spans": 0,
+    }
+    rem = {r["doc_id"]: r for r in dup_span_removal(str(tmp_path)).take_all()}
+    assert rem[2]["clean_text"] == "" and rem[2]["removed_tokens"] == 10
+    assert rem[3]["clean_text"] == "x" and rem[3]["removed_tokens"] == 16
+    assert rem[4]["clean_text"] == docs[4] and rem[4]["removed_tokens"] == 0
+    assert rem[5]["clean_text"] == "" and rem[5]["removed_tokens"] == 0
+
+
 def test_dup_span_removal_consistent_with_stats():
     """The rewrite and the stats view must agree doc-by-doc:
     removed_tokens == dup_tokens, kept tokens == n_tokens - dup_tokens,
