@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_share": relational.nation_revenue_share,
         "dup_span_stats": text.dup_span_stats,
         "dup_span_removal": text.dup_span_removal,
+        "knn_filtered": similarity.knn_filtered,
     })
 
 
@@ -418,6 +419,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue_share": relational.NATION_REVENUE_SHARE_SQL,
         "dup_span_stats": text.DUP_SPAN_SQL,
         "dup_span_removal": text.DUP_SPAN_REMOVAL_SQL,
+        "knn_filtered": similarity.KNN_FILTERED_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -191,6 +191,86 @@ FROM scored WHERE r <= 10
 """
 
 
+def knn_filtered(sf_dir: str, k: int = 10, n_queries: int = 8) -> pa.Table:
+    """Filtered vector search: exact top-k cosine neighbors RESTRICTED
+    to corpus vectors sharing the query's ``label`` (the tenant/shard/
+    metadata predicate production ANN services support).  The predicate
+    is per-query, so no single read filter applies; it is a vectorized
+    label mask on each batch before local truncation (a GLOBAL
+    predicate would instead be pushed into read_parquet filters, as
+    _load_queries does for the query rows).  Candidate volume stays
+    batches × n_queries × k and the final top-k reduce is the same
+    distributed groupby(query_id) as knn_brute — nothing unbounded
+    reaches the driver.  Ties broken by vec_id, self-match included."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    qids = np.asarray(qt.column("vec_id").to_pylist(), dtype=np.int64)
+    qlabs = np.asarray(qt.column("label").to_pylist(), dtype=np.int64)
+    qm = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ref = ray.put((qids, qlabs, qm))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_labs, q_mat = ray.get(q_ref)
+        ids, m = _batch_matrix(batch)
+        labs = np.asarray(batch.column("label").to_pylist(), dtype=np.int64)
+        sims = _normalize(m) @ q_mat.T
+        out_q: list[int] = []
+        out_n: list[int] = []
+        out_s: list[float] = []
+        for j, (qid, qlab) in enumerate(zip(q_ids, q_labs)):
+            valid = np.flatnonzero(labs == qlab)
+            if valid.size == 0:
+                continue
+            col = sims[valid, j]
+            # Same total order as the final merge, (-sim, vec_id).
+            pick = valid[np.lexsort((ids[valid], -col))[: min(k, valid.size)]]
+            for i in pick:
+                out_q.append(int(qid))
+                out_n.append(int(ids[i]))
+                out_s.append(float(sims[i, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    candidates = ds.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
+    )
+    return _distributed_rank_reduce(candidates, k)
+
+
+KNN_FILTERED_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS ql
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.qid,
+         e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+         ) AS r
+  FROM embeddings e JOIN q ON e.label = q.ql
+)
+SELECT qid AS query_id, vec_id AS neighbor_id, r AS rank
+FROM scored WHERE r <= 10
+"""
+
+
 class LshIndexStage:
     """Random-hyperplane LSH bucketer — hyperplanes built once per actor."""
 

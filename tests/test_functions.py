@@ -101,6 +101,36 @@ def test_knn_lsh_recall_vs_brute():
         assert qid in got
 
 
+def test_knn_filtered_matches_label_restricted_brute():
+    """Filtered ANN = brute force restricted to the query's label: every
+    neighbor shares the label, rank 1 is the self-match, and the result
+    equals a numpy recomputation over the label subset."""
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.similarity import knn_filtered
+
+    got = knn_filtered(SF, k=5).to_pandas()
+    t = pq.read_table(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    labs = np.asarray(t.column("label").to_pylist(), dtype=np.int64)
+    m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    lab_of = dict(zip(ids.tolist(), labs.tolist()))
+    for qid in got["query_id"].unique():
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert sub["rank"].tolist() == list(range(1, len(sub) + 1))
+        assert sub.neighbor_id.iloc[0] == qid  # self-match at rank 1
+        qlab = lab_of[qid]
+        assert all(lab_of[n] == qlab for n in sub.neighbor_id)
+        qi = int(np.flatnonzero(ids == qid)[0])
+        valid = np.flatnonzero(labs == qlab)
+        sims = m[valid] @ m[qi]
+        order = valid[np.lexsort((ids[valid], -sims))][:5]
+        assert sub.neighbor_id.tolist() == ids[order].tolist()
+
+
 def test_lang_id_deterministic_and_covering():
     from go_boilerpipe_ray.functions.text import lang_id
 
