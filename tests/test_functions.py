@@ -3495,6 +3495,8 @@ def test_partitioned_by_key_invariant_to_partition_count(monkeypatch):
         "tfidf_topk": text.tfidf_topk,
         "session_stats": relational.session_stats,
         "percent_rank": relational.percent_rank_events,
+        "dup_span_stats": text.dup_span_stats,
+        "dup_span_removal": text.dup_span_removal,
     }
 
     def rows(fn):
