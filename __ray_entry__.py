@@ -82,6 +82,31 @@ _R4_WINDOW = [
     "label_text_stats",
 ]
 
+# Round 5: switch _window_order to _R5_WINDOW.  These are the 49 names
+# never driver-checked after r01-r03 + the planned r04 window (computed
+# 2026-08-18 from the union of CORRECTNESS_r01-r03 keys and _R4_WINDOW),
+# led by extract_golden so the core engine is still re-checked — 50
+# entries; with r04 this covers every registered query exactly once.
+_R5_WINDOW = [
+    "extract_golden",
+    "shipping_priority", "returned_order_priority", "docs_rollup",
+    "table_profile", "revenue_by_brand", "supplier_region_stats",
+    "lang_confusion", "zorder_keys", "heavy_hitters_by_source",
+    "approx_percentiles", "session_stats", "kmeans_train",
+    "value_outliers", "promo_revenue", "late_shipment_priority",
+    "discount_revenue", "returned_customers", "media_frame_sample",
+    "unigram_likelihood", "daily_active_users", "fk_violations",
+    "jsonl_roundtrip", "csv_roundtrip", "k_anonymity", "decile_stats",
+    "order_reconciliation", "top_suppliers", "large_orders",
+    "idle_rich_customers", "winsorized_stats", "mad_outliers",
+    "label_centroids", "props_extract", "time_weighted_average",
+    "decayed_value_sum", "source_diversity", "grouped_approx_percentiles",
+    "activity_union", "earliest_events", "supplier_pagerank", "bpe_train",
+    "conversion_delay_stats", "cluster_aware_split", "rebalance_mix",
+    "incremental_hourly_merge", "nation_revenue_share", "dup_span_stats",
+    "dup_span_removal", "knn_filtered",
+]
+
 
 def _window_order(d: dict[str, Any]) -> dict[str, Any]:
     """Reorder so the driver's first-50 window hits _R4_WINDOW; every
