@@ -1270,40 +1270,44 @@ def dup_ngram_profile(sf_dir: str) -> "ray.data.Dataset":
     k = DUP_NGRAM_K
 
     def gram_rows(batch: pa.Table) -> pa.Table:
-        out_g: list[int] = []
-        out_d: list[int] = []
-        out_c: list[int] = []
-        for doc_id, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            toks = _TOKEN_RE.findall(t.lower())
-            if len(toks) < k:
-                # Unique sentinel (negative, keyed by doc) — group of one.
-                out_g.append(-int(doc_id) - 1)
-                out_d.append(doc_id)
-                out_c.append(0)
-                continue
-            counts: dict[int, int] = {}
-            for i in range(len(toks) - k + 1):
-                h = (
-                    int.from_bytes(
-                        hashlib.blake2b(
-                            " ".join(toks[i : i + k]).encode(), digest_size=8
-                        ).digest(),
-                        "big",
+        """Per-(doc, gram) partial counts, fully vectorized: window
+        hashes from _batch_window_hashes, then one lexsort +
+        run-boundary sweep collapses repeats.  Docs too short for any
+        gram emit one unique negative sentinel key (group of one)."""
+        doc_ids, lens, gram, gdoc, _ = _batch_window_hashes(batch, k)
+        short = lens < k
+        if gram.size:
+            order = np.lexsort((gram, gdoc))
+            g2, d2 = gram[order], gdoc[order]
+            nb = np.concatenate(
+                (
+                    [0],
+                    np.flatnonzero(
+                        (np.diff(d2) != 0) | (np.diff(g2) != 0)
                     )
-                    >> 1
+                    + 1,
+                    [d2.size],
                 )
-                counts[h] = counts.get(h, 0) + 1
-            for h, c in counts.items():
-                out_g.append(h)
-                out_d.append(doc_id)
-                out_c.append(c)
+            )
+            out_g = g2[nb[:-1]]
+            out_d = doc_ids[d2[nb[:-1]]]
+            out_c = np.diff(nb).astype(np.int64)
+        else:
+            out_g = out_d = out_c = np.empty(0, np.int64)
         return pa.table(
             {
-                "gram": pa.array(out_g, pa.int64()),
-                "doc_id": pa.array(out_d, pa.int64()),
-                "cnt": pa.array(out_c, pa.int64()),
+                "gram": pa.array(
+                    np.concatenate((-doc_ids[short] - 1, out_g)), pa.int64()
+                ),
+                "doc_id": pa.array(
+                    np.concatenate((doc_ids[short], out_d)), pa.int64()
+                ),
+                "cnt": pa.array(
+                    np.concatenate(
+                        (np.zeros(int(short.sum()), np.int64), out_c)
+                    ),
+                    pa.int64(),
+                ),
             }
         )
 
@@ -1482,42 +1486,83 @@ def dup_span_stats(sf_dir: str, k: int = DUP_NGRAM_K) -> "ray.data.Dataset":
     return partitioned_by_key(attributed, "doc_id", per_doc_part)
 
 
+_GRAM_BASE = np.uint64(1099511628211)  # FNV-1a 64-bit prime
+
+
+def _batch_window_hashes(
+    batch: pa.Table, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized K-window gram hashing for a whole batch: tokens hash
+    ONCE per distinct token (blake2_u63, process-stable), window grams
+    are a base-B polynomial over the token hashes computed with one
+    sliding-window multiply-add over the batch's concatenated token
+    stream (uint64 wraparound; >>1 keeps grams in the non-negative
+    int64 domain, disjoint from the negative per-doc sentinels).
+    Windows straddling a doc boundary are masked out by index
+    arithmetic.  Python work is O(docs + tokens) — tokenize + the
+    token-id lookup — never O(windows) like the old per-window
+    blake2-of-joined-string loop.  The hash VALUE differs from that
+    loop, which is immaterial: gram hashes only key the shuffle and
+    the within-run grouping, and any consistent ~injective 63-bit
+    function satisfies both (collision odds stay ~n²/2⁶³).
+
+    Returns (doc_ids, n_tokens_per_doc) for the batch plus per-valid-
+    window (gram, doc_index, pos) arrays."""
+    from ._util import blake2_u63
+
+    texts = batch.column("text").to_pylist()
+    doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+    tok_lists = [_TOKEN_RE.findall(t.lower()) for t in texts]
+    lens = np.fromiter((len(ts) for ts in tok_lists), np.int64, len(tok_lists))
+    flat_toks = [t for ts in tok_lists for t in ts]
+    if flat_toks:
+        uniq = list(dict.fromkeys(flat_toks))
+        hmap = dict(zip(uniq, blake2_u63(uniq).astype(np.uint64)))
+        flat = np.fromiter(
+            (hmap[t] for t in flat_toks), np.uint64, len(flat_toks)
+        )
+    else:
+        flat = np.empty(0, np.uint64)
+    n = flat.size
+    if n < k:
+        e = np.empty(0, np.int64)
+        return doc_ids, lens, e, e, e
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        pows = np.ones(k, np.uint64)
+        for j in range(1, k):
+            pows[j] = pows[j - 1] * _GRAM_BASE
+        wins = np.lib.stride_tricks.sliding_window_view(flat, k)
+        H = (wins * pows).sum(axis=1, dtype=np.uint64) >> np.uint64(1)
+    starts = np.concatenate(([0], np.cumsum(lens)))
+    gidx = np.arange(n - k + 1)
+    doc_of = np.searchsorted(starts, gidx, side="right") - 1
+    valid = gidx + k <= starts[doc_of + 1]
+    gdoc = doc_of[valid]
+    gpos = (gidx[valid] - starts[gdoc]).astype(np.int64)
+    gram = H[valid].astype(np.int64)
+    return doc_ids, lens, gram, gdoc.astype(np.int64), gpos
+
+
 def _dup_window_rows(batch: pa.Table, k: int = DUP_NGRAM_K) -> pa.Table:
     """(gram_hash, doc_id, pos, n_tok) row per K-token window, plus one
-    unique-gram sentinel per doc (pos = -1) that survives attribution."""
-    out_g: list[int] = []
-    out_d: list[int] = []
-    out_p: list[int] = []
-    out_n: list[int] = []
-    for doc_id, t in zip(
-        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-    ):
-        toks = _TOKEN_RE.findall(t.lower())
-        # Sentinel: one per doc, unique gram => singleton group.
-        out_g.append(-int(doc_id) - 1)
-        out_d.append(doc_id)
-        out_p.append(-1)
-        out_n.append(len(toks))
-        for i in range(len(toks) - k + 1):
-            h = (
-                int.from_bytes(
-                    hashlib.blake2b(
-                        " ".join(toks[i : i + k]).encode(), digest_size=8
-                    ).digest(),
-                    "big",
-                )
-                >> 1
-            )
-            out_g.append(h)
-            out_d.append(doc_id)
-            out_p.append(i)
-            out_n.append(len(toks))
+    unique-gram sentinel per doc (pos = -1) that survives attribution.
+    Fully vectorized via _batch_window_hashes — no Python per window."""
+    doc_ids, lens, gram, gdoc, gpos = _batch_window_hashes(batch, k)
     return pa.table(
         {
-            "gram": pa.array(out_g, pa.int64()),
-            "doc_id": pa.array(out_d, pa.int64()),
-            "pos": pa.array(out_p, pa.int64()),
-            "n_tok": pa.array(out_n, pa.int64()),
+            "gram": pa.array(
+                np.concatenate((-doc_ids - 1, gram)), pa.int64()
+            ),
+            "doc_id": pa.array(
+                np.concatenate((doc_ids, doc_ids[gdoc])), pa.int64()
+            ),
+            "pos": pa.array(
+                np.concatenate((np.full(doc_ids.size, -1, np.int64), gpos)),
+                pa.int64(),
+            ),
+            "n_tok": pa.array(
+                np.concatenate((lens, lens[gdoc])), pa.int64()
+            ),
         }
     )
 
