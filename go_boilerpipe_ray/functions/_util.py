@@ -183,3 +183,85 @@ def quantile_disc_pick(values, cum_counts, permille: int) -> int:
     idx = int(np.ceil((permille / 1000.0) * n))
     pos = int(np.searchsorted(cum_counts, max(idx, 1)))
     return int(values[min(pos, len(values) - 1)])
+
+
+GRAM_BASE = 1099511628211  # FNV-1a 64-bit prime (uint64 wraparound base)
+
+import re as _re
+
+_TOKEN_RE_C = _re.compile(TOKEN_PATTERN)
+
+
+def batch_window_hashes(batch, k: int):
+    """Vectorized K-token-window gram hashing for a whole Arrow batch of
+    (doc_id, text) rows — the shared emitter behind the exact-substring
+    dup family, n-gram shingling and contamination probes.
+
+    Tokens hash ONCE per distinct token (blake2_u63, process-stable);
+    window grams are a base-B polynomial over the token hashes computed
+    with one sliding-window multiply-add over the batch's concatenated
+    token stream (uint64 wraparound; >>1 keeps grams in the
+    non-negative int64 domain, disjoint from negative per-doc
+    sentinels).  Windows straddling a doc boundary are masked by index
+    arithmetic.  Python work is O(docs + tokens) — tokenize + token-id
+    lookup — never O(windows).  Hash values are grouping-only: any
+    consistent ~injective 63-bit function works wherever this is used
+    (the SQL oracles group/join on STRING grams; collision odds stay
+    ~n²/2⁶³).
+
+    Returns (doc_ids, n_tokens_per_doc, gram, doc_index, pos) where the
+    last three are per-valid-window arrays and doc_index indexes into
+    doc_ids/n_tokens_per_doc."""
+    import numpy as np
+
+    tok_re = _TOKEN_RE_C
+    texts = batch.column("text").to_pylist()
+    doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+    tok_lists = [tok_re.findall(t.lower()) for t in texts]
+    lens = np.fromiter((len(ts) for ts in tok_lists), np.int64, len(tok_lists))
+    flat_toks = [t for ts in tok_lists for t in ts]
+    if flat_toks:
+        uniq = list(dict.fromkeys(flat_toks))
+        hmap = dict(zip(uniq, blake2_u63(uniq).astype(np.uint64)))
+        flat = np.fromiter(
+            (hmap[t] for t in flat_toks), np.uint64, len(flat_toks)
+        )
+    else:
+        flat = np.empty(0, np.uint64)
+    n = flat.size
+    if n < k:
+        e = np.empty(0, np.int64)
+        return doc_ids, lens, e, e, e
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        pows = np.ones(k, np.uint64)
+        for j in range(1, k):
+            pows[j] = pows[j - 1] * np.uint64(GRAM_BASE)
+        wins = np.lib.stride_tricks.sliding_window_view(flat, k)
+        H = (wins * pows).sum(axis=1, dtype=np.uint64) >> np.uint64(1)
+    starts = np.concatenate(([0], np.cumsum(lens)))
+    gidx = np.arange(n - k + 1)
+    doc_of = np.searchsorted(starts, gidx, side="right") - 1
+    valid = gidx + k <= starts[doc_of + 1]
+    gdoc = doc_of[valid]
+    gpos = (gidx[valid] - starts[gdoc]).astype(np.int64)
+    gram = H[valid].astype(np.int64)
+    return doc_ids, lens, gram, gdoc.astype(np.int64), gpos
+
+
+def batch_distinct_window_hashes(batch, k: int):
+    """batch_window_hashes reduced to per-doc DISTINCT gram sets:
+    returns (doc_ids, n_tokens_per_doc, sh_doc_index, sh_gram) with one
+    row per distinct (doc, gram) pair — one lexsort + run-boundary
+    sweep, no per-doc Python."""
+    import numpy as np
+
+    doc_ids, lens, gram, gdoc, _ = batch_window_hashes(batch, k)
+    if not gram.size:
+        e = np.empty(0, np.int64)
+        return doc_ids, lens, e, e
+    order = np.lexsort((gram, gdoc))
+    g2, d2 = gram[order], gdoc[order]
+    first = np.concatenate(
+        ([True], (np.diff(d2) != 0) | (np.diff(g2) != 0))
+    )
+    return doc_ids, lens, d2[first], g2[first]

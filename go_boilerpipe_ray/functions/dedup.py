@@ -182,31 +182,15 @@ def _shingle_batch(batch: pa.Table, k: int) -> pa.Table:
     count ``n_sh`` so the Jaccard denominator travels WITH the data —
     downstream stages never need a size lookup table (no broadcast, no
     join, no driver materialization at any corpus size)."""
-    doc_ids: list[int] = []
-    shingles: list[int] = []
-    n_shingles: list[int] = []
-    for doc_id, t in zip(
-        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-    ):
-        toks = _TOKEN_RE.findall(t.lower())
-        seen = {
-            int.from_bytes(
-                hashlib.blake2b(
-                    " ".join(toks[i : i + k]).encode(), digest_size=8
-                ).digest(),
-                "big",
-            )
-            >> 1
-            for i in range(len(toks) - k + 1)
-        }
-        doc_ids.extend([doc_id] * len(seen))
-        shingles.extend(seen)
-        n_shingles.extend([len(seen)] * len(seen))
+    from ._util import batch_distinct_window_hashes
+
+    doc_ids, _, sh_doc, sh = batch_distinct_window_hashes(batch, k)
+    n_per_doc = np.bincount(sh_doc, minlength=doc_ids.size).astype(np.int64)
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "shingle": pa.array(shingles, pa.int64()),
-            "n_sh": pa.array(n_shingles, pa.int64()),
+            "doc_id": pa.array(doc_ids[sh_doc], pa.int64()),
+            "shingle": pa.array(sh, pa.int64()),
+            "n_sh": pa.array(n_per_doc[sh_doc], pa.int64()),
         }
     )
 

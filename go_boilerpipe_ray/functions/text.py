@@ -444,19 +444,23 @@ _BENCH_MOD, _BENCH_RESIDUE = 97, 13
 
 
 def _shingle_hash_set(toks: list, k: int) -> set:
-    """Distinct blake2b-64 k-gram hashes (same hashing contract as
-    dedup._shingle_batch: the SQL oracle compares string shingles, we
-    compare 63-bit hashes — identical counts absent collisions)."""
-    return {
-        int.from_bytes(
-            hashlib.blake2b(
-                " ".join(toks[i : i + k]).encode(), digest_size=8
-            ).digest(),
-            "big",
-        )
-        >> 1
-        for i in range(len(toks) - k + 1)
-    }
+    """Distinct polynomial k-gram hashes of ONE token list (the same
+    hash _util.batch_window_hashes computes batch-wide; kept for tests
+    and small helpers — hot stages use the batch form).  The SQL
+    oracles compare string shingles, we compare 63-bit hashes —
+    identical counts absent collisions."""
+    from ._util import GRAM_BASE, blake2_u63
+
+    if len(toks) < k:
+        return set()
+    h = blake2_u63(toks).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        pows = np.ones(k, np.uint64)
+        for j in range(1, k):
+            pows[j] = pows[j - 1] * np.uint64(GRAM_BASE)
+        wins = np.lib.stride_tricks.sliding_window_view(h, k)
+        H = (wins * pows).sum(axis=1, dtype=np.uint64) >> np.uint64(1)
+    return set(H.astype(np.int64).tolist())
 
 
 def contamination_check(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
@@ -476,13 +480,13 @@ def contamination_check(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     docs = read_documents(sf_dir)
 
     def bench_shingles(batch: pa.Table) -> pa.Table:
+        from ._util import batch_distinct_window_hashes
+
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         keep = ids % _BENCH_MOD == _BENCH_RESIDUE
         sub = batch.filter(pa.array(keep))
-        hashes: set = set()
-        for t in sub.column("text").to_pylist():
-            hashes |= _shingle_hash_set(_TOKEN_RE.findall(t.lower()), k)
-        return pa.table({"shingle": pa.array(sorted(hashes), pa.int64())})
+        _, _, _, sh = batch_distinct_window_hashes(sub, k)
+        return pa.table({"shingle": pa.array(np.unique(sh), pa.int64())})
 
     bench_ds = docs.map_batches(
         bench_shingles, batch_format="pyarrow", zero_copy_batch=True
@@ -496,32 +500,28 @@ def contamination_check(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     bench_ref = ray.put(bench_sorted)
 
     def score(batch: pa.Table) -> pa.Table:
+        from ._util import batch_distinct_window_hashes
+
         bench = ray.get(bench_ref)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         keep = ids % _BENCH_MOD != _BENCH_RESIDUE
         sub = batch.filter(pa.array(keep))
-        out_ids, n_sh, n_hit = [], [], []
-        for doc_id, t in zip(
-            sub.column("doc_id").to_pylist(), sub.column("text").to_pylist()
-        ):
-            sh = np.fromiter(
-                _shingle_hash_set(_TOKEN_RE.findall(t.lower()), k),
-                dtype=np.int64,
-                count=-1,
-            )
-            out_ids.append(doc_id)
-            n_sh.append(len(sh))
-            if len(sh) and len(bench):
-                pos = np.clip(np.searchsorted(bench, sh), 0, len(bench) - 1)
-                n_hit.append(int(np.count_nonzero(bench[pos] == sh)))
-            else:
-                n_hit.append(0)
-        n_sh_a = np.asarray(n_sh, dtype=np.int64)
-        n_hit_a = np.asarray(n_hit, dtype=np.int64)
+        doc_ids, _, sh_doc, sh = batch_distinct_window_hashes(sub, k)
+        # One vectorized pass for the whole batch: distinct-shingle and
+        # benchmark-hit counts scatter back per doc via bincount.
+        n_sh_a = np.bincount(sh_doc, minlength=doc_ids.size).astype(np.int64)
+        if sh.size and bench.size:
+            pos = np.clip(np.searchsorted(bench, sh), 0, len(bench) - 1)
+            hit = bench[pos] == sh
+            n_hit_a = np.bincount(
+                sh_doc[hit], minlength=doc_ids.size
+            ).astype(np.int64)
+        else:
+            n_hit_a = np.zeros(doc_ids.size, np.int64)
         permille = np.where(n_sh_a > 0, (n_hit_a * 1000) // np.maximum(n_sh_a, 1), 0)
         return pa.table(
             {
-                "doc_id": pa.array(out_ids, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
                 "n_sh": pa.array(n_sh_a, pa.int64()),
                 "n_hit": pa.array(n_hit_a, pa.int64()),
                 "overlap_permille": pa.array(permille, pa.int64()),
@@ -870,12 +870,15 @@ def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
     filters: the fraction of lines that are duplicates of another line
     in the same document, and the share of the most common word bigram
     among all bigram occurrences.  Integer permille for hash-stable
-    oracle comparison; narrow map_batches, no shuffle (per-row Python is
-    the same profile-scorer trade lang_id makes)."""
+    oracle comparison; narrow map_batches, no shuffle.  Bigram counting
+    is the batch-wide vectorized window-hash sweep (k = 2, one lexsort
+    per batch); the line pass stays per-doc Python — lines per doc are
+    few and the work is dict counting, not windowing."""
 
     def stats(batch: pa.Table) -> pa.Table:
+        from ._util import batch_window_hashes, run_bounds
+
         dup_line_pm: list[int] = []
-        top_bigram_pm: list[int] = []
         for t in batch.column("text").to_pylist():
             lines = t.split("\n")
             if lines:
@@ -886,21 +889,28 @@ def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
                 dup_line_pm.append(dups * 1000 // len(lines))
             else:
                 dup_line_pm.append(0)
-            toks = _TOKEN_RE.findall(t.lower())
-            if len(toks) >= 2:
-                counts: dict = {}
-                for i in range(len(toks) - 1):
-                    g = (toks[i], toks[i + 1])
-                    counts[g] = counts.get(g, 0) + 1
-                total = len(toks) - 1
-                top_bigram_pm.append(max(counts.values()) * 1000 // total)
-            else:
-                top_bigram_pm.append(0)
+        doc_ids, lens, gram, gdoc, _ = batch_window_hashes(batch, 2)
+        top = np.zeros(doc_ids.size, np.int64)
+        if gram.size:
+            order = np.lexsort((gram, gdoc))
+            g2, d2 = gram[order], gdoc[order]
+            nb = np.concatenate(
+                (
+                    [0],
+                    np.flatnonzero((np.diff(d2) != 0) | (np.diff(g2) != 0))
+                    + 1,
+                    [d2.size],
+                )
+            )
+            np.maximum.at(top, d2[nb[:-1]], np.diff(nb))
+        top_bigram_pm = np.where(lens >= 2, top * 1000 // np.maximum(lens - 1, 1), 0)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "dup_line_permille": pa.array(dup_line_pm, pa.int64()),
-                "top_bigram_permille": pa.array(top_bigram_pm, pa.int64()),
+                "top_bigram_permille": pa.array(
+                    top_bigram_pm.astype(np.int64), pa.int64()
+                ),
             }
         )
 
@@ -1486,61 +1496,11 @@ def dup_span_stats(sf_dir: str, k: int = DUP_NGRAM_K) -> "ray.data.Dataset":
     return partitioned_by_key(attributed, "doc_id", per_doc_part)
 
 
-_GRAM_BASE = np.uint64(1099511628211)  # FNV-1a 64-bit prime
+def _batch_window_hashes(batch: pa.Table, k: int):
+    """Shared vectorized window hashing — see _util.batch_window_hashes."""
+    from ._util import batch_window_hashes
 
-
-def _batch_window_hashes(
-    batch: pa.Table, k: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized K-window gram hashing for a whole batch: tokens hash
-    ONCE per distinct token (blake2_u63, process-stable), window grams
-    are a base-B polynomial over the token hashes computed with one
-    sliding-window multiply-add over the batch's concatenated token
-    stream (uint64 wraparound; >>1 keeps grams in the non-negative
-    int64 domain, disjoint from the negative per-doc sentinels).
-    Windows straddling a doc boundary are masked out by index
-    arithmetic.  Python work is O(docs + tokens) — tokenize + the
-    token-id lookup — never O(windows) like the old per-window
-    blake2-of-joined-string loop.  The hash VALUE differs from that
-    loop, which is immaterial: gram hashes only key the shuffle and
-    the within-run grouping, and any consistent ~injective 63-bit
-    function satisfies both (collision odds stay ~n²/2⁶³).
-
-    Returns (doc_ids, n_tokens_per_doc) for the batch plus per-valid-
-    window (gram, doc_index, pos) arrays."""
-    from ._util import blake2_u63
-
-    texts = batch.column("text").to_pylist()
-    doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
-    tok_lists = [_TOKEN_RE.findall(t.lower()) for t in texts]
-    lens = np.fromiter((len(ts) for ts in tok_lists), np.int64, len(tok_lists))
-    flat_toks = [t for ts in tok_lists for t in ts]
-    if flat_toks:
-        uniq = list(dict.fromkeys(flat_toks))
-        hmap = dict(zip(uniq, blake2_u63(uniq).astype(np.uint64)))
-        flat = np.fromiter(
-            (hmap[t] for t in flat_toks), np.uint64, len(flat_toks)
-        )
-    else:
-        flat = np.empty(0, np.uint64)
-    n = flat.size
-    if n < k:
-        e = np.empty(0, np.int64)
-        return doc_ids, lens, e, e, e
-    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
-        pows = np.ones(k, np.uint64)
-        for j in range(1, k):
-            pows[j] = pows[j - 1] * _GRAM_BASE
-        wins = np.lib.stride_tricks.sliding_window_view(flat, k)
-        H = (wins * pows).sum(axis=1, dtype=np.uint64) >> np.uint64(1)
-    starts = np.concatenate(([0], np.cumsum(lens)))
-    gidx = np.arange(n - k + 1)
-    doc_of = np.searchsorted(starts, gidx, side="right") - 1
-    valid = gidx + k <= starts[doc_of + 1]
-    gdoc = doc_of[valid]
-    gpos = (gidx[valid] - starts[gdoc]).astype(np.int64)
-    gram = H[valid].astype(np.int64)
-    return doc_ids, lens, gram, gdoc.astype(np.int64), gpos
+    return batch_window_hashes(batch, k)
 
 
 def _dup_window_rows(batch: pa.Table, k: int = DUP_NGRAM_K) -> pa.Table:
