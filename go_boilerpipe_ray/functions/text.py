@@ -3113,6 +3113,171 @@ GROUP BY tf.doc_id
 """
 
 
+# -- bigram language-model scoring (CCNet-style quality signal) ---------------
+
+
+def lm_bigram_score(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document mean bigram conditional probability in parts-per-
+    billion — the CCNet/kenlm-style LM quality signal one order up from
+    ``unigram_likelihood``: P(cur|prev) = count(prev,cur)/count(prev,*),
+    averaged over the document's bigram positions.  Exact integer
+    arithmetic end to end so the oracle hashes bit-identically.
+
+    Scale shape: documents are tokenized ONCE into (doc_id, prev, cur,
+    tf, n_big) long-form rows.  A single keyed shuffle on
+    blake2(prev) % P co-locates every row of a conditioning token, so
+    one vectorized kernel per partition computes BOTH totals —
+    count(prev,*) and count(prev,cur) — with a lexsort + two
+    ``run_bounds`` sweeps (no vocab² join, no broadcast LM table; the
+    model never materializes anywhere).  The ppb division runs in
+    Python ints at the bigram-group level (count·1e9 wraps int64 once a
+    conditioning token exceeds ~9.2e9 corpus occurrences), then a
+    groupby(doc_id) rollup reduces to the per-doc mean.  Hot-prev skew
+    (stopwords) carries the same bound tfidf_topk documents: salt the
+    top conditioning tokens at web scale."""
+    import collections
+
+    from ._util import blake2_u63, partitioned_by_key, run_bounds
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def bigram_counts(batch: pa.Table) -> pa.Table:
+        d_ids: list[int] = []
+        d_prev: list[str] = []
+        d_cur: list[str] = []
+        d_tf: list[int] = []
+        d_n: list[int] = []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = _TOKEN_RE.findall(t.lower())
+            if len(toks) < 2:
+                continue  # no bigrams: doc absent from output (SQL matches)
+            n_big = len(toks) - 1
+            for (p, c), cnt in collections.Counter(
+                zip(toks, toks[1:])
+            ).items():
+                d_ids.append(did)
+                d_prev.append(p)
+                d_cur.append(c)
+                d_tf.append(cnt)
+                d_n.append(n_big)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_ids, pa.int64()),
+                "prev": pa.array(d_prev, pa.string()),
+                "cur": pa.array(d_cur, pa.string()),
+                "tf": pa.array(d_tf, pa.int64()),
+                "n_big": pa.array(d_n, pa.int64()),
+                "hk": pa.array(blake2_u63(d_prev), pa.int64()),
+            }
+        )
+
+    def score_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "contrib": pa.array([], pa.int64()),
+                    "n_big": pa.array([], pa.int64()),
+                }
+            )
+        prev = np.asarray(part.column("prev").to_pylist(), dtype=object)
+        cur = np.asarray(part.column("cur").to_pylist(), dtype=object)
+        tf = part.column("tf").to_numpy(zero_copy_only=False)
+        did = part.column("doc_id").to_numpy(zero_copy_only=False)
+        nbg = part.column("n_big").to_numpy(zero_copy_only=False)
+        order = np.lexsort((cur, prev))
+        prev, cur, tf = prev[order], cur[order], tf[order]
+        did, nbg = did[order], nbg[order]
+        pb = run_bounds(prev)
+        prev_tot = np.add.reduceat(tf, pb[:-1])
+        prev_tot_row = np.repeat(prev_tot, np.diff(pb))
+        bigram_change = np.r_[
+            True, (prev[1:] != prev[:-1]) | (cur[1:] != cur[:-1]), True
+        ]
+        bb = np.flatnonzero(bigram_change).astype(np.int64)
+        big_tot = np.add.reduceat(tf, bb[:-1])
+        # Python-int ppb per UNIQUE bigram (bounded by the partition's
+        # distinct-bigram count, not its row count): exact at any scale.
+        ppb_g = np.fromiter(
+            (
+                (int(b) * 1_000_000_000) // int(p)
+                for b, p in zip(big_tot, prev_tot_row[bb[:-1]])
+            ),
+            dtype=np.int64,
+            count=len(big_tot),
+        )
+        ppb = np.repeat(ppb_g, np.diff(bb))
+        # tf·ppb ≤ n_big·1e9: int64-safe for any document under ~9e9 tokens.
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "contrib": pa.array(tf * ppb, pa.int64()),
+                "n_big": pa.array(nbg, pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        c = batch.column("sum(contrib)").to_numpy(zero_copy_only=False)
+        n = batch.column("max(n_big)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_big": pa.array(n, pa.int64()),
+                "lm_ppb": pa.array(c // np.maximum(n, 1), pa.int64()),
+            }
+        )
+
+    long_rows = ds.map_batches(
+        bigram_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        partitioned_by_key(long_rows, "hk", score_partition)
+        .groupby("doc_id")
+        .aggregate(
+            ray.data.aggregate.Sum("contrib", alias_name="sum(contrib)"),
+            ray.data.aggregate.Max("n_big", alias_name="max(n_big)"),
+        )
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+LM_BIGRAM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM t WHERE len(toks) >= 2
+),
+bg AS (
+  SELECT a.doc_id, a.tok AS prev, b.tok AS cur
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+),
+nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_big FROM bg GROUP BY 1),
+bgc AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS big_n FROM bg GROUP BY 1, 2),
+pv AS (SELECT prev, CAST(sum(big_n) AS BIGINT) AS prev_n FROM bgc GROUP BY 1),
+prob AS (
+  SELECT bgc.prev, bgc.cur, (bgc.big_n * 1000000000) // pv.prev_n AS ppb
+  FROM bgc JOIN pv ON bgc.prev = pv.prev
+),
+dbg AS (
+  SELECT doc_id, prev, cur, CAST(count(*) AS BIGINT) AS tf
+  FROM bg GROUP BY 1, 2, 3
+)
+SELECT dbg.doc_id,
+       CAST(max(nd.n_big) AS BIGINT) AS n_big,
+       CAST(sum(dbg.tf * prob.ppb) // greatest(max(nd.n_big), 1) AS BIGINT)
+         AS lm_ppb
+FROM dbg
+JOIN prob ON dbg.prev = prob.prev AND dbg.cur = prob.cur
+JOIN nd ON dbg.doc_id = nd.doc_id
+GROUP BY dbg.doc_id
+"""
+
+
 # -- k-anonymity audit over quasi-identifiers ---------------------------------
 
 K_ANONYMITY_K = 5

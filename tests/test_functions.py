@@ -2578,6 +2578,66 @@ def test_unigram_likelihood_matches_reference():
         assert int(got.loc[did, "n_tok"]) == n
 
 
+def test_lm_bigram_score_matches_reference():
+    import collections
+    import re
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.text import TOKEN_PATTERN, lm_bigram_score
+
+    rx = re.compile(TOKEN_PATTERN)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    big_n: collections.Counter = collections.Counter()
+    prev_n: collections.Counter = collections.Counter()
+    per_doc = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = rx.findall(text.lower())
+        if len(toks) < 2:
+            continue
+        bgs = collections.Counter(zip(toks, toks[1:]))
+        per_doc[did] = bgs
+        big_n.update(bgs)
+        for (p, _), c in bgs.items():
+            prev_n[p] += c
+    got = lm_bigram_score(SF).to_pandas().set_index("doc_id")
+    assert set(got.index) == set(per_doc)
+    for did, bgs in per_doc.items():
+        n = sum(bgs.values())
+        want = (
+            sum(
+                tf * ((big_n[bg] * 10**9) // prev_n[bg[0]])
+                for bg, tf in bgs.items()
+            )
+            // n
+        )
+        assert int(got.loc[did, "lm_ppb"]) == want
+        assert int(got.loc[did, "n_big"]) == n
+
+
+def test_lm_bigram_score_short_docs_excluded(tmp_path):
+    # Docs with <2 tokens produce no bigram rows and must be ABSENT from
+    # the output (matching the SQL oracle's len(toks) >= 2 gate), and a
+    # repeated-bigram doc must score its own conditional probabilities.
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.text import lm_bigram_score
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["single", "", "go go go stop"],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = lm_bigram_score(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert set(got.index) == {3}
+    # bigrams: (go,go)x2 (go,stop)x1; prev 'go' total = 3.
+    p_gg = (2 * 10**9) // 3
+    p_gs = (1 * 10**9) // 3
+    assert int(got.loc[3, "lm_ppb"]) == (2 * p_gg + 1 * p_gs) // 3
+    assert int(got.loc[3, "n_big"]) == 3
+
+
 def test_daily_active_users_matches_pandas():
     import pandas as pd
 
@@ -3497,6 +3557,7 @@ def test_partitioned_by_key_invariant_to_partition_count(monkeypatch):
         "percent_rank": relational.percent_rank_events,
         "dup_span_stats": text.dup_span_stats,
         "dup_span_removal": text.dup_span_removal,
+        "lm_bigram_score": text.lm_bigram_score,
     }
 
     def rows(fn):
