@@ -104,7 +104,7 @@ _R5_WINDOW = [
     "activity_union", "earliest_events", "supplier_pagerank", "bpe_train",
     "conversion_delay_stats", "cluster_aware_split", "rebalance_mix",
     "incremental_hourly_merge", "nation_revenue_share", "dup_span_stats",
-    "dup_span_removal", "knn_filtered", "lm_bigram_score",
+    "dup_span_removal", "knn_filtered", "lm_bigram_score", "orders_cube",
 ]
 
 
@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_removal": text.dup_span_removal,
         "knn_filtered": similarity.knn_filtered,
         "lm_bigram_score": text.lm_bigram_score,
+        "orders_cube": relational.orders_cube,
     })
 
 
@@ -447,6 +448,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_removal": text.DUP_SPAN_REMOVAL_SQL,
         "knn_filtered": similarity.KNN_FILTERED_SQL,
         "lm_bigram_score": text.LM_BIGRAM_SQL,
+        "orders_cube": relational.ORDERS_CUBE_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

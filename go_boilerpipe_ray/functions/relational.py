@@ -4705,3 +4705,100 @@ SELECT c.r_name, rv.n_name, rv.revenue_cents,
             AS BIGINT) AS share_permille
 FROM rv JOIN chain c ON rv.n_name = c.n_name
 """
+
+
+# -- CUBE / GROUPING SETS multi-dimensional aggregate -------------------------
+
+
+def orders_cube(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE (o_orderstatus, o_orderpriority) over orders — all
+    four grouping sets (both dims, each dim alone, grand total) with a
+    ``grouping_id`` disambiguator (GROUPING(status)*2 +
+    GROUPING(priority)), n_orders and revenue in exact integer cents.
+
+    Scale shape: ONE distributed pass — a per-batch Arrow combiner
+    collapses raw orders to (status, priority, n, cents) partials, one
+    keyed shuffle rolls them to the FINEST grain — and every coarser
+    set is derived from that finest table, never from the raw rows.
+    The finest table is bounded by |status| × |priority| (dim-
+    cardinality product, independent of row count), so the driver-side
+    derivation is a bounded post-aggregation step, the same contract
+    retention_cohorts and the other tiny-rollup operators document.
+    Rolled-up dimensions surface as NULL; grouping_id tells a rolled-up
+    NULL apart from a (hypothetical) data NULL, mirroring SQL GROUPING()."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = money_cents(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "s": batch.column("o_orderstatus"),
+                "p": batch.column("o_orderpriority"),
+                "n": pa.array(np.ones(len(cents), np.int64)),
+                "c": pa.array(cents, pa.int64()),
+            }
+        )
+        g = t.group_by(["s", "p"]).aggregate([("n", "sum"), ("c", "sum")])
+        return g.rename_columns(["s", "p", "n", "c"])
+
+    finest = (
+        _read(
+            sf_dir,
+            "orders",
+            ["o_orderstatus", "o_orderpriority", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["s", "p"])
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n"),
+            ray.data.aggregate.Sum("c", alias_name="c"),
+        )
+        .to_pandas()  # bounded: |status| x |priority| rows, post-aggregation
+    )
+
+    def rollup(df, keys: list[str], gid: int):
+        if keys:
+            g = df.groupby(keys, as_index=False)[["n", "c"]].sum()
+        else:
+            g = df[["n", "c"]].sum().to_frame().T
+        for col in ("s", "p"):
+            if col not in keys:
+                g[col] = None
+        g["grouping_id"] = gid
+        return g[["s", "p", "grouping_id", "n", "c"]]
+
+    import pandas as pd
+
+    out = pd.concat(
+        [
+            rollup(finest, ["s", "p"], 0),
+            rollup(finest, ["s"], 1),
+            rollup(finest, ["p"], 2),
+            rollup(finest, [], 3),
+        ],
+        ignore_index=True,
+    )
+    return pa.table(
+        {
+            "o_orderstatus": pa.array(out["s"].tolist(), pa.string()),
+            "o_orderpriority": pa.array(out["p"].tolist(), pa.string()),
+            "grouping_id": pa.array(
+                out["grouping_id"].to_numpy(np.int64), pa.int64()
+            ),
+            "n_orders": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            "revenue_cents": pa.array(out["c"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+ORDERS_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+            AS BIGINT) AS grouping_id,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""

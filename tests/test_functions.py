@@ -2638,6 +2638,41 @@ def test_lm_bigram_score_short_docs_excluded(tmp_path):
     assert int(got.loc[3, "n_big"]) == 3
 
 
+def test_orders_cube_matches_pandas():
+    import numpy as np
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import orders_cube
+
+    od = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    od["cents"] = np.floor(od["o_totalprice"] * 100 + 0.5).astype("int64")
+    got = orders_cube(SF).to_pandas()
+    # 4 grouping sets, keyed by (status-or-None, priority-or-None, gid).
+    idx = got.set_index(
+        ["o_orderstatus", "o_orderpriority", "grouping_id"], drop=True
+    )
+    ns, np_ = od["o_orderstatus"].nunique(), od["o_orderpriority"].nunique()
+    fine = od.groupby(["o_orderstatus", "o_orderpriority"]).size()
+    assert len(got) == len(fine) + ns + np_ + 1
+    for (s, p), n in fine.items():
+        row = idx.loc[(s, p, 0)]
+        assert int(row["n_orders"]) == int(n)
+    for s, grp in od.groupby("o_orderstatus"):
+        row = idx.loc[(s, None, 1)]
+        assert int(row["n_orders"]) == len(grp)
+        assert int(row["revenue_cents"]) == int(grp["cents"].sum())
+    for p, grp in od.groupby("o_orderpriority"):
+        row = idx.loc[(None, p, 2)]
+        assert int(row["n_orders"]) == len(grp)
+        assert int(row["revenue_cents"]) == int(grp["cents"].sum())
+    tot = idx.loc[(None, None, 3)]
+    assert int(tot["n_orders"]) == len(od)
+    assert int(tot["revenue_cents"]) == int(od["cents"].sum())
+
+
 def test_daily_active_users_matches_pandas():
     import pandas as pd
 
