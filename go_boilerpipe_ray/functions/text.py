@@ -3015,8 +3015,11 @@ def unigram_likelihood(sf_dir: str) -> "ray.data.Dataset":
     (doc_id, token, tf, n_tok) long-form rows are materialized and
     re-used for both the corpus-total scalar (a cheap sum over the tiny
     rows — no second regex pass over the text) and the scoring pipeline;
-    ``groupby(token)`` computes each token's corpus frequency INSIDE its
-    group and converts it to a ppb probability with Python-int exactness
+    ONE keyed shuffle on blake2(token) % P co-locates each token's rows
+    so a partition-vectorized kernel (sort + ``run_bounds`` sweep, not
+    one Python call per distinct token — junk vocabularies reach 10⁸⁺
+    distinct tokens at web scale) computes corpus frequencies and
+    converts them to ppb probabilities with Python-int exactness
     (tf·1e9 would overflow int64 at web scale), then ``groupby(doc_id)``
     reduces to the per-doc mean.  No broadcast vocab table anywhere, so
     billion-token junk vocabularies never land in one heap.  Honest skew
@@ -3024,6 +3027,8 @@ def unigram_likelihood(sf_dir: str) -> "ray.data.Dataset":
     (the same bound tfidf_topk carries); at web scale salt the hot
     tokens or join the per-token ppb back by hashed key instead."""
     import collections
+
+    from ._util import blake2_u63, partitioned_by_key, run_bounds
 
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
 
@@ -3047,19 +3052,40 @@ def unigram_likelihood(sf_dir: str) -> "ray.data.Dataset":
                 "token": pa.array(d_tok, pa.string()),
                 "tf": pa.array(d_tf, pa.int64()),
                 "n_tok": pa.array(d_n, pa.int64()),
+                "hk": pa.array(blake2_u63(d_tok), pa.int64()),
             }
         )
 
-    def attach_ppb(group: pa.Table) -> pa.Table:
-        tf = group.column("tf").to_numpy(zero_copy_only=False)
-        # Python-int product: exact at any corpus size (int64 would wrap
-        # once a token's corpus frequency exceeds ~9.2e9).
-        ppb = (int(tf.sum()) * 1_000_000_000) // max(total, 1)
+    def attach_ppb(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "contrib": pa.array([], pa.int64()),
+                    "n_tok": pa.array([], pa.int64()),
+                }
+            )
+        tok = np.asarray(part.column("token").to_pylist(), dtype=object)
+        tf = part.column("tf").to_numpy(zero_copy_only=False)
+        did = part.column("doc_id").to_numpy(zero_copy_only=False)
+        ntk = part.column("n_tok").to_numpy(zero_copy_only=False)
+        order = np.argsort(tok, kind="stable")
+        tok, tf, did, ntk = tok[order], tf[order], did[order], ntk[order]
+        tb = run_bounds(tok)
+        ctf = np.add.reduceat(tf, tb[:-1])
+        # Python-int product per UNIQUE token: exact at any corpus size
+        # (int64 would wrap once a token's corpus frequency exceeds ~9.2e9).
+        ppb_g = np.fromiter(
+            ((int(c) * 1_000_000_000) // max(total, 1) for c in ctf),
+            dtype=np.int64,
+            count=len(ctf),
+        )
+        ppb = np.repeat(ppb_g, np.diff(tb))
         return pa.table(
             {
-                "doc_id": group.column("doc_id"),
+                "doc_id": pa.array(did, pa.int64()),
                 "contrib": pa.array(tf * ppb, pa.int64()),
-                "n_tok": group.column("n_tok"),
+                "n_tok": pa.array(ntk, pa.int64()),
             }
         )
 
@@ -3080,8 +3106,7 @@ def unigram_likelihood(sf_dir: str) -> "ray.data.Dataset":
     total = int(term_rows.sum("tf") or 0)
 
     return (
-        term_rows.groupby("token")
-        .map_groups(attach_ppb, batch_format="pyarrow")
+        partitioned_by_key(term_rows, "hk", attach_ppb)
         .groupby("doc_id")
         .aggregate(
             ray.data.aggregate.Sum("contrib", alias_name="sum(contrib)"),

@@ -3593,6 +3593,7 @@ def test_partitioned_by_key_invariant_to_partition_count(monkeypatch):
         "dup_span_stats": text.dup_span_stats,
         "dup_span_removal": text.dup_span_removal,
         "lm_bigram_score": text.lm_bigram_score,
+        "unigram_likelihood": text.unigram_likelihood,
     }
 
     def rows(fn):
