@@ -105,6 +105,7 @@ _R5_WINDOW = [
     "conversion_delay_stats", "cluster_aware_split", "rebalance_mix",
     "incremental_hourly_merge", "nation_revenue_share", "dup_span_stats",
     "dup_span_removal", "knn_filtered", "lm_bigram_score", "orders_cube",
+    "hourly_dense",
 ]
 
 
@@ -289,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_filtered": similarity.knn_filtered,
         "lm_bigram_score": text.lm_bigram_score,
         "orders_cube": relational.orders_cube,
+        "hourly_dense": relational.hourly_dense,
     })
 
 
@@ -449,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_filtered": similarity.KNN_FILTERED_SQL,
         "lm_bigram_score": text.LM_BIGRAM_SQL,
         "orders_cube": relational.ORDERS_CUBE_SQL,
+        "hourly_dense": relational.HOURLY_DENSE_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

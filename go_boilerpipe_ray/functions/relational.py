@@ -4802,3 +4802,87 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
+
+
+# -- dense time-series resample (gap fill) ------------------------------------
+
+
+def hourly_dense(sf_dir: str) -> pa.Table:
+    """Hourly event counts on a DENSE time axis: every hour between the
+    corpus min and max appears, gap hours filled with zeros — the
+    resample-and-fill step monitoring/training-curve pipelines need
+    before windowed models (a missing hour must read 0, not vanish).
+
+    Scale shape: the distributed work is one combiner pass (per-batch
+    hour-floor + Arrow group-sum partials) and one groupby(hour) rollup
+    — identical to hourly_events.  The dense fill happens AFTER the
+    rollup on the bounded hourly table (rows = hours in the time span,
+    independent of event count: a decade is <90k rows), the documented
+    bounded post-aggregation contract."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        cents = money_cents(
+            batch.column("value").to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "hour": hour,
+                "n": pa.array(np.ones(len(cents), np.int64)),
+                "c": pa.array(cents, pa.int64()),
+            }
+        )
+        g = t.group_by(["hour"]).aggregate([("n", "sum"), ("c", "sum")])
+        return g.rename_columns(["hour", "n", "c"])
+
+    hourly = (
+        _read(sf_dir, "events", ["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hour")
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n"),
+            ray.data.aggregate.Sum("c", alias_name="c"),
+        )
+        .to_pandas()  # bounded: one row per hour in the span
+    )
+    if not len(hourly):
+        return pa.table(
+            {
+                "hour": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+                "value_cents": pa.array([], pa.int64()),
+            }
+        )
+    dense = pd.date_range(hourly["hour"].min(), hourly["hour"].max(), freq="h")
+    df = (
+        hourly.set_index("hour")
+        .reindex(dense, fill_value=0)
+        .reset_index(names="hour")
+    )
+    return pa.table(
+        {
+            "hour": pa.array(df["hour"], pa.timestamp("us")),
+            "n_events": pa.array(df["n"].astype("int64"), pa.int64()),
+            "value_cents": pa.array(df["c"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+HOURLY_DENSE_SQL = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+dense AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+)
+SELECT d.hour,
+       COALESCE(h.n_events, CAST(0 AS BIGINT)) AS n_events,
+       COALESCE(h.value_cents, CAST(0 AS BIGINT)) AS value_cents
+FROM dense d LEFT JOIN h ON d.hour = h.hour
+"""

@@ -2673,6 +2673,31 @@ def test_orders_cube_matches_pandas():
     assert int(tot["revenue_cents"]) == int(od["cents"].sum())
 
 
+def test_hourly_dense_fills_gaps(tmp_path):
+    # Three events across hours 00, 03 — hours 01 and 02 must appear
+    # with zero counts; cents follow the floor(x*100+0.5) money rule.
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import hourly_dense
+
+    pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:10", "2026-01-01 00:50", "2026-01-01 03:05"]
+            ),
+            "value": [1.005, 2.0, 10.555],
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = hourly_dense(str(tmp_path)).to_pandas()
+    from go_boilerpipe_ray.functions._util import money_cents
+
+    c = money_cents([1.005, 2.0, 10.555])
+    assert len(got) == 4
+    assert list(got["n_events"]) == [2, 0, 0, 1]
+    assert list(got["value_cents"]) == [int(c[0] + c[1]), 0, 0, int(c[2])]
+    assert got["hour"].is_monotonic_increasing
+
+
 def test_daily_active_users_matches_pandas():
     import pandas as pd
 
