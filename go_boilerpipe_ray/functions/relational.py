@@ -4886,3 +4886,197 @@ SELECT d.hour,
        COALESCE(h.value_cents, CAST(0 AS BIGINT)) AS value_cents
 FROM dense d LEFT JOIN h ON d.hour = h.hour
 """
+
+
+# -- TPC-H Q7-shaped: cross-nation shipping volume ---------------------------
+
+_Q7_NATIONS = ("NATION_1", "NATION_2")
+_Q7_LO = "1996-01-01"
+_Q7_HI = "1997-12-31"
+
+
+def volume_shipping(sf_dir: str) -> pa.Table:
+    """TPC-H Q7 shape: revenue shipped between two nations per year,
+    keyed by (supplier nation, customer nation) in both directions.
+
+    Plan by side size: both dimension chains (supplier→nation,
+    customer→nation) are resolved driver-side and broadcast ONCE via
+    ray.put — supplier is 10k·SF rows and customer 150k·SF rows, both
+    dwarfed by lineitem, so shipping either through the shuffle would
+    be waste.  Lineitem batches filter to the two supplier nations and
+    the ship-date window AT THE SCAN (most rows die before the
+    shuffle), pre-combine to (orderkey, supp_nation, year, cents), and
+    meet orders (filtered to the two customer nations the same way) in
+    ONE repartition join on orderkey.  The final rollup is ≤ 2·2·years
+    rows.  Revenue in exact integer cents."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nkeys = nation.column("n_nationkey").combine_chunks()
+    nnames = nation.column("n_name").combine_chunks()
+
+    def nation_map(tbl: pa.Table, key: str, nk: str):
+        idx = pc.index_in(tbl.column(nk), value_set=nkeys)
+        return tbl.column(key).combine_chunks(), pc.take(nnames, idx)
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    import pandas as pd
+
+    supp_ref = ray.put(nation_map(supp, "s_suppkey", "s_nationkey"))
+    cust_ref = ray.put(nation_map(cust, "c_custkey", "c_nationkey"))
+    pair = pa.array(list(_Q7_NATIONS), pa.string())
+    lo = int(pd.Timestamp(_Q7_LO).value // 1000)
+    hi = int(pd.Timestamp(_Q7_HI + " 23:59:59.999999").value // 1000)
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(supp_ref)
+        sn = pc.take(names, pc.index_in(batch.column("l_suppkey"), value_set=keys))
+        ship = pc.cast(batch.column("l_shipdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        mask = pc.and_(
+            pc.is_in(sn, value_set=pair),
+            pa.array((ship >= lo) & (ship <= hi)),
+        )
+        keep = np.flatnonzero(
+            pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
+        )
+        ki = pa.array(keep, pa.int64())
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        year = pc.year(batch.column("l_shipdate").take(ki))
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey").take(ki),
+                "supp_nation": sn.take(ki),
+                "l_year": pc.cast(year, pa.int64()),
+                "cents": pa.array(money_cents(price * (1 - disc)), pa.int64()),
+            }
+        )
+        g = t.group_by(["l_orderkey", "supp_nation", "l_year"]).aggregate(
+            [("cents", "sum")]
+        )
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "supp_nation": g.column("supp_nation"),
+                "l_year": g.column("l_year"),
+                "cents": g.column("cents_sum"),
+            }
+        )
+
+    fact = lineitem.map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def ord_side(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(cust_ref)
+        cn = pc.take(names, pc.index_in(batch.column("o_custkey"), value_set=keys))
+        keep = pc.fill_null(pc.is_in(cn, value_set=pair), False)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").filter(keep),
+                "cust_nation": cn.filter(keep),
+            }
+        )
+
+    orders_f = orders.map_batches(
+        ord_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    joined = repartition_join(
+        fact,
+        orders_f,
+        "l_orderkey",
+        "o_orderkey",
+        [
+            ("supp_nation", pa.string()),
+            ("l_year", pa.int64()),
+            ("cents", pa.int64()),
+        ],
+        [("cust_nation", pa.string())],
+        how="inner",
+    )
+
+    def cross_only(batch: pa.Table) -> pa.Table:
+        # Keep only the two cross directions (drop same-nation pairs).
+        keep = pc.invert(
+            pc.equal(batch.column("supp_nation"), batch.column("cust_nation"))
+        )
+        t = batch.filter(pc.fill_null(keep, False))
+        g = t.group_by(["supp_nation", "cust_nation", "l_year"]).aggregate(
+            [("cents", "sum")]
+        )
+        return pa.table(
+            {
+                "supp_nation": g.column("supp_nation"),
+                "cust_nation": g.column("cust_nation"),
+                "l_year": g.column("l_year"),
+                "p_cents": g.column("cents_sum"),
+            }
+        )
+
+    out = (
+        joined.map_batches(cross_only, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(ray.data.aggregate.Sum("p_cents", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    if out.empty:
+        # Ray's groupby on an empty stream yields a schema-less frame;
+        # pin the typed empty result the oracle also returns.
+        return pa.table(
+            {
+                "supp_nation": pa.array([], pa.string()),
+                "cust_nation": pa.array([], pa.string()),
+                "l_year": pa.array([], pa.int64()),
+                "revenue_cents": pa.array([], pa.int64()),
+            }
+        )
+    out = out.sort_values(["supp_nation", "cust_nation", "l_year"])
+    return pa.table(
+        {
+            "supp_nation": pa.array(out["supp_nation"], pa.string()),
+            "cust_nation": pa.array(out["cust_nation"], pa.string()),
+            "l_year": pa.array(out["l_year"].to_numpy().astype(np.int64), pa.int64()),
+            "revenue_cents": pa.array(
+                out["revenue_cents"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+VOLUME_SHIPPING_SQL = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = '{_Q7_NATIONS[0]}' AND n2.n_name = '{_Q7_NATIONS[1]}')
+    OR (n1.n_name = '{_Q7_NATIONS[1]}' AND n2.n_name = '{_Q7_NATIONS[0]}'))
+  AND l.l_shipdate BETWEEN TIMESTAMP '{_Q7_LO}'
+                       AND TIMESTAMP '{_Q7_HI} 23:59:59.999999'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""

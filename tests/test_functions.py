@@ -3630,3 +3630,74 @@ def test_partitioned_by_key_invariant_to_partition_count(monkeypatch):
     monkeypatch.setattr(util, "wide_partitions", lambda floor=64: 5)
     for name, fn in cases.items():
         assert rows(fn) == base[name] and base[name], name
+
+
+def test_volume_shipping_matches_pandas():
+    # sf0.01 has actual cross-nation matches (sf0.001 is empty); build a
+    # pandas reference of the full 4-table join at sf0.01.
+    import numpy as np
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import (
+        _Q7_HI,
+        _Q7_LO,
+        _Q7_NATIONS,
+        volume_shipping,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    li = pd.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    od = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cu = pd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    su = pd.read_parquet(f"{sf}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    na = pd.read_parquet(f"{sf}/nation.parquet", columns=["n_nationkey", "n_name"])
+    j = (
+        li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cu, left_on="o_custkey", right_on="c_custkey")
+        .merge(su, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(na.rename(columns={"n_name": "supp_nation"}), left_on="s_nationkey", right_on="n_nationkey")
+        .merge(
+            na.rename(columns={"n_name": "cust_nation", "n_nationkey": "nk2"}),
+            left_on="c_nationkey",
+            right_on="nk2",
+        )
+    )
+    n1, n2 = _Q7_NATIONS
+    m = (
+        ((j["supp_nation"] == n1) & (j["cust_nation"] == n2))
+        | ((j["supp_nation"] == n2) & (j["cust_nation"] == n1))
+    ) & (j["l_shipdate"] >= _Q7_LO) & (j["l_shipdate"] <= f"{_Q7_HI} 23:59:59.999999")
+    j = j[m].copy()
+    j["cents"] = np.floor(
+        j["l_extendedprice"] * (1 - j["l_discount"]) * 100 + 0.5
+    ).astype("int64")
+    j["l_year"] = j["l_shipdate"].dt.year.astype("int64")
+    want = (
+        j.groupby(["supp_nation", "cust_nation", "l_year"])["cents"]
+        .sum()
+        .reset_index()
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)
+    )
+    got = volume_shipping(sf).to_pandas()
+    assert len(got) == len(want) > 0
+    assert list(got["supp_nation"]) == list(want["supp_nation"])
+    assert list(got["cust_nation"]) == list(want["cust_nation"])
+    assert list(got["l_year"]) == list(want["l_year"])
+    assert list(got["revenue_cents"]) == list(want["cents"])
+
+
+def test_volume_shipping_empty_input_typed():
+    # sf0.001 has no cross-nation rows in the window: the result must be
+    # an EMPTY but correctly-typed table, not a schema-less crash.
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.relational import volume_shipping
+
+    t = volume_shipping(SF)
+    assert t.num_rows == 0
+    assert t.schema.field("l_year").type == pa.int64()
+    assert t.schema.field("revenue_cents").type == pa.int64()
