@@ -105,7 +105,7 @@ _R5_WINDOW = [
     "conversion_delay_stats", "cluster_aware_split", "rebalance_mix",
     "incremental_hourly_merge", "nation_revenue_share", "dup_span_stats",
     "dup_span_removal", "knn_filtered", "lm_bigram_score", "orders_cube",
-    "hourly_dense", "volume_shipping",
+    "hourly_dense", "volume_shipping", "market_share",
 ]
 
 
@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": relational.orders_cube,
         "hourly_dense": relational.hourly_dense,
         "volume_shipping": relational.volume_shipping,
+        "market_share": relational.market_share,
     })
 
 
@@ -454,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_cube": relational.ORDERS_CUBE_SQL,
         "hourly_dense": relational.HOURLY_DENSE_SQL,
         "volume_shipping": relational.VOLUME_SHIPPING_SQL,
+        "market_share": relational.MARKET_SHARE_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -5080,3 +5080,207 @@ WHERE ((n1.n_name = '{_Q7_NATIONS[0]}' AND n2.n_name = '{_Q7_NATIONS[1]}')
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
+
+
+# -- TPC-H Q8-shaped: nation market share -------------------------------------
+
+_Q8_NATION = "NATION_3"
+_Q8_TYPE = "ECONOMY"
+_Q8_LO = "1996-01-01"
+_Q8_HI = "1997-12-31"
+
+
+def market_share(sf_dir: str) -> pa.Table:
+    """TPC-H Q8 shape: the target nation's share of revenue for one part
+    type, per order year — the two-level share aggregate (conditional
+    numerator over an unconditional denominator).
+
+    Plan by side size: part (filtered to the type) and supplier (a
+    per-suppkey is-target-nation flag) are broadcast ONCE via ray.put;
+    lineitem batches die at the scan unless their part qualifies, then
+    pre-combine to (orderkey, cents, nat_cents) so the ONE repartition
+    join against year-filtered orders moves at most one row per
+    (orderkey, block).  The share is emitted as EXACT integers —
+    (nation_cents, total_cents, permille = nation*1000 // total) — so
+    the oracle hash-compares without float drift."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    pk_set = pc.filter(
+        part.column("p_partkey"), pc.equal(part.column("p_type"), _Q8_TYPE)
+    ).combine_chunks()
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nidx = pc.index_in(
+        supp.column("s_nationkey"),
+        value_set=nation.column("n_nationkey").combine_chunks(),
+    )
+    is_target = pc.equal(
+        pc.take(nation.column("n_name").combine_chunks(), nidx), _Q8_NATION
+    )
+    dim_ref = ray.put(
+        (
+            pk_set,
+            supp.column("s_suppkey").combine_chunks(),
+            pc.fill_null(is_target, False)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False),
+        )
+    )
+    lo = int(pd.Timestamp(_Q8_LO).value // 1000)
+    hi = int(pd.Timestamp(_Q8_HI + " 23:59:59.999999").value // 1000)
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        parts, skeys, sflag = ray.get(dim_ref)
+        keep = np.flatnonzero(
+            pc.is_in(batch.column("l_partkey"), value_set=parts).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        ki = pa.array(keep, pa.int64())
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        cents = money_cents(price * (1 - disc))
+        sidx = pc.index_in(
+            batch.column("l_suppkey").take(ki), value_set=skeys
+        ).to_numpy(zero_copy_only=False)
+        tgt = sflag[sidx]
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey").take(ki),
+                "cents": pa.array(cents, pa.int64()),
+                "nat_cents": pa.array(np.where(tgt, cents, 0), pa.int64()),
+            }
+        )
+        g = t.group_by("l_orderkey").aggregate(
+            [("cents", "sum"), ("nat_cents", "sum")]
+        )
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "cents": g.column("cents_sum"),
+                "nat_cents": g.column("nat_cents_sum"),
+            }
+        )
+
+    fact = lineitem.map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def ord_side(batch: pa.Table) -> pa.Table:
+        date = pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = pa.array(np.flatnonzero((date >= lo) & (date <= hi)), pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").take(keep),
+                "o_year": pc.cast(
+                    pc.year(batch.column("o_orderdate").take(keep)), pa.int64()
+                ),
+            }
+        )
+
+    orders_f = orders.map_batches(
+        ord_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    joined = repartition_join(
+        fact,
+        orders_f,
+        "l_orderkey",
+        "o_orderkey",
+        [("cents", pa.int64()), ("nat_cents", pa.int64())],
+        [("o_year", pa.int64())],
+        how="inner",
+    )
+
+    def year_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["o_year", "cents", "nat_cents"]).group_by(
+            "o_year"
+        ).aggregate([("cents", "sum"), ("nat_cents", "sum")])
+        return pa.table(
+            {
+                "o_year": g.column("o_year"),
+                "p_total": g.column("cents_sum"),
+                "p_nat": g.column("nat_cents_sum"),
+            }
+        )
+
+    out = (
+        joined.map_batches(year_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_year")
+        .aggregate(
+            ray.data.aggregate.Sum("p_nat", alias_name="nation_cents"),
+            ray.data.aggregate.Sum("p_total", alias_name="total_cents"),
+        )
+        .to_pandas()
+    )
+    if out.empty:
+        return pa.table(
+            {
+                "o_year": pa.array([], pa.int64()),
+                "nation_cents": pa.array([], pa.int64()),
+                "total_cents": pa.array([], pa.int64()),
+                "mkt_share_pm": pa.array([], pa.int64()),
+            }
+        )
+    out = out.sort_values("o_year")
+    nat = out["nation_cents"].to_numpy().astype(np.int64)
+    tot = out["total_cents"].to_numpy().astype(np.int64)
+    # Exact permille in Python ints (nat*1000 can exceed int64 at 100 TB
+    # scale only past ~9e15 cents/year; object ints sidestep that).
+    pm = np.array(
+        [int(n) * 1000 // int(t) if t else 0 for n, t in zip(nat, tot)],
+        dtype=np.int64,
+    )
+    return pa.table(
+        {
+            "o_year": pa.array(out["o_year"].to_numpy().astype(np.int64), pa.int64()),
+            "nation_cents": pa.array(nat, pa.int64()),
+            "total_cents": pa.array(tot, pa.int64()),
+            "mkt_share_pm": pa.array(pm, pa.int64()),
+        }
+    )
+
+
+MARKET_SHARE_SQL = f"""
+WITH f AS (
+  SELECT o.o_orderdate, s.s_nationkey,
+         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+              AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN part p     ON l.l_partkey = p.p_partkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE p.p_type = '{_Q8_TYPE}'
+    AND o.o_orderdate BETWEEN TIMESTAMP '{_Q8_LO}'
+                          AND TIMESTAMP '{_Q8_HI} 23:59:59.999999'
+)
+SELECT CAST(EXTRACT(year FROM f.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN n.n_name = '{_Q8_NATION}' THEN f.cents
+                     ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(sum(f.cents) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN n.n_name = '{_Q8_NATION}' THEN f.cents
+                     ELSE 0 END) * 1000 // sum(f.cents) AS BIGINT)
+         AS mkt_share_pm
+FROM f JOIN nation n ON f.s_nationkey = n.n_nationkey
+GROUP BY 1
+ORDER BY 1
+"""

@@ -3701,3 +3701,50 @@ def test_volume_shipping_empty_input_typed():
     assert t.num_rows == 0
     assert t.schema.field("l_year").type == pa.int64()
     assert t.schema.field("revenue_cents").type == pa.int64()
+
+
+def test_market_share_matches_pandas():
+    import numpy as np
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import (
+        _Q8_HI,
+        _Q8_LO,
+        _Q8_NATION,
+        _Q8_TYPE,
+        market_share,
+    )
+
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    pt = pd.read_parquet(f"{SF}/part.parquet", columns=["p_partkey", "p_type"])
+    od = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+    su = pd.read_parquet(f"{SF}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    na = pd.read_parquet(f"{SF}/nation.parquet", columns=["n_nationkey", "n_name"])
+    j = (
+        li.merge(pt[pt["p_type"] == _Q8_TYPE], left_on="l_partkey", right_on="p_partkey")
+        .merge(od, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(su, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(na, left_on="s_nationkey", right_on="n_nationkey")
+    )
+    j = j[
+        (j["o_orderdate"] >= _Q8_LO)
+        & (j["o_orderdate"] <= f"{_Q8_HI} 23:59:59.999999")
+    ].copy()
+    assert len(j) > 0, "fixture regression: no qualifying rows at sf0.001"
+    j["cents"] = np.floor(
+        j["l_extendedprice"] * (1 - j["l_discount"]) * 100 + 0.5
+    ).astype("int64")
+    j["nat"] = np.where(j["n_name"] == _Q8_NATION, j["cents"], 0)
+    j["o_year"] = j["o_orderdate"].dt.year.astype("int64")
+    want = j.groupby("o_year").agg(nat=("nat", "sum"), tot=("cents", "sum"))
+    got = market_share(SF).to_pandas().set_index("o_year")
+    assert list(got.index) == list(want.index)
+    for y in want.index:
+        assert int(got.loc[y, "nation_cents"]) == int(want.loc[y, "nat"])
+        assert int(got.loc[y, "total_cents"]) == int(want.loc[y, "tot"])
+        assert int(got.loc[y, "mkt_share_pm"]) == int(want.loc[y, "nat"]) * 1000 // int(
+            want.loc[y, "tot"]
+        )
