@@ -106,6 +106,7 @@ _R5_WINDOW = [
     "incremental_hourly_merge", "nation_revenue_share", "dup_span_stats",
     "dup_span_removal", "knn_filtered", "lm_bigram_score", "orders_cube",
     "hourly_dense", "volume_shipping", "market_share",
+    "attribution_last_touch",
 ]
 
 
@@ -293,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_dense": relational.hourly_dense,
         "volume_shipping": relational.volume_shipping,
         "market_share": relational.market_share,
+        "attribution_last_touch": relational.attribution_last_touch,
     })
 
 
@@ -456,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_dense": relational.HOURLY_DENSE_SQL,
         "volume_shipping": relational.VOLUME_SHIPPING_SQL,
         "market_share": relational.MARKET_SHARE_SQL,
+        "attribution_last_touch": relational.ATTRIBUTION_LAST_TOUCH_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -5284,3 +5284,98 @@ FROM f JOIN nation n ON f.s_nationkey = n.n_nationkey
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# -- last-touch attribution ---------------------------------------------------
+
+
+def attribution_last_touch(sf_dir: str) -> pa.Table:
+    """Last-touch attribution: each purchase is credited to the SAME
+    user's most recent preceding non-purchase event type ("(none)" when
+    the purchase is the user's first touch), rolled up to attribution
+    counts per source type.
+
+    The conditional carry-forward (LAST_VALUE ... IGNORE NULLS) is a
+    per-user scan, so it runs as ONE keyed shuffle via
+    partitioned_by_key(user_id) with a wholly vectorized kernel: lexsort
+    by (user, ts, event_id), a global maximum.accumulate over source
+    positions, and a run-start clamp that resets the carry at each user
+    boundary without any per-user loop.  Each partition emits partial
+    (src_type, n) counts; the final rollup is ≤ #event_types rows."""
+    from ._util import partitioned_by_key, run_bounds
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        u = part.column("user_id").to_numpy(zero_copy_only=False)
+        t = pc.cast(part.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(part.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, t, u))
+        u, et = u[order], et[order]
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {"src_type": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        idx = np.arange(n, dtype=np.int64)
+        is_src = et != "purchase"
+        last_src = np.maximum.accumulate(np.where(is_src, idx, -1))
+        # Reset at user boundaries: a carried position from the previous
+        # user is always < this row's run start, so clamp invalidates it.
+        b = run_bounds(u)
+        run_start = np.repeat(b[:-1], np.diff(b))
+        valid = last_src >= run_start
+        purch = np.flatnonzero(~is_src)
+        src = np.where(
+            valid[purch], et[np.maximum(last_src[purch], 0)], "(none)"
+        )
+        kinds, counts = np.unique(src.astype(str), return_counts=True)
+        return pa.table(
+            {
+                "src_type": pa.array(kinds, pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        partitioned_by_key(events, "user_id", kernel)
+        .groupby("src_type")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n_purchases"))
+        .to_pandas()
+    )
+    if out.empty:
+        return pa.table(
+            {
+                "src_type": pa.array([], pa.string()),
+                "n_purchases": pa.array([], pa.int64()),
+            }
+        )
+    out = out.sort_values("src_type")
+    return pa.table(
+        {
+            "src_type": pa.array(out["src_type"], pa.string()),
+            "n_purchases": pa.array(
+                out["n_purchases"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+ATTRIBUTION_LAST_TOUCH_SQL = """
+WITH w AS (
+  SELECT event_type,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src
+  FROM events
+)
+SELECT COALESCE(src, '(none)') AS src_type,
+       CAST(count(*) AS BIGINT) AS n_purchases
+FROM w
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY 1
+"""

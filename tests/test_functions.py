@@ -3748,3 +3748,37 @@ def test_market_share_matches_pandas():
         assert int(got.loc[y, "mkt_share_pm"]) == int(want.loc[y, "nat"]) * 1000 // int(
             want.loc[y, "tot"]
         )
+
+
+def test_attribution_last_touch_edges(tmp_path):
+    # u1: view, purchase (→view), purchase again with no new touch
+    # (→view: carry persists across purchases); u2: first event IS a
+    # purchase (→(none)), then click, then ts-tie purchase where
+    # event_id orders click before it (→click); u3: no purchases.
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import attribution_last_touch
+
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6, 7],
+            "ts": pd.to_datetime(
+                [
+                    "2026-01-01 00:00", "2026-01-01 00:01", "2026-01-01 00:02",
+                    "2026-01-01 00:00", "2026-01-01 00:05", "2026-01-01 00:05",
+                    "2026-01-01 00:00",
+                ]
+            ),
+            "user_id": [1, 1, 1, 2, 2, 2, 3],
+            "event_type": [
+                "view", "purchase", "purchase",
+                "purchase", "click", "purchase",
+                "view",
+            ],
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = attribution_last_touch(str(tmp_path)).to_pandas().set_index("src_type")
+    assert int(got.loc["view", "n_purchases"]) == 2
+    assert int(got.loc["(none)", "n_purchases"]) == 1
+    assert int(got.loc["click", "n_purchases"]) == 1
+    assert int(got["n_purchases"].sum()) == 4
