@@ -5379,3 +5379,91 @@ WHERE event_type = 'purchase'
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# -- distributed correlation via exact sufficient statistics ------------------
+
+
+def corr_stats_by_type(sf_dir: str) -> pa.Table:
+    """Per-event-type sufficient statistics for Pearson correlation
+    between value (cents) and hour-of-day — the moment-sketch pattern:
+    each batch contributes exact integer partial sums (n, Σx, Σy, Σxy,
+    Σx², Σy²), the groupby merges them associatively, and r itself is a
+    driver-side O(#types) computation downstream (pytest derives it with
+    integer isqrt; the table stays float-free so the oracle hash is
+    exact).  Σx² bounds: cents ≤ ~10⁵ per event keeps n·x² within int64
+    to ~10⁸ rows/type/partial; the 100 TB path promotes the merge to a
+    128-bit accumulator (DuckDB's HUGEINT does the same upstream)."""
+    events = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = money_cents(batch.column("value").to_numpy(zero_copy_only=False))
+        y = (
+            pc.cast(pc.hour(batch.column("ts")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": pa.array(np.ones(len(x), np.int64), pa.int64()),
+                "sum_x": pa.array(x, pa.int64()),
+                "sum_y": pa.array(y, pa.int64()),
+                "sum_xy": pa.array(x * y, pa.int64()),
+                "sum_x2": pa.array(x * x, pa.int64()),
+                "sum_y2": pa.array(y * y, pa.int64()),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [(c, "sum") for c in ("n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2")]
+        )
+        # Select by NAME (see agg_lineitem): pyarrow's key-vs-aggregate
+        # column order is version-dependent.
+        return pa.table(
+            {"event_type": g.column("event_type")}
+            | {
+                c: g.column(f"{c}_sum")
+                for c in ("n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2")
+            }
+        )
+
+    out = (
+        events.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            *[
+                ray.data.aggregate.Sum(c, alias_name=c)
+                for c in ("n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2")
+            ]
+        )
+        .to_pandas()
+    )
+    if out.empty:
+        cols = {"event_type": pa.array([], pa.string())}
+        for c in ("n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"):
+            cols[c] = pa.array([], pa.int64())
+        return pa.table(cols)
+    out = out.sort_values("event_type")
+    cols = {"event_type": pa.array(out["event_type"], pa.string())}
+    for c in ("n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"):
+        cols[c] = pa.array(out[c].to_numpy().astype(np.int64), pa.int64())
+    return pa.table(cols)
+
+
+CORR_STATS_BY_TYPE_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_x,
+       CAST(sum(h) AS BIGINT) AS sum_y,
+       CAST(sum(cents * h) AS BIGINT) AS sum_xy,
+       CAST(sum(cents * cents) AS BIGINT) AS sum_x2,
+       CAST(sum(h * h) AS BIGINT) AS sum_y2
+FROM (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h
+  FROM events
+)
+GROUP BY 1
+ORDER BY 1
+"""

@@ -3782,3 +3782,35 @@ def test_attribution_last_touch_edges(tmp_path):
     assert int(got.loc["(none)", "n_purchases"]) == 1
     assert int(got.loc["click", "n_purchases"]) == 1
     assert int(got["n_purchases"].sum()) == 4
+
+
+def test_corr_stats_by_type_derives_pearson():
+    # The sufficient statistics must reproduce numpy's Pearson r per
+    # event type; r itself is derived driver-side with integer isqrt to
+    # show the table's exactness is enough.
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions._util import money_cents
+    from go_boilerpipe_ray.functions.relational import corr_stats_by_type
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "ts", "value"])
+    got = corr_stats_by_type(SF).to_pandas().set_index("event_type")
+    for et, grp in ev.groupby("event_type"):
+        x = money_cents(grp["value"].to_numpy())
+        y = grp["ts"].dt.hour.to_numpy().astype("int64")
+        row = got.loc[et]
+        assert int(row["n"]) == len(grp)
+        assert int(row["sum_x"]) == int(x.sum())
+        assert int(row["sum_xy"]) == int((x * y).sum())
+        assert int(row["sum_x2"]) == int((x * x).sum())
+        # exact-integer Pearson permille from the sums alone
+        n, sx, sy = int(row["n"]), int(row["sum_x"]), int(row["sum_y"])
+        sxy, sx2, sy2 = int(row["sum_xy"]), int(row["sum_x2"]), int(row["sum_y2"])
+        den = math.isqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+        if den:
+            r_pm = (n * sxy - sx * sy) * 1000 // den
+            want = np.corrcoef(x.astype(float), y.astype(float))[0, 1]
+            assert abs(r_pm / 1000 - want) < 2e-3
