@@ -106,7 +106,7 @@ _R5_WINDOW = [
     "incremental_hourly_merge", "nation_revenue_share", "dup_span_stats",
     "dup_span_removal", "knn_filtered", "lm_bigram_score", "orders_cube",
     "hourly_dense", "volume_shipping", "market_share",
-    "attribution_last_touch", "corr_stats_by_type",
+    "attribution_last_touch", "corr_stats_by_type", "monthly_value_locf",
 ]
 
 
@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": relational.market_share,
         "attribution_last_touch": relational.attribution_last_touch,
         "corr_stats_by_type": relational.corr_stats_by_type,
+        "monthly_value_locf": relational.monthly_value_locf,
     })
 
 
@@ -461,6 +462,7 @@ def oracle_sql() -> dict[str, str]:
         "market_share": relational.MARKET_SHARE_SQL,
         "attribution_last_touch": relational.ATTRIBUTION_LAST_TOUCH_SQL,
         "corr_stats_by_type": relational.CORR_STATS_BY_TYPE_SQL,
+        "monthly_value_locf": relational.MONTHLY_VALUE_LOCF_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -5467,3 +5467,134 @@ FROM (
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# -- dense-grid LOCF (forward fill) -------------------------------------------
+
+
+def _ts_month_bounds(path: str, col: str = "ts") -> tuple[int, int]:
+    """Global (lo, hi) month ordinals (months since 1970) for a parquet
+    timestamp column, read from ROW-GROUP FOOTER STATISTICS — no data
+    scan, so deriving a global grid stays O(row groups) at 100 TB.
+    Falls back to a column-pruned scan when stats are absent."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    idx = pf.schema_arrow.get_field_index(col)
+    lo = hi = None
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            lo = hi = None
+            break
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        t = pq.read_table(path, columns=[col]).column(col)
+        lo, hi = pc.min(t).as_py(), pc.max(t).as_py()
+    mo = np.array([lo, hi], dtype="datetime64[us]").astype("datetime64[M]")
+    o = mo.astype(np.int64)
+    return int(o[0]), int(o[1])
+
+
+def monthly_value_locf(sf_dir: str) -> pa.Table:
+    """Per-user monthly feature grid with last-observation-carried-
+    forward fill: for every month from the user's first event to the
+    corpus's last month, the value (cents) of the user's most recent
+    event at or before that month boundary — the dense forward-fill
+    shape feature-engineering pipelines build before training.
+
+    One keyed shuffle (partitioned_by_key on user_id); the kernel is a
+    pure ragged-arange expansion: lexsort, last event per (user, month)
+    via run boundaries, then np.repeat over segment lengths — no
+    per-user loop, no grid join.  The global month range comes from
+    parquet FOOTER statistics (no extra scan).  Ties inside a month
+    break on (ts, event_id) like the oracle's ROW_NUMBER."""
+    from ._util import partitioned_by_key, run_bounds
+
+    _, hi_mo = _ts_month_bounds(f"{sf_dir}/events.parquet")
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        u = part.column("user_id").to_numpy(zero_copy_only=False)
+        # Normalize to µs BEFORE the int cast: the month math below
+        # converts absolute epoch values, so the unit matters (pandas-
+        # written fixtures are ns, the driver corpus is µs).
+        t = pc.cast(
+            pc.cast(part.column("ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        cents = money_cents(part.column("value").to_numpy(zero_copy_only=False))
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "month": pa.array([], pa.timestamp("us")),
+                    "value_cents": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((eid, t, u))
+        u, t, cents = u[order], t[order], cents[order]
+        mo = t.astype("datetime64[us]").astype("datetime64[M]").astype(np.int64)
+        # last event per (user, month) run
+        last = np.flatnonzero(
+            np.r_[(u[1:] != u[:-1]) | (mo[1:] != mo[:-1]), True]
+        )
+        lu, lmo, lc = u[last], mo[last], cents[last]
+        # each (user, month) value persists until the user's next
+        # observed month, or the global hi month for the user's last one
+        b = run_bounds(lu)
+        seg_end = np.empty(len(lu), dtype=np.int64)
+        seg_end[:-1] = lmo[1:]
+        seg_end[b[1:] - 1] = hi_mo + 1
+        counts = seg_end - lmo
+        total = int(counts.sum())
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        out_mo = np.repeat(lmo, counts) + (np.arange(total, dtype=np.int64) - starts)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(lu, counts), pa.int64()),
+                "month": pa.array(
+                    out_mo.astype("datetime64[M]").astype("datetime64[us]")
+                ),
+                "value_cents": pa.array(np.repeat(lc, counts), pa.int64()),
+            }
+        )
+
+    return partitioned_by_key(events, "user_id", kernel)
+
+
+MONTHLY_VALUE_LOCF_SQL = """
+WITH ev AS (
+  SELECT user_id, date_trunc('month', ts) AS m,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('month', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+lastv AS (SELECT user_id, m, cents FROM ev WHERE rn = 1),
+bounds AS (
+  SELECT date_trunc('month', min(ts)) AS lo,
+         date_trunc('month', max(ts)) AS hi
+  FROM events
+),
+months AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m FROM bounds
+),
+grid AS (
+  SELECT u.user_id, mo.m
+  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN months mo
+),
+filled AS (
+  SELECT g.user_id, g.m,
+         LAST_VALUE(l.cents IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.m
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS value_cents
+  FROM grid g
+  LEFT JOIN lastv l ON g.user_id = l.user_id AND g.m = l.m
+)
+SELECT user_id, m AS month, value_cents
+FROM filled
+WHERE value_cents IS NOT NULL
+"""

@@ -3814,3 +3814,40 @@ def test_corr_stats_by_type_derives_pearson():
             r_pm = (n * sxy - sx * sy) * 1000 // den
             want = np.corrcoef(x.astype(float), y.astype(float))[0, 1]
             assert abs(r_pm / 1000 - want) < 2e-3
+
+
+def test_monthly_value_locf_fill_and_ties(tmp_path):
+    # u1: Jan event then Apr event — Feb/Mar carry Jan's value, Apr-May
+    # carry Apr's.  u2: two events in the SAME month with the same ts —
+    # the higher event_id wins (oracle's ROW_NUMBER tie-break); global
+    # hi month is May (set by u1's last event... actually u2's), both
+    # users fill to May.
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import monthly_value_locf
+
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                [
+                    "2026-01-10 00:00", "2026-04-20 00:00",
+                    "2026-02-05 08:00", "2026-02-05 08:00",
+                ]
+            ),
+            "user_id": [1, 1, 2, 2],
+            "value": [1.0, 4.0, 2.0, 3.0],
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = (
+        monthly_value_locf(str(tmp_path))
+        .to_pandas()
+        .sort_values(["user_id", "month"])
+        .reset_index(drop=True)
+    )
+    u1 = got[got["user_id"] == 1]
+    assert [m.month for m in u1["month"]] == [1, 2, 3, 4]
+    assert list(u1["value_cents"]) == [100, 100, 100, 400]
+    u2 = got[got["user_id"] == 2]
+    assert [m.month for m in u2["month"]] == [2, 3, 4]
+    assert list(u2["value_cents"]) == [300, 300, 300]  # event_id 4 wins the tie
