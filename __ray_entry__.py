@@ -107,6 +107,7 @@ _R5_WINDOW = [
     "dup_span_removal", "knn_filtered", "lm_bigram_score", "orders_cube",
     "hourly_dense", "volume_shipping", "market_share",
     "attribution_last_touch", "corr_stats_by_type", "monthly_value_locf",
+    "gram_matrix",
 ]
 
 
@@ -297,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_last_touch": relational.attribution_last_touch,
         "corr_stats_by_type": relational.corr_stats_by_type,
         "monthly_value_locf": relational.monthly_value_locf,
+        "gram_matrix": similarity.gram_matrix,
     })
 
 
@@ -463,6 +465,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution_last_touch": relational.ATTRIBUTION_LAST_TOUCH_SQL,
         "corr_stats_by_type": relational.CORR_STATS_BY_TYPE_SQL,
         "monthly_value_locf": relational.MONTHLY_VALUE_LOCF_SQL,
+        "gram_matrix": similarity.GRAM_MATRIX_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -1471,3 +1471,82 @@ SELECT label, dim,
        CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS centroid_q, n
 FROM u
 """
+
+
+# -- distributed Gram matrix ---------------------------------------------------
+
+
+def gram_matrix(sf_dir: str) -> pa.Table:
+    """Exact Gram matrix (upper triangle) of the embedding table — the
+    X^T X building block of distributed PCA / covariance / linear
+    probes.  Each batch contributes ONE d×d integer matmul partial
+    (Q^T Q over the fixed-point codes), flattened to (i, j, partial)
+    rows; the groupby merge moves d(d+1)/2 rows per block regardless of
+    corpus size, so the reduction is O(d²) — never O(rows).
+
+    Exactness: codes are floor(x·1e6 + 0.5) (same rule as _quantize and
+    the oracle), so partials are integers and the merge is
+    order-insensitive.  int64 bound: |q| ≤ ~2e6 for unit-ish vectors ⇒
+    q_i·q_j ≤ 4e12, safe to ~2e6 rows per PARTIAL and ~4.6e5 blocks;
+    the per-batch guard below fails loudly before a silent wrap (the
+    100 TB path promotes the merge to 128-bit, as dim_stats notes)."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _quantize(np.asarray(batch.column("embedding").to_pylist()))
+        n, d = q.shape
+        max_abs = int(np.abs(q).max()) if q.size else 0
+        if max_abs and n and max_abs * max_abs > (2**63 - 1) // n:
+            raise OverflowError(
+                "embedding magnitudes too large for exact int64 Gram partials"
+            )
+        g = q.T @ q  # d×d exact int64
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array((iu + 1).astype(np.int64), pa.int64()),
+                "j": pa.array((ju + 1).astype(np.int64), pa.int64()),
+                "p_gram": pa.array(g[iu, ju], pa.int64()),
+            }
+        )
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["i", "j"])
+        .aggregate(ray.data.aggregate.Sum("p_gram", alias_name="gram"))
+        .to_pandas()
+    )
+    if out.empty:
+        return pa.table(
+            {
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "gram": pa.array([], pa.int64()),
+            }
+        )
+    out = out.sort_values(["i", "j"])
+    return pa.table(
+        {
+            "i": pa.array(out["i"].to_numpy().astype(np.int64), pa.int64()),
+            "j": pa.array(out["j"].to_numpy().astype(np.int64), pa.int64()),
+            "gram": pa.array(out["gram"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+GRAM_MATRIX_SQL = """
+WITH e AS (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) AS i,
+         unnest(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+           AS q
+  FROM embeddings
+)
+SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS gram
+FROM e a
+JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -3851,3 +3851,27 @@ def test_monthly_value_locf_fill_and_ties(tmp_path):
     u2 = got[got["user_id"] == 2]
     assert [m.month for m in u2["month"]] == [2, 3, 4]
     assert list(u2["value_cents"]) == [300, 300, 300]  # event_id 4 wins the tie
+
+
+def test_gram_matrix_matches_numpy():
+    import numpy as np
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.similarity import _quantize, gram_matrix
+
+    emb = np.asarray(
+        pd.read_parquet(f"{SF}/embeddings.parquet", columns=["embedding"])[
+            "embedding"
+        ].tolist()
+    )
+    q = _quantize(emb)
+    want = q.T @ q
+    got = gram_matrix(SF).to_pandas()
+    d = emb.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    g = got.set_index(["i", "j"])["gram"]
+    assert int(g.loc[(1, 1)]) == int(want[0, 0])
+    assert int(g.loc[(1, d)]) == int(want[0, d - 1])
+    assert int(g.loc[(d, d)]) == int(want[d - 1, d - 1])
+    iu, ju = np.triu_indices(d)
+    assert (g.to_numpy() == want[iu, ju]).all()
