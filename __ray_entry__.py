@@ -107,7 +107,7 @@ _R5_WINDOW = [
     "dup_span_removal", "knn_filtered", "lm_bigram_score", "orders_cube",
     "hourly_dense", "volume_shipping", "market_share",
     "attribution_last_touch", "corr_stats_by_type", "monthly_value_locf",
-    "gram_matrix",
+    "gram_matrix", "pca_project",
 ]
 
 
@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_stats_by_type": relational.corr_stats_by_type,
         "monthly_value_locf": relational.monthly_value_locf,
         "gram_matrix": similarity.gram_matrix,
+        "pca_project": similarity.pca_project,
     })
 
 
@@ -472,5 +473,6 @@ def oracle_sql() -> dict[str, str]:
         # (approximate; exhaustive-probe==brute pinned in pytest),
         # media_decode (stub features are blake2b-based), bpe_train
         # (iterative greedy segmentation; merge sequence pinned by a
-        # sequential pure-Python reference in pytest)
+        # sequential pure-Python reference in pytest), pca_project
+        # (eigensolve; cross-checked against numpy PCA in pytest)
     }

@@ -1550,3 +1550,80 @@ JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# -- distributed PCA -----------------------------------------------------------
+
+
+def pca_project(sf_dir: str, k: int = 4) -> "ray.data.Dataset":
+    """Distributed PCA projection: fit from ONE pass of exact integer
+    partials (the Gram matrix + per-dim sums, both O(d²) reductions —
+    see gram_matrix / embedding_dim_stats), eigendecompose the d×d
+    covariance on the driver (d is bounded; the corpus is not),
+    broadcast the k components once, then stream the projection as a
+    second map_batches pass.  No stage ever materializes the corpus.
+
+    Determinism: the covariance is assembled from exact int64 sums, and
+    each eigenvector's sign is fixed by making its largest-|coord|
+    entry positive; projections are emitted in fixed point (1e-6) so
+    the output hash is stable.  Non-SQL-expressible (eigensolve) —
+    registered rows-only; the pytest cross-checks against numpy's PCA
+    of the same quantized matrix."""
+    import ray.data
+
+    gram = gram_matrix(sf_dir).to_pandas()  # O(d²) rows, exact ints
+    d = int(gram["i"].max())
+    G = np.zeros((d, d), dtype=np.float64)
+    ii = gram["i"].to_numpy() - 1
+    jj = gram["j"].to_numpy() - 1
+    G[ii, jj] = gram["gram"].to_numpy().astype(np.float64)
+    G[jj, ii] = G[ii, jj]
+
+    def sums_partial(batch: pa.Table) -> pa.Table:
+        q = _quantize(np.asarray(batch.column("embedding").to_pylist()))
+        n, dd = q.shape
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(dd, dtype=np.int64), pa.int64()),
+                "p_n": pa.array(np.full(dd, n, dtype=np.int64), pa.int64()),
+                "p_sum": pa.array(q.sum(axis=0), pa.int64()),
+            }
+        )
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    sums = (
+        ds.map_batches(sums_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(
+            ray.data.aggregate.Sum("p_n", alias_name="n"),
+            ray.data.aggregate.Sum("p_sum", alias_name="s"),
+        )
+        .to_pandas()
+        .sort_values("dim")
+    )
+    n = int(sums["n"].iloc[0])
+    s = sums["s"].to_numpy().astype(np.float64)
+    mean = s / n
+    cov = (G - np.outer(mean, s)) / n  # E[xx^T] - mean·mean^T, scaled by QUANT²
+    w, v = np.linalg.eigh(cov)
+    comp = v[:, ::-1][:, :k]  # top-k by eigenvalue, descending
+    # sign convention: the largest-|coord| entry of each component is positive
+    flip = np.sign(comp[np.abs(comp).argmax(axis=0), np.arange(comp.shape[1])])
+    comp = comp * np.where(flip == 0, 1.0, flip)
+    ref = ray.put((mean, comp))
+
+    def project(batch: pa.Table) -> pa.Table:
+        m, wq = ray.get(ref)
+        q = _quantize(np.asarray(batch.column("embedding").to_pylist()))
+        p = (q.astype(np.float64) - m) @ wq / _QUANT
+        cols = {"vec_id": batch.column("vec_id")}
+        for c in range(p.shape[1]):
+            cols[f"pc{c + 1}"] = pa.array(
+                np.floor(p[:, c] * _QUANT + 0.5).astype(np.int64), pa.int64()
+            )
+        return pa.table(cols)
+
+    full = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return full.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)

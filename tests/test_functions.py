@@ -3875,3 +3875,33 @@ def test_gram_matrix_matches_numpy():
     assert int(g.loc[(d, d)]) == int(want[d - 1, d - 1])
     iu, ju = np.triu_indices(d)
     assert (g.to_numpy() == want[iu, ju]).all()
+
+
+def test_pca_project_matches_numpy():
+    import numpy as np
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions._util import money_cents  # noqa: F401
+    from go_boilerpipe_ray.functions.similarity import _QUANT, _quantize, pca_project
+
+    emb = np.asarray(
+        pd.read_parquet(f"{SF}/embeddings.parquet")["embedding"].tolist()
+    )
+    ids = pd.read_parquet(f"{SF}/embeddings.parquet")["vec_id"].to_numpy()
+    q = _quantize(emb).astype(np.float64)
+    mean = q.mean(axis=0)
+    cov = (q - mean).T @ (q - mean) / len(q)
+    w, v = np.linalg.eigh(cov)
+    comp = v[:, ::-1][:, :4]
+    flip = np.sign(comp[np.abs(comp).argmax(axis=0), np.arange(4)])
+    comp = comp * np.where(flip == 0, 1.0, flip)
+    want = (q - mean) @ comp / _QUANT
+
+    got = pca_project(SF).to_pandas().set_index("vec_id").loc[ids]
+    got_m = got[["pc1", "pc2", "pc3", "pc4"]].to_numpy().astype(np.float64) / _QUANT
+    # same covariance up to exact-int assembly vs float centering: allow
+    # tiny fixed-point tolerance (1e-6 quantization + eigh determinism)
+    assert np.abs(got_m - want).max() < 5e-5
+    # components must be orthogonal projections: variance ordering holds
+    var = got_m.var(axis=0)
+    assert var[0] >= var[1] >= var[2] >= var[3] > 0
