@@ -5598,3 +5598,108 @@ SELECT user_id, m AS month, value_cents
 FROM filled
 WHERE value_cents IS NOT NULL
 """
+
+
+# -- skyline (Pareto frontier) -------------------------------------------------
+
+
+def _skyline_2d(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Indices of the 2D Pareto frontier (minimize price, maximize
+    size): dominated iff another point has price ≤ AND size ≥ with one
+    strict.  Vectorized: sort by (price asc, size desc); within an
+    equal-price run only the max-size rows survive, and a run survives
+    iff its max size strictly beats every strictly-cheaper run's
+    (running prefix max).  Equal (price, size) duplicates all survive,
+    matching the SQL NOT EXISTS semantics."""
+    from ._util import run_bounds
+
+    n = len(price)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.lexsort((-size, price))
+    p_s, s_s = price[order], size[order]
+    b = run_bounds(p_s)
+    run_id = np.repeat(np.arange(len(b) - 1), np.diff(b))
+    run_max = s_s[b[:-1]]  # sorted size-desc within run -> first is max
+    prev_best = np.r_[np.int64(np.iinfo(np.int64).min), np.maximum.accumulate(run_max)[:-1]]
+    run_alive = run_max > prev_best
+    alive = run_alive[run_id] & (s_s == run_max[run_id])
+    return np.sort(order[alive])
+
+
+def parts_skyline(sf_dir: str) -> pa.Table:
+    """Pareto frontier of the part table (cheapest price vs largest
+    size) — the skyline operator.  Skyline-of-union == union-of-local-
+    skylines pruned once more, so the plan is: per-block local skyline
+    inside map_batches (each block emits only its frontier — the bulk
+    of a 100 TB table dies in place), then ONE bounded final prune over
+    the surviving candidates.  The frontier of a 2-D anticorrelated
+    worst case can be large; the final prune therefore streams through
+    a single-partition kernel rather than a driver list.  Prices in
+    exact cents (shared money rule)."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    def local(batch: pa.Table) -> pa.Table:
+        cents = money_cents(
+            batch.column("p_retailprice").to_numpy(zero_copy_only=False)
+        )
+        size = (
+            pc.cast(batch.column("p_size"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keep = _skyline_2d(cents, size)
+        ki = pa.array(keep, pa.int64())
+        return pa.table(
+            {
+                "p_partkey": pc.cast(batch.column("p_partkey").take(ki), pa.int64()),
+                "price_cents": pa.array(cents[keep], pa.int64()),
+                "p_size": pa.array(size[keep], pa.int64()),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        cents = batch.column("price_cents").to_numpy(zero_copy_only=False)
+        size = batch.column("p_size").to_numpy(zero_copy_only=False)
+        keep = pa.array(_skyline_2d(cents, size), pa.int64())
+        t = batch.take(keep)
+        idx = pc.sort_indices(
+            t, sort_keys=[("price_cents", "ascending"), ("p_partkey", "ascending")]
+        )
+        return t.take(idx)
+
+    ds = (
+        part.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(
+            final, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    )
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "p_partkey": pa.array([], pa.int64()),
+                "price_cents": pa.array([], pa.int64()),
+                "p_size": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(tables)
+
+
+PARTS_SKYLINE_SQL = """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part
+)
+SELECT p_partkey, price_cents, p_size
+FROM p p1
+WHERE NOT EXISTS (
+  SELECT 1 FROM p p2
+  WHERE p2.price_cents <= p1.price_cents AND p2.p_size >= p1.p_size
+    AND (p2.price_cents < p1.price_cents OR p2.p_size > p1.p_size)
+)
+ORDER BY price_cents, p_partkey
+"""

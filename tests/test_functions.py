@@ -3905,3 +3905,54 @@ def test_pca_project_matches_numpy():
     # components must be orthogonal projections: variance ordering holds
     var = got_m.var(axis=0)
     assert var[0] >= var[1] >= var[2] >= var[3] > 0
+
+
+def test_skyline_2d_kernel_bruteforce():
+    # Property-grade brute force: every surviving point is undominated,
+    # every pruned point is dominated; duplicates of a frontier point
+    # all survive.
+    import numpy as np
+
+    from go_boilerpipe_ray.functions.relational import _skyline_2d
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n = int(rng.integers(1, 60))
+        price = rng.integers(0, 12, n).astype(np.int64)
+        size = rng.integers(0, 12, n).astype(np.int64)
+        keep = set(_skyline_2d(price, size).tolist())
+        for i in range(n):
+            dominated = any(
+                (price[j] <= price[i] and size[j] >= size[i])
+                and (price[j] < price[i] or size[j] > size[i])
+                for j in range(n)
+            )
+            assert (i in keep) == (not dominated), (i, price[i], size[i])
+
+
+def test_parts_skyline_union_equals_global():
+    # The distributed local-prune + final-prune result must equal the
+    # single-machine skyline of the whole table.
+    import numpy as np
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions._util import money_cents
+    from go_boilerpipe_ray.functions.relational import _skyline_2d, parts_skyline
+
+    pt = pd.read_parquet(f"{SF}/part.parquet", columns=["p_partkey", "p_retailprice", "p_size"])
+    cents = money_cents(pt["p_retailprice"].to_numpy())
+    size = pt["p_size"].to_numpy().astype("int64")
+    keep = _skyline_2d(cents, size)
+    want = (
+        pd.DataFrame(
+            {
+                "p_partkey": pt["p_partkey"].to_numpy()[keep],
+                "price_cents": cents[keep],
+                "p_size": size[keep],
+            }
+        )
+        .sort_values(["price_cents", "p_partkey"])
+        .reset_index(drop=True)
+    )
+    got = parts_skyline(SF).to_pandas().reset_index(drop=True)
+    assert got.equals(want.astype({"p_partkey": got["p_partkey"].dtype}))
