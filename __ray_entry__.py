@@ -107,7 +107,7 @@ _R5_WINDOW = [
     "dup_span_removal", "knn_filtered", "lm_bigram_score", "orders_cube",
     "hourly_dense", "volume_shipping", "market_share",
     "attribution_last_touch", "corr_stats_by_type", "monthly_value_locf",
-    "gram_matrix", "pca_project", "parts_skyline",
+    "gram_matrix", "pca_project", "parts_skyline", "copurchase_triangles",
 ]
 
 
@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_stats_by_type": relational.corr_stats_by_type,
         "monthly_value_locf": relational.monthly_value_locf,
         "parts_skyline": relational.parts_skyline,
+        "copurchase_triangles": relational.copurchase_triangles,
         "gram_matrix": similarity.gram_matrix,
         "pca_project": similarity.pca_project,
     })
@@ -468,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
         "corr_stats_by_type": relational.CORR_STATS_BY_TYPE_SQL,
         "monthly_value_locf": relational.MONTHLY_VALUE_LOCF_SQL,
         "parts_skyline": relational.PARTS_SKYLINE_SQL,
+        "copurchase_triangles": relational.COPURCHASE_TRIANGLES_SQL,
         "gram_matrix": similarity.GRAM_MATRIX_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),

@@ -5703,3 +5703,199 @@ WHERE NOT EXISTS (
 )
 ORDER BY price_cents, p_partkey
 """
+
+
+# -- distributed triangle counting --------------------------------------------
+
+_TRI_SHIFT = 32  # composite edge key u<<32|v: partkeys must stay < 2^31
+
+
+def copurchase_triangles(sf_dir: str) -> pa.Table:
+    """Triangles in the part co-purchase graph (parts sharing an order
+    are adjacent) — the distributed triangle count, the canonical
+    "joins explode unless you orient" graph exercise.
+
+    Plan: (1) one keyed shuffle by ORDER builds per-order part pairs
+    (per-run triu expansion, the dedup.partition_pairs idiom);
+    (2) one keyed shuffle by composite edge key dedups to the distinct
+    edge set; (3) degrees are a bounded per-node rollup (part is the
+    dimension side — broadcast once; at extreme part cardinality this
+    becomes a repartition join instead); edges are then ORIENTED
+    low-degree→high-degree, which bounds every out-neighborhood by
+    O(√m) so wedge generation cannot explode on hot parts;
+    (4) one final keyed shuffle co-locates wedges with candidate edges
+    by composite key and counts matches with np.isin — each triangle
+    is found exactly once (its lowest-degree vertex generates the
+    wedge).  Output: one exact row."""
+    from ._util import wide_partitions
+
+    P = wide_partitions()
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def order_pk(batch: pa.Table) -> pa.Table:
+        o = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        p = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        if p.size and int(p.max()) >= (1 << (_TRI_SHIFT - 1)):
+            raise OverflowError("partkey exceeds composite-key bound (2^31)")
+        u = np.unique(np.stack([o, p], axis=1), axis=0)
+        return pa.table(
+            {
+                "o": pa.array(u[:, 0], pa.int64()),
+                "p": pa.array(u[:, 1], pa.int64()),
+                "pk": pa.array((u[:, 0] % P).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def order_pairs(group: pa.Table) -> pa.Table:
+        o = group.column("o").to_numpy(zero_copy_only=False)
+        p = group.column("p").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        bounds = np.flatnonzero(np.r_[True, o[1:] != o[:-1], True])
+        keys: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            g = e - s
+            if g < 2:
+                continue
+            pp = np.unique(p[s:e])
+            if len(pp) < 2:
+                continue
+            ii, jj = np.triu_indices(len(pp), 1)
+            keys.append((pp[ii] << _TRI_SHIFT) | pp[jj])
+        if not keys:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "epk": pa.array([], pa.int32())})
+        k = np.unique(np.concatenate(keys))
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "epk": pa.array((k % P).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def dedup_edges(group: pa.Table) -> pa.Table:
+        k = np.unique(group.column("k").to_numpy(zero_copy_only=False))
+        return pa.table({"k": pa.array(k, pa.int64())})
+
+    edges = (
+        li.map_batches(order_pk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .map_groups(order_pairs, batch_format="pyarrow")
+        .groupby("epk")
+        .map_groups(dedup_edges, batch_format="pyarrow")
+    ).materialize()  # reused twice below (degrees + final match); edge
+    # set is the graph's sparse core, far smaller than lineitem
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([k >> _TRI_SHIFT, k & ((1 << _TRI_SHIFT) - 1)])
+        n, c = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {"node": pa.array(n, pa.int64()),
+             "c": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="deg"))
+        .to_pandas()
+    )
+    deg_keys = pa.array(deg["node"].to_numpy().astype(np.int64), pa.int64())
+    deg_vals = deg["deg"].to_numpy().astype(np.int64)
+    deg_ref = ray.put((deg_keys, deg_vals))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        keys, vals = ray.get(deg_ref)
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        u = k >> _TRI_SHIFT
+        v = k & ((1 << _TRI_SHIFT) - 1)
+        du = vals[pc.index_in(pa.array(u, pa.int64()), value_set=keys).to_numpy(
+            zero_copy_only=False)]
+        dv = vals[pc.index_in(pa.array(v, pa.int64()), value_set=keys).to_numpy(
+            zero_copy_only=False)]
+        # low-degree endpoint sources the edge; ties break to smaller id
+        swap = (dv < du) | ((dv == du) & (v < u))
+        src = np.where(swap, v, u)
+        dst = np.where(swap, u, v)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "spk": pa.array((src % P).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def wedge_kernel(group: pa.Table) -> pa.Table:
+        s = group.column("src").to_numpy(zero_copy_only=False)
+        d = group.column("dst").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        bounds = np.flatnonzero(np.r_[True, s[1:] != s[:-1], True])
+        keys: list[np.ndarray] = []
+        for a, e in zip(bounds[:-1], bounds[1:]):
+            g = e - a
+            if g < 2:
+                continue
+            dd = d[a:e]  # sorted, distinct (edges are distinct)
+            ii, jj = np.triu_indices(g, 1)
+            keys.append((dd[ii] << _TRI_SHIFT) | dd[jj])
+        k = (
+            np.concatenate(keys)
+            if keys
+            else np.empty(0, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "side": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+                "mpk": pa.array((k % P).astype(np.int32), pa.int32()),
+            }
+        )
+
+    wedges = (
+        edges.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("spk")
+        .map_groups(wedge_kernel, batch_format="pyarrow")
+    )
+
+    def edge_side(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "side": pa.array(np.ones(len(k), np.int8), pa.int8()),
+                "mpk": pa.array((k % P).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def match_count(group: pa.Table) -> pa.Table:
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        hits = np.isin(k[side == 0], k[side == 1])
+        return pa.table({"n": pa.array([int(hits.sum())], pa.int64())})
+
+    both = wedges.union(
+        edges.map_batches(edge_side, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    parts = (
+        both.groupby("mpk").map_groups(match_count, batch_format="pyarrow")
+        .to_pandas()
+    )
+    total = int(parts["n"].sum()) if len(parts) else 0
+    return pa.table({"n_triangles": pa.array([total], pa.int64())})
+
+
+COPURCHASE_TRIANGLES_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a
+  JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT DISTINCT u, v FROM pairs)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+"""

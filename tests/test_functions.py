@@ -3956,3 +3956,53 @@ def test_parts_skyline_union_equals_global():
     )
     got = parts_skyline(SF).to_pandas().reset_index(drop=True)
     assert got.equals(want.astype({"p_partkey": got["p_partkey"].dtype}))
+
+
+def test_copurchase_triangles_crafted(tmp_path):
+    # Orders craft the graph: o1 = {1,2,3} (triangle), o2 = {3,4},
+    # o3 = {4,5,1}, o4 = {1,2} (duplicate edge must not double count).
+    # Triangles: {1,2,3}, {1,3,4} (via o2+o3 edges) and {1,4,5}.  A
+    # repeated (order, part) row and single-part orders are noise the
+    # pipeline must ignore.
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import copurchase_triangles
+
+    rows = [
+        (1, 1), (1, 2), (1, 3), (1, 3),
+        (2, 3), (2, 4),
+        (3, 4), (3, 5), (3, 1),
+        (4, 1), (4, 2),
+        (5, 9),
+    ]
+    pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+    got = copurchase_triangles(str(tmp_path)).to_pandas()
+    assert int(got.loc[0, "n_triangles"]) == 3
+
+
+def test_copurchase_triangles_bruteforce_sf0001():
+    import itertools
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import copurchase_triangles
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        for a, b in itertools.combinations(sorted(set(grp["l_partkey"])), 2):
+            edges.add((a, b))
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if c > b
+    )
+    got = copurchase_triangles(SF).to_pandas()
+    assert int(got.loc[0, "n_triangles"]) == want
