@@ -108,6 +108,7 @@ _R5_WINDOW = [
     "hourly_dense", "volume_shipping", "market_share",
     "attribution_last_touch", "corr_stats_by_type", "monthly_value_locf",
     "gram_matrix", "pca_project", "parts_skyline", "copurchase_triangles",
+    "weekday_profile", "clamped_balance",
 ]
 
 
@@ -300,6 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_value_locf": relational.monthly_value_locf,
         "parts_skyline": relational.parts_skyline,
         "copurchase_triangles": relational.copurchase_triangles,
+        "weekday_profile": relational.weekday_profile,
+        "clamped_balance": relational.clamped_balance,
         "gram_matrix": similarity.gram_matrix,
         "pca_project": similarity.pca_project,
     })
@@ -470,6 +473,8 @@ def oracle_sql() -> dict[str, str]:
         "monthly_value_locf": relational.MONTHLY_VALUE_LOCF_SQL,
         "parts_skyline": relational.PARTS_SKYLINE_SQL,
         "copurchase_triangles": relational.COPURCHASE_TRIANGLES_SQL,
+        "weekday_profile": relational.WEEKDAY_PROFILE_SQL,
+        "clamped_balance": relational.CLAMPED_BALANCE_SQL,
         "gram_matrix": similarity.GRAM_MATRIX_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),

@@ -5899,3 +5899,168 @@ FROM edges e1
 JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
 JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
 """
+
+
+# -- weekday activity profile --------------------------------------------------
+
+
+def weekday_profile(sf_dir: str) -> pa.Table:
+    """Event count and value by (event_type, ISO weekday 1=Mon..7=Sun):
+    the calendar-profile rollup.  Batch partials bound the shuffle at
+    7×#types rows per block; pyarrow's day_of_week(count_from_zero=
+    False, week_start=1) is pinned equal to DuckDB's isodow."""
+    events = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dow = pc.cast(
+            pc.day_of_week(batch.column("ts"), count_from_zero=False, week_start=1),
+            pa.int64(),
+        )
+        cents = money_cents(batch.column("value").to_numpy(zero_copy_only=False))
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "isodow": dow,
+                "n": pa.array(np.ones(len(cents), np.int64), pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type", "isodow"]).aggregate(
+            [("n", "sum"), ("cents", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "isodow": g.column("isodow"),
+                "n": g.column("n_sum"),
+                "cents": g.column("cents_sum"),
+            }
+        )
+
+    out = (
+        events.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "isodow"])
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n_events"),
+            ray.data.aggregate.Sum("cents", alias_name="value_cents"),
+        )
+        .to_pandas()
+    )
+    if out.empty:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "isodow": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "value_cents": pa.array([], pa.int64()),
+            }
+        )
+    out = out.sort_values(["event_type", "isodow"])
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "isodow": pa.array(out["isodow"].to_numpy().astype(np.int64), pa.int64()),
+            "n_events": pa.array(out["n_events"].to_numpy().astype(np.int64), pa.int64()),
+            "value_cents": pa.array(
+                out["value_cents"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+WEEKDAY_PROFILE_SQL = """
+SELECT event_type,
+       CAST(isodow(ts) AS BIGINT) AS isodow,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# -- clamped running balance (reflected prefix scan) ---------------------------
+
+
+def clamped_balance(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user running balance that cannot go below zero: purchases
+    credit value cents, every other event type debits it, and the
+    balance clamps at 0 (the inventory / wallet semantics).  The
+    recursion b_i = max(0, b_{i-1} + x_i) looks inherently sequential,
+    but has the Skorokhod-reflection closed form
+    b_i = prefix_i − min(0, running_min(prefix_i)), so the kernel is
+    cumsum + minimum.accumulate per user run — fully vectorized inside
+    ONE partitioned_by_key(user_id) shuffle, with per-run resets done
+    by subtracting the run-start offsets (no per-user loop)."""
+    from ._util import partitioned_by_key, run_bounds
+
+    events = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        u = part.column("user_id").to_numpy(zero_copy_only=False)
+        t = pc.cast(
+            pc.cast(part.column("ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        cents = money_cents(part.column("value").to_numpy(zero_copy_only=False))
+        et = part.column("event_type").to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "balance_cents": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((eid, t, u))
+        u, eid, cents, et = u[order], eid[order], cents[order], et[order]
+        signed = np.where(et == "purchase", cents, -cents)
+        prefix = np.cumsum(signed)
+        b = run_bounds(u)
+        starts = np.repeat(b[:-1], np.diff(b))
+        prefix = prefix - np.r_[np.int64(0), prefix][starts]  # reset per user
+        # reflected running min must also reset per user: offset each
+        # run's prefix by a strictly DECREASING plateau so minimum.accumulate
+        # never carries an earlier run's (larger, by ≥ big−2·max|prefix|)
+        # values into a later run, then remove the offset.  The plateau step
+        # is data-derived (2·max|prefix|+1) with a loud int64 guard instead
+        # of a fixed shift.
+        run_id = np.repeat(np.arange(len(b) - 1, dtype=np.int64), np.diff(b))
+        big = 2 * int(np.abs(prefix).max(initial=0)) + 1
+        if big and int(run_id[-1]) > (2**63 - 1) // big:
+            raise OverflowError("clamped_balance: lift plateau exceeds int64")
+        lift = -run_id * np.int64(big)
+        rmin = np.minimum.accumulate(prefix + lift) - lift
+        bal = prefix - np.minimum(rmin, 0)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "balance_cents": pa.array(bal, pa.int64()),
+            }
+        )
+
+    return partitioned_by_key(events, "user_id", kernel)
+
+
+CLAMPED_BALANCE_SQL = """
+WITH s AS (
+  SELECT event_id, user_id, ts,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  ELSE -CAST(floor(value * 100 + 0.5) AS BIGINT) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS prefix
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(prefix - LEAST(
+         min(prefix) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         0) AS BIGINT) AS balance_cents
+FROM s
+"""
