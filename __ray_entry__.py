@@ -303,6 +303,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_triangles": relational.copurchase_triangles,
         "weekday_profile": relational.weekday_profile,
         "clamped_balance": relational.clamped_balance,
+        "anomaly_events": relational.anomaly_events,
+        "order_priority_exists": relational.order_priority_exists,
+        "customer_order_distribution": relational.customer_order_distribution,
+        "event_type_overlap": relational.event_type_overlap,
         "gram_matrix": similarity.gram_matrix,
         "pca_project": similarity.pca_project,
     })
@@ -475,6 +479,10 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_triangles": relational.COPURCHASE_TRIANGLES_SQL,
         "weekday_profile": relational.WEEKDAY_PROFILE_SQL,
         "clamped_balance": relational.CLAMPED_BALANCE_SQL,
+        "anomaly_events": relational.ANOMALY_EVENTS_SQL,
+        "order_priority_exists": relational.ORDER_PRIORITY_EXISTS_SQL,
+        "customer_order_distribution": relational.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+        "event_type_overlap": relational.EVENT_TYPE_OVERLAP_SQL,
         "gram_matrix": similarity.GRAM_MATRIX_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),

@@ -6064,3 +6064,463 @@ SELECT event_id, user_id,
          0) AS BIGINT) AS balance_cents
 FROM s
 """
+
+
+# -- rolling z-score anomaly detection -----------------------------------------
+
+
+def anomaly_events(sf_dir: str) -> "ray.data.Dataset":
+    """Events whose value deviates more than 3 sigma from the SAME user's
+    trailing window (previous 8 events, current excluded, needs >= 4
+    priors) — the streaming anomaly-detector shape.  The z-test is done
+    in exact integer arithmetic on cents so Ray and the SQL oracle agree
+    bit-for-bit: z^2 > 9 is equivalent to (n*x - s)^2 > 9*(n*q - s^2)
+    with s/q the window's sum / sum-of-squares.  One keyed shuffle
+    (partitioned_by_key on user_id); per-partition kernel is prefix sums
+    + a searchsorted-free window via max(run_start, i-8)."""
+    from ._util import money_cents, partitioned_by_key, run_bounds
+
+    events = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "value"]
+    )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "value_cents": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        u = part.column("user_id").to_numpy(zero_copy_only=False)
+        t = pc.cast(
+            pc.cast(part.column("ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        cents = money_cents(part.column("value").to_numpy(zero_copy_only=False))
+        if int(np.abs(cents).max(initial=0)) > 10**8:
+            raise OverflowError(
+                "anomaly_events: |cents| > 1e8 breaks the exact int64 z-test"
+            )
+        order = np.lexsort((eid, t, u))
+        u, eid, cents = u[order], eid[order], cents[order]
+        b = run_bounds(u)
+        starts = np.repeat(b[:-1], np.diff(b))
+        idx = np.arange(len(u), dtype=np.int64)
+        lo = np.maximum(starts, idx - 8)
+        ps = np.r_[np.int64(0), np.cumsum(cents)]
+        qs = np.r_[np.int64(0), np.cumsum(cents * cents)]
+        n = idx - lo
+        s = ps[idx] - ps[lo]
+        q = qs[idx] - qs[lo]
+        d = n * cents - s
+        flag = (n >= 4) & (d * d > 9 * (n * q - s * s))
+        keep = np.flatnonzero(flag)
+        if len(keep) == 0:
+            return empty
+        return pa.table(
+            {
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "user_id": pa.array(u[keep], pa.int64()),
+                "value_cents": pa.array(cents[keep], pa.int64()),
+            }
+        )
+
+    return partitioned_by_key(events, "user_id", kernel)
+
+
+ANOMALY_EVENTS_SQL = """
+WITH w AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+         count(*) OVER win AS n,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER win AS s,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+             * CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER win AS q
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(x AS BIGINT) AS value_cents
+FROM w
+WHERE n >= 4 AND (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
+"""
+
+
+# -- TPC-H Q4 shape: EXISTS semi-join via aggregate pushdown --------------------
+
+
+def order_priority_exists(sf_dir: str) -> pa.Table:
+    """Orders per priority class having AT LEAST ONE line shipped more
+    than 30 days after the order date — TPC-H Q4's EXISTS semi-join.
+    The EXISTS collapses to an aggregate pushdown: max(l_shipdate) per
+    order decides the predicate, so lineitem pre-reduces to one
+    (orderkey, max) row per batch BEFORE the shuffle, both sides meet in
+    one keyed co-partition (union + groupby pk), and each partition
+    emits O(#priorities) partial counts.  No order row fans out."""
+    from ._util import run_bounds, wide_partitions
+
+    P = wide_partitions()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    DAY_US = 86_400_000_000
+
+    def order_prep(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch.column("o_orderkey"), pa.int64())
+        return pa.table(
+            {
+                "k": k,
+                "days_us": pc.cast(
+                    pc.cast(batch.column("o_orderdate"), pa.timestamp("us")),
+                    pa.int64(),
+                ),
+                "prio": batch.column("o_orderpriority"),
+                "side": pa.array(
+                    np.zeros(batch.num_rows, np.int8), pa.int8()
+                ),
+                "pk": pa.array(
+                    (k.to_numpy(zero_copy_only=False) % P).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "ship_us": pc.cast(
+                    pc.cast(batch.column("l_shipdate"), pa.timestamp("us")),
+                    pa.int64(),
+                ),
+            }
+        )
+        g = t.group_by("k").aggregate([("ship_us", "max")])
+        k = g.column("k")
+        return pa.table(
+            {
+                "k": k,
+                "days_us": g.column("ship_us_max"),
+                "prio": pa.nulls(g.num_rows, pa.string()),
+                "side": pa.array(np.ones(g.num_rows, np.int8), pa.int8()),
+                "pk": pa.array(
+                    (k.to_numpy(zero_copy_only=False) % P).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    both = orders.map_batches(
+        order_prep, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        lineitem.map_batches(line_prep, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_orderpriority": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        days = group.column("days_us").to_numpy(zero_copy_only=False)
+        lsel = np.flatnonzero(side == 1)
+        osel = np.flatnonzero(side == 0)
+        if len(osel) == 0 or len(lsel) == 0:
+            return empty
+        # collapse the line partials to one max per orderkey
+        lk, lship = k[lsel], days[lsel]
+        lorder = np.lexsort((lship, lk))
+        lk, lship = lk[lorder], lship[lorder]
+        b = run_bounds(lk)
+        uk, umax = lk[b[:-1]], lship[b[1:] - 1]  # sorted by ship within key
+        # probe: each order looks up its (unique) line max
+        ok, odate = k[osel], days[osel]
+        pos = np.searchsorted(uk, ok)
+        pos_c = np.minimum(pos, len(uk) - 1)
+        hit = (uk[pos_c] == ok) & (umax[pos_c] > odate + 30 * DAY_US)
+        qual = np.flatnonzero(hit)
+        if len(qual) == 0:
+            return empty
+        prio = group.column("prio").take(pa.array(osel[qual])).to_pylist()
+        vals, counts = np.unique(np.asarray(prio, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([str(v) for v in vals], pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        both.groupby("pk")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    if out.empty:
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([], pa.string()),
+                "n_orders": pa.array([], pa.int64()),
+            }
+        )
+    out = out.sort_values("o_orderpriority")
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+            "n_orders": pa.array(
+                out["n_orders"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+ORDER_PRIORITY_EXISTS_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# -- TPC-H Q13 shape: order-count distribution ----------------------------------
+
+
+def customer_order_distribution(sf_dir: str) -> pa.Table:
+    """How many customers placed exactly k orders (including k = 0) —
+    TPC-H Q13's two-level aggregation.  The orders fact pre-collapses to
+    per-batch (custkey, n) partials, meets the customer key list in one
+    keyed co-partition, and each partition emits its LOCAL histogram
+    (c_count, custdist) — so the global rollup is O(P x #distinct
+    counts) regardless of customer cardinality.  Orphan orders (custkey
+    not in customer) are excluded, zero-order customers counted, exactly
+    LEFT JOIN semantics."""
+    from ._util import run_bounds, wide_partitions
+
+    P = wide_partitions()
+    customers = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def cust_prep(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch.column("c_custkey"), pa.int64())
+        return pa.table(
+            {
+                "k": k,
+                "n": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(batch.num_rows, np.int8), pa.int8()),
+                "pk": pa.array(
+                    (k.to_numpy(zero_copy_only=False) % P).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def order_prep(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(batch.column("o_custkey"), pa.int64()),
+                "one": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by("k").aggregate([("one", "sum")])
+        k = g.column("k")
+        return pa.table(
+            {
+                "k": k,
+                "n": g.column("one_sum"),
+                "side": pa.array(np.ones(g.num_rows, np.int8), pa.int8()),
+                "pk": pa.array(
+                    (k.to_numpy(zero_copy_only=False) % P).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    both = customers.map_batches(
+        cust_prep, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        orders.map_batches(order_prep, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table(
+                {
+                    "c_count": pa.array([], pa.int64()),
+                    "custdist": pa.array([], pa.int64()),
+                }
+            )
+        order = np.argsort(k, kind="stable")
+        k, n, side = k[order], n[order], side[order]
+        b = run_bounds(k)
+        run_n = np.add.reduceat(n, b[:-1])
+        run_cust = np.add.reduceat((side == 0).astype(np.int64), b[:-1])
+        counts = run_n[run_cust > 0]  # keys with a customer row only
+        vals, freq = np.unique(counts, return_counts=True)
+        return pa.table(
+            {
+                "c_count": pa.array(vals.astype(np.int64), pa.int64()),
+                "custdist": pa.array(freq.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        both.groupby("pk")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(ray.data.aggregate.Sum("custdist", alias_name="custdist"))
+        .to_pandas()
+    )
+    if out.empty:
+        return pa.table(
+            {
+                "c_count": pa.array([], pa.int64()),
+                "custdist": pa.array([], pa.int64()),
+            }
+        )
+    out = out.sort_values(["custdist", "c_count"], ascending=[False, False])
+    return pa.table(
+        {
+            "c_count": pa.array(out["c_count"].to_numpy().astype(np.int64), pa.int64()),
+            "custdist": pa.array(
+                out["custdist"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+GROUP BY 1
+ORDER BY 2 DESC, 1 DESC
+"""
+
+
+# -- event-type co-occurrence matrix --------------------------------------------
+
+
+def event_type_overlap(sf_dir: str) -> pa.Table:
+    """For every unordered pair of event types, how many distinct users
+    performed BOTH — the audience-overlap / co-occurrence matrix.  The
+    (user, type) pairs pre-dedup inside each batch, co-locate per user in
+    one keyed shuffle, and each partition expands its per-user distinct
+    type sets into pairs with a fully vectorized grouped-arange (no
+    Python loop over users) before pre-counting locally — the shuffle
+    out of the kernel is O(#type-pairs) per partition."""
+    from ._util import partitioned_by_key, run_bounds
+
+    events = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id", "event_type"]).aggregate([])
+        return g
+
+    def kernel(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "t1": pa.array([], pa.string()),
+                "t2": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        u = part.column("user_id").to_numpy(zero_copy_only=False)
+        # dictionary-encode types once per partition
+        enc = pc.dictionary_encode(pc.cast(part.column("event_type"), pa.string()))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.chunk(0)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary.to_pylist()
+        # canonical code order must be LEXICOGRAPHIC so t1 < t2 holds
+        rank = np.empty(len(vocab), np.int64)
+        rank[np.argsort(np.asarray(vocab, dtype=object))] = np.arange(len(vocab))
+        codes = rank[codes]
+        vocab_sorted = sorted(vocab)
+        # global distinct (user, type) within the partition
+        order = np.lexsort((codes, u))
+        u, codes = u[order], codes[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (codes[1:] != codes[:-1])]
+        u, codes = u[keep], codes[keep]
+        b = run_bounds(u)
+        m = np.diff(b)
+        local = np.arange(len(u), dtype=np.int64) - np.repeat(b[:-1], m)
+        total = int(local.sum())
+        if total == 0:
+            return empty
+        seg_start = np.cumsum(local) - local
+        ar = np.arange(total, dtype=np.int64) - np.repeat(seg_start, local)
+        i_idx = np.repeat(np.repeat(b[:-1], m), local) + ar
+        j_idx = np.repeat(np.arange(len(u), dtype=np.int64), local)
+        key = codes[i_idx] * np.int64(len(vocab_sorted)) + codes[j_idx]
+        vals, cnt = np.unique(key, return_counts=True)
+        t1 = [vocab_sorted[int(v) // len(vocab_sorted)] for v in vals]
+        t2 = [vocab_sorted[int(v) % len(vocab_sorted)] for v in vals]
+        return pa.table(
+            {
+                "t1": pa.array(t1, pa.string()),
+                "t2": pa.array(t2, pa.string()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    deduped = events.map_batches(
+        distinct_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = (
+        partitioned_by_key(deduped, "user_id", kernel)
+        .groupby(["t1", "t2"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n_users"))
+        .to_pandas()
+    )
+    if out.empty:
+        return pa.table(
+            {
+                "t1": pa.array([], pa.string()),
+                "t2": pa.array([], pa.string()),
+                "n_users": pa.array([], pa.int64()),
+            }
+        )
+    out = out.sort_values(["t1", "t2"])
+    return pa.table(
+        {
+            "t1": pa.array(out["t1"], pa.string()),
+            "t2": pa.array(out["t2"], pa.string()),
+            "n_users": pa.array(out["n_users"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+EVENT_TYPE_OVERLAP_SQL = """
+SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_users
+FROM (
+  SELECT DISTINCT a.user_id, a.event_type AS t1, b.event_type AS t2
+  FROM events a
+  JOIN events b ON a.user_id = b.user_id AND a.event_type < b.event_type
+)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
