@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_overlap": relational.event_type_overlap,
         "gram_matrix": similarity.gram_matrix,
         "pca_project": similarity.pca_project,
+        "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
     })
 
 
@@ -484,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_distribution": relational.CUSTOMER_ORDER_DISTRIBUTION_SQL,
         "event_type_overlap": relational.EVENT_TYPE_OVERLAP_SQL,
         "gram_matrix": similarity.GRAM_MATRIX_SQL,
+        "fuzzy_name_pairs": dedup.FUZZY_NAME_PAIRS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

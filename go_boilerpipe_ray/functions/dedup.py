@@ -1790,3 +1790,146 @@ SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
             ELSE 'unchanged' END AS status
 FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
 """
+
+
+# -- edit-distance near-dup (symmetric-delete / FastSS neighborhood) ----------
+
+
+def _deletion_variants(s: str) -> list[str]:
+    """The symmetric-delete candidate keys for edit distance <= 1: the
+    string itself plus every single-character deletion.  Two strings
+    within Levenshtein distance 1 ALWAYS share at least one key
+    (substitution at i -> both share del_i; insertion -> the shorter
+    string IS a deletion of the longer), so blocking on these keys has
+    perfect recall; shared keys do NOT imply distance <= 1 (e.g. 'abcd'
+    vs 'bacd' share 'acd' at distance 2), hence the verify step."""
+    return [s] + [s[:i] + s[i + 1 :] for i in range(len(s))]
+
+
+def _ed_le1(s: str, t: str) -> bool:
+    """Exact Levenshtein(s, t) <= 1 in O(len) — the verifier for
+    symmetric-delete candidates."""
+    if s == t:
+        return True
+    ls, lt = len(s), len(t)
+    if ls == lt:
+        return sum(1 for a, b in zip(s, t) if a != b) <= 1
+    if abs(ls - lt) != 1:
+        return False
+    if ls > lt:
+        s, t, ls = t, s, lt
+    i = 0
+    while i < ls and s[i] == t[i]:
+        i += 1
+    return s[i:] == t[i + 1 :]
+
+
+def fuzzy_name_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """All unordered customer pairs whose names are within Levenshtein
+    distance 1 — typo-level entity resolution, the edit-distance member
+    of the dedup family (exact n-gram Jaccard / MinHash / SimHash cover
+    token-level similarity; this covers character-level).
+
+    Scale shape: symmetric-delete (FastSS / SymSpell) blocking — each
+    name emits len+1 deletion-variant keys (a length-proportional,
+    data-local fan-out, no all-pairs anywhere), candidates co-locate by
+    variant hash in ONE keyed shuffle, each partition verifies its
+    candidates with an O(len) distance check, and verified pairs dedup
+    across buckets in a second keyed shuffle of (a<<32|b) int64 pair
+    keys.  Shuffle volume: sum(len+1) fixed-width rows + one int64 per
+    verified pair — never the corpus text, never a quadratic blow-up
+    (identical hot names are the only quadratic term, and that is
+    output-bound)."""
+    from ._util import blake2_u63, partitioned_by_key, read_parquet_clean, run_bounds
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    def emit_variants(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        names = batch.column("c_name").to_pylist()
+        # Python loop by necessity (per-row string slicing), but this is
+        # a narrow pre-shuffle stage over two small columns — the same
+        # dispensation blake2_u63 gets.
+        out_k, out_n, out_v = [], [], []
+        for k, name in zip(keys, names):
+            for v in set(_deletion_variants(name)):
+                out_k.append(int(k))
+                out_n.append(name)
+                out_v.append(v)
+        return pa.table(
+            {
+                "vh": pa.array(blake2_u63(out_v), pa.int64()),
+                "custkey": pa.array(np.asarray(out_k, np.int64), pa.int64()),
+                "name": pa.array(out_n, pa.string()),
+            }
+        )
+
+    def verify_kernel(part: pa.Table) -> pa.Table:
+        empty = pa.table({"pair": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        vh = part.column("vh").to_numpy(zero_copy_only=False)
+        keys = part.column("custkey").to_numpy(zero_copy_only=False)
+        if int(keys.max(initial=0)) >= (1 << 31):
+            raise OverflowError("fuzzy_name_pairs: custkey >= 2^31 breaks pair packing")
+        names = np.asarray(part.column("name").to_pylist(), dtype=object)
+        order = np.lexsort((keys, vh))
+        vh, keys, names = vh[order], keys[order], names[order]
+        b = run_bounds(vh)
+        m = np.diff(b)
+        local = np.arange(len(vh), dtype=np.int64) - np.repeat(b[:-1], m)
+        total = int(local.sum())
+        if total == 0:
+            return empty
+        seg_start = np.cumsum(local) - local
+        ar = np.arange(total, dtype=np.int64) - np.repeat(seg_start, local)
+        i_idx = np.repeat(np.repeat(b[:-1], m), local) + ar
+        j_idx = np.repeat(np.arange(len(vh), dtype=np.int64), local)
+        # verification loop runs once per CANDIDATE — proportional to
+        # (near-)output size, not corpus size
+        pairs = set()
+        for i, j in zip(i_idx, j_idx):
+            a, c = int(keys[i]), int(keys[j])
+            if a == c:
+                continue
+            if a > c:
+                a, c = c, a
+            p = (a << 32) | c
+            if p in pairs:
+                continue
+            if _ed_le1(names[i], names[j]):
+                pairs.add(p)
+        if not pairs:
+            return empty
+        return pa.table(
+            {"pair": pa.array(np.fromiter(pairs, np.int64, len(pairs)), pa.int64())}
+        )
+
+    def dedup_kernel(part: pa.Table) -> pa.Table:
+        p = np.unique(part.column("pair").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "custkey_a": pa.array(p >> 32, pa.int64()),
+                "custkey_b": pa.array(p & np.int64(0xFFFFFFFF), pa.int64()),
+            }
+        )
+
+    variants = ds.map_batches(
+        emit_variants, batch_format="pyarrow", zero_copy_batch=True
+    )
+    candidates = partitioned_by_key(variants, "vh", verify_kernel)
+    return partitioned_by_key(candidates, "pair", dedup_kernel)
+
+
+FUZZY_NAME_PAIRS_SQL = """
+SELECT CAST(a.c_custkey AS BIGINT) AS custkey_a,
+       CAST(b.c_custkey AS BIGINT) AS custkey_b
+FROM customer a
+JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND abs(length(a.c_name) - length(b.c_name)) <= 1
+ AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY 1, 2
+"""

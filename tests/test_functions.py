@@ -4006,3 +4006,66 @@ def test_copurchase_triangles_bruteforce_sf0001():
     )
     got = copurchase_triangles(SF).to_pandas()
     assert int(got.loc[0, "n_triangles"]) == want
+
+
+def test_ed_le1_matches_reference_dp():
+    from go_boilerpipe_ray.functions.dedup import _ed_le1
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, a in enumerate(s, 1):
+            cur = [i]
+            for j, b in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a != b)))
+            prev = cur
+        return prev[-1]
+
+    import itertools
+
+    alpha = "ab1"
+    strings = [
+        "".join(p)
+        for n in range(0, 4)
+        for p in itertools.product(alpha, repeat=n)
+    ]
+    for s in strings:
+        for t in strings:
+            assert _ed_le1(s, t) == (lev(s, t) <= 1), (s, t)
+
+
+def test_deletion_variants_perfect_recall():
+    # Any pair within Levenshtein distance 1 must share a deletion
+    # variant — the blocking guarantee fuzzy_name_pairs relies on.
+    from go_boilerpipe_ray.functions.dedup import _deletion_variants, _ed_le1
+
+    import itertools
+
+    alpha = "ab1"
+    strings = [
+        "".join(p)
+        for n in range(0, 4)
+        for p in itertools.product(alpha, repeat=n)
+    ]
+    for s in strings:
+        for t in strings:
+            if _ed_le1(s, t):
+                assert set(_deletion_variants(s)) & set(_deletion_variants(t)), (s, t)
+
+
+def test_fuzzy_name_pairs_matches_bruteforce():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.dedup import _ed_le1, fuzzy_name_pairs
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_name"])
+    names = dict(zip(cust["c_custkey"], cust["c_name"]))
+    keys = sorted(names)
+    want = {
+        (a, b)
+        for i, a in enumerate(keys)
+        for b in keys[i + 1 :]
+        if _ed_le1(names[a], names[b])
+    }
+    got = fuzzy_name_pairs(SF).to_pandas()
+    assert set(zip(got["custkey_a"], got["custkey_b"])) == want
+    assert len(got) == len(want)
