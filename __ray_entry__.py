@@ -310,6 +310,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_matrix": similarity.gram_matrix,
         "pca_project": similarity.pca_project,
         "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
+        "small_qty_revenue": relational.small_qty_revenue,
+        "orderkey_gaps": relational.orderkey_gaps,
+        "copurchase_degree_hist": relational.copurchase_degree_hist,
     })
 
 
@@ -486,6 +489,9 @@ def oracle_sql() -> dict[str, str]:
         "event_type_overlap": relational.EVENT_TYPE_OVERLAP_SQL,
         "gram_matrix": similarity.GRAM_MATRIX_SQL,
         "fuzzy_name_pairs": dedup.FUZZY_NAME_PAIRS_SQL,
+        "small_qty_revenue": relational.SMALL_QTY_REVENUE_SQL,
+        "orderkey_gaps": relational.ORDERKEY_GAPS_SQL,
+        "copurchase_degree_hist": relational.COPURCHASE_DEGREE_HIST_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

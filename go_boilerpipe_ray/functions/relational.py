@@ -6524,3 +6524,331 @@ FROM (
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# -- TPC-H Q17-shaped: revenue from unusually-small-quantity line items --------
+
+
+def small_qty_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """Total revenue (exact cents) and row count of line items whose
+    quantity is below 20% of their part's average order quantity — the
+    Q17 "small-quantity order" shape, adapted to an integer-exact
+    predicate so the oracle mirrors bit-for-bit.
+
+    Scale shape: ONE keyed shuffle of narrow (partkey, qty, cents) rows
+    via partitioned_by_key(l_partkey); each partition computes every
+    part's (count, sum_qty) with a lexsort + run-boundary sweep and
+    applies the predicate ``5 * qty * cnt < sum_qty`` (⇔ qty < 0.2 ×
+    avg, exact in int64: qty ≤ 50, cnt and sum_qty per part are corpus
+    row counts, so the product stays < 2^63 until ~7e16 rows per part).
+    No avg-table broadcast, no join — the Q17 correlated subquery
+    collapses into the partition kernel.  Output: one exact row."""
+    from ._util import money_cents, partitioned_by_key
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": batch.column("l_partkey"),
+                "q": pa.array(qty.astype(np.int64), pa.int64()),
+                "cents": pa.array(
+                    money_cents(
+                        batch.column("l_extendedprice").to_numpy(
+                            zero_copy_only=False
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        from ._util import run_bounds
+
+        k = part.column("k").to_numpy(zero_copy_only=False)
+        q = part.column("q").to_numpy(zero_copy_only=False)
+        c = part.column("cents").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            sel = np.zeros(0, dtype=bool)
+        else:
+            order = np.argsort(k, kind="stable")
+            k, q, c = k[order], q[order], c[order]
+            b = run_bounds(k)
+            m = np.diff(b)
+            cnt = np.repeat(m, m)
+            sq = np.repeat(np.add.reduceat(q, b[:-1]), m)
+            sel = 5 * q * cnt < sq
+        return pa.table(
+            {
+                "small_qty_cents": pa.array([int(c[sel].sum())], pa.int64()),
+                "small_qty_rows": pa.array([int(sel.sum())], pa.int64()),
+            }
+        )
+
+    narrowed = li.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+    partials = partitioned_by_key(narrowed, "k", kernel)
+
+    def rollup(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "small_qty_cents": pa.array(
+                    [int(pc.sum(t.column("small_qty_cents")).as_py() or 0)],
+                    pa.int64(),
+                ),
+                "small_qty_rows": pa.array(
+                    [int(pc.sum(t.column("small_qty_rows")).as_py() or 0)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    # P one-row partials → a single-row rollup (bounded by P, tiny)
+    return partials.repartition(1).map_batches(
+        rollup, batch_format="pyarrow", batch_size=None
+    )
+
+
+SMALL_QTY_REVENUE_SQL = """
+WITH s AS (
+  SELECT l_partkey,
+         COUNT(*) AS cnt,
+         SUM(CAST(l_quantity AS BIGINT)) AS sq
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(COALESCE(SUM(CASE WHEN 5 * CAST(l.l_quantity AS BIGINT) * s.cnt < s.sq
+                     THEN CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                     ELSE 0 END), 0) AS BIGINT) AS small_qty_cents,
+       CAST(COALESCE(SUM(CASE WHEN 5 * CAST(l.l_quantity AS BIGINT) * s.cnt < s.sq
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS small_qty_rows
+FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey
+"""
+
+
+# -- gaps-and-islands over an integer keyspace ---------------------------------
+
+
+_GAP_BUCKET = 1 << 16  # keys per bucket in the gap detector's level-1 pass
+
+
+def orderkey_gaps(sf_dir: str) -> "ray.data.Dataset":
+    """Maximal runs of order keys that appear in ``orders`` but have NO
+    line items — the gaps-and-islands detector over an integer keyspace
+    (data-quality / completeness auditing: "which key ranges are
+    missing?").
+
+    Scale shape: distinct keys bucket by ``key // 2^16`` and co-locate
+    with ONE keyed shuffle (partitioned_by_key); each bucket finds its
+    internal gaps with a vectorized sorted-diff.  Cross-bucket gaps come
+    from the bucket summary (bucket, min, max) — a table 2^16× smaller
+    than the keyspace that collapses to one partition for the boundary
+    sweep (at a 2^48 keyspace the summary is ~4e9 rows: insert a second
+    bucketing level of the same kernel before the collapse — same code
+    shape, documented bound).  Gap edges against the GLOBAL key range
+    [min, max] are closed by the summary pass, so output is exactly the
+    lead/lag SQL's."""
+    from ._util import partitioned_by_key
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        k = np.unique(batch.column("l_orderkey").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "b": pa.array(k // _GAP_BUCKET, pa.int64()),
+                "k": pa.array(k, pa.int64()),
+            }
+        )
+
+    def bucket_kernel(part: pa.Table) -> pa.Table:
+        b = part.column("b").to_numpy(zero_copy_only=False)
+        k = part.column("k").to_numpy(zero_copy_only=False)
+        if len(b) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"gap_start": z, "gap_end": z, "lo": z, "hi": z})
+        order = np.lexsort((k, b))
+        b, k = b[order], k[order]
+        keep = np.r_[True, (b[1:] != b[:-1]) | (k[1:] != k[:-1])]
+        b, k = b[keep], k[keep]
+        gs_list, ge_list = [], []
+        same = np.flatnonzero(b[1:] == b[:-1])
+        gap = same[k[same + 1] > k[same] + 1]
+        gs_list.append(k[gap] + 1)
+        ge_list.append(k[gap + 1] - 1)
+        # bucket summary rows ride along tagged with gap_start = -1
+        first = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        last = np.r_[first[1:] - 1, len(b) - 1] if len(b) else np.array([], np.int64)
+        return pa.table(
+            {
+                "gap_start": pa.array(
+                    np.concatenate([gs_list[0], np.full(len(first), -1, np.int64)]),
+                    pa.int64(),
+                ),
+                "gap_end": pa.array(
+                    np.concatenate([ge_list[0], b[first] if len(b) else b]),
+                    pa.int64(),
+                ),
+                "lo": pa.array(
+                    np.concatenate([np.zeros(len(gap), np.int64), k[first]]),
+                    pa.int64(),
+                ),
+                "hi": pa.array(
+                    np.concatenate([np.zeros(len(gap), np.int64), k[last]]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    level1 = partitioned_by_key(
+        li.map_batches(bucketed, batch_format="pyarrow", zero_copy_batch=True),
+        "b",
+        bucket_kernel,
+    ).materialize()
+
+    gaps_inner = level1.filter(
+        expr="gap_start >= 0"
+    ).select_columns(["gap_start", "gap_end"])
+
+    def boundary_kernel(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").to_numpy(zero_copy_only=False)
+        hi = t.column("hi").to_numpy(zero_copy_only=False)
+        bb = t.column("gap_end").to_numpy(zero_copy_only=False)  # bucket id
+        order = np.argsort(bb, kind="stable")
+        lo, hi = lo[order], hi[order]
+        gs = hi[:-1] + 1
+        ge = lo[1:] - 1
+        sel = ge >= gs
+        return pa.table(
+            {
+                "gap_start": pa.array(gs[sel], pa.int64()),
+                "gap_end": pa.array(ge[sel], pa.int64()),
+            }
+        )
+
+    boundary = (
+        level1.filter(expr="gap_start < 0")
+        .repartition(1)
+        .map_batches(boundary_kernel, batch_format="pyarrow", batch_size=None)
+    )
+    return gaps_inner.union(boundary)
+
+
+ORDERKEY_GAPS_SQL = """
+WITH k AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+     l AS (SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM k)
+SELECT CAST(k + 1 AS BIGINT) AS gap_start,
+       CAST(nk - 1 AS BIGINT) AS gap_end
+FROM l WHERE nk > k + 1
+ORDER BY 1
+"""
+
+
+# -- degree distribution of the co-purchase graph ------------------------------
+
+
+def copurchase_degree_hist(sf_dir: str) -> "ray.data.Dataset":
+    """Degree histogram of the part co-purchase graph (parts adjacent
+    when they share an order): how many parts have degree d, for each d.
+    The graph-profile companion to copurchase_triangles.
+
+    Scale shape: per-order triu pair expansion under ONE order-keyed
+    shuffle (the dedup.partition_pairs idiom, output-bound), composite
+    int64 edge keys dedup under a second keyed shuffle, then degrees are
+    a (node, count) partial-agg rollup and the histogram a second
+    bounded rollup over ≤ max-degree rows.  Nothing materializes beyond
+    the edge set, which is the graph's sparse core."""
+    from ._util import partitioned_by_key
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        o = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        p = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        if p.size and int(p.max()) >= (1 << (_TRI_SHIFT - 1)):
+            raise OverflowError("partkey exceeds composite-key bound (2^31)")
+        u = np.unique(np.stack([o, p], axis=1), axis=0)
+        return pa.table(
+            {"o": pa.array(u[:, 0], pa.int64()), "p": pa.array(u[:, 1], pa.int64())}
+        )
+
+    def order_pairs(part: pa.Table) -> pa.Table:
+        from ._util import run_bounds
+
+        o = part.column("o").to_numpy(zero_copy_only=False)
+        p = part.column("p").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        keep = np.r_[True, (o[1:] != o[:-1]) | (p[1:] != p[:-1])]
+        o, p = o[keep], p[keep]
+        bounds = run_bounds(o)
+        keys: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            pp = p[s:e]
+            ii, jj = np.triu_indices(e - s, 1)
+            keys.append((pp[ii] << _TRI_SHIFT) | pp[jj])
+        k = (
+            np.unique(np.concatenate(keys))
+            if keys
+            else np.array([], np.int64)
+        )
+        return pa.table({"ek": pa.array(k, pa.int64())})
+
+    def dedup_and_endpoints(part: pa.Table) -> pa.Table:
+        k = np.unique(part.column("ek").to_numpy(zero_copy_only=False))
+        nodes = np.concatenate([k >> _TRI_SHIFT, k & ((1 << _TRI_SHIFT) - 1)])
+        n, c = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(n, pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    deg = (
+        partitioned_by_key(
+            partitioned_by_key(
+                li.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True),
+                "o",
+                order_pairs,
+            ),
+            "ek",
+            dedup_and_endpoints,
+        )
+        .groupby("node")
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="deg"))
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("deg").to_numpy(zero_copy_only=False)
+        v, c = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "degree": pa.array(v.astype(np.int64), pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        deg.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("degree")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n_parts"))
+    )
+
+
+COPURCHASE_DEGREE_HIST_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+d AS (
+  SELECT k, COUNT(*) AS deg
+  FROM (SELECT pa AS k FROM e UNION ALL SELECT pb AS k FROM e)
+  GROUP BY k
+)
+SELECT CAST(deg AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM d GROUP BY deg ORDER BY 1
+"""

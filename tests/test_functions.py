@@ -4069,3 +4069,63 @@ def test_fuzzy_name_pairs_matches_bruteforce():
     got = fuzzy_name_pairs(SF).to_pandas()
     assert set(zip(got["custkey_a"], got["custkey_b"])) == want
     assert len(got) == len(want)
+
+
+def test_orderkey_gaps_cross_bucket(tmp_path):
+    # Keys spanning several 2^16 buckets, incl. an entirely-empty bucket
+    # between occupied ones — exercises the boundary (summary) kernel
+    # that sf-scale data never reaches (sf keys all land in bucket 0).
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import orderkey_gaps
+
+    keys = [5, 7, 65534, 65537, 200000, 200002]
+    pd.DataFrame({"l_orderkey": keys}).to_parquet(tmp_path / "lineitem.parquet")
+    got = orderkey_gaps(str(tmp_path)).to_pandas()
+    got = set(zip(got["gap_start"], got["gap_end"]))
+    want = {(6, 6), (8, 65533), (65535, 65536), (65538, 199999), (200001, 200001)}
+    assert got == want
+
+
+def test_small_qty_revenue_matches_bruteforce():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions._util import money_cents
+    from go_boilerpipe_ray.functions.relational import small_qty_revenue
+
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    q = li["l_quantity"].astype("int64")
+    g = li.groupby("l_partkey")["l_quantity"]
+    cnt = g.transform("count").astype("int64")
+    sq = g.transform("sum").astype("int64")
+    sel = 5 * q * cnt < sq
+    got = small_qty_revenue(SF).to_pandas()
+    assert int(got.loc[0, "small_qty_rows"]) == int(sel.sum())
+    assert int(got.loc[0, "small_qty_cents"]) == int(
+        money_cents(li["l_extendedprice"].to_numpy())[sel.to_numpy()].sum()
+    )
+
+
+def test_copurchase_degree_hist_matches_bruteforce():
+    import collections
+    import itertools
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import copurchase_degree_hist
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        for a, b in itertools.combinations(sorted(set(grp["l_partkey"])), 2):
+            edges.add((a, b))
+    deg: collections.Counter = collections.Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    want = collections.Counter(deg.values())
+    got = copurchase_degree_hist(SF).to_pandas()
+    assert dict(zip(got["degree"], got["n_parts"])) == dict(want)
