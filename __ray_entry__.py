@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": relational.small_qty_revenue,
         "orderkey_gaps": relational.orderkey_gaps,
         "copurchase_degree_hist": relational.copurchase_degree_hist,
+        "max_concurrent_events": relational.max_concurrent_events,
+        "sliding_distinct_users": relational.sliding_distinct_users,
     })
 
 
@@ -492,6 +494,8 @@ def oracle_sql() -> dict[str, str]:
         "small_qty_revenue": relational.SMALL_QTY_REVENUE_SQL,
         "orderkey_gaps": relational.ORDERKEY_GAPS_SQL,
         "copurchase_degree_hist": relational.COPURCHASE_DEGREE_HIST_SQL,
+        "max_concurrent_events": relational.MAX_CONCURRENT_EVENTS_SQL,
+        "sliding_distinct_users": relational.SLIDING_DISTINCT_USERS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -6852,3 +6852,225 @@ d AS (
 SELECT CAST(deg AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_parts
 FROM d GROUP BY deg ORDER BY 1
 """
+
+
+# -- interval boundary sweep: peak concurrency per event type ------------------
+
+
+def max_concurrent_events(sf_dir: str) -> "ray.data.Dataset":
+    """Peak number of simultaneously-active events per event type, where
+    an event is active on the half-open interval
+    [ts, ts + floor(value) seconds) — the classic interval boundary
+    sweep (room-scheduling / peak-load), order-dependent state that a
+    plain aggregate cannot express.
+
+    Scale shape: each event emits two fixed-width boundary rows
+    (type-hash, t_us, ±1); ONE keyed shuffle co-locates each type's
+    boundaries; the partition kernel sorts (key, t, d) — ends before
+    starts at equal t, matching the half-open semantics — and takes each
+    run's max prefix sum via one global cumsum + np.maximum.reduceat.
+    No per-event Python, state bounded by the partition."""
+    from ._util import blake2_u63, partitioned_by_key, run_bounds
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def boundaries(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        dur = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False)
+        ).astype(np.int64) * 1_000_000
+        et = batch.column("event_type").to_pylist()
+        kh = blake2_u63(et)
+        return pa.table(
+            {
+                "kh": pa.array(np.concatenate([kh, kh]), pa.int64()),
+                "event_type": pa.array(et + et, pa.string()),
+                "t": pa.array(np.concatenate([t, t + dur]), pa.int64()),
+                "d": pa.array(
+                    np.concatenate(
+                        [np.ones(len(t), np.int64), -np.ones(len(t), np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def sweep(part: pa.Table) -> pa.Table:
+        kh = part.column("kh").to_numpy(zero_copy_only=False)
+        t = part.column("t").to_numpy(zero_copy_only=False)
+        d = part.column("d").to_numpy(zero_copy_only=False)
+        et = np.asarray(part.column("event_type").to_pylist(), dtype=object)
+        if len(kh) == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "max_concurrent": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((d, t, kh))
+        kh, t, d, et = kh[order], t[order], d[order], et[order]
+        b = run_bounds(kh)
+        cs = np.cumsum(d)
+        peak = np.maximum.reduceat(cs, b[:-1])
+        base = np.r_[0, cs[b[1:-1] - 1]]
+        return pa.table(
+            {
+                "event_type": pa.array(et[b[:-1]], pa.string()),
+                "max_concurrent": pa.array(peak - base, pa.int64()),
+            }
+        )
+
+    return partitioned_by_key(
+        ev.map_batches(boundaries, batch_format="pyarrow", zero_copy_batch=True),
+        "kh",
+        sweep,
+    )
+
+
+MAX_CONCURRENT_EVENTS_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT)
+           + CAST(floor(value) AS BIGINT) * 1000000,
+         -1
+  FROM events
+),
+c AS (
+  SELECT event_type,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS cur
+  FROM b
+)
+SELECT event_type, CAST(MAX(cur) AS BIGINT) AS max_concurrent
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+# -- sliding-window exact distinct count ---------------------------------------
+
+_SLIDING_DISTINCT_HOURS = 3
+
+
+def sliding_distinct_users(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct users in the trailing 3-hour window anchored at each
+    event hour — exact sliding-window COUNT DISTINCT, which no windowed
+    SUM can fake (the same user in two of the three hours must count
+    once).
+
+    Scale shape: (hour, user) dedups under a user-keyed shuffle (all of
+    a user's hours co-locate → np.unique rows), each distinct pair
+    fans out to ≤3 window anchors gated by the broadcast set of hours
+    that actually exist (the dimension side: bounded by the time span,
+    ~9k/year), then a SECOND user-keyed dedup of (anchor, user) collapses
+    cross-hour repeats into per-partition (anchor, partial-count) rows
+    for a bounded groupby-sum.  Two keyed shuffles of int64 pairs; the
+    corpus text/value columns never move."""
+    from ._util import partitioned_by_key
+
+    HOUR_US = 3_600 * 1_000_000
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def hour_user(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        hu = np.unique(np.stack([(t // HOUR_US) * HOUR_US, u], axis=1), axis=0)
+        return pa.table(
+            {"h": pa.array(hu[:, 0], pa.int64()), "u": pa.array(hu[:, 1], pa.int64())}
+        )
+
+    def dedup_pairs(part: pa.Table) -> pa.Table:
+        hu = np.unique(
+            np.stack(
+                [
+                    part.column("h").to_numpy(zero_copy_only=False),
+                    part.column("u").to_numpy(zero_copy_only=False),
+                ],
+                axis=1,
+            ),
+            axis=0,
+        )
+        return pa.table(
+            {"h": pa.array(hu[:, 0], pa.int64()), "u": pa.array(hu[:, 1], pa.int64())}
+        )
+
+    pairs = partitioned_by_key(
+        ev.map_batches(hour_user, batch_format="pyarrow", zero_copy_batch=True),
+        "u",
+        dedup_pairs,
+    ).materialize()  # reused: anchor-hour dimension + fan-out source
+
+    # dimension side: the set of hours that actually occur (bounded by
+    # the corpus time span, not its size) — broadcast once
+    hours = np.unique(
+        pairs.groupby("h")
+        .aggregate(ray.data.aggregate.Count(alias_name="n"))
+        .to_pandas()["h"]
+        .to_numpy()
+    )
+    hours_ref = ray.put(hours)
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        valid = ray.get(hours_ref)
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        w = np.arange(_SLIDING_DISTINCT_HOURS, dtype=np.int64) * HOUR_US
+        anchor = (h[:, None] + w[None, :]).ravel()
+        uu = np.repeat(u, _SLIDING_DISTINCT_HOURS)
+        keep = np.isin(anchor, valid)
+        return pa.table(
+            {
+                "anchor": pa.array(anchor[keep], pa.int64()),
+                "u": pa.array(uu[keep], pa.int64()),
+            }
+        )
+
+    def count_partial(part: pa.Table) -> pa.Table:
+        au = np.unique(
+            np.stack(
+                [
+                    part.column("anchor").to_numpy(zero_copy_only=False),
+                    part.column("u").to_numpy(zero_copy_only=False),
+                ],
+                axis=1,
+            ),
+            axis=0,
+        )
+        a, c = np.unique(au[:, 0], return_counts=True)
+        return pa.table(
+            {
+                "anchor": pa.array(a, pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counted = (
+        partitioned_by_key(
+            pairs.map_batches(fan_out, batch_format="pyarrow", zero_copy_batch=True),
+            "u",
+            count_partial,
+        )
+        .groupby("anchor")
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="n_users"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.cast(t.column("anchor"), pa.timestamp("us")),
+                "n_users": pc.cast(t.column("n_users"), pa.int64()),
+            }
+        )
+
+    return counted.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SLIDING_DISTINCT_USERS_SQL = """
+WITH hu AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events),
+     hours AS (SELECT DISTINCT h FROM hu)
+SELECT o.h AS hour, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users
+FROM hours o
+JOIN hu u ON u.h >= o.h - INTERVAL 2 HOUR AND u.h <= o.h
+GROUP BY 1 ORDER BY 1
+"""

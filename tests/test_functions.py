@@ -4129,3 +4129,49 @@ def test_copurchase_degree_hist_matches_bruteforce():
     want = collections.Counter(deg.values())
     got = copurchase_degree_hist(SF).to_pandas()
     assert dict(zip(got["degree"], got["n_parts"])) == dict(want)
+
+
+def test_max_concurrent_events_matches_bruteforce():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import max_concurrent_events
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts", "event_type", "value"])
+    want = {}
+    for et, grp in ev.groupby("event_type"):
+        t = grp["ts"].astype("int64").to_numpy()
+        dur = np.floor(grp["value"].to_numpy()).astype("int64") * 1_000_000
+        bounds = sorted(
+            [(int(a), 1) for a in t] + [(int(a + d), -1) for a, d in zip(t, dur)],
+            key=lambda x: (x[0], x[1]),
+        )
+        cur = peak = 0
+        for _, d in bounds:
+            cur += d
+            peak = max(peak, cur)
+        want[et] = peak
+    got = max_concurrent_events(SF).to_pandas()
+    assert dict(zip(got["event_type"], got["max_concurrent"])) == want
+
+
+def test_sliding_distinct_users_matches_bruteforce():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import sliding_distinct_users
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts", "user_id"])
+    h = ev["ts"].dt.floor("h")
+    pairs = set(zip(h, ev["user_id"]))
+    hours = sorted({a for a, _ in pairs})
+    want = {
+        a: len(
+            {
+                u
+                for hh, u in pairs
+                if a - pd.Timedelta(hours=2) <= hh <= a
+            }
+        )
+        for a in hours
+    }
+    got = sliding_distinct_users(SF).to_pandas()
+    assert dict(zip(got["hour"], got["n_users"])) == want
