@@ -315,6 +315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_degree_hist": relational.copurchase_degree_hist,
         "max_concurrent_events": relational.max_concurrent_events,
         "sliding_distinct_users": relational.sliding_distinct_users,
+        "hashed_features": text.hashed_features,
+        "ipc_roundtrip": formats.ipc_roundtrip,
     })
 
 
@@ -496,6 +498,8 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_degree_hist": relational.COPURCHASE_DEGREE_HIST_SQL,
         "max_concurrent_events": relational.MAX_CONCURRENT_EVENTS_SQL,
         "sliding_distinct_users": relational.SLIDING_DISTINCT_USERS_SQL,
+        "hashed_features": text.HASHED_FEATURES_SQL,
+        "ipc_roundtrip": formats.IPC_ROUNDTRIP_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

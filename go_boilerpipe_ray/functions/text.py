@@ -3634,3 +3634,70 @@ def bpe_train(sf_dir: str, n_merges: int = BPE_TRAIN_MERGES) -> pa.Table:
             "pair_count": pa.array(out_count, pa.int64()),
         }
     )
+
+
+# -- feature hashing (hashing-trick bag-of-words) -----------------------------
+
+_HASHED_FEATURES_DIM = 64
+_bucket_memo: dict = {}
+
+
+def _token_bucket(tok: str) -> int:
+    """md5 lower-64-little-endian % dim — chosen because DuckDB's
+    md5_number_lower() computes the identical integer, so the oracle
+    mirrors the hash bit-for-bit (blake2, the repo's shuffle-key hash,
+    has no SQL twin).  Memoized per process: vocabulary is Zipf-bounded,
+    so the dict stays far smaller than the corpus."""
+    b = _bucket_memo.get(tok)
+    if b is None:
+        b = int.from_bytes(
+            hashlib.md5(tok.encode("utf-8")).digest()[8:], "little"
+        ) % _HASHED_FEATURES_DIM
+        _bucket_memo[tok] = b
+    return b
+
+
+def hashed_features(sf_dir: str) -> "ray.data.Dataset":
+    """Hashing-trick featurization: each document's token counts fold
+    into a fixed 64-bucket histogram (the sparse input to linear
+    probes / quality classifiers that cannot afford a vocabulary).
+    Output: one (doc_id, bucket, n) row per non-empty bucket.
+
+    Scale shape: embarrassingly parallel — documents are rows, so the
+    whole featurization is ONE narrow map_batches with no shuffle at
+    all; output rows are bounded by docs × 64."""
+    from collections import Counter
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_d, out_b, out_n = [], [], []
+        for did, t in zip(ids, batch.column("text").to_pylist()):
+            c: Counter = Counter(
+                _token_bucket(tok) for tok in _TOKEN_RE.findall(t.lower())
+            )
+            out_d.extend([int(did)] * len(c))
+            out_b.extend(c.keys())
+            out_n.extend(c.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "bucket": pa.array(out_b, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        featurize, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+HASHED_FEATURES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS tok
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(md5_number_lower(tok) % {_HASHED_FEATURES_DIM} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM toks GROUP BY 1, 2
+"""

@@ -117,3 +117,99 @@ SELECT p_brand,
        CAST(sum(p_size) AS BIGINT) AS sum_size
 FROM part GROUP BY p_brand
 """
+
+
+def ipc_roundtrip(sf_dir: str, out_dir: str | None = None) -> "ray.data.Dataset":
+    """orders.parquet → Arrow IPC (feather v2) shards → distributed
+    decode → per-status rollup of the roundtripped columns.  Ray Data
+    has no native IPC writer, so the sink is a map_batches stage that
+    streams each block through pa.ipc.new_file into one shard (shard
+    name = content hash → deterministic, collision-free, resumable) and
+    the source is read_binary_files + a vectorized in-task decode —
+    both sides stay distributed, no driver funnel.  IPC preserves Arrow
+    types exactly (unlike CSV), so the rollup includes the timestamp
+    column the CSV roundtrip must avoid."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    out = _sink_dir("ipc", sf_dir, out_dir)
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_file(sink, batch.schema) as w:
+            w.write_table(batch)
+        buf = sink.getvalue()
+        name = _hl.md5(buf.to_pybytes()).hexdigest()
+        path = os.path.join(out, f"{name}.arrow")
+        with open(path, "wb") as f:
+            f.write(buf.to_pybytes())
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    # sink: one IPC shard per block (write, then drain the manifest)
+    ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+    ).map_batches(
+        write_shard, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def decode_and_partial(batch: pa.Table) -> pa.Table:
+        tables = []
+        for raw in batch.column("bytes").to_pylist():
+            with pa.ipc.open_file(pa.BufferReader(raw)) as r:
+                tables.append(r.read_all())
+        t = pa.concat_tables(tables)
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype("int64")
+        day = pc.cast(
+            pc.floor_temporal(t.column("o_orderdate"), unit="day"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        g = pa.table(
+            {
+                "o_orderstatus": t.column("o_orderstatus"),
+                "n": pa.array(np.ones(len(t), np.int64), pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "day_us": pa.array(day, pa.int64()),
+            }
+        ).group_by("o_orderstatus").aggregate(
+            [("n", "sum"), ("cents", "sum"), ("day_us", "max")]
+        )
+        return g.rename_columns(["o_orderstatus", "n", "cents", "day_us"])
+
+    rolled = (
+        ray.data.read_binary_files(out)
+        .map_batches(decode_and_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderstatus")
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n_orders"),
+            ray.data.aggregate.Sum("cents", alias_name="total_cents"),
+            ray.data.aggregate.Max("day_us", alias_name="last_day_us"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": t.column("o_orderstatus"),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+                "total_cents": pc.cast(t.column("total_cents"), pa.int64()),
+                "last_orderdate": pc.cast(
+                    pc.cast(t.column("last_day_us"), pa.timestamp("us")),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    return rolled.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+IPC_ROUNDTRIP_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(date_trunc('day', max(o_orderdate)) AS TIMESTAMP) AS last_orderdate
+FROM orders GROUP BY 1
+"""

@@ -4175,3 +4175,32 @@ def test_sliding_distinct_users_matches_bruteforce():
     }
     got = sliding_distinct_users(SF).to_pandas()
     assert dict(zip(got["hour"], got["n_users"])) == want
+
+
+def test_hashed_features_bucket_matches_duckdb_md5():
+    import duckdb
+
+    from go_boilerpipe_ray.functions.text import _HASHED_FEATURES_DIM, _token_bucket
+
+    con = duckdb.connect()
+    for tok in ["hello", "a", "0", "zz9", "the"]:
+        want = con.execute(
+            f"SELECT CAST(md5_number_lower(?) % {_HASHED_FEATURES_DIM} AS BIGINT)",
+            [tok],
+        ).fetchone()[0]
+        assert _token_bucket(tok) == want, tok
+
+
+def test_ipc_roundtrip_preserves_totals(tmp_path):
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions._util import money_cents
+    from go_boilerpipe_ray.sources.formats import ipc_roundtrip
+
+    got = ipc_roundtrip(SF, out_dir=str(tmp_path / "ipc")).to_pandas()
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    for _, row in got.iterrows():
+        sub = o[o["o_orderstatus"] == row["o_orderstatus"]]
+        assert row["n_orders"] == len(sub)
+        assert row["total_cents"] == int(money_cents(sub["o_totalprice"].to_numpy()).sum())
+        assert row["last_orderdate"] == sub["o_orderdate"].max().floor("D")
