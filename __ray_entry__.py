@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_distinct_users": relational.sliding_distinct_users,
         "hashed_features": text.hashed_features,
         "ipc_roundtrip": formats.ipc_roundtrip,
+        "cumulative_unique_users": relational.cumulative_unique_users,
+        "user_activity_streak": relational.user_activity_streak,
     })
 
 
@@ -500,6 +502,8 @@ def oracle_sql() -> dict[str, str]:
         "sliding_distinct_users": relational.SLIDING_DISTINCT_USERS_SQL,
         "hashed_features": text.HASHED_FEATURES_SQL,
         "ipc_roundtrip": formats.IPC_ROUNDTRIP_SQL,
+        "cumulative_unique_users": relational.CUMULATIVE_UNIQUE_USERS_SQL,
+        "user_activity_streak": relational.USER_ACTIVITY_STREAK_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

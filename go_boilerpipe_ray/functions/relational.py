@@ -332,7 +332,7 @@ def sliding_events(sf_dir: str) -> pa.Table:
     per_row = WINDOW_MINUTES // SLIDE_MINUTES
 
     def assign_windows(batch: pa.Table) -> pa.Table:
-        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        ts = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy(zero_copy_only=False)
         etype = batch.column("event_type").to_numpy(zero_copy_only=False)
         value = batch.column("value").to_numpy(zero_copy_only=False)
         base = (ts // slide_us) * slide_us  # latest slide boundary ≤ ts
@@ -555,7 +555,7 @@ def asof_join_events_orders(sf_dir: str) -> "ray.data.Dataset":
         return pa.table(
             {
                 "key": batch.column("user_id"),
-                "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+                "ts_us": pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64()),
                 "row_id": batch.column("event_id"),
                 "side": pa.array(np.ones(n, dtype=np.int8)),
             }
@@ -1760,7 +1760,7 @@ def event_throttle(sf_dir: str) -> "ray.data.Dataset":
     win_us = THROTTLE_MINUTES * 60 * 1_000_000
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        ts = pc.cast(batch.column("ts"), pa.int64())
+        ts = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64())
         bucket = pc.multiply(pc.divide(ts, win_us), win_us)
         return pa.table(
             {
@@ -2507,7 +2507,7 @@ def zorder_keys(sf_dir: str) -> "ray.data.Dataset":
 
     def keys(batch: pa.Table) -> pa.Table:
         u = batch.column("user_id").to_numpy(zero_copy_only=False)
-        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+        ts = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy(
             zero_copy_only=False
         )
         hour = (ts // _ZORDER_HOUR_US).astype(np.uint64)
@@ -4115,7 +4115,7 @@ def decayed_value_sum(sf_dir: str) -> "ray.data.Dataset":
     now_us = int(pa.scalar(now_ts, pa.timestamp("us")).cast(pa.int64()).as_py())
 
     def partial(batch: pa.Table) -> pa.Table:
-        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy(zero_copy_only=False)
         cents = money_cents(batch.column("value").to_numpy(zero_copy_only=False))
         if cents.size and int(cents.min()) < 0:
             # The shift form floors (-5 >> 1 == -3) while the oracle's
@@ -4198,7 +4198,7 @@ def activity_union(sf_dir: str) -> "ray.data.Dataset":
             {
                 "user_id": batch.column("user_id"),
                 "is_order": pa.array(np.zeros(batch.num_rows, np.int64)),
-                "us": pc.cast(batch.column("ts"), pa.int64()),
+                "us": pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64()),
                 "cents": pa.array(
                     money_cents(
                         batch.column("value").to_numpy(zero_copy_only=False)
@@ -4577,7 +4577,7 @@ def incremental_hourly_merge(sf_dir: str) -> pa.Table:
 
     def agg_side(keep_before: bool) -> "ray.data.Dataset":
         def partial(batch: pa.Table) -> pa.Table:
-            us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy(
                 zero_copy_only=False
             )
             mask = us < cutoff if keep_before else us >= cutoff
@@ -6875,7 +6875,7 @@ def max_concurrent_events(sf_dir: str) -> "ray.data.Dataset":
     ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def boundaries(batch: pa.Table) -> pa.Table:
-        t = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        t = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy(zero_copy_only=False)
         dur = np.floor(
             batch.column("value").to_numpy(zero_copy_only=False)
         ).astype(np.int64) * 1_000_000
@@ -6973,7 +6973,7 @@ def sliding_distinct_users(sf_dir: str) -> "ray.data.Dataset":
     ev = _read(sf_dir, "events", ["ts", "user_id"])
 
     def hour_user(batch: pa.Table) -> pa.Table:
-        t = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        t = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy(zero_copy_only=False)
         u = batch.column("user_id").to_numpy(zero_copy_only=False)
         hu = np.unique(np.stack([(t // HOUR_US) * HOUR_US, u], axis=1), axis=0)
         return pa.table(
@@ -7073,4 +7073,159 @@ SELECT o.h AS hour, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users
 FROM hours o
 JOIN hu u ON u.h >= o.h - INTERVAL 2 HOUR AND u.h <= o.h
 GROUP BY 1 ORDER BY 1
+"""
+
+
+# -- running distinct: cumulative unique users by day --------------------------
+
+
+def cumulative_unique_users(sf_dir: str) -> "ray.data.Dataset":
+    """Running total of distinct users ever seen, by day — the growth
+    curve every corpus/product report wants, and a window COUNT(DISTINCT)
+    no plain aggregate expresses.
+
+    Scale shape: distinct-accumulation collapses to first-seen-day per
+    user (per-batch (user, min day) partials → ONE user-keyed groupby
+    min), then a per-day count (bounded by the time span) and a prefix
+    sum over that bounded day table on the driver."""
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+    DAY_US = 86_400 * 1_000_000
+
+    def partial_min(batch: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy(zero_copy_only=False)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        day = (t // DAY_US) * DAY_US
+        order = np.lexsort((day, u))
+        u, day = u[order], day[order]
+        first = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        return pa.table(
+            {
+                "u": pa.array(u[first], pa.int64()),
+                "d": pa.array(day[first], pa.int64()),
+            }
+        )
+
+    firsts = (
+        ev.map_batches(partial_min, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("u")
+        .aggregate(ray.data.aggregate.Min("d", alias_name="first_day"))
+    )
+
+    def day_counts(batch: pa.Table) -> pa.Table:
+        d, c = np.unique(
+            batch.column("first_day").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "d": pa.array(d, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    days = (
+        firsts.map_batches(day_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("d")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: one row per calendar day in the corpus
+        .sort_values("d")
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(days["d"].to_numpy(), pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "cum_users": pa.array(
+                    np.cumsum(days["n"].to_numpy()).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+    )
+
+
+CUMULATIVE_UNIQUE_USERS_SQL = """
+WITH f AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS d FROM events GROUP BY 1
+),
+c AS (SELECT d, count(*) AS n FROM f GROUP BY 1)
+SELECT CAST(d AS TIMESTAMP) AS day,
+       CAST(SUM(n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM c ORDER BY 1
+"""
+
+
+# -- per-user longest consecutive-day activity streak --------------------------
+
+
+def user_activity_streak(sf_dir: str) -> "ray.data.Dataset":
+    """Longest run of consecutive active days per user — per-key
+    gaps-and-islands, the engagement metric that needs order within key.
+
+    Scale shape: per-batch distinct (user, day) pairs shrink the
+    exchange, ONE user-keyed shuffle co-locates each user's days, and
+    the partition kernel finds every user's longest streak in one
+    vectorized sweep (lexsort → dedup → consecutive-day run boundaries →
+    maximum.reduceat over run lengths)."""
+    from ._util import partitioned_by_key, run_bounds
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+    DAY_US = 86_400 * 1_000_000
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy(zero_copy_only=False)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ud = np.unique(np.stack([u, (t // DAY_US)], axis=1), axis=0)
+        return pa.table(
+            {"u": pa.array(ud[:, 0], pa.int64()), "d": pa.array(ud[:, 1], pa.int64())}
+        )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        u = part.column("u").to_numpy(zero_copy_only=False)
+        d = part.column("d").to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "max_streak": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        u, d = u[keep], d[keep]
+        # streak boundary: new user OR non-consecutive day
+        new_run = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)]
+        rb = np.flatnonzero(np.r_[new_run, True]).astype(np.int64)
+        run_len = np.diff(rb)
+        run_user = u[rb[:-1]]
+        ub = run_bounds(run_user)
+        return pa.table(
+            {
+                "user_id": pa.array(run_user[ub[:-1]], pa.int64()),
+                "max_streak": pa.array(
+                    np.maximum.reduceat(run_len, ub[:-1]), pa.int64()
+                ),
+            }
+        )
+
+    return partitioned_by_key(
+        ev.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True),
+        "u",
+        kernel,
+    )
+
+
+USER_ACTIVITY_STREAK_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+g AS (
+  SELECT user_id,
+         d - to_days(CAST(dense_rank() OVER
+             (PARTITION BY user_id ORDER BY d) AS INTEGER)) AS grp
+  FROM ud
+),
+s AS (SELECT user_id, count(*) AS streak FROM g GROUP BY user_id, grp)
+SELECT user_id, CAST(max(streak) AS BIGINT) AS max_streak
+FROM s GROUP BY 1 ORDER BY 1
 """

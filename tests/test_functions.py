@@ -4204,3 +4204,47 @@ def test_ipc_roundtrip_preserves_totals(tmp_path):
         assert row["n_orders"] == len(sub)
         assert row["total_cents"] == int(money_cents(sub["o_totalprice"].to_numpy()).sum())
         assert row["last_orderdate"] == sub["o_orderdate"].max().floor("D")
+
+
+def test_cumulative_unique_users_staggered(tmp_path):
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import cumulative_unique_users
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 05:00", "2024-01-01 07:00",  # u1, u2 day 1
+            "2024-01-02 01:00",                      # u1 again (not new)
+            "2024-01-03 09:00", "2024-01-03 10:00",  # u3, u4 day 3
+            "2024-01-05 00:00",                      # u5 day 5
+        ]
+    )
+    pd.DataFrame({"ts": ts, "user_id": [1, 2, 1, 3, 4, 5]}).to_parquet(
+        tmp_path / "events.parquet"
+    )
+    got = cumulative_unique_users(str(tmp_path)).to_pandas()
+    got = dict(zip(got["day"].astype(str), got["cum_users"]))
+    assert got == {
+        "2024-01-01": 2,
+        "2024-01-03": 4,
+        "2024-01-05": 5,
+    }
+
+
+def test_user_activity_streak_matches_bruteforce():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import user_activity_streak
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts", "user_id"])
+    days = ev.assign(d=ev["ts"].dt.floor("D")).groupby("user_id")["d"].unique()
+    want = {}
+    for u, ds_ in days.items():
+        ds_ = sorted(pd.Timestamp(x) for x in ds_)
+        best = cur = 1
+        for a, b in zip(ds_, ds_[1:]):
+            cur = cur + 1 if (b - a).days == 1 else 1
+            best = max(best, cur)
+        want[u] = best
+    got = user_activity_streak(SF).to_pandas()
+    assert dict(zip(got["user_id"], got["max_streak"])) == want
