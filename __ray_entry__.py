@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ipc_roundtrip": formats.ipc_roundtrip,
         "cumulative_unique_users": relational.cumulative_unique_users,
         "user_activity_streak": relational.user_activity_streak,
+        "sentence_stats": text.sentence_stats,
     })
 
 
@@ -504,6 +505,7 @@ def oracle_sql() -> dict[str, str]:
         "ipc_roundtrip": formats.IPC_ROUNDTRIP_SQL,
         "cumulative_unique_users": relational.CUMULATIVE_UNIQUE_USERS_SQL,
         "user_activity_streak": relational.USER_ACTIVITY_STREAK_SQL,
+        "sentence_stats": text.SENTENCE_STATS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

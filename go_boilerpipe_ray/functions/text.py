@@ -3701,3 +3701,60 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM toks GROUP BY 1, 2
 """
+
+
+# -- sentence segmentation profile --------------------------------------------
+
+_SENT_SPLIT_RE = re.compile(r"[.!?]+")
+
+
+def sentence_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document sentence profile (count / longest / total chars over
+    '[.!?]+'-delimited segments) — the length-shape signal quality
+    filters and curriculum buckets read.
+
+    Scale shape: embarrassingly parallel narrow map_batches, zero
+    shuffle; the split regex is module-compiled once per process and its
+    semantics are pinned against DuckDB's regexp_split_to_array by the
+    oracle (verified identical on the corpus)."""
+
+    def profile(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = np.empty(len(ids), np.int64)
+        mx = np.zeros(len(ids), np.int64)
+        tot = np.zeros(len(ids), np.int64)
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            lens = [len(s) for s in _SENT_SPLIT_RE.split(t) if s]
+            n[i] = len(lens)
+            if lens:
+                mx[i] = max(lens)
+                tot[i] = sum(lens)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "n_sentences": pa.array(n, pa.int64()),
+                "max_sentence_chars": pa.array(mx, pa.int64()),
+                "sum_sentence_chars": pa.array(tot, pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        profile, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SENTENCE_STATS_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[.!?]+'),
+                     x -> length(x) > 0) AS segs
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(segs) AS BIGINT) AS n_sentences,
+       CAST(COALESCE(list_max(list_transform(segs, x -> length(x))), 0)
+            AS BIGINT) AS max_sentence_chars,
+       CAST(COALESCE(list_sum(list_transform(segs, x -> length(x))), 0)
+            AS BIGINT) AS sum_sentence_chars
+FROM s
+"""
