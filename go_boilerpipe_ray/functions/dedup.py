@@ -1933,3 +1933,65 @@ JOIN customer b
  AND levenshtein(a.c_name, b.c_name) <= 1
 ORDER BY 1, 2
 """
+
+
+# -- duplicate-cluster size distribution ---------------------------------------
+
+
+def dup_cluster_size_hist(sf_dir: str) -> "ray.data.Dataset":
+    """Distribution of duplicate-cluster sizes (how many clusters have
+    2 docs, 3 docs, ...) — the dedup-health diagnostic run after any
+    clustering pass: a fat tail means a boilerplate template is gluing
+    unrelated docs together.
+
+    Scale shape: downstream of connected_components (keyed-shuffle
+    min-label rounds, no driver state): per-batch (component, partial
+    count) partials → one component-keyed rollup → bounded histogram
+    rollup over ≤ max-cluster-size rows.  Singleton docs (never paired)
+    are absent from the pair graph by construction, so sizes start
+    at 2."""
+    comp = dedup_components(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c, n = np.unique(
+            batch.column("component").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "component": pa.array(c, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    sizes = (
+        comp.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("component")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="size"))
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        s, n = np.unique(
+            batch.column("size").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "cluster_size": pa.array(s, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        sizes.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster_size")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n_clusters"))
+    )
+
+
+DUP_CLUSTER_SIZE_HIST_SQL = f"""
+WITH comp AS ({DEDUP_COMPONENTS_SQL}),
+sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY 1 ORDER BY 1
+"""
