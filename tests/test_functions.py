@@ -3620,6 +3620,17 @@ def test_partitioned_by_key_invariant_to_partition_count(monkeypatch):
         "lm_bigram_score": text.lm_bigram_score,
         "unigram_likelihood": text.unigram_likelihood,
     }
+    from go_boilerpipe_ray.functions import dedup
+
+    cases.update(
+        {
+            "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
+            "orderkey_gaps": relational.orderkey_gaps,
+            "max_concurrent_events": relational.max_concurrent_events,
+            "user_activity_streak": relational.user_activity_streak,
+            "sliding_distinct_users": relational.sliding_distinct_users,
+        }
+    )
 
     def rows(fn):
         out = fn(SF)
