@@ -82,13 +82,21 @@ _R4_WINDOW = [
     "label_text_stats",
 ]
 
-# Round 5: switch _window_order to _R5_WINDOW.  These are the 49 names
-# never driver-checked after r01-r03 + the planned r04 window (computed
-# 2026-08-18 from the union of CORRECTNESS_r01-r03 keys and _R4_WINDOW),
-# led by extract_golden so the core engine is still re-checked — 50
-# entries; with r04 this covers every registered query exactly once.
+# Round 5: switch _window_order to _R5_WINDOW.  79 names remain
+# never-driver-checked after r01-r03 + the planned r04 window (176
+# registered > 4x50 driver slots), so full driver coverage is
+# impossible; this window takes the 12 round-4-session-4 additions
+# (never selfcheck-aged by a judge) plus the oldest 38 never-checked —
+# exactly 50.  The 29 left over are all selfcheck-verified (judge
+# protocol: tools/selfcheck.py covers what the driver window cannot).
 _R5_WINDOW = [
-    "extract_golden",
+    # round-4 session-4 additions (newest first)
+    "fuzzy_name_pairs", "small_qty_revenue", "orderkey_gaps",
+    "copurchase_degree_hist", "max_concurrent_events",
+    "sliding_distinct_users", "hashed_features", "ipc_roundtrip",
+    "cumulative_unique_users", "user_activity_streak", "sentence_stats",
+    "dup_cluster_size_hist",
+    # oldest never-checked
     "shipping_priority", "returned_order_priority", "docs_rollup",
     "table_profile", "revenue_by_brand", "supplier_region_stats",
     "lang_confusion", "zorder_keys", "heavy_hitters_by_source",
@@ -101,14 +109,7 @@ _R5_WINDOW = [
     "idle_rich_customers", "winsorized_stats", "mad_outliers",
     "label_centroids", "props_extract", "time_weighted_average",
     "decayed_value_sum", "source_diversity", "grouped_approx_percentiles",
-    "activity_union", "earliest_events", "supplier_pagerank", "bpe_train",
-    "conversion_delay_stats", "cluster_aware_split", "rebalance_mix",
-    "incremental_hourly_merge", "nation_revenue_share", "dup_span_stats",
-    "dup_span_removal", "knn_filtered", "lm_bigram_score", "orders_cube",
-    "hourly_dense", "volume_shipping", "market_share",
-    "attribution_last_touch", "corr_stats_by_type", "monthly_value_locf",
-    "gram_matrix", "pca_project", "parts_skyline", "copurchase_triangles",
-    "weekday_profile", "clamped_balance",
+    "activity_union", "earliest_events",
 ]
 
 
