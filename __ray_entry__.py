@@ -109,7 +109,7 @@ _R5_WINDOW = [
     "idle_rich_customers", "winsorized_stats", "mad_outliers",
     "label_centroids", "props_extract", "time_weighted_average",
     "decayed_value_sum", "source_diversity", "grouped_approx_percentiles",
-    "activity_union", "earliest_events",
+    "activity_union",
 ]
 
 
