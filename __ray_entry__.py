@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_streak": relational.user_activity_streak,
         "sentence_stats": text.sentence_stats,
         "dup_cluster_size_hist": dedup.dup_cluster_size_hist,
+        "split_leakage_audit": dedup.split_leakage_audit,
     })
 
 
@@ -509,6 +510,7 @@ def oracle_sql() -> dict[str, str]:
         "user_activity_streak": relational.USER_ACTIVITY_STREAK_SQL,
         "sentence_stats": text.SENTENCE_STATS_SQL,
         "dup_cluster_size_hist": dedup.DUP_CLUSTER_SIZE_HIST_SQL,
+        "split_leakage_audit": dedup.SPLIT_LEAKAGE_AUDIT_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -1995,3 +1995,67 @@ SELECT CAST(sz AS BIGINT) AS cluster_size,
        CAST(count(*) AS BIGINT) AS n_clusters
 FROM sizes GROUP BY 1 ORDER BY 1
 """
+
+
+# -- train/test leakage audit ---------------------------------------------------
+
+
+def split_leakage_audit(sf_dir: str) -> "ray.data.Dataset":
+    """Near-duplicate pairs that straddle the NAIVE per-document hash
+    split — the leakage diagnostic that motivates cluster_aware_split:
+    a train/test pair of near-dups inflates eval scores, and a pure
+    doc-id hash split (sample_split's rule) produces them in proportion
+    to the dup rate.  Output: (split_a, split_b, n_pairs) with the pair
+    normalized lexically.
+
+    Scale shape: downstream of simhash_pairs (banded, sub-quadratic);
+    the split label derives locally from each id via the shared md5
+    permille rule (sampling._split_names — no join against a split
+    table), pairs pre-aggregate per batch to ≤9 (split, split) rows,
+    and the final rollup is O(9)."""
+    from .sampling import _split_names
+
+    pairs = simhash_pairs(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        sa = _split_names(a)  # _split_names hashes raw ids itself
+        sb = _split_names(b)
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        key = np.char.add(np.char.add(lo.astype(str), "|"), hi.astype(str))
+        u, c = np.unique(key, return_counts=True)
+        split_a = [k.split("|")[0] for k in u]
+        split_b = [k.split("|")[1] for k in u]
+        return pa.table(
+            {
+                "split_a": pa.array(split_a, pa.string()),
+                "split_b": pa.array(split_b, pa.string()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["split_a", "split_b"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n_pairs"))
+    )
+
+
+_SPLIT_CASE = """CASE WHEN md5_number_lower({col}::VARCHAR) % 1000 < 980 THEN 'train'
+         WHEN md5_number_lower({col}::VARCHAR) % 1000 < 990 THEN 'valid'
+         ELSE 'test' END"""
+
+SPLIT_LEAKAGE_AUDIT_SQL = f"""
+WITH pairs AS ({SIMHASH_PAIRS_SQL}),
+s AS (
+  SELECT {_SPLIT_CASE.format(col="id_a")} AS sa,
+         {_SPLIT_CASE.format(col="id_b")} AS sb
+  FROM pairs
+)
+SELECT least(sa, sb) AS split_a,
+       greatest(sa, sb) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""

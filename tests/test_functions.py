@@ -4259,3 +4259,26 @@ def test_user_activity_streak_matches_bruteforce():
         want[u] = best
     got = user_activity_streak(SF).to_pandas()
     assert dict(zip(got["user_id"], got["max_streak"])) == want
+
+
+def test_split_leakage_audit_matches_bruteforce():
+    import collections
+
+    import ray
+
+    from go_boilerpipe_ray.functions.dedup import simhash_pairs, split_leakage_audit
+    from go_boilerpipe_ray.functions.sampling import _split_names
+
+    pairs = simhash_pairs(SF).to_pandas()
+    sa = _split_names(pairs["id_a"].to_numpy())
+    sb = _split_names(pairs["id_b"].to_numpy())
+    want: collections.Counter = collections.Counter(
+        (min(x, y), max(x, y)) for x, y in zip(sa, sb)
+    )
+    got = split_leakage_audit(SF).to_pandas()
+    assert (
+        dict(zip(zip(got["split_a"], got["split_b"]), got["n_pairs"])) == dict(want)
+    )
+    # the audit exists to show the naive split leaks: cross-split
+    # near-dup pairs must be present on the dup corpus
+    assert any(a != b for a, b in want)
