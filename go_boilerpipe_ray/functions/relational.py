@@ -7229,3 +7229,82 @@ s AS (SELECT user_id, count(*) AS streak FROM g GROUP BY user_id, grp)
 SELECT user_id, CAST(max(streak) AS BIGINT) AS max_streak
 FROM s GROUP BY 1 ORDER BY 1
 """
+
+
+# -- exact weighted median over a bounded value domain -------------------------
+
+
+def weighted_median_discount(sf_dir: str) -> "ray.data.Dataset":
+    """Quantity-weighted median discount per return flag — the exact
+    weighted quantile (the unweighted percentile machinery cannot answer
+    "the discount at which half the SHIPPED UNITS sit below").
+
+    Scale shape: the discount domain is bounded (integer percent after
+    the module money rule), so per-batch (flag, disc_pct, Σqty) partials
+    collapse the corpus into a ≤ flags × 101-row weight histogram; the
+    keyed rollup and the cumulative crossing pick are O(domain), driver
+    state bounded and corpus-size-independent.  Pick rule: smallest
+    disc with 2·cumweight ≥ totalweight (the SQL mirror states it
+    identically)."""
+    from ._util import money_cents
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_discount", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = money_cents(
+            batch.column("l_discount").to_numpy(zero_copy_only=False)
+        )  # discount in integer percent-of-hundred units (0.05 -> 5)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        t = pa.table(
+            {
+                "f": batch.column("l_returnflag"),
+                "d": pa.array(disc, pa.int64()),
+                "w": pa.array(qty, pa.int64()),
+            }
+        )
+        g = t.group_by(["f", "d"]).aggregate([("w", "sum")])
+        return g.rename_columns(["f", "d", "w"])
+
+    hist = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["f", "d"])
+        .aggregate(ray.data.aggregate.Sum("w", alias_name="w"))
+        .to_pandas()  # bounded: flags x discount domain (<= 3 x 101 rows)
+        .sort_values(["f", "d"])
+    )
+    flags, medians = [], []
+    for f, sub in hist.groupby("f", sort=True):
+        w = sub["w"].to_numpy()
+        cw = np.cumsum(w)
+        i = int(np.flatnonzero(2 * cw >= cw[-1])[0])
+        flags.append(f)
+        medians.append(int(sub["d"].to_numpy()[i]))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "l_returnflag": pa.array(flags, pa.string()),
+                "weighted_median_disc": pa.array(medians, pa.int64()),
+            }
+        )
+    )
+
+
+WEIGHTED_MEDIAN_DISCOUNT_SQL = """
+WITH g AS (
+  SELECT l_returnflag AS f,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT f, d,
+         SUM(w) OVER (PARTITION BY f ORDER BY d ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY f) AS tw
+  FROM g
+)
+SELECT f AS l_returnflag,
+       CAST(MIN(d) AS BIGINT) AS weighted_median_disc
+FROM c WHERE 2 * cw >= tw GROUP BY 1 ORDER BY 1
+"""

@@ -4282,3 +4282,26 @@ def test_split_leakage_audit_matches_bruteforce():
     # the audit exists to show the naive split leaks: cross-split
     # near-dup pairs must be present on the dup corpus
     assert any(a != b for a, b in want)
+
+
+def test_weighted_median_discount_matches_bruteforce():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions._util import money_cents
+    from go_boilerpipe_ray.functions.relational import weighted_median_discount
+
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_discount", "l_quantity"],
+    )
+    li = li.assign(
+        d=money_cents(li["l_discount"].to_numpy()),
+        w=li["l_quantity"].astype("int64"),
+    )
+    want = {}
+    for f, sub in li.groupby("l_returnflag"):
+        g = sub.groupby("d")["w"].sum().sort_index()
+        cw = g.cumsum()
+        want[f] = int(g.index[(2 * cw >= cw.iloc[-1]).argmax()])
+    got = weighted_median_discount(SF).to_pandas()
+    assert dict(zip(got["l_returnflag"], got["weighted_median_disc"])) == want
