@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_size_hist": dedup.dup_cluster_size_hist,
         "split_leakage_audit": dedup.split_leakage_audit,
         "weighted_median_discount": relational.weighted_median_discount,
+        "brand_affinity_lift": relational.brand_affinity_lift,
     })
 
 
@@ -512,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_cluster_size_hist": dedup.DUP_CLUSTER_SIZE_HIST_SQL,
         "split_leakage_audit": dedup.SPLIT_LEAKAGE_AUDIT_SQL,
         "weighted_median_discount": relational.WEIGHTED_MEDIAN_DISCOUNT_SQL,
+        "brand_affinity_lift": relational.BRAND_AFFINITY_LIFT_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

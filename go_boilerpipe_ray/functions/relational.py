@@ -7308,3 +7308,148 @@ SELECT f AS l_returnflag,
        CAST(MIN(d) AS BIGINT) AS weighted_median_disc
 FROM c WHERE 2 * cw >= tw GROUP BY 1 ORDER BY 1
 """
+
+
+# -- brand co-purchase affinity (lift) -----------------------------------------
+
+
+def brand_affinity_lift(sf_dir: str) -> "ray.data.Dataset":
+    """Market-basket lift between brands co-occurring in an order,
+    as exact integer permille: lift = N·c(a,b) / (c(a)·c(b)) where
+    counts are ORDERS containing the brand (pair counts ordered a<b).
+
+    Scale shape: the part→brand map is the dimension side (broadcast
+    once via ray.put, vectorized index_in probe); per-order distinct
+    brand sets collapse under ONE order-keyed shuffle (≤25 brands per
+    order → the triu expansion is bounded per order); pair and marginal
+    counts are bounded rollups (≤ brands² rows); the lift arithmetic is
+    a driver-side O(brands²) pass with an explicit int64 overflow guard
+    (1000·N·c_ab must stay < 2^63 — trips loudly at ~9e15 order-pairs)."""
+    import pyarrow.parquet as pq
+
+    from ._util import partitioned_by_key, run_bounds
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    brands = pc.unique(part.column("p_brand")).sort()
+    bcode = {b: i for i, b in enumerate(brands.to_pylist())}
+    codes = pa.array(
+        [bcode[b] for b in part.column("p_brand").to_pylist()], pa.int64()
+    )
+    dim_ref = ray.put((part.column("p_partkey").combine_chunks(), codes))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        keys, bc = ray.get(dim_ref)
+        idx = pc.index_in(batch.column("l_partkey"), value_set=keys)
+        valid = np.flatnonzero(pc.is_valid(idx).to_numpy(zero_copy_only=False))
+        idx = idx.take(pa.array(valid, pa.int64()))
+        b = pc.take(bc, idx).to_numpy(zero_copy_only=False)
+        o = batch.column("l_orderkey").to_numpy(zero_copy_only=False)[valid]
+        u = np.unique(np.stack([o, b], axis=1), axis=0)
+        return pa.table(
+            {"o": pa.array(u[:, 0], pa.int64()), "b": pa.array(u[:, 1], pa.int64())}
+        )
+
+    def order_kernel(partn: pa.Table) -> pa.Table:
+        o = partn.column("o").to_numpy(zero_copy_only=False)
+        b = partn.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, o))
+        o, b = o[order], b[order]
+        keep = np.r_[True, (o[1:] != o[:-1]) | (b[1:] != b[:-1])]
+        o, b = o[keep], b[keep]
+        bounds = run_bounds(o)
+        pair_keys: list[np.ndarray] = []
+        sing_keys: list[np.ndarray] = [b]
+        n_orders = len(bounds) - 1
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            bb = b[s:e]
+            ii, jj = np.triu_indices(e - s, 1)
+            pair_keys.append(bb[ii] * 1000 + bb[jj])
+        pk = (
+            np.concatenate(pair_keys) if pair_keys else np.zeros(0, np.int64)
+        )
+        up, cp = np.unique(pk, return_counts=True)
+        us, cs = np.unique(np.concatenate(sing_keys), return_counts=True)
+        # three row kinds ride one schema: kind 0 = order count, 1 =
+        # single-brand marginal, 2 = pair count
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.r_[
+                        np.zeros(1, np.int64),
+                        np.ones(len(us), np.int64),
+                        np.full(len(up), 2, np.int64),
+                    ],
+                    pa.int64(),
+                ),
+                "key": pa.array(np.r_[np.zeros(1, np.int64), us, up], pa.int64()),
+                "n": pa.array(
+                    np.r_[np.array([n_orders], np.int64), cs, cp], pa.int64()
+                ),
+            }
+        )
+
+    counts = (
+        partitioned_by_key(
+            li.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True),
+            "o",
+            order_kernel,
+        )
+        .groupby(["kind", "key"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: 1 + brands + brands^2 rows
+    )
+    N = int(counts.loc[counts["kind"] == 0, "n"].iloc[0])
+    marg = dict(
+        zip(
+            counts.loc[counts["kind"] == 1, "key"].astype(int),
+            counts.loc[counts["kind"] == 1, "n"].astype(int),
+        )
+    )
+    blist = brands.to_pylist()
+    out_a, out_b, out_n, out_l = [], [], [], []
+    pairs_df = counts.loc[counts["kind"] == 2]
+    for key, c_ab in zip(pairs_df["key"].astype(int), pairs_df["n"].astype(int)):
+        a, b = key // 1000, key % 1000
+        if 1000 * N * c_ab >= (1 << 63) // 2:
+            raise OverflowError("brand_affinity_lift: permille product overflows")
+        out_a.append(blist[a])
+        out_b.append(blist[b])
+        out_n.append(c_ab)
+        out_l.append((1000 * N * c_ab) // (marg[a] * marg[b]))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "brand_a": pa.array(out_a, pa.string()),
+                "brand_b": pa.array(out_b, pa.string()),
+                "n_orders": pa.array(out_n, pa.int64()),
+                "lift_permille": pa.array(out_l, pa.int64()),
+            }
+        )
+    )
+
+
+BRAND_AFFINITY_LIFT_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT count(DISTINCT o) AS n_total FROM ob),
+m AS (SELECT b, count(*) AS c FROM ob GROUP BY 1),
+pr AS (
+  SELECT a.b AS ba, bb.b AS bb, count(*) AS c_ab
+  FROM ob a JOIN ob bb ON a.o = bb.o AND a.b < bb.b
+  GROUP BY 1, 2
+)
+SELECT pr.ba AS brand_a, pr.bb AS brand_b,
+       CAST(pr.c_ab AS BIGINT) AS n_orders,
+       CAST((1000 * n.n_total * pr.c_ab) // (ma.c * mb.c) AS BIGINT)
+         AS lift_permille
+FROM pr CROSS JOIN n
+JOIN m ma ON ma.b = pr.ba
+JOIN m mb ON mb.b = pr.bb
+ORDER BY 1, 2
+"""

@@ -4305,3 +4305,34 @@ def test_weighted_median_discount_matches_bruteforce():
         want[f] = int(g.index[(2 * cw >= cw.iloc[-1]).argmax()])
     got = weighted_median_discount(SF).to_pandas()
     assert dict(zip(got["l_returnflag"], got["weighted_median_disc"])) == want
+
+
+def test_brand_affinity_lift_matches_bruteforce():
+    import collections
+    import itertools
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import brand_affinity_lift
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    pt = pd.read_parquet(f"{SF}/part.parquet", columns=["p_partkey", "p_brand"])
+    j = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    ob = set(zip(j["l_orderkey"], j["p_brand"]))
+    n_total = len({o for o, _ in ob})
+    marg: collections.Counter = collections.Counter(b for _, b in ob)
+    per_order: dict = {}
+    for o, b in ob:
+        per_order.setdefault(o, set()).add(b)
+    pairs: collections.Counter = collections.Counter()
+    for bs in per_order.values():
+        for a, b in itertools.combinations(sorted(bs), 2):
+            pairs[(a, b)] += 1
+    got = brand_affinity_lift(SF).to_pandas()
+    assert len(got) == len(pairs)
+    for _, r in got.iterrows():
+        k = (r["brand_a"], r["brand_b"])
+        assert r["n_orders"] == pairs[k]
+        assert r["lift_permille"] == (1000 * n_total * pairs[k]) // (
+            marg[k[0]] * marg[k[1]]
+        )
