@@ -1084,7 +1084,14 @@ def connected_components(
     so materializing them to learn the block count is cheap relative to
     the rounds that follow (they are re-read every round anyway)."""
     edges = edges.materialize()
-    P = min(wide_partitions(), max(4, edges.num_blocks()))
+    # Partition count proportional to edge VOLUME (≈250k 16-byte rows
+    # ≈ 4 MB per partition), capped by the cluster-wide count: the loop
+    # pays two all-to-alls per round, and every extra partition is pure
+    # per-round scheduling overhead when its share of the pair table is
+    # tiny (block COUNT was the old proxy and overshoots badly — a
+    # 50k-pair graph in 200 small blocks ran 64-way shuffles each
+    # round).  count() on a materialized dataset is metadata-only.
+    P = min(wide_partitions(), max(4, int(edges.count()) // 250_000 + 1))
 
     def directed(batch: pa.Table) -> pa.Table:
         a = batch.column("id_a").combine_chunks()
@@ -1189,10 +1196,16 @@ def connected_components(
         pos = np.searchsorted(lkeys, ekeys)
         out_node = np.concatenate([edsts, lkeys])
         out_lab = np.concatenate([llabs[pos], llabs])
+        # combiner: local per-node min before the groupby-min shuffle —
+        # proposals per partition collapse from O(edges) to O(distinct
+        # nodes) rows (min is associative, result unchanged)
+        order2 = np.lexsort((out_lab, out_node))
+        out_node, out_lab = out_node[order2], out_lab[order2]
+        first = np.r_[True, out_node[1:] != out_node[:-1]]
         return pa.table(
             {
-                "node": pa.array(out_node, pa.int64()),
-                "label": pa.array(out_lab, pa.int64()),
+                "node": pa.array(out_node[first], pa.int64()),
+                "label": pa.array(out_lab[first], pa.int64()),
             }
         )
 
