@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage_audit": dedup.split_leakage_audit,
         "weighted_median_discount": relational.weighted_median_discount,
         "brand_affinity_lift": relational.brand_affinity_lift,
+        "asof_join_forward": relational.asof_join_forward,
     })
 
 
@@ -515,6 +516,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage_audit": dedup.SPLIT_LEAKAGE_AUDIT_SQL,
         "weighted_median_discount": relational.WEIGHTED_MEDIAN_DISCOUNT_SQL,
         "brand_affinity_lift": relational.BRAND_AFFINITY_LIFT_SQL,
+        "asof_join_forward": relational.ASOF_JOIN_FORWARD_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -7453,3 +7453,123 @@ JOIN m ma ON ma.b = pr.ba
 JOIN m mb ON mb.b = pr.bb
 ORDER BY 1, 2
 """
+
+
+# -- as-of join, FORWARD direction ----------------------------------------------
+
+
+def asof_join_forward(sf_dir: str) -> "ray.data.Dataset":
+    """Forward as-of join: each ORDER picks the customer's EARLIEST
+    event with ts >= o_orderdate (ties broken by min event_id) — "the
+    next signal after the action", the direction the backward join
+    cannot answer.  (Orders probe events here because the synthetic
+    clock puts all events after all orders; the composition is
+    direction-symmetric.)
+
+    Same single-keyed-shuffle composition as asof_join_events_orders:
+    both sides union under one customer-keyed shuffle and every probe
+    resolves with ONE searchsorted on the composite (key-run · span +
+    ts) axis — side="left" instead of "right"-1, and the ascending
+    (key, ts, id) build order makes equal-ts ties land on min id."""
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column("o_custkey"),
+                "ts_us": pc.cast(batch.column("o_orderdate"), pa.int64()),
+                "row_id": batch.column("o_orderkey"),
+                "side": pa.array(np.ones(n, dtype=np.int8)),  # probe side
+            }
+        )
+
+    def event_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column("user_id"),
+                "ts_us": pc.cast(
+                    pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64()
+                ),
+                "row_id": batch.column("event_id"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),  # build side
+            }
+        )
+
+    both = orders.map_batches(
+        order_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        events.map_batches(event_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def probe_part(part: pa.Table) -> pa.Table:
+        side = part.column("side").to_numpy(zero_copy_only=False)
+        key = part.column("key").to_numpy(zero_copy_only=False)
+        ts = part.column("ts_us").to_numpy(zero_copy_only=False)
+        rid = part.column("row_id").to_numpy(zero_copy_only=False)
+        is_build = side == 0
+        b_key, b_ts, b_id = key[is_build], ts[is_build], rid[is_build]
+        p_key, p_ts, p_id = key[~is_build], ts[~is_build], rid[~is_build]
+        empty = pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_custkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+            }
+        )
+        if len(b_ts) == 0 or len(p_ts) == 0:
+            return empty
+        uniq = np.unique(key)
+        t0 = int(ts.min())
+        span = int(ts.max()) - t0 + 2
+        if len(uniq) * span >= 2**62:
+            raise OverflowError(
+                "asof_join_forward: key-count x time-span exceeds the "
+                "composite searchsorted key — shrink the partition (raise P)"
+            )
+        b_kidx = np.searchsorted(uniq, b_key)
+        p_kidx = np.searchsorted(uniq, p_key)
+        order = np.lexsort((b_id, b_ts, b_kidx))
+        b_kidx, b_ts, b_id = b_kidx[order], b_ts[order], b_id[order]
+        bcomp = b_kidx * span + (b_ts - t0)
+        # leftmost event with ts >= order date IN THE SAME KEY RUN:
+        # equal-ts groups sort by id ascending, so side="left" = min id.
+        pos = np.searchsorted(bcomp, p_kidx * span + (p_ts - t0), side="left")
+        hit = (pos < len(bcomp)) & (
+            b_kidx[np.minimum(pos, len(bcomp) - 1)] == p_kidx
+        )
+        if not hit.any():
+            return empty
+        ph = pos[hit]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(p_id[hit], pa.int64()),
+                "o_custkey": pa.array(p_key[hit], pa.int64()),
+                "o_orderdate": pa.array(p_ts[hit], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "event_id": pa.array(b_id[ph], pa.int64()),
+                "ts": pa.array(b_ts[ph], pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+
+    from ._util import partitioned_by_key
+
+    return partitioned_by_key(both, "key", probe_part)
+
+
+ASOF_JOIN_FORWARD_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate, event_id, ts FROM (
+  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, e.event_id, e.ts,
+         row_number() OVER (
+           PARTITION BY o.o_orderkey
+           ORDER BY e.ts ASC, e.event_id ASC) AS rn
+  FROM orders o
+  JOIN events e ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+) WHERE rn = 1
+"""

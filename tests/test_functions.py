@@ -4336,3 +4336,23 @@ def test_brand_affinity_lift_matches_bruteforce():
         assert r["lift_permille"] == (1000 * n_total * pairs[k]) // (
             marg[k[0]] * marg[k[1]]
         )
+
+
+def test_asof_join_forward_matches_bruteforce():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import asof_join_forward
+
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    e = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "user_id", "ts"])
+    want = {}
+    by_user = {u: g.sort_values(["ts", "event_id"]) for u, g in e.groupby("user_id")}
+    for _, r in o.iterrows():
+        g = by_user.get(r["o_custkey"])
+        if g is None:
+            continue
+        m = g[g["ts"] >= r["o_orderdate"]]
+        if len(m):
+            want[r["o_orderkey"]] = int(m.iloc[0]["event_id"])
+    got = asof_join_forward(SF).to_pandas()
+    assert dict(zip(got["o_orderkey"], got["event_id"])) == want
