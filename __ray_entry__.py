@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_discount": relational.weighted_median_discount,
         "brand_affinity_lift": relational.brand_affinity_lift,
         "asof_join_forward": relational.asof_join_forward,
+        "dsir_weights": text.dsir_weights,
     })
 
 
@@ -516,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_median_discount": relational.WEIGHTED_MEDIAN_DISCOUNT_SQL,
         "brand_affinity_lift": relational.BRAND_AFFINITY_LIFT_SQL,
         "asof_join_forward": relational.ASOF_JOIN_FORWARD_SQL,
+        "dsir_weights": text.DSIR_WEIGHTS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -3758,3 +3758,201 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
             AS BIGINT) AS sum_sentence_chars
 FROM s
 """
+
+
+# -- DSIR-style importance weights (target vs source unigram LM) --------------
+
+
+def dsir_weights(sf_dir: str) -> "ray.data.Dataset":
+    """Data-Selection-with-Importance-Resampling weights (Xie et al.
+    2023, arXiv:2302.03169 — unigram proxy): per document, the mean
+    smoothed target-LM token probability minus the mean smoothed
+    source-LM probability, in exact integer ppb.  Target = 'en'
+    documents, source = the rest; a positive weight marks documents
+    that look more like the target distribution — THE importance signal
+    for domain-matched pretraining selection.
+
+    Exactness contract: ppb_c(tok) = ((tf_c + 1)·10⁹) // (T_c + V)
+    (add-one smoothing over the joint vocabulary), per-doc means are
+    floored separately per class BEFORE subtracting, so every //
+    operand is non-negative and DuckDB's truncate-toward-zero agrees
+    with Python floor.
+
+    Scale shape: tokenized ONCE into (doc_id, token, tf, n_tok, is_t)
+    long rows (materialized, reused 3×); class token totals are plain
+    sums; the vocabulary size V is one extra token-keyed shuffle with a
+    per-partition unique count (no distinct-token table ever
+    materializes); scoring is the unigram_likelihood kernel with two
+    class frequencies per token run, Python-int products (int64 wraps
+    past ~9.2e9 corpus occurrences of a token).  Hot-token skew bound
+    as in tfidf_topk."""
+    import collections
+
+    from ._util import blake2_u63, partitioned_by_key, run_bounds
+
+    ds = read_documents(sf_dir, columns=["doc_id", "lang", "text"])
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        d_ids: list[int] = []
+        d_tok: list[str] = []
+        d_tf: list[int] = []
+        d_n: list[int] = []
+        d_t: list[bool] = []
+        for did, lang, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("lang").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            toks = _TOKEN_RE.findall(t.lower())
+            is_t = lang == "en"
+            for tok, cnt in collections.Counter(toks).items():
+                d_ids.append(did)
+                d_tok.append(tok)
+                d_tf.append(cnt)
+                d_n.append(len(toks))
+                d_t.append(is_t)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_ids, pa.int64()),
+                "token": pa.array(d_tok, pa.string()),
+                "tf": pa.array(d_tf, pa.int64()),
+                "n_tok": pa.array(d_n, pa.int64()),
+                "is_t": pa.array(d_t, pa.bool_()),
+                "hk": pa.array(blake2_u63(d_tok), pa.int64()),
+            }
+        )
+
+    term_rows = ds.map_batches(
+        term_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # reused: class totals + vocab size + scoring
+
+    def class_totals(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        is_t = batch.column("is_t").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tt": pa.array([int(tf[is_t].sum())], pa.int64()),
+                "ts": pa.array([int(tf[~is_t].sum())], pa.int64()),
+            }
+        )
+
+    totals = term_rows.map_batches(
+        class_totals, batch_format="pyarrow", zero_copy_batch=True
+    )
+    T_t = int(totals.sum("tt") or 0)
+    T_s = int(totals.sum("ts") or 0)
+
+    def vocab_part(part: pa.Table) -> pa.Table:
+        tok = np.asarray(part.column("token").to_pylist(), dtype=object)
+        return pa.table(
+            {"n_unique": pa.array([len(np.unique(tok)) if len(tok) else 0],
+                                  pa.int64())}
+        )
+
+    V = int(
+        partitioned_by_key(term_rows, "hk", vocab_part).sum("n_unique") or 0
+    )
+
+    def attach(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "c_t": pa.array([], pa.int64()),
+                    "c_s": pa.array([], pa.int64()),
+                    "n_tok": pa.array([], pa.int64()),
+                }
+            )
+        tok = np.asarray(part.column("token").to_pylist(), dtype=object)
+        tf = part.column("tf").to_numpy(zero_copy_only=False)
+        is_t = part.column("is_t").to_numpy(zero_copy_only=False)
+        did = part.column("doc_id").to_numpy(zero_copy_only=False)
+        ntk = part.column("n_tok").to_numpy(zero_copy_only=False)
+        order = np.argsort(tok, kind="stable")
+        tok, tf, is_t, did, ntk = (
+            tok[order], tf[order], is_t[order], did[order], ntk[order]
+        )
+        tb = run_bounds(tok)
+        tft = np.add.reduceat(np.where(is_t, tf, 0), tb[:-1])
+        tfs = np.add.reduceat(np.where(is_t, 0, tf), tb[:-1])
+        # Python-int per unique token: exact at any corpus size
+        ppb_t = np.fromiter(
+            (((int(c) + 1) * 1_000_000_000) // max(T_t + V, 1) for c in tft),
+            dtype=np.int64, count=len(tft),
+        )
+        ppb_s = np.fromiter(
+            (((int(c) + 1) * 1_000_000_000) // max(T_s + V, 1) for c in tfs),
+            dtype=np.int64, count=len(tfs),
+        )
+        reps = np.diff(tb)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "c_t": pa.array(tf * np.repeat(ppb_t, reps), pa.int64()),
+                "c_s": pa.array(tf * np.repeat(ppb_s, reps), pa.int64()),
+                "n_tok": pa.array(ntk, pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ct = batch.column("sum(c_t)").to_numpy(zero_copy_only=False)
+        cs = batch.column("sum(c_s)").to_numpy(zero_copy_only=False)
+        n = np.maximum(batch.column("max(n_tok)").to_numpy(zero_copy_only=False), 1)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tok": pa.array(
+                    batch.column("max(n_tok)").to_numpy(zero_copy_only=False),
+                    pa.int64(),
+                ),
+                "dsir_ppb": pa.array(ct // n - cs // n, pa.int64()),
+            }
+        )
+
+    return (
+        partitioned_by_key(term_rows, "hk", attach)
+        .groupby("doc_id")
+        .aggregate(
+            ray.data.aggregate.Sum("c_t", alias_name="sum(c_t)"),
+            ray.data.aggregate.Sum("c_s", alias_name="sum(c_s)"),
+            ray.data.aggregate.Max("n_tok", alias_name="max(n_tok)"),
+        )
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+DSIR_WEIGHTS_SQL = f"""
+WITH tok AS (
+  SELECT d.doc_id, (d.lang = 'en') AS is_t,
+         unnest(regexp_extract_all(lower(d.text), '{TOKEN_PATTERN}')) AS token
+  FROM documents d
+),
+tf AS (
+  SELECT doc_id, is_t, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2, 3
+),
+nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY 1),
+ctf AS (
+  SELECT token,
+         CAST(sum(CASE WHEN is_t THEN tf ELSE 0 END) AS BIGINT) AS tft,
+         CAST(sum(CASE WHEN is_t THEN 0 ELSE tf END) AS BIGINT) AS tfs
+  FROM tf GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(tft) AS BIGINT) AS tt,
+         CAST(sum(tfs) AS BIGINT) AS ts,
+         CAST(count(*) AS BIGINT) AS v
+  FROM ctf
+)
+SELECT tf.doc_id,
+       CAST(max(nd.n_tok) AS BIGINT) AS n_tok,
+       CAST(sum(tf.tf * (((ctf.tft + 1) * 1000000000) // (tot.tt + tot.v)))
+              // greatest(max(nd.n_tok), 1)
+          - sum(tf.tf * (((ctf.tfs + 1) * 1000000000) // (tot.ts + tot.v)))
+              // greatest(max(nd.n_tok), 1) AS BIGINT) AS dsir_ppb
+FROM tf
+JOIN ctf ON tf.token = ctf.token
+JOIN nd ON tf.doc_id = nd.doc_id
+CROSS JOIN tot
+GROUP BY tf.doc_id
+"""

@@ -4356,3 +4356,44 @@ def test_asof_join_forward_matches_bruteforce():
             want[r["o_orderkey"]] = int(m.iloc[0]["event_id"])
     got = asof_join_forward(SF).to_pandas()
     assert dict(zip(got["o_orderkey"], got["event_id"])) == want
+
+
+def test_dsir_weights_sign_and_reference():
+    # en docs should on average look more target-like than source docs,
+    # and a sequential pure-Python reference must agree exactly.
+    import collections
+    import re
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.text import dsir_weights
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang", "text"])
+    tok_re = re.compile(r"[a-z0-9]+")
+    tf: dict = {}
+    n_tok: dict = {}
+    tft: collections.Counter = collections.Counter()
+    tfs: collections.Counter = collections.Counter()
+    is_t = {}
+    for _, r in docs.iterrows():
+        toks = tok_re.findall(r["text"].lower())
+        if not toks:
+            continue
+        c = collections.Counter(toks)
+        tf[r["doc_id"]] = c
+        n_tok[r["doc_id"]] = len(toks)
+        is_t[r["doc_id"]] = r["lang"] == "en"
+        (tft if is_t[r["doc_id"]] else tfs).update(c)
+    vocab = set(tft) | set(tfs)
+    V, Tt, Ts = len(vocab), sum(tft.values()), sum(tfs.values())
+    want = {}
+    for did, c in tf.items():
+        st = sum(n * (((tft[t] + 1) * 10**9) // (Tt + V)) for t, n in c.items())
+        ss = sum(n * (((tfs[t] + 1) * 10**9) // (Ts + V)) for t, n in c.items())
+        want[did] = st // n_tok[did] - ss // n_tok[did]
+    got = dsir_weights(SF).to_pandas()
+    assert dict(zip(got["doc_id"], got["dsir_ppb"])) == want
+    g = got.merge(docs[["doc_id", "lang"]], on="doc_id")
+    en_mean = g.loc[g["lang"] == "en", "dsir_ppb"].mean()
+    other_mean = g.loc[g["lang"] != "en", "dsir_ppb"].mean()
+    assert en_mean > other_mean
