@@ -85,9 +85,9 @@ _R4_WINDOW = [
 # Round 5: switch _window_order to _R5_WINDOW.  79 names remain
 # never-driver-checked after r01-r03 + the planned r04 window (176
 # registered > 4x50 driver slots), so full driver coverage is
-# impossible; this window takes the 16 round-4-session-4 additions
-# (never selfcheck-aged by a judge) plus the oldest 34 never-checked —
-# exactly 50.  The 33 left over are all selfcheck-verified (judge
+# impossible; this window takes the 17 round-4-session-4 additions
+# (never selfcheck-aged by a judge) plus the oldest 33 never-checked —
+# exactly 50.  The 34 left over are all selfcheck-verified (judge
 # protocol: tools/selfcheck.py covers what the driver window cannot).
 _R5_WINDOW = [
     # round-4 session-4 additions (newest first)
@@ -96,7 +96,7 @@ _R5_WINDOW = [
     "sliding_distinct_users", "hashed_features", "ipc_roundtrip",
     "cumulative_unique_users", "user_activity_streak", "sentence_stats",
     "dup_cluster_size_hist", "split_leakage_audit", "weighted_median_discount",
-    "brand_affinity_lift", "asof_join_forward",
+    "brand_affinity_lift", "asof_join_forward", "dsir_weights",
     # oldest never-checked
     "shipping_priority", "returned_order_priority", "docs_rollup",
     "table_profile", "revenue_by_brand", "supplier_region_stats",
@@ -108,7 +108,7 @@ _R5_WINDOW = [
     "jsonl_roundtrip", "csv_roundtrip", "k_anonymity", "decile_stats",
     "order_reconciliation", "top_suppliers", "large_orders",
     "idle_rich_customers", "winsorized_stats", "mad_outliers",
-    "label_centroids", "props_extract", "time_weighted_average",
+    "label_centroids", "props_extract",
 ]
 
 
