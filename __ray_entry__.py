@@ -85,9 +85,9 @@ _R4_WINDOW = [
 # Round 5: switch _window_order to _R5_WINDOW.  79 names remain
 # never-driver-checked after r01-r03 + the planned r04 window (176
 # registered > 4x50 driver slots), so full driver coverage is
-# impossible; this window takes the 17 round-4-session-4 additions
-# (never selfcheck-aged by a judge) plus the oldest 33 never-checked —
-# exactly 50.  The 34 left over are all selfcheck-verified (judge
+# impossible; this window takes the 18 round-4-session-4 additions
+# (never selfcheck-aged by a judge) plus the oldest 32 never-checked —
+# exactly 50.  The 35 left over are all selfcheck-verified (judge
 # protocol: tools/selfcheck.py covers what the driver window cannot).
 _R5_WINDOW = [
     # round-4 session-4 additions (newest first)
@@ -97,6 +97,7 @@ _R5_WINDOW = [
     "cumulative_unique_users", "user_activity_streak", "sentence_stats",
     "dup_cluster_size_hist", "split_leakage_audit", "weighted_median_discount",
     "brand_affinity_lift", "asof_join_forward", "dsir_weights",
+    "classifier_logits",
     # oldest never-checked
     "shipping_priority", "returned_order_priority", "docs_rollup",
     "table_profile", "revenue_by_brand", "supplier_region_stats",
@@ -108,7 +109,7 @@ _R5_WINDOW = [
     "jsonl_roundtrip", "csv_roundtrip", "k_anonymity", "decile_stats",
     "order_reconciliation", "top_suppliers", "large_orders",
     "idle_rich_customers", "winsorized_stats", "mad_outliers",
-    "label_centroids", "props_extract",
+    "label_centroids",
 ]
 
 
@@ -326,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_affinity_lift": relational.brand_affinity_lift,
         "asof_join_forward": relational.asof_join_forward,
         "dsir_weights": text.dsir_weights,
+        "classifier_logits": text.classifier_logits,
     })
 
 
@@ -518,6 +520,7 @@ def oracle_sql() -> dict[str, str]:
         "brand_affinity_lift": relational.BRAND_AFFINITY_LIFT_SQL,
         "asof_join_forward": relational.ASOF_JOIN_FORWARD_SQL,
         "dsir_weights": text.DSIR_WEIGHTS_SQL,
+        "classifier_logits": text.CLASSIFIER_LOGITS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

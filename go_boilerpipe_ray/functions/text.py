@@ -3956,3 +3956,52 @@ JOIN nd ON tf.doc_id = nd.doc_id
 CROSS JOIN tot
 GROUP BY tf.doc_id
 """
+
+
+# -- linear classifier scoring over hashed features ----------------------------
+
+_CLS_WEIGHT_MULT = 2654435761  # Knuth multiplicative constant
+
+
+def classifier_logits(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document linear-classifier logit over the 64-bucket hashed
+    bag-of-words — the scoring plumbing of a fastText/logistic quality
+    filter (phi-style "educational value" gates run exactly this shape:
+    featurize → broadcast weight vector → per-batch dot product →
+    threshold).  The weight vector here is a fixed deterministic
+    function of the bucket id (w_b = (b·2654435761) mod 1000 − 500) so
+    the oracle can mirror the score bit-for-bit; swapping in trained
+    weights is a one-line change that keeps every distributed property.
+
+    Scale shape: zero shuffle beyond hashed_features' narrow map — the
+    dot product folds into the same pass (weights are a 64-int table,
+    not even worth a ray.put), then one doc-keyed rollup."""
+
+    feats = hashed_features(sf_dir)
+    w = ((np.arange(_HASHED_FEATURES_DIM, dtype=np.int64) * _CLS_WEIGHT_MULT)
+         % 1000) - 500
+
+    def score(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "part": pa.array(n * w[b], pa.int64()),
+            }
+        )
+
+    return (
+        feats.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(ray.data.aggregate.Sum("part", alias_name="logit"))
+    )
+
+
+CLASSIFIER_LOGITS_SQL = f"""
+WITH feats AS ({HASHED_FEATURES_SQL})
+SELECT doc_id,
+       CAST(sum(n * ((bucket * {_CLS_WEIGHT_MULT}) % 1000 - 500)) AS BIGINT)
+         AS logit
+FROM feats GROUP BY 1
+"""

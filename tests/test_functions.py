@@ -4397,3 +4397,31 @@ def test_dsir_weights_sign_and_reference():
     en_mean = g.loc[g["lang"] == "en", "dsir_ppb"].mean()
     other_mean = g.loc[g["lang"] != "en", "dsir_ppb"].mean()
     assert en_mean > other_mean
+
+
+def test_classifier_logits_matches_bruteforce():
+    import collections
+    import re
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.text import (
+        _CLS_WEIGHT_MULT,
+        _HASHED_FEATURES_DIM,
+        _token_bucket,
+        classifier_logits,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    tok_re = re.compile(r"[a-z0-9]+")
+    want = {}
+    for _, r in docs.iterrows():
+        c = collections.Counter(
+            _token_bucket(t) for t in tok_re.findall(r["text"].lower())
+        )
+        if c:
+            want[r["doc_id"]] = sum(
+                n * ((b * _CLS_WEIGHT_MULT) % 1000 - 500) for b, n in c.items()
+            )
+    got = classifier_logits(SF).to_pandas()
+    assert dict(zip(got["doc_id"], got["logit"])) == want
