@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_forward": relational.asof_join_forward,
         "dsir_weights": text.dsir_weights,
         "classifier_logits": text.classifier_logits,
+        "orc_roundtrip": formats.orc_roundtrip,
     })
 
 
@@ -521,6 +522,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_forward": relational.ASOF_JOIN_FORWARD_SQL,
         "dsir_weights": text.DSIR_WEIGHTS_SQL,
         "classifier_logits": text.CLASSIFIER_LOGITS_SQL,
+        "orc_roundtrip": formats.ORC_ROUNDTRIP_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

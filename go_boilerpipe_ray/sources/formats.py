@@ -213,3 +213,81 @@ SELECT o_orderstatus,
        CAST(date_trunc('day', max(o_orderdate)) AS TIMESTAMP) AS last_orderdate
 FROM orders GROUP BY 1
 """
+
+
+def orc_roundtrip(sf_dir: str, out_dir: str | None = None) -> "ray.data.Dataset":
+    """supplier.parquet → ORC shards → distributed decode → per-nation
+    rollup.  Ray Data has no ORC reader/writer, so both sides are the
+    same custom map_batches sink / read_binary_files + in-task decode
+    composition ipc_roundtrip establishes (content-hash shard names:
+    deterministic, collision-free, resumable) — proving the pattern
+    generalizes to any pyarrow-supported columnar format."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pyarrow.orc as orc
+
+    out = _sink_dir("orc", sf_dir, out_dir)
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        sink = pa.BufferOutputStream()
+        orc.write_table(batch, sink)
+        buf = sink.getvalue()
+        name = _hl.md5(buf.to_pybytes()).hexdigest()
+        path = os.path.join(out, f"{name}.orc")
+        with open(path, "wb") as f:
+            f.write(buf.to_pybytes())
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+    ).map_batches(
+        write_shard, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def decode_and_partial(batch: pa.Table) -> pa.Table:
+        tables = []
+        for raw in batch.column("bytes").to_pylist():
+            tables.append(orc.ORCFile(pa.BufferReader(raw)).read())
+        t = pa.concat_tables(tables)
+        cents = np.floor(
+            t.column("s_acctbal").to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype("int64")
+        g = pa.table(
+            {
+                "s_nationkey": t.column("s_nationkey"),
+                "n": pa.array(np.ones(len(t), np.int64), pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        ).group_by("s_nationkey").aggregate([("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["s_nationkey", "n", "cents"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_nationkey": pc.cast(t.column("s_nationkey"), pa.int64()),
+                "n_suppliers": pc.cast(t.column("n_suppliers"), pa.int64()),
+                "acctbal_cents": pc.cast(t.column("acctbal_cents"), pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_binary_files(out)
+        .map_batches(decode_and_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("s_nationkey")
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n_suppliers"),
+            ray.data.aggregate.Sum("cents", alias_name="acctbal_cents"),
+        )
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+ORC_ROUNDTRIP_SQL = """
+SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM supplier GROUP BY 1
+"""
