@@ -85,9 +85,9 @@ _R4_WINDOW = [
 # Round 5: switch _window_order to _R5_WINDOW.  79 names remain
 # never-driver-checked after r01-r03 + the planned r04 window (176
 # registered > 4x50 driver slots), so full driver coverage is
-# impossible; this window takes the 18 round-4-session-4 additions
-# (never selfcheck-aged by a judge) plus the oldest 32 never-checked —
-# exactly 50.  The 35 left over are all selfcheck-verified (judge
+# impossible; this window takes the 19 round-4-session-4 additions
+# (never selfcheck-aged by a judge) plus the oldest 31 never-checked —
+# exactly 50.  The 36 left over are all selfcheck-verified (judge
 # protocol: tools/selfcheck.py covers what the driver window cannot).
 _R5_WINDOW = [
     # round-4 session-4 additions (newest first)
@@ -97,7 +97,7 @@ _R5_WINDOW = [
     "cumulative_unique_users", "user_activity_streak", "sentence_stats",
     "dup_cluster_size_hist", "split_leakage_audit", "weighted_median_discount",
     "brand_affinity_lift", "asof_join_forward", "dsir_weights",
-    "classifier_logits",
+    "classifier_logits", "orc_roundtrip",
     # oldest never-checked
     "shipping_priority", "returned_order_priority", "docs_rollup",
     "table_profile", "revenue_by_brand", "supplier_region_stats",
@@ -109,7 +109,6 @@ _R5_WINDOW = [
     "jsonl_roundtrip", "csv_roundtrip", "k_anonymity", "decile_stats",
     "order_reconciliation", "top_suppliers", "large_orders",
     "idle_rich_customers", "winsorized_stats", "mad_outliers",
-    "label_centroids",
 ]
 
 
