@@ -3625,6 +3625,7 @@ def test_partitioned_by_key_invariant_to_partition_count(monkeypatch):
     cases.update(
         {
             "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
+            "dsir_weights": text.dsir_weights,
             "orderkey_gaps": relational.orderkey_gaps,
             "max_concurrent_events": relational.max_concurrent_events,
             "user_activity_streak": relational.user_activity_streak,
