@@ -85,9 +85,9 @@ _R4_WINDOW = [
 # Round 5: switch _window_order to _R5_WINDOW.  79 names remain
 # never-driver-checked after r01-r03 + the planned r04 window (176
 # registered > 4x50 driver slots), so full driver coverage is
-# impossible; this window takes the 19 round-4-session-4 additions
-# (never selfcheck-aged by a judge) plus the oldest 31 never-checked —
-# exactly 50.  The 36 left over are all selfcheck-verified (judge
+# impossible; this window takes the 20 round-4-session-4 additions
+# (never selfcheck-aged by a judge) plus the oldest 30 never-checked —
+# exactly 50.  The 37 left over are all selfcheck-verified (judge
 # protocol: tools/selfcheck.py covers what the driver window cannot).
 _R5_WINDOW = [
     # round-4 session-4 additions (newest first)
@@ -97,7 +97,7 @@ _R5_WINDOW = [
     "cumulative_unique_users", "user_activity_streak", "sentence_stats",
     "dup_cluster_size_hist", "split_leakage_audit", "weighted_median_discount",
     "brand_affinity_lift", "asof_join_forward", "dsir_weights",
-    "classifier_logits", "orc_roundtrip",
+    "classifier_logits", "orc_roundtrip", "daily_churn",
     # oldest never-checked
     "shipping_priority", "returned_order_priority", "docs_rollup",
     "table_profile", "revenue_by_brand", "supplier_region_stats",
@@ -108,7 +108,7 @@ _R5_WINDOW = [
     "unigram_likelihood", "daily_active_users", "fk_violations",
     "jsonl_roundtrip", "csv_roundtrip", "k_anonymity", "decile_stats",
     "order_reconciliation", "top_suppliers", "large_orders",
-    "idle_rich_customers", "winsorized_stats", "mad_outliers",
+    "idle_rich_customers", "winsorized_stats",
 ]
 
 
@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": text.dsir_weights,
         "classifier_logits": text.classifier_logits,
         "orc_roundtrip": formats.orc_roundtrip,
+        "daily_churn": relational.daily_churn,
     })
 
 
@@ -522,6 +523,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": text.DSIR_WEIGHTS_SQL,
         "classifier_logits": text.CLASSIFIER_LOGITS_SQL,
         "orc_roundtrip": formats.ORC_ROUNDTRIP_SQL,
+        "daily_churn": relational.DAILY_CHURN_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -7573,3 +7573,107 @@ SELECT o_orderkey, o_custkey, o_orderdate, event_id, ts FROM (
   JOIN events e ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 ) WHERE rn = 1
 """
+
+
+# -- daily churn (active today, absent tomorrow) --------------------------------
+
+
+def daily_churn(sf_dir: str) -> "ray.data.Dataset":
+    """Per day: active users and how many of them churn (are absent the
+    next day) — the retention complement of cumulative_unique_users.
+    The final observed day cannot witness churn and is excluded from
+    the churned count (n_churned = 0 there by definition).
+
+    Scale shape: distinct (user, day) pairs under ONE user-keyed
+    shuffle; because each user's days arrive sorted and unique, "is
+    day+1 present" is a single vectorized shift comparison (the sorted-
+    successor trick — no membership hash, no self-join); per-partition
+    (day, active, churned) partials roll up in a bounded day-keyed
+    groupby.  The global max day is a one-column pre-aggregate."""
+    from ._util import partitioned_by_key, run_bounds
+
+    DAY_US = 86_400 * 1_000_000
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def day_col(batch: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {"d": pc.multiply(pc.divide(t, DAY_US), DAY_US)}
+        )
+
+    max_day = int(
+        ev.map_batches(day_col, batch_format="pyarrow", zero_copy_batch=True).max(
+            "d"
+        )
+    )
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64())
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        d = (t.to_numpy(zero_copy_only=False) // DAY_US) * DAY_US
+        ud = np.unique(np.stack([u, d], axis=1), axis=0)
+        return pa.table(
+            {"u": pa.array(ud[:, 0], pa.int64()), "d": pa.array(ud[:, 1], pa.int64())}
+        )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        u = part.column("u").to_numpy(zero_copy_only=False)
+        d = part.column("d").to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"day": z, "a": z, "c": z})
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        u, d = u[keep], d[keep]
+        # sorted-successor: day+1 present iff the NEXT row is (u, d+1)
+        nxt_same = np.r_[(u[1:] == u[:-1]) & (d[1:] == d[:-1] + DAY_US), False]
+        churned = (~nxt_same) & (d < max_day)
+        days, a = np.unique(d, return_counts=True)
+        c = np.zeros(len(days), np.int64)
+        np.add.at(c, np.searchsorted(days, d[churned]), 1)
+        return pa.table(
+            {
+                "day": pa.array(days, pa.int64()),
+                "a": pa.array(a.astype(np.int64), pa.int64()),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+
+    rolled = (
+        partitioned_by_key(
+            ev.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True),
+            "u",
+            kernel,
+        )
+        .groupby("day")
+        .aggregate(
+            ray.data.aggregate.Sum("a", alias_name="n_active"),
+            ray.data.aggregate.Sum("c", alias_name="n_churned"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.cast(t.column("day"), pa.timestamp("us")),
+                "n_active": pc.cast(t.column("n_active"), pa.int64()),
+                "n_churned": pc.cast(t.column("n_churned"), pa.int64()),
+            }
+        )
+
+    return rolled.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DAILY_CHURN_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+mx AS (SELECT max(d) AS m FROM ud)
+SELECT u.d AS day,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN n.user_id IS NULL AND u.d < mx.m
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+FROM ud u
+LEFT JOIN ud n ON n.user_id = u.user_id AND n.d = u.d + INTERVAL 1 DAY
+CROSS JOIN mx
+GROUP BY 1 ORDER BY 1
+"""

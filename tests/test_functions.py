@@ -4426,3 +4426,29 @@ def test_classifier_logits_matches_bruteforce():
             )
     got = classifier_logits(SF).to_pandas()
     assert dict(zip(got["doc_id"], got["logit"])) == want
+
+
+def test_daily_churn_matches_bruteforce():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import daily_churn
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts", "user_id"])
+    ud = set(zip(ev["user_id"], ev["ts"].dt.floor("D")))
+    days = sorted({d for _, d in ud})
+    want = {
+        d: (
+            sum(1 for u, dd in ud if dd == d),
+            sum(
+                1
+                for u, dd in ud
+                if dd == d and d < days[-1] and (u, d + pd.Timedelta(days=1)) not in ud
+            ),
+        )
+        for d in days
+    }
+    got = daily_churn(SF).to_pandas()
+    assert {
+        r["day"]: (r["n_active"], r["n_churned"]) for _, r in got.iterrows()
+    } == want
+    assert got["n_churned"].sum() > 0  # non-vacuous on this corpus
