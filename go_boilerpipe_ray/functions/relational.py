@@ -6604,8 +6604,19 @@ def small_qty_revenue(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    # P one-row partials → a single-row rollup (bounded by P, tiny)
-    return partials.repartition(1).map_batches(
+    # P one-row partials → a single-row rollup (bounded by P, tiny).
+    # A zero seed row keeps the scalar contract on EMPTY input: the SQL
+    # aggregate always yields one row, and map_batches is never invoked
+    # over zero batches.
+    seed = ray.data.from_arrow(
+        pa.table(
+            {
+                "small_qty_cents": pa.array([0], pa.int64()),
+                "small_qty_rows": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    return partials.union(seed).repartition(1).map_batches(
         rollup, batch_format="pyarrow", batch_size=None
     )
 
@@ -7003,11 +7014,16 @@ def sliding_distinct_users(sf_dir: str) -> "ray.data.Dataset":
 
     # dimension side: the set of hours that actually occur (bounded by
     # the corpus time span, not its size) — broadcast once
-    hours = np.unique(
+    hours_df = (
         pairs.groupby("h")
         .aggregate(ray.data.aggregate.Count(alias_name="n"))
-        .to_pandas()["h"]
-        .to_numpy()
+        .to_pandas()
+    )
+    # empty corpus: the groupby yields a columnless frame — no hours
+    hours = (
+        np.unique(hours_df["h"].to_numpy())
+        if "h" in hours_df.columns
+        else np.zeros(0, np.int64)
     )
     hours_ref = ray.put(hours)
 
@@ -7128,8 +7144,17 @@ def cumulative_unique_users(sf_dir: str) -> "ray.data.Dataset":
         .groupby("d")
         .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
         .to_pandas()  # bounded: one row per calendar day in the corpus
-        .sort_values("d")
     )
+    if "d" not in days.columns:  # empty corpus: columnless groupby frame
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "day": pa.array([], pa.timestamp("us")),
+                    "cum_users": pa.array([], pa.int64()),
+                }
+            )
+        )
+    days = days.sort_values("d")
     return ray.data.from_arrow(
         pa.table(
             {
@@ -7272,8 +7297,17 @@ def weighted_median_discount(sf_dir: str) -> "ray.data.Dataset":
         .groupby(["f", "d"])
         .aggregate(ray.data.aggregate.Sum("w", alias_name="w"))
         .to_pandas()  # bounded: flags x discount domain (<= 3 x 101 rows)
-        .sort_values(["f", "d"])
     )
+    if "f" not in hist.columns:  # empty corpus: columnless groupby frame
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "weighted_median_disc": pa.array([], pa.int64()),
+                }
+            )
+        )
+    hist = hist.sort_values(["f", "d"])
     flags, medians = [], []
     for f, sub in hist.groupby("f", sort=True):
         w = sub["w"].to_numpy()
@@ -7402,7 +7436,17 @@ def brand_affinity_lift(sf_dir: str) -> "ray.data.Dataset":
         .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
         .to_pandas()  # bounded: 1 + brands + brands^2 rows
     )
-    N = int(counts.loc[counts["kind"] == 0, "n"].iloc[0])
+    empty_out = pa.table(
+        {
+            "brand_a": pa.array([], pa.string()),
+            "brand_b": pa.array([], pa.string()),
+            "n_orders": pa.array([], pa.int64()),
+            "lift_permille": pa.array([], pa.int64()),
+        }
+    )
+    if "kind" not in counts.columns:  # empty corpus: columnless frame
+        return ray.data.from_arrow(empty_out)
+    N = int(counts.loc[counts["kind"] == 0, "n"].sum())
     marg = dict(
         zip(
             counts.loc[counts["kind"] == 1, "key"].astype(int),
@@ -7601,11 +7645,10 @@ def daily_churn(sf_dir: str) -> "ray.data.Dataset":
             {"d": pc.multiply(pc.divide(t, DAY_US), DAY_US)}
         )
 
-    max_day = int(
-        ev.map_batches(day_col, batch_format="pyarrow", zero_copy_batch=True).max(
-            "d"
-        )
-    )
+    max_day_raw = ev.map_batches(
+        day_col, batch_format="pyarrow", zero_copy_batch=True
+    ).max("d")
+    max_day = int(max_day_raw) if max_day_raw is not None else 0  # empty corpus
 
     def narrow(batch: pa.Table) -> pa.Table:
         t = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64())

@@ -154,6 +154,18 @@ def ipc_roundtrip(sf_dir: str, out_dir: str | None = None) -> "ray.data.Dataset"
         write_shard, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
+    if not os.listdir(out):  # empty input wrote no shards
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "o_orderstatus": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "total_cents": pa.array([], pa.int64()),
+                    "last_orderdate": pa.array([], pa.timestamp("us")),
+                }
+            )
+        )
+
     def decode_and_partial(batch: pa.Table) -> pa.Table:
         tables = []
         for raw in batch.column("bytes").to_pylist():
@@ -245,6 +257,17 @@ def orc_roundtrip(sf_dir: str, out_dir: str | None = None) -> "ray.data.Dataset"
     ).map_batches(
         write_shard, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+
+    if not os.listdir(out):  # empty input wrote no shards
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "s_nationkey": pa.array([], pa.int64()),
+                    "n_suppliers": pa.array([], pa.int64()),
+                    "acctbal_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     def decode_and_partial(batch: pa.Table) -> pa.Table:
         tables = []
