@@ -265,3 +265,18 @@ def batch_distinct_window_hashes(batch, k: int):
         ([True], (np.diff(d2) != 0) | (np.diff(g2) != 0))
     )
     return doc_ids, lens, d2[first], g2[first]
+
+
+def ensure_columns(df, columns):
+    """Post-aggregation safety for the columnless empty-groupby frame:
+    ``Dataset.groupby(...).aggregate(...).to_pandas()`` on an EMPTY
+    dataset yields a frame with no columns at all, so any column access
+    raises KeyError.  Returns ``df`` untouched when the columns exist,
+    else an empty frame with exactly ``columns``.  One definition —
+    every bounded to_pandas rollup that then selects columns should go
+    through this."""
+    import pandas as pd
+
+    if all(c in df.columns for c in columns):
+        return df
+    return pd.DataFrame({c: pd.Series(dtype=object) for c in columns})

@@ -54,10 +54,14 @@ def agg_lineitem(sf_dir: str) -> pa.Table:
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_orderkey"],
     )
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    final = (
+    from ._util import ensure_columns
+
+    final = ensure_columns(
         partials.groupby(["l_returnflag", "l_linestatus"])
         .sum(["p_qty", "p_price", "p_count"])
-        .to_pandas()
+        .to_pandas(),
+        ["l_returnflag", "l_linestatus", "sum(p_qty)", "sum(p_price)",
+         "sum(p_count)"],
     )
     out = pa.table(
         {
@@ -149,9 +153,14 @@ def top_customers(sf_dir: str, k: int = 10) -> pa.Table:
         )
         return batch.take(idx)
 
-    agg = per_customer.map_batches(
-        local_topk, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()  # bounded: blocks × k candidates
+    from ._util import ensure_columns
+
+    agg = ensure_columns(
+        per_customer.map_batches(
+            local_topk, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas(),  # bounded: blocks × k candidates
+        ["o_custkey", "c_name", "revenue", "n_orders"],
+    )
     agg = agg.sort_values(
         ["revenue", "o_custkey"], ascending=[False, True]
     ).head(k)
@@ -198,6 +207,11 @@ def hourly_events(sf_dir: str) -> pa.Table:
             ray.data.aggregate.Sum("value", alias_name="sum_value"),
         )
         .to_pandas()
+    )
+    from ._util import ensure_columns
+
+    out = ensure_columns(
+        out, ["event_type", "window_start", "n_events", "sum_value"]
     )
     return pa.table(
         {
@@ -357,6 +371,11 @@ def sliding_events(sf_dir: str) -> pa.Table:
             ray.data.aggregate.Sum("value", alias_name="sum_value"),
         )
         .to_pandas()
+    )
+    from ._util import ensure_columns
+
+    out = ensure_columns(
+        out, ["event_type", "window_start", "n_events", "sum_value"]
     )
     return pa.table(
         {
@@ -1660,8 +1679,12 @@ def percent_rank_events(sf_dir: str) -> "ray.data.Dataset":
         .sum("n_part")
         .rename_columns({"sum(n_part)": "n_part"})
         .to_pandas()  # bounded: types x value-range units, not rows
-        .sort_values(["event_type", "bucket"])
     )
+    from ._util import ensure_columns
+
+    hist = ensure_columns(
+        hist, ["event_type", "bucket", "n_part"]
+    ).sort_values(["event_type", "bucket"])
     types = sorted(hist["event_type"].unique())
     tcode = {t: i for i, t in enumerate(types)}
     offsets: dict[tuple[int, int], int] = {}

@@ -46,6 +46,8 @@ def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     )
     t = t.filter(pc.less(t.column("vec_id"), n_queries))
     qids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    if len(qids) == 0:  # empty corpus: no query vectors
+        return qids, np.zeros((0, 0), dtype=np.float64)
     qm = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     return qids, qm
@@ -116,6 +118,14 @@ def _distributed_rank_reduce(cand: "ray.data.Dataset", k: int) -> pa.Table:
         group_topk, batch_format="pyarrow"
     )
     df = reduced.to_pandas()  # bounded: n_queries × k rows
+    if "query_id" not in df.columns:  # empty corpus: columnless frame
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
     df = df.sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.table(
         {

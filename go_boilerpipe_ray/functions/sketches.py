@@ -73,8 +73,10 @@ def hll_registers(sf_dir: str) -> pa.Table:
         .groupby("register")
         .max("rho")
         .to_pandas()
-        .sort_values("register")
     )
+    from ._util import ensure_columns
+
+    out = ensure_columns(out, ["register", "max(rho)"]).sort_values("register")
     return pa.table(
         {
             "register": pa.array(out["register"].to_numpy(), pa.int64()),

@@ -613,9 +613,14 @@ def doc_frequency(sf_dir: str, k: int = 100) -> pa.Table:
         )
         return batch.take(idx)
 
-    cand = rolled.map_batches(
-        local_topk, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
+    from ._util import ensure_columns
+
+    cand = ensure_columns(
+        rolled.map_batches(
+            local_topk, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas(),
+        ["token", "df"],
+    )
     cand = cand.sort_values(["df", "token"], ascending=[False, True]).head(k)
     return pa.table(
         {

@@ -4503,3 +4503,43 @@ def test_session4_ops_survive_empty_inputs(tmp_path):
             assert n == 1  # degenerate single zero row by contract
         else:
             assert n == 0, name
+
+
+def test_legacy_ops_survive_empty_inputs(tmp_path):
+    # One representative per family over an all-empty sf dir.
+    import pandas as pd
+
+    for t in ["events", "lineitem", "customer", "documents", "orders", "part",
+              "supplier", "embeddings", "nation", "region"]:
+        pd.read_parquet(f"{SF}/{t}.parquet").head(0).to_parquet(
+            tmp_path / f"{t}.parquet"
+        )
+    from go_boilerpipe_ray.functions import (
+        dedup, relational, sampling, similarity, sketches, text, urls,
+    )
+
+    sf = str(tmp_path)
+    ops = {
+        "token_stats": text.token_stats,
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "knn_brute": similarity.knn_brute,
+        "agg_lineitem": relational.agg_lineitem,
+        "top_customers": relational.top_customers,
+        "hourly_events": relational.hourly_events,
+        "sessionize": relational.sessionize,
+        "hll_registers": sketches.hll_registers,
+        "approx_percentiles": sketches.approx_percentiles,
+        "sample_split": sampling.sample_split,
+        "percent_rank": relational.percent_rank_events,
+        "url_metadata": urls.url_metadata,
+        "moving_sum": relational.moving_sum_events,
+        "doc_frequency": text.doc_frequency,
+    }
+    for name, fn in ops.items():
+        try:
+            out = fn(sf)
+            n = out.count() if hasattr(out, "count") else len(out.to_pandas())
+        except Exception as exc:
+            raise AssertionError(f"{name} raised on empty input: {exc!r}")
+        assert n >= 0, name
