@@ -314,3 +314,114 @@ SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
          AS acctbal_cents
 FROM supplier GROUP BY 1
 """
+
+
+def hive_roundtrip(
+    sf_dir: str,
+    out_dir: str | None = None,
+    keep: tuple[str, ...] = ("click", "purchase"),
+) -> "ray.data.Dataset":
+    """events.parquet → hive-partitioned parquet
+    (``write_parquet(partition_cols=['event_type'])``, Ray's distributed
+    writer: one ``event_type=<v>/`` directory, shards written from
+    whichever node runs each block) → partition-PRUNED read-back: only
+    the ``keep`` partition directories are opened, so rows of every
+    other event_type never leave storage — pruning by construction, the
+    layout a resumable 100 TB sink needs (finished partitions are
+    skippable by path).  pyarrow's hive inference restores the
+    partition column from the directory name; the rollup then proves
+    the values survived the hop bit-exact.
+
+    Scale shape: distributed write (no driver funnel), per-partition
+    directory read fan-out, one narrow partial-agg → 5-group rollup."""
+    import numpy as np
+
+    out = _sink_dir("hive", sf_dir, out_dir)
+    ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).write_parquet(out, partition_cols=["event_type"])
+
+    have = [
+        v for v in keep if os.path.isdir(os.path.join(out, f"event_type={v}"))
+    ]
+    if not have:  # empty input (or no kept partition) wrote no dirs
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    "total_cents": pa.array([], pa.int64()),
+                    "max_event_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype("int64")
+        g = pa.table(
+            {
+                "event_type": pc.cast(batch.column("event_type"), pa.string()),
+                "n": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "eid": pc.cast(batch.column("event_id"), pa.int64()),
+            }
+        ).group_by("event_type").aggregate(
+            [("n", "sum"), ("cents", "sum"), ("eid", "max")]
+        )
+        return g.rename_columns(["event_type", "n", "cents", "eid"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": pc.cast(t.column("event_type"), pa.string()),
+                "n_events": pc.cast(t.column("n_events"), pa.int64()),
+                "total_cents": pc.cast(t.column("total_cents"), pa.int64()),
+                "max_event_id": pc.cast(t.column("max_event_id"), pa.int64()),
+            }
+        )
+
+    from ray.data.datasource.partitioning import (
+        Partitioning,
+        PathPartitionFilter,
+        PathPartitionParser,
+    )
+
+    part = Partitioning("hive")
+    keep_set = set(keep)
+    pruned = ray.data.read_parquet(
+        out,
+        partitioning=part,
+        # Path-level pruning: files under non-kept event_type= directories
+        # are never opened (Ray binds pyarrow ``filter`` expressions to the
+        # file schema, which lacks hive columns — partition_filter is the
+        # supported partition-pruning surface).
+        partition_filter=PathPartitionFilter(
+            PathPartitionParser(part),
+            lambda kv: kv.get("event_type") in keep_set,
+        ),
+    )
+    return (
+        pruned
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n_events"),
+            ray.data.aggregate.Sum("cents", alias_name="total_cents"),
+            ray.data.aggregate.Max("eid", alias_name="max_event_id"),
+        )
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+HIVE_ROUNDTRIP_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY 1
+"""

@@ -4218,6 +4218,29 @@ def test_ipc_roundtrip_preserves_totals(tmp_path):
         assert row["last_orderdate"] == sub["o_orderdate"].max().floor("D")
 
 
+def test_hive_roundtrip_prunes_partitions(tmp_path):
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions._util import money_cents
+    from go_boilerpipe_ray.sources.formats import hive_roundtrip
+
+    out = str(tmp_path / "hive")
+    got = hive_roundtrip(SF, out_dir=out).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    # the sink wrote EVERY partition value...
+    import os
+
+    written = {d.split("=", 1)[1] for d in os.listdir(out) if "=" in d}
+    assert written == set(ev["event_type"].unique())
+    # ...but only the kept partitions were read back
+    assert set(got["event_type"]) == {"click", "purchase"} & written
+    for _, row in got.iterrows():
+        sub = ev[ev["event_type"] == row["event_type"]]
+        assert row["n_events"] == len(sub)
+        assert row["total_cents"] == int(money_cents(sub["value"].to_numpy()).sum())
+        assert row["max_event_id"] == sub["event_id"].max()
+
+
 def test_cumulative_unique_users_staggered(tmp_path):
     import pandas as pd
 
@@ -4491,6 +4514,9 @@ def test_session4_ops_survive_empty_inputs(tmp_path):
         ),
         "orc_roundtrip": lambda s: formats.orc_roundtrip(
             s, out_dir=str(tmp_path / "orc_out")
+        ),
+        "hive_roundtrip": lambda s: formats.hive_roundtrip(
+            s, out_dir=str(tmp_path / "hive_out")
         ),
     }
     for name, fn in ops.items():
