@@ -339,7 +339,8 @@ def test_media_resize_plan():
         assert r["width"] <= s["meta_width"] and r["height"] <= s["meta_height"]
 
 
-def test_connected_components_tiny_graph():
+@pytest.mark.parametrize("limit", [2_000_000, 0])  # kernel arm / loop arm
+def test_connected_components_tiny_graph(limit):
     import pyarrow as pa
     import ray.data
 
@@ -354,9 +355,34 @@ def test_connected_components_tiny_graph():
     )
     labels = {
         r["doc_id"]: r["component"]
-        for r in connected_components(ray.data.from_arrow(edges)).take_all()
+        for r in connected_components(
+            ray.data.from_arrow(edges), small_edge_limit=limit
+        ).take_all()
     }
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cc_fold_kernel_long_path():
+    """Worst case for hash-to-min: one 20k-node path.  The in-memory
+    kernel's pointer compression must collapse it in O(log n) gathers,
+    and every node must land on the path's minimum id."""
+    import numpy as np
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.dedup import _cc_fold_kernel
+
+    n = 20_000
+    ids = np.random.RandomState(3).permutation(n).astype(np.int64) + 5
+    edges = pa.table(
+        {
+            "id_a": pa.array(ids[:-1], pa.int64()),
+            "id_b": pa.array(ids[1:], pa.int64()),
+        }
+    )
+    out = _cc_fold_kernel(edges)
+    comp = out.column("component").to_numpy()
+    assert (comp == ids.min()).all()
+    assert out.num_rows == n
 
 
 def test_dedup_components_cluster_structure():
@@ -521,7 +547,8 @@ def test_quantize_embeddings_roundtrip_error_bounded():
         assert all(abs(dims[d][0]) <= 127 for d in dims)
 
 
-def test_connected_components_random_graph_vs_union_find():
+@pytest.mark.parametrize("limit", [2_000_000, 0])  # kernel arm / loop arm
+def test_connected_components_random_graph_vs_union_find(limit):
     import numpy as np
     import pyarrow as pa
     import ray.data
@@ -560,7 +587,9 @@ def test_connected_components_random_graph_vs_union_find():
 
     got = {
         r["doc_id"]: r["component"]
-        for r in connected_components(ray.data.from_arrow(edges)).take_all()
+        for r in connected_components(
+            ray.data.from_arrow(edges), small_edge_limit=limit
+        ).take_all()
     }
     assert got == expected
 
