@@ -7743,3 +7743,133 @@ LEFT JOIN ud n ON n.user_id = u.user_id AND n.d = u.d + INTERVAL 1 DAY
 CROSS JOIN mx
 GROUP BY 1 ORDER BY 1
 """
+
+
+# -- grouped top-k (top parts per brand) -------------------------------------
+
+
+def top_parts_per_brand(sf_dir: str, k: int = 3) -> pa.Table:
+    """Top-k parts by revenue WITHIN each brand (row_number semantics:
+    revenue desc, partkey asc) — the grouped top-k shape, distinct from
+    the global top-k (top_customers) and the per-key argmax
+    (top_event_per_user).
+
+    Scale shape: one keyed shuffle of (partkey, cents) partials folds
+    lineitem to ONE row per partkey; the part dimension broadcasts once
+    (ray.put, vectorized index_in probe — the repo's dimension-join
+    convention, revenue_by_brand's shape); then a per-block numpy kernel
+    emits at most k rows PER BRAND PER BLOCK, so the driver-side merge
+    sees blocks × |brands| × k candidate rows — bounded by the brand
+    cardinality, never by |part|."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    dim_ref = ray.put(
+        (
+            part.column("p_partkey").combine_chunks(),
+            part.column("p_brand").combine_chunks(),
+        )
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "p_partkey": pc.cast(batch.column("l_partkey"), pa.int64()),
+                "cents": pa.array(money_cents(price * (1 - disc)), pa.int64()),
+            }
+        )
+        g = t.group_by("p_partkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["p_partkey", "cents"])
+
+    per_part = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_partkey")
+        .aggregate(ray.data.aggregate.Sum("cents", alias_name="cents"))
+    )
+
+    def brand_topk(batch: pa.Table) -> pa.Table:
+        keys, brands = ray.get(dim_ref)
+        idx = pc.index_in(batch.column("p_partkey"), value_set=keys)
+        valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(valid)
+        if len(keep) == 0:
+            return pa.table(
+                {
+                    "p_brand": pa.array([], pa.string()),
+                    "p_partkey": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        pk = batch.column("p_partkey").to_numpy(zero_copy_only=False)[keep]
+        cents = batch.column("cents").to_numpy(zero_copy_only=False)[keep]
+        brand = pc.take(brands, idx.take(pa.array(keep, pa.int64())))
+        bcodes, binv = np.unique(
+            np.asarray(brand.to_pylist(), dtype=object), return_inverse=True
+        )
+        # per-brand top-k within the block: lexsort puts each brand run in
+        # (cents desc, partkey asc) order; rank-in-run <= k survives
+        order = np.lexsort((pk, -cents, binv))
+        b2, p2, c2 = binv[order], pk[order], cents[order]
+        starts = np.r_[True, b2[1:] != b2[:-1]]
+        rank = np.arange(len(b2)) - np.maximum.accumulate(
+            np.where(starts, np.arange(len(b2)), -1)
+        )
+        sel = rank < k
+        return pa.table(
+            {
+                "p_brand": pa.array(bcodes[b2[sel]], pa.string()),
+                "p_partkey": pa.array(p2[sel], pa.int64()),
+                "cents": pa.array(c2[sel], pa.int64()),
+            }
+        )
+
+    from ._util import ensure_columns
+
+    cand = ensure_columns(
+        per_part.map_batches(
+            brand_topk, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas(),  # bounded: blocks x |brands| x k
+        ["p_brand", "p_partkey", "cents"],
+    )
+    cand = cand.sort_values(
+        ["p_brand", "cents", "p_partkey"], ascending=[True, False, True]
+    )
+    rank = cand.groupby("p_brand", sort=False).cumcount() + 1
+    cand = cand[rank <= k]
+    rank = rank[rank <= k]
+    return pa.table(
+        {
+            "p_brand": pa.array(cand["p_brand"], pa.string()),
+            "rank": pa.array(rank.to_numpy().astype("int64"), pa.int64()),
+            "p_partkey": pa.array(
+                cand["p_partkey"].to_numpy().astype("int64"), pa.int64()
+            ),
+            "revenue_cents": pa.array(
+                cand["cents"].to_numpy().astype("int64"), pa.int64()
+            ),
+        }
+    )
+
+
+TOP_PARTS_PER_BRAND_SQL = """
+WITH pr AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+),
+r AS (
+  SELECT p.p_brand, pr.p_partkey, pr.cents,
+         row_number() OVER (PARTITION BY p.p_brand
+                            ORDER BY pr.cents DESC, pr.p_partkey) AS rnk
+  FROM pr JOIN part p USING (p_partkey)
+)
+SELECT p_brand, CAST(rnk AS BIGINT) AS rank,
+       CAST(p_partkey AS BIGINT) AS p_partkey, cents AS revenue_cents
+FROM r WHERE rnk <= 3
+"""

@@ -4538,6 +4538,7 @@ def test_session4_ops_survive_empty_inputs(tmp_path):
         "dsir_weights": text.dsir_weights,
         "classifier_logits": text.classifier_logits,
         "daily_churn": relational.daily_churn,
+        "top_parts_per_brand": relational.top_parts_per_brand,
         "ipc_roundtrip": lambda s: formats.ipc_roundtrip(
             s, out_dir=str(tmp_path / "ipc_out")
         ),
