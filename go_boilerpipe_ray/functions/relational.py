@@ -926,6 +926,7 @@ def repartition_join(
     left_cols: list[tuple[str, pa.DataType]],
     right_cols: list[tuple[str, pa.DataType]],
     how: str = "inner",
+    probe_salt: int = 1,
 ) -> "ray.data.Dataset":
     """General equi-join of two LARGE datasets as a repartition
     join: both sides are hashed on the key into the module's one
@@ -939,9 +940,18 @@ def repartition_join(
     dominates at small scale (see dedup.minhash_lsh_pairs).
 
     ``left_cols`` / ``right_cols`` name the payload columns (with types)
-    each side contributes; the join key arrives as ``left_on``.  Skewed
-    hot keys: salt the small(er) side's key and replicate the probe,
-    the standard repartition-join skew treatment.
+    each side contributes; the join key arrives as ``left_on``.
+
+    SKEW: ``probe_salt=S`` applies the standard salted-join treatment —
+    a hot left key's rows would otherwise all land in one partition and
+    serialize on one task, so each LEFT row gets a salt in [0, S) and
+    shuffles to (key % P) * S + salt, while every RIGHT row is
+    REPLICATED S times (once per salt bucket).  Each bucket then holds
+    the full build set for its keys plus a 1/S slice of the probe rows,
+    so per-row match logic (inner/left/semi/anti alike) is unchanged
+    and the output is salt-invariant (pinned by test).  Cost: S× the
+    build-side shuffle volume — pick S ~ hot-key fan-out / mean, keep
+    the smaller side on the right.
 
     ``how``: "inner" | "left" (unmatched left rows survive with null
     right payloads) | "semi" / "anti" (left payloads only, filtered by
@@ -949,23 +959,37 @@ def repartition_join(
     in customers_without_events)."""
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported join type: {how}")
+    if probe_salt < 1:
+        raise ValueError(f"probe_salt must be >= 1, got {probe_salt}")
     from ._util import wide_partitions
 
     P = wide_partitions()
+    S = probe_salt
     all_cols = [(c, t, 0) for c, t in left_cols] + [
         (c, t, 1) for c, t in right_cols
     ]
 
     def tag(side: int, on: str):
         def fn(batch: pa.Table) -> pa.Table:
+            if side == 1 and S > 1:
+                # replicate the build side into every salt bucket
+                batch = pa.concat_tables([batch] * S)
             keys = pc.cast(batch.column(on), pa.int64())
             n = batch.num_rows
+            base = (keys.to_numpy(zero_copy_only=False) % P).astype(np.int64)
+            if S > 1:
+                if side == 0:
+                    salt = np.arange(n, dtype=np.int64) % S
+                else:
+                    # concat order: copy i occupies rows [i*n/S, (i+1)*n/S)
+                    salt = np.repeat(np.arange(S, dtype=np.int64), n // S)
+                pk = (base * S + salt).astype(np.int32)
+            else:
+                pk = base.astype(np.int32)
             cols: dict[str, object] = {
                 "k": keys,
                 "side": pa.array(np.full(n, side, dtype=np.int8)),
-                "pk": pa.array(
-                    (keys.to_numpy(zero_copy_only=False) % P).astype(np.int32)
-                ),
+                "pk": pa.array(pk),
             }
             for name, typ, s in all_cols:
                 cols[name] = (

@@ -362,6 +362,56 @@ def test_connected_components_tiny_graph(limit):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_repartition_join_salt_invariance():
+    """probe_salt replicates the build side across salt buckets and
+    spreads the probe rows; the result must be identical to the unsalted
+    join for every join type, including 1:N fan-out on the hot key and
+    unmatched rows on both sides."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from go_boilerpipe_ray.functions.relational import repartition_join
+
+    rng = np.random.RandomState(11)
+    # left: one hot key (7) with 3000 rows, plus a sprinkle of others
+    lkeys = np.r_[np.full(3000, 7), rng.randint(0, 40, 500)].astype(np.int64)
+    lval = np.arange(len(lkeys), dtype=np.int64)
+    # right: keys 0..29 with 1-3 rows each (key 7 has 3 -> fan-out)
+    rkeys = np.r_[np.arange(30), np.arange(0, 30, 2), [7, 7]].astype(np.int64)
+    rval = np.arange(len(rkeys), dtype=np.int64) + 1000
+    left = ray.data.from_arrow(
+        pa.table({"lk": pa.array(lkeys), "lv": pa.array(lval)})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array(rkeys), "rv": pa.array(rval)})
+    )
+    for how in ["inner", "left", "semi", "anti"]:
+        cols = (
+            [("lv", pa.int64())]
+            if how in ("semi", "anti")
+            else [("lv", pa.int64()), ("rv", pa.int64())]
+        )
+
+        def run(salt):
+            out = repartition_join(
+                left,
+                right,
+                "lk",
+                "rk",
+                [("lv", pa.int64())],
+                [] if how in ("semi", "anti") else [("rv", pa.int64())],
+                how=how,
+                probe_salt=salt,
+            ).to_pandas()
+            by = [c for c, _ in cols]
+            return out[by].sort_values(by).reset_index(drop=True)
+
+        plain, salted = run(1), run(4)
+        pd.testing.assert_frame_equal(plain, salted), how
+
+
 def test_cc_fold_kernel_long_path():
     """Worst case for hash-to-min: one 20k-node path.  The in-memory
     kernel's pointer compression must collapse it in O(log n) gathers,
