@@ -239,3 +239,65 @@ def test_kernel_never_raises_nasty(html):
     doc = parse_document(html)
     article_pipeline().process(doc)
     doc.content()
+
+
+# -- repartition_join differential vs a pandas reference ----------------------
+
+_join_case = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=8), min_size=0, max_size=30),
+    st.lists(st.integers(min_value=0, max_value=8), min_size=0, max_size=15),
+    st.sampled_from(["inner", "left", "semi", "anti"]),
+    st.integers(min_value=1, max_value=3),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_join_case)
+def test_repartition_join_matches_pandas(case):
+    """Differential: every join type × probe_salt against a pandas
+    reference on a tiny keyspace (forces 1:N fan-out, misses on both
+    sides, empty sides)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from go_boilerpipe_ray.functions.relational import repartition_join
+
+    lkeys, rkeys, how, salt = case
+    lv = np.arange(len(lkeys), dtype=np.int64)
+    rv = np.arange(len(rkeys), dtype=np.int64) + 1000
+    left = ray.data.from_arrow(
+        pa.table({"lk": pa.array(lkeys, pa.int64()), "lv": pa.array(lv)})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array(rkeys, pa.int64()), "rv": pa.array(rv)})
+    )
+    out = repartition_join(
+        left,
+        right,
+        "lk",
+        "rk",
+        [("lv", pa.int64())],
+        [] if how in ("semi", "anti") else [("rv", pa.int64())],
+        how=how,
+        probe_salt=salt,
+    ).to_pandas()
+
+    ldf = pd.DataFrame({"lk": lkeys, "lv": lv})
+    rdf = pd.DataFrame({"rk": rkeys, "rv": rv})
+    if how in ("inner", "left"):
+        ref = ldf.merge(
+            rdf, left_on="lk", right_on="rk",
+            how=how if how == "inner" else "left",
+        )[["lv", "rv"]]
+        got = out.reindex(columns=["lv", "rv"])
+        ref = ref.astype("float64").sort_values(["lv", "rv"]).reset_index(drop=True)
+        got = got.astype("float64").sort_values(["lv", "rv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref)
+    else:
+        rset = set(rkeys)
+        keep = [k in rset if how == "semi" else k not in rset for k in lkeys]
+        ref = sorted(lv[np.asarray(keep, bool)].tolist())
+        got = sorted(out["lv"].tolist()) if len(out) else []
+        assert got == ref
