@@ -7897,3 +7897,96 @@ SELECT p_brand, CAST(rnk AS BIGINT) AS rank,
        CAST(p_partkey AS BIGINT) AS p_partkey, cents AS revenue_cents
 FROM r WHERE rnk <= 3
 """
+
+
+# -- out-of-order arrival audit ----------------------------------------------
+
+
+def late_event_audit(sf_dir: str) -> "ray.data.Dataset":
+    """Out-of-order arrival diagnostic: per user, how many events arrived
+    (arrival order = event_id) with a timestamp EARLIER than some prior
+    event's — the measurement behind choosing a streaming watermark /
+    allowed-lateness budget.  An event is "late" iff
+    ts < max(ts of all prior events of that user by event_id).
+
+    Scale shape: narrow (user, event_id, ts-µs) projection, ONE
+    user-keyed shuffle (partitioned_by_key), per-partition kernel:
+    lexsort by (user, event_id), running max via maximum.accumulate
+    reset at run starts, one add.reduceat per user run."""
+    from ._util import partitioned_by_key, run_bounds
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        # ns-vs-µs rule: always through timestamp("us") before int64
+        t = pc.cast(
+            pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64()
+        )
+        return pa.table(
+            {
+                "u": pc.cast(batch.column("user_id"), pa.int64()),
+                "eid": pc.cast(batch.column("event_id"), pa.int64()),
+                "t": t,
+            }
+        )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        u = part.column("u").to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_late": pa.array([], pa.int64()),
+                }
+            )
+        eid = part.column("eid").to_numpy(zero_copy_only=False)
+        t = part.column("t").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, u))
+        u, t = u[order], t[order]
+        starts = np.r_[True, u[1:] != u[:-1]]
+        # Segmented running-max without a per-user loop: dense-rank the
+        # timestamps (order-isomorphic, bounded by partition rows) and
+        # offset each user segment into its own disjoint rank range —
+        # a single global maximum.accumulate then never lets an earlier
+        # segment's value win inside a later one.
+        sv = np.unique(t)
+        r = np.searchsorted(sv, t).astype(np.int64) + 1  # dense rank, 1..m
+        seg = np.cumsum(starts) - 1
+        base = np.int64(len(sv) + 2)
+        cummax = np.maximum.accumulate(seg * base + r)
+        prior = np.r_[np.int64(-1), cummax[:-1]]
+        late = (~starts) & (prior // base == seg) & (r < prior % base)
+        bounds = run_bounds(u)
+        return pa.table(
+            {
+                "user_id": pa.array(u[bounds[:-1]], pa.int64()),
+                "n_events": pa.array(np.diff(bounds), pa.int64()),
+                "n_late": pa.array(
+                    np.add.reduceat(late.astype(np.int64), bounds[:-1]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return partitioned_by_key(
+        ev.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True),
+        "u",
+        kernel,
+    )
+
+
+LATE_EVENT_AUDIT_SQL = """
+WITH w AS (
+  SELECT user_id, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior_max
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN ts < prior_max THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late
+FROM w GROUP BY 1
+"""

@@ -3709,6 +3709,7 @@ def test_partitioned_by_key_invariant_to_partition_count(monkeypatch):
             "max_concurrent_events": relational.max_concurrent_events,
             "user_activity_streak": relational.user_activity_streak,
             "sliding_distinct_users": relational.sliding_distinct_users,
+            "late_event_audit": relational.late_event_audit,
         }
     )
 
@@ -3721,6 +3722,23 @@ def test_partitioned_by_key_invariant_to_partition_count(monkeypatch):
     monkeypatch.setattr(util, "wide_partitions", lambda floor=64: 5)
     for name, fn in cases.items():
         assert rows(fn) == base[name] and base[name], name
+
+
+def test_late_event_audit_brute_force():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import late_event_audit
+
+    got = late_event_audit(SF).to_pandas().set_index("user_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values("event_id")
+    for uid, sub in ev.groupby("user_id"):
+        ts = sub["ts"].to_numpy()
+        late = sum(
+            ts[i] < ts[:i].max() for i in range(1, len(ts))
+        )
+        row = got.loc[uid]
+        assert row["n_events"] == len(sub)
+        assert row["n_late"] == late, uid
 
 
 def test_volume_shipping_matches_pandas():
@@ -4589,6 +4607,7 @@ def test_session4_ops_survive_empty_inputs(tmp_path):
         "classifier_logits": text.classifier_logits,
         "daily_churn": relational.daily_churn,
         "top_parts_per_brand": relational.top_parts_per_brand,
+        "late_event_audit": relational.late_event_audit,
         "ipc_roundtrip": lambda s: formats.ipc_roundtrip(
             s, out_dir=str(tmp_path / "ipc_out")
         ),
