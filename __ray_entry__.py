@@ -98,7 +98,7 @@ _R5_WINDOW = [
     "dup_cluster_size_hist", "split_leakage_audit", "weighted_median_discount",
     "brand_affinity_lift", "asof_join_forward", "dsir_weights",
     "classifier_logits", "orc_roundtrip", "daily_churn", "hive_roundtrip",
-    "top_parts_per_brand", "late_event_audit",
+    "top_parts_per_brand", "late_event_audit", "compact_roundtrip",
     # oldest never-checked
     "shipping_priority", "returned_order_priority", "docs_rollup",
     "table_profile", "revenue_by_brand", "supplier_region_stats",
@@ -108,7 +108,7 @@ _R5_WINDOW = [
     "discount_revenue", "returned_customers", "media_frame_sample",
     "unigram_likelihood", "daily_active_users", "fk_violations",
     "jsonl_roundtrip", "csv_roundtrip", "k_anonymity", "decile_stats",
-    "order_reconciliation", "top_suppliers",
+    "order_reconciliation",
 ]
 
 
@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hive_roundtrip": formats.hive_roundtrip,
         "top_parts_per_brand": relational.top_parts_per_brand,
         "late_event_audit": relational.late_event_audit,
+        "compact_roundtrip": formats.compact_roundtrip,
     })
 
 
@@ -530,6 +531,7 @@ def oracle_sql() -> dict[str, str]:
         "hive_roundtrip": formats.HIVE_ROUNDTRIP_SQL,
         "top_parts_per_brand": relational.TOP_PARTS_PER_BRAND_SQL,
         "late_event_audit": relational.LATE_EVENT_AUDIT_SQL,
+        "compact_roundtrip": formats.COMPACT_ROUNDTRIP_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf

@@ -425,3 +425,94 @@ FROM events
 WHERE event_type IN ('click', 'purchase')
 GROUP BY 1
 """
+
+
+def compact_roundtrip(
+    sf_dir: str,
+    out_dir: str | None = None,
+    small_files: int = 48,
+    target_files: int = 4,
+) -> "ray.data.Dataset":
+    """Small-file compaction — the sink-maintenance primitive every
+    long-running ingest needs: a directory of many tiny parquet shards
+    (here deliberately produced by a ``small_files``-way repartition of
+    orders) is re-read and rewritten as ``target_files`` right-sized
+    files, then the COMPACTED copy is read back and rolled up to prove
+    no row was lost or duplicated in the rewrite.
+
+    Scale shape: read → repartition(target) → write is fully
+    distributed (Ray's writer emits one file per block from whichever
+    node holds it; no driver funnel).  At 100 TB the target count comes
+    from bytes (total/512 MB), not a constant — the constant here keeps
+    the test corpus deterministic.  A pytest asserts the file count
+    actually shrinks."""
+    out = _sink_dir("compact", sf_dir, out_dir)
+    small = os.path.join(out, "small")
+    compact = os.path.join(out, "compacted")
+    os.makedirs(small, exist_ok=True)
+    os.makedirs(compact, exist_ok=True)
+
+    ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    ).repartition(small_files).write_parquet(small)
+
+    if not os.listdir(small):  # empty input wrote no shards
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "o_orderstatus": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "total_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    ray.data.read_parquet(small).repartition(target_files).write_parquet(
+        compact
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+            + 0.5
+        ).astype("int64")
+        g = pa.table(
+            {
+                "o_orderstatus": batch.column("o_orderstatus"),
+                "n": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        ).group_by("o_orderstatus").aggregate([("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["o_orderstatus", "n", "cents"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": pc.cast(t.column("o_orderstatus"), pa.string()),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+                "total_cents": pc.cast(t.column("total_cents"), pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(compact)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderstatus")
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n_orders"),
+            ray.data.aggregate.Sum("cents", alias_name="total_cents"),
+        )
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+COMPACT_ROUNDTRIP_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders GROUP BY 1
+"""

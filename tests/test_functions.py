@@ -4338,6 +4338,28 @@ def test_hive_roundtrip_prunes_partitions(tmp_path):
         assert row["max_event_id"] == sub["event_id"].max()
 
 
+def test_compact_roundtrip_shrinks_file_count(tmp_path):
+    import glob
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions._util import money_cents
+    from go_boilerpipe_ray.sources.formats import compact_roundtrip
+
+    out = str(tmp_path / "c")
+    got = compact_roundtrip(SF, out_dir=out).to_pandas()
+    n_small = len(glob.glob(f"{out}/small/*.parquet"))
+    n_compact = len(glob.glob(f"{out}/compacted/*.parquet"))
+    assert n_small > n_compact and n_compact <= 4
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    for _, row in got.iterrows():
+        sub = o[o["o_orderstatus"] == row["o_orderstatus"]]
+        assert row["n_orders"] == len(sub)
+        assert row["total_cents"] == int(
+            money_cents(sub["o_totalprice"].to_numpy()).sum()
+        )
+
+
 def test_cumulative_unique_users_staggered(tmp_path):
     import pandas as pd
 
@@ -4616,6 +4638,9 @@ def test_session4_ops_survive_empty_inputs(tmp_path):
         ),
         "hive_roundtrip": lambda s: formats.hive_roundtrip(
             s, out_dir=str(tmp_path / "hive_out")
+        ),
+        "compact_roundtrip": lambda s: formats.compact_roundtrip(
+            s, out_dir=str(tmp_path / "compact_out")
         ),
     }
     for name, fn in ops.items():
