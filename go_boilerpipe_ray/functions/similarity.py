@@ -46,11 +46,24 @@ def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     )
     t = t.filter(pc.less(t.column("vec_id"), n_queries))
     qids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    if len(qids) == 0:  # empty corpus: no query vectors
+    if len(qids) == 0:  # no query vectors (empty corpus or offset ids)
         return qids, np.zeros((0, 0), dtype=np.float64)
     qm = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     return qids, qm
+
+
+def _empty_knn_result() -> pa.Table:
+    """Typed empty (query_id, neighbor_id, rank) result: the early
+    return every knn entry point takes when _load_queries finds no
+    query vectors (its (0,0) matrix must never reach a matmul)."""
+    return pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
 
 
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -140,6 +153,8 @@ def knn_brute(sf_dir: str, k: int = 10, n_queries: int = 8) -> pa.Table:
     """Exact top-k neighbors by cosine for the first ``n_queries`` vectors.
     Ties broken by vec_id ascending (matches the SQL oracle)."""
     qids, qm = _load_queries(sf_dir, n_queries)
+    if len(qids) == 0:
+        return _empty_knn_result()
     q_ref = ray.put((qids, qm))
 
     def local_topk(batch: pa.Table) -> pa.Table:
@@ -220,6 +235,8 @@ def knn_filtered(sf_dir: str, k: int = 10, n_queries: int = 8) -> pa.Table:
         filters=[("vec_id", "<", n_queries)],
     )
     qids = np.asarray(qt.column("vec_id").to_pylist(), dtype=np.int64)
+    if len(qids) == 0:
+        return _empty_knn_result()
     qlabs = np.asarray(qt.column("label").to_pylist(), dtype=np.int64)
     qm = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -313,6 +330,8 @@ def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 8, n_planes: int = 8) -> 
     rows — ≤ buckets × queries × k — reach the driver merge; the raw
     vectors never do."""
     qids, qm = _load_queries(sf_dir, n_queries)
+    if len(qids) == 0:
+        return _empty_knn_result()
     stage = LshIndexStage(n_planes=n_planes, dim=qm.shape[1])
     q_buckets = stage.bucket_of(qm)
     q_ref = ray.put((qids, qm, q_buckets))
@@ -577,6 +596,8 @@ def knn_ivf(
     import ray as _ray
 
     qids, qm = _load_queries(sf_dir, n_queries)
+    if len(qids) == 0:
+        return _empty_knn_result()
 
     ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]

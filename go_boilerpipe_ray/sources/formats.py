@@ -17,6 +17,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..functions._util import money_cents
+
 
 def _sink_dir(kind: str, sf_dir: str, out_dir: str | None) -> str:
     """Resolve the sink location.  On a real multi-node cluster this MUST
@@ -172,9 +174,7 @@ def ipc_roundtrip(sf_dir: str, out_dir: str | None = None) -> "ray.data.Dataset"
             with pa.ipc.open_file(pa.BufferReader(raw)) as r:
                 tables.append(r.read_all())
         t = pa.concat_tables(tables)
-        cents = np.floor(
-            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100 + 0.5
-        ).astype("int64")
+        cents = money_cents(t.column("o_totalprice").to_numpy(zero_copy_only=False))
         day = pc.cast(
             pc.floor_temporal(t.column("o_orderdate"), unit="day"), pa.int64()
         ).to_numpy(zero_copy_only=False)
@@ -274,9 +274,7 @@ def orc_roundtrip(sf_dir: str, out_dir: str | None = None) -> "ray.data.Dataset"
         for raw in batch.column("bytes").to_pylist():
             tables.append(orc.ORCFile(pa.BufferReader(raw)).read())
         t = pa.concat_tables(tables)
-        cents = np.floor(
-            t.column("s_acctbal").to_numpy(zero_copy_only=False) * 100 + 0.5
-        ).astype("int64")
+        cents = money_cents(t.column("s_acctbal").to_numpy(zero_copy_only=False))
         g = pa.table(
             {
                 "s_nationkey": t.column("s_nationkey"),
@@ -341,9 +339,19 @@ def hive_roundtrip(
         f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
     ).write_parquet(out, partition_cols=["event_type"])
 
-    have = [
-        v for v in keep if os.path.isdir(os.path.join(out, f"event_type={v}"))
-    ]
+    # Local sinks: detect the no-kept-partition case up front (read_parquet
+    # on an empty dir raises).  Remote URIs can't be probed with os.path —
+    # there the PathPartitionFilter below is the only pruning layer and an
+    # entirely-empty prefix surfaces as a loud read error, never a silent
+    # empty result.
+    if "://" not in out:
+        have = [
+            v
+            for v in keep
+            if os.path.isdir(os.path.join(out, f"event_type={v}"))
+        ]
+    else:
+        have = list(keep)
     if not have:  # empty input (or no kept partition) wrote no dirs
         return ray.data.from_arrow(
             pa.table(
@@ -357,9 +365,7 @@ def hive_roundtrip(
         )
 
     def partial(batch: pa.Table) -> pa.Table:
-        cents = np.floor(
-            batch.column("value").to_numpy(zero_copy_only=False) * 100 + 0.5
-        ).astype("int64")
+        cents = money_cents(batch.column("value").to_numpy(zero_copy_only=False))
         g = pa.table(
             {
                 "event_type": pc.cast(batch.column("event_type"), pa.string()),
@@ -447,17 +453,21 @@ def compact_roundtrip(
     the test corpus deterministic.  A pytest asserts the file count
     actually shrinks."""
     out = _sink_dir("compact", sf_dir, out_dir)
-    small = os.path.join(out, "small")
-    compact = os.path.join(out, "compacted")
-    os.makedirs(small, exist_ok=True)
-    os.makedirs(compact, exist_ok=True)
+    small = out.rstrip("/") + "/small"
+    compact = out.rstrip("/") + "/compacted"
+    is_local = "://" not in out
+    if is_local:
+        os.makedirs(small, exist_ok=True)
+        os.makedirs(compact, exist_ok=True)
 
     ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
     ).repartition(small_files).write_parquet(small)
 
-    if not os.listdir(small):  # empty input wrote no shards
+    # Empty-input probe is local-only; a remote empty prefix surfaces as
+    # a loud read error below, never a silent empty result.
+    if is_local and not os.listdir(small):  # empty input wrote no shards
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -475,10 +485,7 @@ def compact_roundtrip(
     def partial(batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        cents = np.floor(
-            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
-            + 0.5
-        ).astype("int64")
+        cents = money_cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False))
         g = pa.table(
             {
                 "o_orderstatus": batch.column("o_orderstatus"),

@@ -362,6 +362,25 @@ def test_connected_components_tiny_graph(limit):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_knn_offset_vec_ids_yield_empty_not_crash(tmp_path):
+    """Non-empty embeddings whose vec_ids all start above n_queries must
+    yield an empty result, not a (0,0)-matrix matmul crash."""
+    import numpy as np
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.similarity import knn_brute
+
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(1000, 1020, dtype=np.int64),
+            "embedding": [np.random.RandomState(i).rand(8).tolist() for i in range(20)],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    out = knn_brute(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.column_names == ["query_id", "neighbor_id", "rank"]
+
+
 def test_repartition_join_salt_invariance():
     """probe_salt replicates the build side across salt buckets and
     spreads the probe rows; the result must be identical to the unsalted
@@ -409,7 +428,9 @@ def test_repartition_join_salt_invariance():
             return out[by].sort_values(by).reset_index(drop=True)
 
         plain, salted = run(1), run(4)
-        pd.testing.assert_frame_equal(plain, salted), how
+        pd.testing.assert_frame_equal(
+            plain, salted, obj=f"salted join ({how})"
+        )
 
 
 def test_cc_fold_kernel_long_path():
