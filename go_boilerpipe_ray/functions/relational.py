@@ -1387,7 +1387,7 @@ def grouped_percentiles(sf_dir: str) -> pa.Table:
 
     def partial(batch: pa.Table) -> pa.Table:
         v = batch.column("value").to_numpy(zero_copy_only=False)
-        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        cents = money_cents(v)
         t = pa.table(
             {"event_type": batch.column("event_type"),
              "cents": pa.array(cents, pa.int64())}
@@ -2985,7 +2985,7 @@ def discount_revenue(sf_dir: str) -> "ray.data.Dataset":
         yr = pc.year(batch.column("l_shipdate")).to_numpy(zero_copy_only=False)
         qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
         disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
-        pct = np.floor(disc * 100 + 0.5).astype(np.int64)
+        pct = money_cents(disc)
         keep = (yr == 1997) & (qty < 24) & (pct >= 5) & (pct <= 7)
         price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
         cents = money_cents(price * disc[keep])
