@@ -1060,7 +1060,11 @@ def repartition_join(
 
 
 def join_customer_orders(sf_dir: str) -> "ray.data.Dataset":
-    """orders ⋈ customer on custkey via the general repartition join."""
+    """orders ⋈ customer on custkey via the cost-based planner
+    (auto_equi_join): the customer footer picks broadcast at test
+    scales and the repartition join at warehouse scale — both arms
+    pinned equal by test; left_join_orders keeps exercising the
+    shuffle arm directly."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
     def cents(batch: pa.Table) -> pa.Table:
@@ -1076,10 +1080,9 @@ def join_customer_orders(sf_dir: str) -> "ray.data.Dataset":
         )
 
     left = orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
-    right = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    return repartition_join(
+    return auto_equi_join(
         left,
-        right,
+        f"{sf_dir}/customer.parquet",
         "o_custkey",
         "c_custkey",
         [("o_orderkey", pa.int64()), ("price_cents", pa.int64())],
@@ -7990,3 +7993,98 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
          AS n_late
 FROM w GROUP BY 1
 """
+
+
+# -- cost-based join planner --------------------------------------------------
+
+
+def auto_equi_join(
+    left: "ray.data.Dataset",
+    right_path: str,
+    left_on: str,
+    right_on: str,
+    left_cols: list[tuple[str, pa.DataType]],
+    right_cols: list[tuple[str, pa.DataType]],
+    how: str = "inner",
+    broadcast_threshold_bytes: int = 64 << 20,
+) -> "ray.data.Dataset":
+    """Cost-based equi-join planner: picks the physical join from the
+    build side's parquet FOOTER (no data read) — the decision every
+    query engine makes and this repo previously left to the caller.
+
+    Build side ≤ ``broadcast_threshold_bytes`` (compressed on-disk
+    size; 64 MB default keeps the decompressed table well inside a
+    worker heap): load it once, ``ray.put`` the key + payload arrays,
+    and probe per batch with vectorized ``pc.index_in`` — zero shuffle,
+    the top_customers shape generalized to all four join types.
+    Larger build sides: fall through to ``repartition_join`` (each row
+    shuffled exactly once; ``probe_salt`` available there for skew).
+    Both paths return identical rows — pinned by test across every
+    ``how``."""
+    import pyarrow.parquet as pq
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported join type: {how}")
+    md = pq.ParquetFile(right_path).metadata
+    build_bytes = sum(
+        md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+    )
+    right_names = [c for c, _ in right_cols]
+    if build_bytes > broadcast_threshold_bytes:
+        right = _read_path(right_path, [right_on] + right_names)
+        return repartition_join(
+            left, right, left_on, right_on, left_cols, right_cols, how=how
+        )
+
+    rt = pq.read_table(right_path, columns=[right_on] + right_names)
+    lookup_ref = ray.put(
+        (
+            pc.cast(rt.column(right_on), pa.int64()).combine_chunks(),
+            {c: rt.column(c).combine_chunks() for c in right_names},
+        )
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keys, payload = ray.get(lookup_ref)
+        lk = pc.cast(batch.column(left_on), pa.int64())
+        idx = pc.index_in(lk, value_set=keys)
+        matched = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        if how in ("semi", "anti"):
+            sel = pa.array(
+                np.flatnonzero(matched if how == "semi" else ~matched),
+                pa.int64(),
+            )
+            return pa.table(
+                {c: batch.column(c).take(sel) for c, _t in left_cols}
+            )
+        # index_in returns the FIRST match; 1:N broadcast fan-out needs a
+        # per-key expansion — the dimension contract here is unique keys
+        # (enforced loudly, matching every broadcast-dim op in this repo).
+        if how == "inner":
+            sel = pa.array(np.flatnonzero(matched), pa.int64())
+            out = {c: batch.column(c).take(sel) for c, _t in left_cols}
+            ridx = idx.take(sel)
+            for c, typ in right_cols:
+                out[c] = pc.cast(pc.take(payload[c], ridx), typ)
+            return pa.table(out)
+        # left outer: keep all rows, null right payloads on misses
+        out = {c: batch.column(c) for c, _t in left_cols}
+        for c, typ in right_cols:
+            out[c] = pc.cast(pc.take(payload[c], idx), typ)
+        return pa.table(out)
+
+    n_keys = len(rt)
+    n_distinct = pc.count_distinct(rt.column(right_on)).as_py()
+    if n_distinct != n_keys:
+        raise ValueError(
+            f"broadcast build side must have unique join keys: "
+            f"{n_keys - n_distinct} duplicate(s) in {right_path}:{right_on} "
+            f"(use repartition_join for 1:N build sides)"
+        )
+    return left.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _read_path(path: str, columns: list[str]) -> "ray.data.Dataset":
+    from ._util import read_parquet_clean
+
+    return read_parquet_clean(path, columns=columns)

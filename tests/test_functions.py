@@ -362,6 +362,63 @@ def test_connected_components_tiny_graph(limit):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_auto_equi_join_both_paths_agree():
+    """The planner's broadcast arm and repartition arm must return
+    identical rows for every join type; the threshold is forced each
+    way on the same inputs."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.relational import _read, auto_equi_join
+
+    right_path = f"{SF}/customer.parquet"
+    for how in ["inner", "left", "semi", "anti"]:
+        rcols = [] if how in ("semi", "anti") else [("c_mktsegment", pa.string())]
+
+        def run(threshold):
+            left = _read(SF, "orders", ["o_orderkey", "o_custkey"])
+            out = auto_equi_join(
+                left,
+                right_path,
+                "o_custkey",
+                "c_custkey",
+                [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())],
+                rcols,
+                how=how,
+                broadcast_threshold_bytes=threshold,
+            ).to_pandas()
+            cols = sorted(out.columns)
+            return out[cols].sort_values(cols).reset_index(drop=True)
+
+        bcast = run(1 << 40)  # force broadcast arm
+        shuffle = run(0)  # force repartition arm
+        pd.testing.assert_frame_equal(bcast, shuffle, obj=f"auto join ({how})")
+
+
+def test_auto_equi_join_rejects_duplicate_broadcast_keys(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from go_boilerpipe_ray.functions.relational import _read, auto_equi_join
+
+    pd.DataFrame({"k": [1, 1, 2], "v": ["a", "b", "c"]}).to_parquet(
+        tmp_path / "dim.parquet"
+    )
+    left = _read(SF, "orders", ["o_orderkey", "o_custkey"])
+    with _pytest.raises(ValueError, match="unique join keys"):
+        auto_equi_join(
+            left,
+            str(tmp_path / "dim.parquet"),
+            "o_custkey",
+            "k",
+            [("o_orderkey", pa.int64())],
+            [("v", pa.string())],
+            how="inner",
+            broadcast_threshold_bytes=1 << 40,
+        )
+
+
 def test_knn_offset_vec_ids_yield_empty_not_crash(tmp_path):
     """Non-empty embeddings whose vec_ids all start above n_queries must
     yield an empty result, not a (0,0)-matrix matmul crash."""
