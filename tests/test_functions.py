@@ -362,6 +362,33 @@ def test_connected_components_tiny_graph(limit):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_top_parts_per_brand_brute_force():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions._util import money_cents
+    from go_boilerpipe_ray.functions.relational import top_parts_per_brand
+
+    got = top_parts_per_brand(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF}/part.parquet")[["p_partkey", "p_brand"]]
+    li["cents"] = money_cents(
+        (li["l_extendedprice"] * (1 - li["l_discount"])).to_numpy()
+    )
+    per_part = (
+        li.groupby("l_partkey")["cents"].sum().reset_index()
+        .rename(columns={"l_partkey": "p_partkey"})
+        .merge(part, on="p_partkey")
+    )
+    for brand, sub in per_part.groupby("p_brand"):
+        want = sub.sort_values(
+            ["cents", "p_partkey"], ascending=[False, True]
+        ).head(3)
+        g = got[got["p_brand"] == brand].sort_values("rank")
+        assert list(g["p_partkey"]) == list(want["p_partkey"]), brand
+        assert list(g["revenue_cents"]) == list(want["cents"]), brand
+        assert list(g["rank"]) == list(range(1, len(g) + 1)), brand
+
+
 def test_auto_equi_join_both_paths_agree():
     """The planner's broadcast arm and repartition arm must return
     identical rows for every join type; the threshold is forced each
