@@ -918,6 +918,55 @@ FROM events
 # -- general repartition (shuffle hash) join --------------------------------
 
 
+_JOIN_BLOOM_BITS = 1 << 23  # ~1 MB bitset; FP rate ~1e-3 at 1M keys
+
+
+def _key_bloom_positions(keys: "np.ndarray", n_bits: int) -> "np.ndarray":
+    """Bit positions (4 probes, double hashing over a splitmix64 scramble)
+    for int64 join keys in an ``n_bits`` Bloom — ONE definition shared by
+    the build aggregate and the membership probe so they can never drift."""
+    h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(32)
+    h1 = h % np.uint64(n_bits)
+    h2 = (h >> np.uint64(33)) | np.uint64(1)
+    idx = np.arange(4, dtype=np.uint64)
+    return (h1[:, None] + idx[None, :] * h2[:, None]) % np.uint64(n_bits)
+
+
+def build_key_bloom(
+    ds: "ray.data.Dataset", on: str, n_bits: int = 1 << 23
+) -> "np.ndarray":
+    """Bloom bitset over a dataset's int64 key column, built as a Ray
+    Data aggregate (per-block partials OR-merged in the engine's combine
+    tree — the driver receives one ~1 MB array regardless of rows; the
+    build_text_bloom shape from dedup, for integer keys)."""
+    from ray.data.aggregate import AggregateFn
+
+    words = n_bits // 64 + 1
+
+    def _acc(state: np.ndarray, block) -> np.ndarray:
+        k = pc.cast(block.column(on), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(k):
+            pos = _key_bloom_positions(k, n_bits).reshape(-1)
+            np.bitwise_or.at(
+                state, pos // np.uint64(64),
+                np.uint64(1) << (pos % np.uint64(64)),
+            )
+        return state
+
+    agg = AggregateFn(
+        init=lambda _k: np.zeros(words, dtype=np.uint64),
+        accumulate_block=_acc,
+        merge=lambda a, b: a | b,
+        name="key_bloom",
+    )
+    return np.asarray(ds.aggregate(agg)["key_bloom"], dtype=np.uint64)
+
+
 def repartition_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -927,6 +976,7 @@ def repartition_join(
     right_cols: list[tuple[str, pa.DataType]],
     how: str = "inner",
     probe_salt: int = 1,
+    bloom_prefilter: bool = False,
 ) -> "ray.data.Dataset":
     """General equi-join of two LARGE datasets as a repartition
     join: both sides are hashed on the key into the module's one
@@ -953,6 +1003,16 @@ def repartition_join(
     build-side shuffle volume — pick S ~ hot-key fan-out / mean, keep
     the smaller side on the right.
 
+    ``bloom_prefilter=True`` applies Bloom-pushdown: a ~1 MB Bloom of
+    the LEFT key set (built as a distributed OR-merge aggregate, one
+    extra pass over left's plan) broadcasts once, and RIGHT rows whose
+    key definitely has no left match are dropped BEFORE they shuffle.
+    False positives only let extra rows through to the exact in-
+    partition probe, so results are identical for every join type
+    (pinned by test); use it when the right side is much larger than
+    the left key set and left's upstream is cheap to re-execute or
+    already materialized.
+
     ``how``: "inner" | "left" (unmatched left rows survive with null
     right payloads) | "semi" / "anti" (left payloads only, filtered by
     match existence — the shuffle complement of the broadcast anti-join
@@ -965,12 +1025,28 @@ def repartition_join(
 
     P = wide_partitions()
     S = probe_salt
+    bloom_ref = None
+    if bloom_prefilter:
+        bloom_ref = ray.put(
+            build_key_bloom(left, left_on, _JOIN_BLOOM_BITS)
+        )
     all_cols = [(c, t, 0) for c, t in left_cols] + [
         (c, t, 1) for c, t in right_cols
     ]
 
     def tag(side: int, on: str):
         def fn(batch: pa.Table) -> pa.Table:
+            if side == 1 and bloom_ref is not None and batch.num_rows:
+                bits = ray.get(bloom_ref)
+                k = pc.cast(batch.column(on), pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+                pos = _key_bloom_positions(k, _JOIN_BLOOM_BITS)
+                hit = (
+                    (bits[pos // np.uint64(64)]
+                     >> (pos % np.uint64(64))) & np.uint64(1)
+                ).all(axis=1)
+                batch = batch.take(pa.array(np.flatnonzero(hit), pa.int64()))
             if side == 1 and S > 1:
                 # replicate the build side into every salt bucket
                 batch = pa.concat_tables([batch] * S)

@@ -389,6 +389,35 @@ def test_top_parts_per_brand_brute_force():
         assert list(g["rank"]) == list(range(1, len(g) + 1)), brand
 
 
+def test_build_key_bloom_no_false_negatives_low_fp():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from go_boilerpipe_ray.functions.relational import (
+        _JOIN_BLOOM_BITS,
+        _key_bloom_positions,
+        build_key_bloom,
+    )
+
+    present = np.arange(0, 200_000, 2, dtype=np.int64)  # 100k even keys
+    bits = build_key_bloom(
+        ray.data.from_arrow(pa.table({"k": pa.array(present)})), "k"
+    )
+
+    def hits(keys):
+        pos = _key_bloom_positions(keys, _JOIN_BLOOM_BITS)
+        return (
+            (bits[pos // np.uint64(64)] >> (pos % np.uint64(64)))
+            & np.uint64(1)
+        ).all(axis=1)
+
+    assert hits(present).all()  # no false negatives, ever
+    absent = np.arange(1, 200_000, 2, dtype=np.int64)  # the odd keys
+    fp = hits(absent).mean()
+    assert fp < 0.01, fp  # ~1e-3 expected at this load factor
+
+
 def test_auto_equi_join_both_paths_agree():
     """The planner's broadcast arm and repartition arm must return
     identical rows for every join type; the threshold is forced each

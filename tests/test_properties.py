@@ -248,6 +248,7 @@ _join_case = st.tuples(
     st.lists(st.integers(min_value=0, max_value=8), min_size=0, max_size=15),
     st.sampled_from(["inner", "left", "semi", "anti"]),
     st.integers(min_value=1, max_value=3),
+    st.booleans(),  # bloom_prefilter
 )
 
 
@@ -264,7 +265,7 @@ def test_repartition_join_matches_pandas(case):
 
     from go_boilerpipe_ray.functions.relational import repartition_join
 
-    lkeys, rkeys, how, salt = case
+    lkeys, rkeys, how, salt, bloom = case
     lv = np.arange(len(lkeys), dtype=np.int64)
     rv = np.arange(len(rkeys), dtype=np.int64) + 1000
     left = ray.data.from_arrow(
@@ -282,6 +283,7 @@ def test_repartition_join_matches_pandas(case):
         [] if how in ("semi", "anti") else [("rv", pa.int64())],
         how=how,
         probe_salt=salt,
+        bloom_prefilter=bloom,
     ).to_pandas()
 
     ldf = pd.DataFrame({"lk": lkeys, "lv": lv})
