@@ -1177,7 +1177,9 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 def left_join_orders(sf_dir: str) -> "ray.data.Dataset":
     """orders LEFT JOIN high-balance customers: exercises the outer path
     of the general repartition join (unmatched orders survive with a
-    null segment).  The filter is pushed below the shuffle."""
+    null segment) WITH the Bloom pushdown live — customer rows whose
+    custkey has no order drop before the shuffle.  The balance filter is
+    pushed below the shuffle."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
     def cents(batch: pa.Table) -> pa.Table:
@@ -1204,6 +1206,7 @@ def left_join_orders(sf_dir: str) -> "ray.data.Dataset":
         [("o_orderkey", pa.int64()), ("price_cents", pa.int64())],
         [("c_mktsegment", pa.string())],
         how="left",
+        bloom_prefilter=True,
     )
 
 
