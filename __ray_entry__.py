@@ -99,6 +99,7 @@ _R5_WINDOW = [
     "brand_affinity_lift", "asof_join_forward", "dsir_weights",
     "classifier_logits", "orc_roundtrip", "daily_churn", "hive_roundtrip",
     "top_parts_per_brand", "late_event_audit", "compact_roundtrip",
+    "knn_quantized",
     # oldest never-checked
     "shipping_priority", "returned_order_priority", "docs_rollup",
     "table_profile", "revenue_by_brand", "supplier_region_stats",
@@ -107,7 +108,7 @@ _R5_WINDOW = [
     "value_outliers", "promo_revenue", "late_shipment_priority",
     "discount_revenue", "returned_customers", "media_frame_sample",
     "unigram_likelihood", "daily_active_users", "fk_violations",
-    "jsonl_roundtrip", "csv_roundtrip", "k_anonymity", "decile_stats",
+    "jsonl_roundtrip", "csv_roundtrip", "k_anonymity",
     "order_reconciliation",
 ]
 
@@ -333,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_per_brand": relational.top_parts_per_brand,
         "late_event_audit": relational.late_event_audit,
         "compact_roundtrip": formats.compact_roundtrip,
+        "knn_quantized": similarity.knn_quantized,
     })
 
 
@@ -534,8 +536,9 @@ def oracle_sql() -> dict[str, str]:
         "compact_roundtrip": formats.COMPACT_ROUNDTRIP_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
-        # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf
-        # (approximate; exhaustive-probe==brute pinned in pytest),
+        # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /
+        # knn_quantized (approximate; exhaustive-probe==brute pinned in
+        # pytest),
         # media_decode (stub features are blake2b-based), bpe_train
         # (iterative greedy segmentation; merge sequence pinned by a
         # sequential pure-Python reference in pytest), pca_project

@@ -1658,3 +1658,82 @@ def pca_project(sf_dir: str, k: int = 4) -> "ray.data.Dataset":
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return full.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -- SQ8 two-stage retrieval (quantized coarse scan + exact rescore) ----------
+
+
+def knn_quantized(
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 8,
+    coarse_mult: int = 8,
+) -> pa.Table:
+    """Two-stage ANN, the FAISS/Lucene SQ8 production pattern: a cheap
+    int8 coarse scan over symmetrically-quantized vectors (the
+    quantize_embeddings codes, 4× smaller than float32, integer
+    arithmetic) keeps ``coarse_mult × k`` candidates per query per
+    batch, then ONLY those are rescored with exact float cosine and
+    reduced through the same distributed groupby(query_id) top-k as
+    knn_brute.  Approximate by design (the int8 margin can demote a
+    true neighbor past the coarse cut) — registered rows-only; recall
+    vs knn_brute is pinned by pytest, and coarse_mult is the recall/
+    compute knob.
+
+    Scale shape: identical to knn_brute (broadcast queries, per-batch
+    partials, distributed rank reduce) — the coarse stage changes the
+    per-batch constant, not the shuffle volume; at 10⁹ vectors the int8
+    scan is the memory-bandwidth win."""
+    qids, qm = _load_queries(sf_dir, n_queries)
+    if len(qids) == 0:
+        return _empty_knn_result()
+    q_ref = ray.put((qids, qm))
+    m_keep = coarse_mult * k
+
+    def two_stage(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat = ray.get(q_ref)
+        ids, m = _batch_matrix(batch)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = m / norms
+        # stage 1: symmetric int8 codes (per-vector max-abs scale), int32
+        # accumulation — the same rounding quantize_embeddings pins
+        scale = np.abs(unit).max(axis=1)
+        scale[scale == 0] = 1.0
+        codes = np.floor(unit * (127.0 / scale)[:, None] + 0.5).astype(
+            np.int8
+        )
+        qcodes = np.floor(q_mat * 127.0 + 0.5).astype(np.int8)
+        coarse = (
+            codes.astype(np.int32) @ qcodes.astype(np.int32).T
+        ) * scale[:, None]
+        keep = min(m_keep, len(ids))
+        out_q: list[int] = []
+        out_n: list[int] = []
+        out_s: list[float] = []
+        top = min(k, len(ids))
+        for j, qid in enumerate(q_ids):
+            cand = np.lexsort((ids, -coarse[:, j]))[:keep]
+            # stage 2: exact float cosine on the survivors only
+            exact = unit[cand] @ q_mat[j]
+            idx = cand[np.lexsort((ids[cand], -exact))[:top]]
+            sims = unit[idx] @ q_mat[j]
+            for i, sim in zip(idx, sims):
+                out_q.append(int(qid))
+                out_n.append(int(ids[i]))
+                out_s.append(float(sim))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    candidates = ds.map_batches(
+        two_stage, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
+    )
+    return _distributed_rank_reduce(candidates, k)

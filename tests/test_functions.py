@@ -475,6 +475,25 @@ def test_auto_equi_join_rejects_duplicate_broadcast_keys(tmp_path):
         )
 
 
+def test_knn_quantized_recall_vs_brute():
+    """SQ8 coarse + exact rescore must recover nearly all of brute's
+    exact top-10 at the default coarse_mult (and exactly all of it when
+    the coarse stage keeps every vector)."""
+    from go_boilerpipe_ray.functions.similarity import knn_brute, knn_quantized
+
+    brute = knn_brute(SF).to_pandas()
+    quant = knn_quantized(SF).to_pandas()
+    b = set(map(tuple, brute[["query_id", "neighbor_id"]].to_numpy()))
+    q = set(map(tuple, quant[["query_id", "neighbor_id"]].to_numpy()))
+    recall = len(b & q) / len(b)
+    assert recall >= 0.9, recall
+
+    exhaustive = knn_quantized(SF, coarse_mult=10**6).to_pandas()
+    assert exhaustive[["query_id", "neighbor_id", "rank"]].equals(
+        brute[["query_id", "neighbor_id", "rank"]]
+    )
+
+
 def test_knn_offset_vec_ids_yield_empty_not_crash(tmp_path):
     """Non-empty embeddings whose vec_ids all start above n_queries must
     yield an empty result, not a (0,0)-matrix matmul crash."""
