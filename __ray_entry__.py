@@ -99,7 +99,7 @@ _R5_WINDOW = [
     "brand_affinity_lift", "asof_join_forward", "dsir_weights",
     "classifier_logits", "orc_roundtrip", "daily_churn", "hive_roundtrip",
     "top_parts_per_brand", "late_event_audit", "compact_roundtrip",
-    "knn_quantized",
+    "knn_quantized", "cdc_upsert",
     # oldest never-checked
     "shipping_priority", "returned_order_priority", "docs_rollup",
     "table_profile", "revenue_by_brand", "supplier_region_stats",
@@ -108,7 +108,7 @@ _R5_WINDOW = [
     "value_outliers", "promo_revenue", "late_shipment_priority",
     "discount_revenue", "returned_customers", "media_frame_sample",
     "unigram_likelihood", "daily_active_users", "fk_violations",
-    "jsonl_roundtrip", "csv_roundtrip", "k_anonymity",
+    "jsonl_roundtrip", "csv_roundtrip",
     "order_reconciliation",
 ]
 
@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_event_audit": relational.late_event_audit,
         "compact_roundtrip": formats.compact_roundtrip,
         "knn_quantized": similarity.knn_quantized,
+        "cdc_upsert": relational.cdc_upsert,
     })
 
 
@@ -534,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
         "top_parts_per_brand": relational.TOP_PARTS_PER_BRAND_SQL,
         "late_event_audit": relational.LATE_EVENT_AUDIT_SQL,
         "compact_roundtrip": formats.COMPACT_ROUNDTRIP_SQL,
+        "cdc_upsert": relational.CDC_UPSERT_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

@@ -8167,3 +8167,139 @@ def _read_path(path: str, columns: list[str]) -> "ray.data.Dataset":
     from ._util import read_parquet_clean
 
     return read_parquet_clean(path, columns=columns)
+
+
+# -- CDC apply (upsert + tombstone merge) ------------------------------------
+
+
+def cdc_upsert(sf_dir: str) -> "ray.data.Dataset":
+    """Change-data-capture apply — the lakehouse MERGE INTO primitive: a
+    base snapshot plus a change stream of UPserts and DELETE tombstones
+    resolve to the post-merge table, here rolled up per order status so
+    the oracle can verify every surviving row's value.  The change
+    stream is synthesized deterministically from the base (orderkey%5
+    rows get cents+1000 upserts, orderkey%17 rows get tombstones) — the
+    APPLY kernel is the product; a real feed drops in as a second
+    dataset with the same (key, op, payload) rows.
+
+    Scale shape: base and changes are unioned as (key, op-priority,
+    payload) rows and resolved in ONE orderkey-keyed shuffle — the
+    partition kernel sorts (key, priority desc) and keeps each key's
+    highest-precedence row (delete > upsert > base), dropping
+    tombstoned keys; the status rollup is a second bounded groupby.
+    No side materializes; precedence is a per-key constant-time pick."""
+    from ._util import partitioned_by_key, run_bounds
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    _STATUS = ["F", "O", "P"]  # bounded domain, encoded for the int kernel
+
+    def explode_cdc(batch: pa.Table) -> pa.Table:
+        key = pc.cast(batch.column("o_orderkey"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = money_cents(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        )
+        st = batch.column("o_orderstatus").to_pylist()
+        scode = np.array([_STATUS.index(x) for x in st], dtype=np.int64)
+        upd = key % 5 == 0
+        dele = key % 17 == 0
+        # op precedence: 0 = base, 1 = upsert, 2 = delete tombstone
+        k = np.concatenate([key, key[upd], key[dele]])
+        op = np.concatenate(
+            [
+                np.zeros(len(key), np.int64),
+                np.ones(int(upd.sum()), np.int64),
+                np.full(int(dele.sum()), 2, np.int64),
+            ]
+        )
+        c = np.concatenate(
+            [cents, cents[upd] + 1000, np.zeros(int(dele.sum()), np.int64)]
+        )
+        sc = np.concatenate([scode, scode[upd], np.zeros(int(dele.sum()), np.int64)])
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "op": pa.array(op, pa.int64()),
+                "cents": pa.array(c, pa.int64()),
+                "scode": pa.array(sc, pa.int64()),
+            }
+        )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        k = part.column("k").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table(
+                {
+                    "scode": pa.array([], pa.int64()),
+                    "n_part": pa.array([], pa.int64()),
+                    "cents_part": pa.array([], pa.int64()),
+                }
+            )
+        op = part.column("op").to_numpy(zero_copy_only=False)
+        cents = part.column("cents").to_numpy(zero_copy_only=False)
+        sc = part.column("scode").to_numpy(zero_copy_only=False)
+        order = np.lexsort((-op, k))  # per key: highest precedence first
+        k, op, cents, sc = k[order], op[order], cents[order], sc[order]
+        first = run_bounds(k)[:-1]
+        win_op, win_c, win_s = op[first], cents[first], sc[first]
+        live = win_op != 2  # tombstoned keys drop out entirely
+        # bounded partial: per-status count + cents sum for this partition
+        n = np.bincount(win_s[live], minlength=len(_STATUS))
+        tot = np.bincount(
+            win_s[live], weights=win_c[live].astype(np.float64),
+            minlength=len(_STATUS),
+        ).astype(np.int64)
+        nz = np.flatnonzero(n)
+        return pa.table(
+            {
+                "scode": pa.array(nz.astype(np.int64), pa.int64()),
+                "n_part": pa.array(n[nz].astype(np.int64), pa.int64()),
+                "cents_part": pa.array(tot[nz], pa.int64()),
+            }
+        )
+
+    rolled = (
+        partitioned_by_key(
+            ds.map_batches(explode_cdc, batch_format="pyarrow", zero_copy_batch=True),
+            "k",
+            kernel,
+        )
+        .groupby("scode")
+        .aggregate(
+            ray.data.aggregate.Sum("n_part", alias_name="n_orders"),
+            ray.data.aggregate.Sum("cents_part", alias_name="total_cents"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        codes = t.column("scode").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderstatus": pa.array(
+                    [_STATUS[int(c)] for c in codes], pa.string()
+                ),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+                "total_cents": pc.cast(t.column("total_cents"), pa.int64()),
+            }
+        )
+
+    return rolled.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CDC_UPSERT_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS s,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+merged AS (
+  SELECT k, s, CASE WHEN k % 5 = 0 THEN cents + 1000 ELSE cents END AS cents
+  FROM base WHERE k % 17 != 0
+)
+SELECT s AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM merged GROUP BY 1
+"""

@@ -389,6 +389,22 @@ def test_top_parts_per_brand_brute_force():
         assert list(g["rank"]) == list(range(1, len(g) + 1)), brand
 
 
+def test_cdc_upsert_brute_force():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions._util import money_cents
+    from go_boilerpipe_ray.functions.relational import cdc_upsert
+
+    got = cdc_upsert(SF).to_pandas().set_index("o_orderstatus")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["cents"] = money_cents(o["o_totalprice"].to_numpy())
+    o.loc[o["o_orderkey"] % 5 == 0, "cents"] += 1000
+    o = o[o["o_orderkey"] % 17 != 0]
+    for st, sub in o.groupby("o_orderstatus"):
+        assert got.loc[st, "n_orders"] == len(sub)
+        assert got.loc[st, "total_cents"] == sub["cents"].sum()
+
+
 def test_build_key_bloom_no_false_negatives_low_fp():
     import numpy as np
     import pyarrow as pa
@@ -3863,6 +3879,7 @@ def test_partitioned_by_key_invariant_to_partition_count(monkeypatch):
             "user_activity_streak": relational.user_activity_streak,
             "sliding_distinct_users": relational.sliding_distinct_users,
             "late_event_audit": relational.late_event_audit,
+            "cdc_upsert": relational.cdc_upsert,
         }
     )
 
@@ -4783,6 +4800,7 @@ def test_session4_ops_survive_empty_inputs(tmp_path):
         "daily_churn": relational.daily_churn,
         "top_parts_per_brand": relational.top_parts_per_brand,
         "late_event_audit": relational.late_event_audit,
+        "cdc_upsert": relational.cdc_upsert,
         "ipc_roundtrip": lambda s: formats.ipc_roundtrip(
             s, out_dir=str(tmp_path / "ipc_out")
         ),
