@@ -100,6 +100,9 @@ _R5_WINDOW = [
     "classifier_logits", "orc_roundtrip", "daily_churn", "hive_roundtrip",
     "top_parts_per_brand", "late_event_audit", "compact_roundtrip",
     "knn_quantized", "cdc_upsert",
+    # round-4 session-6 additions
+    "suppliers_kept_waiting", "sales_opportunity", "user_event_path",
+    "lineitem_unpivot", "snm_dup_pairs",
     # oldest never-checked
     "shipping_priority", "returned_order_priority", "docs_rollup",
     "table_profile", "revenue_by_brand", "supplier_region_stats",
@@ -107,9 +110,7 @@ _R5_WINDOW = [
     "approx_percentiles", "session_stats", "kmeans_train",
     "value_outliers", "promo_revenue", "late_shipment_priority",
     "discount_revenue", "returned_customers", "media_frame_sample",
-    "unigram_likelihood", "daily_active_users", "fk_violations",
-    "jsonl_roundtrip", "csv_roundtrip",
-    "order_reconciliation",
+    "unigram_likelihood",
 ]
 
 
@@ -336,6 +337,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_roundtrip": formats.compact_roundtrip,
         "knn_quantized": similarity.knn_quantized,
         "cdc_upsert": relational.cdc_upsert,
+        "suppliers_kept_waiting": relational.suppliers_kept_waiting,
+        "sales_opportunity": relational.sales_opportunity,
+        "user_event_path": relational.user_event_path,
+        "lineitem_unpivot": relational.lineitem_unpivot,
+        "snm_dup_pairs": dedup.snm_dup_pairs,
     })
 
 
@@ -536,6 +542,11 @@ def oracle_sql() -> dict[str, str]:
         "late_event_audit": relational.LATE_EVENT_AUDIT_SQL,
         "compact_roundtrip": formats.COMPACT_ROUNDTRIP_SQL,
         "cdc_upsert": relational.CDC_UPSERT_SQL,
+        "suppliers_kept_waiting": relational.SUPPLIERS_KEPT_WAITING_SQL,
+        "sales_opportunity": relational.SALES_OPPORTUNITY_SQL,
+        "user_event_path": relational.USER_EVENT_PATH_SQL,
+        "lineitem_unpivot": relational.LINEITEM_UNPIVOT_SQL,
+        "snm_dup_pairs": dedup.SNM_DUP_PAIRS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

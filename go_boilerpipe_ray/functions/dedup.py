@@ -2143,3 +2143,193 @@ SELECT least(sa, sb) AS split_a,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# -- sorted-neighborhood method (SNM) candidate pairs -------------------------
+
+
+def snm_dup_pairs(sf_dir: str, w: int = 4, prefix: int = 32) -> "ray.data.Dataset":
+    """Sorted-Neighborhood Method (Hernandez & Stolfo 1995) duplicate
+    blocking: order the corpus by a cheap sort key (whitespace token
+    count, then doc_id), slide a window of `w` over the GLOBAL sorted
+    order, and emit candidate pairs whose first `prefix` characters
+    match — the classic entity-resolution alternative to hash blocking
+    (near-dups have near-equal lengths, so they land in the same
+    window even when no shingle hash collides).
+
+    Scale shape: exact global ranks WITHOUT a global sort — the sort
+    key has a bounded domain (token counts), so stage 1 builds a
+    driver-bounded histogram whose exclusive prefix sums are exact rank
+    offsets (the percent_rank machinery); stage 2 is one token-count-
+    keyed shuffle assigning ranks vectorized.  The window self-join is
+    then ONE more keyed shuffle on bucket = rank // w, each row ghosted
+    to bucket-1, so every (r, r+d<=w) pair is co-located exactly once;
+    the kernel finds partners by pure position offset (consecutive
+    ranks), never a per-row scan.  Nothing materializes beyond the
+    histogram."""
+    from ._util import partitioned_by_key, run_bounds
+    from .text import read_documents
+
+    import ray
+
+    TOKEN_RE = r"\S+"
+
+    def features(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n": pc.cast(
+                    pc.count_substring_regex(text, pattern=TOKEN_RE), pa.int64()
+                ),
+                "p": pc.utf8_slice_codeunits(text, 0, prefix),
+            }
+        )
+
+    feats = read_documents(sf_dir).map_batches(
+        features, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # stage 1: bounded histogram of the sort key -> exact rank offsets
+    def n_counts(batch: pa.Table) -> pa.Table:
+        g = batch.select(["n"]).group_by("n").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "n": g.column("n"),
+                "c": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    hist = (
+        feats.map_batches(n_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n")
+        .sum("c")
+        .to_pandas()  # bounded: token-count domain, not corpus size
+        .sort_values("n")
+    )
+    nvals = hist["n"].to_numpy(dtype=np.int64)
+    counts = hist["sum(c)"].to_numpy(dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) if len(counts) else counts
+    off_ref = ray.put((nvals, offsets))
+
+    def _doc_ids(part: pa.Table):
+        # doc_id may be integer or string; the within-key tiebreak order
+        # (and the output dtype) must follow the NATIVE type, matching
+        # the oracle's ORDER BY collation.
+        col = part.schema.field("doc_id").type
+        if pa.types.is_integer(col):
+            return (
+                part.column("doc_id")
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False),
+                pa.int64(),
+            )
+        return np.asarray(part.column("doc_id").to_pylist(), dtype=str), pa.string()
+
+    # stage 2: one keyed shuffle assigns exact global ranks + window buckets
+    def rank_kernel(part: pa.Table) -> pa.Table:
+        idt = (
+            pa.int64()
+            if pa.types.is_integer(part.schema.field("doc_id").type)
+            else pa.string()
+        )
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], idt),
+                "p": pa.array([], pa.string()),
+                "rank": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        nv, off = ray.get(off_ref)
+        doc, idt = _doc_ids(part)
+        n = part.column("n").to_numpy(zero_copy_only=False)
+        p = np.asarray(part.column("p").to_pylist(), dtype=object)
+        order = np.lexsort((doc, n))
+        doc, n, p = doc[order], n[order], p[order]
+        bounds = run_bounds(n)
+        pos = np.arange(len(n), dtype=np.int64)
+        pos -= np.repeat(bounds[:-1], np.diff(bounds))  # within-run position
+        rank = off[np.searchsorted(nv, n)] + pos
+        b = rank // w
+        ghost = b >= 1
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([doc, doc[ghost]]).tolist(), idt
+                ),
+                "p": pa.array(
+                    np.concatenate([p, p[ghost]]).tolist(), pa.string()
+                ),
+                "rank": pa.array(np.concatenate([rank, rank[ghost]]), pa.int64()),
+                "b": pa.array(np.concatenate([b, b[ghost] - 1]), pa.int64()),
+            }
+        )
+
+    ranked = partitioned_by_key(feats, "n", rank_kernel)
+
+    # stage 3: window pairs by position offset inside complete rank runs
+    def pair_kernel(part: pa.Table) -> pa.Table:
+        idt = (
+            pa.int64()
+            if pa.types.is_integer(part.schema.field("doc_id").type)
+            else pa.string()
+        )
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], idt),
+                "doc_b": pa.array([], idt),
+                "gap": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        doc, idt = _doc_ids(part)
+        p = np.asarray(part.column("p").to_pylist(), dtype=object)
+        rank = part.column("rank").to_numpy(zero_copy_only=False)
+        b = part.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((rank, b))
+        doc, p, rank, b = doc[order], p[order], rank[order], b[order]
+        out_a, out_b, gaps = [], [], []
+        for d in range(1, w + 1):
+            if len(rank) <= d:
+                break
+            i = np.arange(len(rank) - d)
+            ok = (
+                (b[i] == b[i + d])
+                & (rank[i + d] - rank[i] == d)
+                & (rank[i] // w == b[i])  # anchor only in its own bucket
+                & (p[i] == p[i + d])
+            )
+            out_a.append(doc[i][ok])
+            out_b.append(doc[i + d][ok])
+            gaps.append(np.full(int(ok.sum()), d, dtype=np.int64))
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a).tolist(), idt),
+                "doc_b": pa.array(np.concatenate(out_b).tolist(), idt),
+                "gap": pa.array(np.concatenate(gaps), pa.int64()),
+            }
+        )
+
+    return partitioned_by_key(ranked, "b", pair_kernel)
+
+
+SNM_DUP_PAIRS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS n,
+         substr(text, 1, 32) AS p,
+         row_number() OVER (
+           ORDER BY len(regexp_extract_all(text, '\S+')), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(b.rn - a.rn AS BIGINT) AS gap
+FROM t a JOIN t b ON b.rn > a.rn AND b.rn <= a.rn + 4 AND a.p = b.p
+"""

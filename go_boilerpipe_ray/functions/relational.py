@@ -8303,3 +8303,417 @@ SELECT s AS o_orderstatus,
        CAST(sum(cents) AS BIGINT) AS total_cents
 FROM merged GROUP BY 1
 """
+
+
+# -- Q21-shaped sole-late-supplier (semi + anti exists on one table) ---------
+
+
+def suppliers_kept_waiting(sf_dir: str, k: int = 20) -> pa.Table:
+    """TPC-H Q21-shaped "suppliers who kept orders waiting" (adapted: the
+    synthetic lineitem has no commit/receipt dates, so "late" is
+    order-relative — a supplier is late when its last shipment leaves
+    more than 30 days after the order's earliest shipment).  The shape
+    is the point: EXISTS (another supplier in the order) + NOT EXISTS
+    (another LATE supplier) on the same table — the classic correlated
+    semi/anti-join pair — resolved with NO self-join.
+
+    Scale shape: per-batch partial collapse to (orderkey, suppkey,
+    min/max ship) rows, then ONE orderkey-keyed shuffle whose partition
+    kernel answers both existential tests for every order at once with
+    reduceat sweeps over run boundaries; the supplier rollup rides the
+    bounded supplier dimension (broadcast names + select_k merge), so
+    nothing after the one shuffle scales with lineitem."""
+    import pyarrow.parquet as pq
+
+    from ._util import partitioned_by_key, run_bounds
+
+    LATE_US = 30 * 86400 * 1_000_000  # 30 days, in timestamp[us] units
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # ns-vs-us rule: always normalise to timestamp[us] BEFORE int64.
+        ship = pc.cast(
+            pc.cast(batch.column("l_shipdate"), pa.timestamp("us")), pa.int64()
+        )
+        t = pa.table(
+            {
+                "k": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "s": pc.cast(batch.column("l_suppkey"), pa.int64()),
+                "ship": ship,
+            }
+        ).group_by(["k", "s"]).aggregate([("ship", "min"), ("ship", "max")])
+        return t.rename_columns(["k", "s", "mn", "mx"])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        empty = pa.table({"s_suppkey": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        kk = part.column("k").to_numpy(zero_copy_only=False)
+        ss = part.column("s").to_numpy(zero_copy_only=False)
+        mn = part.column("mn").to_numpy(zero_copy_only=False)
+        mx = part.column("mx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ss, kk))
+        kk, ss, mn, mx = kk[order], ss[order], mn[order], mx[order]
+        # merge cross-batch partials to unique (order, supplier) rows
+        new = np.r_[True, (kk[1:] != kk[:-1]) | (ss[1:] != ss[:-1])]
+        starts = np.flatnonzero(new)
+        umn = np.minimum.reduceat(mn, starts)
+        umx = np.maximum.reduceat(mx, starts)
+        uk, us = kk[starts], ss[starts]
+        # per-order sweep: both EXISTS tests in one pass
+        b = run_bounds(uk)
+        ostarts, nsupp = b[:-1], np.diff(b)
+        omn = np.minimum.reduceat(umn, ostarts)
+        late = umx > np.repeat(omn, nsupp) + LATE_US
+        nlate = np.add.reduceat(late.astype(np.int64), ostarts)
+        credit = late & np.repeat((nsupp >= 2) & (nlate == 1), nsupp)
+        return pa.table({"s_suppkey": pa.array(us[credit], pa.int64())})
+
+    credited = partitioned_by_key(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "k",
+        kernel,
+    )
+
+    counts = credited.groupby("s_suppkey").count()
+
+    # bounded supplier dim: broadcast names once, select_k per block
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    names_ref = ray.put(
+        (sup.column("s_suppkey").combine_chunks(), sup.column("s_name").combine_chunks())
+    )
+
+    def add_name_topk(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(names_ref)
+        idx = pc.index_in(batch.column("s_suppkey"), value_set=keys)
+        batch = pa.table(
+            {
+                "s_name": pc.fill_null(pc.take(names, idx), ""),
+                "numwait": pc.cast(batch.column("count()"), pa.int64()),
+            }
+        )
+        sel = pc.select_k_unstable(
+            batch,
+            k=min(k, batch.num_rows),
+            sort_keys=[("numwait", "descending"), ("s_name", "ascending")],
+        )
+        return batch.take(sel)
+
+    from ._util import ensure_columns
+
+    agg = ensure_columns(
+        counts.map_batches(
+            add_name_topk, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas(),  # bounded: blocks x k candidate rows
+        ["s_name", "numwait"],
+    )
+    agg = agg.sort_values(
+        ["numwait", "s_name"], ascending=[False, True]
+    ).head(k)
+    return pa.table(
+        {
+            "s_name": pa.array(agg["s_name"], pa.string()),
+            "numwait": pa.array(agg["numwait"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+SUPPLIERS_KEPT_WAITING_SQL = """
+WITH per_supp AS (
+  SELECT l_orderkey AS k, l_suppkey AS s,
+         min(l_shipdate) AS mn, max(l_shipdate) AS mx
+  FROM lineitem GROUP BY 1, 2
+),
+flagged AS (
+  SELECT k, s,
+         CASE WHEN mx > min(mn) OVER (PARTITION BY k) + INTERVAL 30 DAY
+              THEN 1 ELSE 0 END AS late,
+         count(*) OVER (PARTITION BY k) AS nsupp
+  FROM per_supp
+),
+cred AS (
+  SELECT k, s FROM (
+    SELECT k, s, late, nsupp,
+           sum(late) OVER (PARTITION BY k) AS nlate
+    FROM flagged
+  ) WHERE nsupp >= 2 AND late = 1 AND nlate = 1
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM cred JOIN supplier ON s = s_suppkey
+GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 20
+"""
+
+
+# -- Q22-shaped anti-join + broadcast scalar subquery ------------------------
+
+
+def sales_opportunity(sf_dir: str) -> pa.Table:
+    """TPC-H Q22-shaped "global sales opportunity": customers whose
+    account balance beats the average positive balance AND who never
+    placed an URGENT-priority order, rolled up per nation (the synthetic
+    orders table covers every customer, so the anti-join side is the
+    selective urgent subset — same shape, non-vacuous result).  Two
+    reference idioms in one query: a scalar aggregate subquery (the
+    average) and a NOT EXISTS anti-join against a fact table.
+
+    Scale shape: the average arrives as two driver scalars from a
+    partial-sum pass (never a row set); the predicate is evaluated in
+    exact integer math (cents * n > total_cents — no float-boundary
+    divergence vs the oracle); the anti-join broadcasts the DISTINCT
+    order custkeys once (bounded by the customer dimension) and filters
+    customer batches locally — no shuffle of either table.  The nation
+    rollup is bounded (25 rows)."""
+    import pyarrow.parquet as pq
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    # -- scalar subquery: sum/count of positive balances (integer cents)
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        cents = money_cents(
+            batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        )
+        pos = cents[cents > 0]
+        return pa.table(
+            {
+                "total": pa.array([int(pos.sum())], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    parts = cust.map_batches(
+        bal_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # bounded: one row per block
+    total_cents = sum(r["total"] for r in parts)
+    n_pos = sum(r["n"] for r in parts)
+
+    # -- anti-join side: distinct URGENT-order custkeys, broadcast once
+    def urgent_keys(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("o_orderpriority"), "1-URGENT")
+        return batch.filter(keep).select(["o_custkey"])
+
+    buyers = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(urgent_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .count()
+        .select_columns(["o_custkey"])
+        .take_all()
+    )  # bounded: distinct buyers <= customer dim
+    buyers_ref = ray.put(
+        np.sort(np.array([r["o_custkey"] for r in buyers], np.int64))
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        act = ray.get(buyers_ref)
+        cents = money_cents(
+            batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        )
+        keys = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        rich = cents * n_pos > total_cents
+        if len(act):
+            pos = np.clip(np.searchsorted(act, keys), 0, len(act) - 1)
+            rich &= act[pos] != keys
+        keep = batch.filter(pa.array(rich))
+        return pa.table(
+            {
+                "c_nationkey": pc.cast(keep.column("c_nationkey"), pa.int64()),
+                "cents": pa.array(
+                    money_cents(
+                        keep.column("c_acctbal").to_numpy(zero_copy_only=False)
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    rolled = (
+        cust.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_nationkey")
+        .aggregate(
+            ray.data.aggregate.Count(alias_name="numcust"),
+            ray.data.aggregate.Sum("cents", alias_name="totacctbal_cents"),
+        )
+    )
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+    from ._util import ensure_columns
+
+    agg = ensure_columns(
+        rolled.to_pandas(),  # bounded: one row per nation
+        ["c_nationkey", "numcust", "totacctbal_cents"],
+    )
+    agg["n_name"] = agg["c_nationkey"].map(nmap)
+    agg = agg.sort_values("n_name")
+    return pa.table(
+        {
+            "n_name": pa.array(agg["n_name"], pa.string()),
+            "numcust": pa.array(agg["numcust"].astype("int64"), pa.int64()),
+            "totacctbal_cents": pa.array(
+                agg["totacctbal_cents"].astype("int64"), pa.int64()
+            ),
+        }
+    )
+
+
+SALES_OPPORTUNITY_SQL = """
+WITH avgbal AS (
+  SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS total_cents,
+         count(*) AS n
+  FROM customer WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) > 0
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS totacctbal_cents
+FROM customer
+CROSS JOIN avgbal
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * n > total_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# -- ordered string aggregation (event path per user) ------------------------
+
+
+def user_event_path(sf_dir: str, cap: int = 20) -> "ray.data.Dataset":
+    """Ordered string aggregation — string_agg(event_type ORDER BY ts)
+    capped at the first `cap` events per user: the session-path feature
+    LLM behavioural pipelines feed to tokenizers.
+
+    Scale shape: ONE user-keyed shuffle via partitioned_by_key; the
+    kernel lexsorts (user, ts, event_id), finds user runs, truncates
+    each run to `cap` with pure index arithmetic, and joins the path
+    strings per run (the join itself is per-user by nature — strings
+    have no reduceat — but it touches at most `cap` short tokens per
+    user and runs inside the bounded-P partition kernel, never as a
+    per-group UDF)."""
+    from ._util import partitioned_by_key, run_bounds
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "path": pa.array([], pa.string()),
+                "n_events": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        u = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(
+            pc.cast(part.column("ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(part.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        b = run_bounds(u)
+        users, paths, counts = [], [], []
+        for i in range(len(b) - 1):
+            lo = b[i]
+            hi = min(b[i + 1], lo + cap)
+            users.append(int(u[lo]))
+            paths.append(">".join(et[lo:hi]))
+            counts.append(int(hi - lo))
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "path": pa.array(paths, pa.string()),
+                "n_events": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return partitioned_by_key(ds, "user_id", kernel)
+
+
+USER_EVENT_PATH_SQL = """
+WITH e AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY rn) AS path,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM e WHERE rn <= 20 GROUP BY 1
+"""
+
+
+# -- unpivot / melt -----------------------------------------------------------
+
+
+def lineitem_unpivot(sf_dir: str) -> "ray.data.Dataset":
+    """Wide-to-long UNPIVOT: melt lineitem's four numeric measures into
+    (orderkey, linenumber, measure, value_x100) rows — the reshape every
+    feature-store export needs.  Deterministically subset to orderkey %
+    97 == 0 so the full melted output stays verifiable row-for-row.
+
+    Scale shape: embarrassingly parallel — the melt is a per-batch
+    vertical stack of four column slices (zero-copy takes + a constant
+    measure label), no shuffle at all; output rows = 4x the filtered
+    input and stream straight to the consumer."""
+    MEASURES = ["discount", "extendedprice", "quantity", "tax"]
+
+    def melt(batch: pa.Table) -> pa.Table:
+        key = pc.cast(batch.column("l_orderkey"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sub = batch.filter(pa.array(key % 97 == 0))
+        k = pc.cast(sub.column("l_orderkey"), pa.int64())
+        ln = pc.cast(sub.column("l_linenumber"), pa.int64())
+        parts = []
+        for m in MEASURES:
+            cents = money_cents(
+                sub.column(f"l_{m}").to_numpy(zero_copy_only=False)
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "l_orderkey": k,
+                        "l_linenumber": ln,
+                        "measure": pa.array([m] * sub.num_rows, pa.string()),
+                        "value_x100": pa.array(cents, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax"],
+    ).map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+LINEITEM_UNPIVOT_SQL = """
+WITH sub AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         l_quantity, l_extendedprice, l_discount, l_tax
+  FROM lineitem WHERE l_orderkey % 97 = 0
+)
+SELECT l_orderkey, l_linenumber, 'discount' AS measure,
+       CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS value_x100 FROM sub
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice',
+       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) FROM sub
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'quantity',
+       CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) FROM sub
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax',
+       CAST(floor(l_tax * 100 + 0.5) AS BIGINT) FROM sub
+"""

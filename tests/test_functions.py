@@ -3880,6 +3880,9 @@ def test_partitioned_by_key_invariant_to_partition_count(monkeypatch):
             "sliding_distinct_users": relational.sliding_distinct_users,
             "late_event_audit": relational.late_event_audit,
             "cdc_upsert": relational.cdc_upsert,
+            "suppliers_kept_waiting": relational.suppliers_kept_waiting,
+            "user_event_path": relational.user_event_path,
+            "snm_dup_pairs": dedup.snm_dup_pairs,
         }
     )
 
@@ -4864,3 +4867,119 @@ def test_legacy_ops_survive_empty_inputs(tmp_path):
         except Exception as exc:
             raise AssertionError(f"{name} raised on empty input: {exc!r}")
         assert n >= 0, name
+
+
+def test_suppliers_kept_waiting_brute_force():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import suppliers_kept_waiting
+
+    got = suppliers_kept_waiting(SF).to_pandas()
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+    sup = pd.read_parquet(
+        f"{SF}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).set_index("s_suppkey")["s_name"]
+    per = li.groupby(["l_orderkey", "l_suppkey"])["l_shipdate"].agg(["min", "max"])
+    counts: dict[str, int] = {}
+    for k, sub in per.groupby(level=0):
+        if len(sub) < 2:
+            continue
+        late = sub["max"] > sub["min"].min() + pd.Timedelta(days=30)
+        if late.sum() == 1:
+            s = sub.index[late.to_numpy()][0][1]
+            counts[sup[s]] = counts.get(sup[s], 0) + 1
+    want = sorted(counts.items(), key=lambda x: (-x[1], x[0]))[:20]
+    assert list(zip(got["s_name"], got["numwait"])) == want
+    assert len(want) > 0
+
+
+def test_sales_opportunity_brute_force():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions._util import money_cents
+    from go_boilerpipe_ray.functions.relational import sales_opportunity
+
+    got = sales_opportunity(SF).to_pandas()
+    cu = pd.read_parquet(f"{SF}/customer.parquet")
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    na = pd.read_parquet(f"{SF}/nation.parquet").set_index("n_nationkey")["n_name"]
+    cu["cents"] = money_cents(cu["c_acctbal"].to_numpy())
+    pos = cu[cu["cents"] > 0]
+    total, n = pos["cents"].sum(), len(pos)
+    urgent = set(od.loc[od["o_orderpriority"] == "1-URGENT", "o_custkey"])
+    pick = cu[(cu["cents"] * n > total) & ~cu["c_custkey"].isin(urgent)].copy()
+    pick["n_name"] = pick["c_nationkey"].map(na)
+    want = (
+        pick.groupby("n_name")
+        .agg(numcust=("c_custkey", "size"), totacctbal_cents=("cents", "sum"))
+        .sort_index()
+    )
+    assert len(got) == len(want) and len(want) > 0
+    assert list(got["n_name"]) == list(want.index)
+    assert list(got["numcust"]) == list(want["numcust"])
+    assert list(got["totacctbal_cents"]) == list(want["totacctbal_cents"])
+
+
+def test_user_event_path_brute_force():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import user_event_path
+
+    got = user_event_path(SF).to_pandas().set_index("user_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(["ts", "event_id"])
+    for uid, sub in ev.groupby("user_id"):
+        head = sub.head(20)
+        assert got.loc[uid, "path"] == ">".join(head["event_type"])
+        assert got.loc[uid, "n_events"] == len(head)
+    assert len(got) == ev["user_id"].nunique()
+
+
+def test_lineitem_unpivot_brute_force():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions._util import money_cents
+    from go_boilerpipe_ray.functions.relational import lineitem_unpivot
+
+    got = (
+        lineitem_unpivot(SF)
+        .to_pandas()
+        .sort_values(["l_orderkey", "l_linenumber", "measure"])
+        .reset_index(drop=True)
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    sub = li[li["l_orderkey"] % 97 == 0]
+    assert len(got) == 4 * len(sub)
+    melted = sub.melt(
+        id_vars=["l_orderkey", "l_linenumber"],
+        value_vars=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    melted["measure"] = melted["variable"].str[2:]
+    melted["value_x100"] = money_cents(melted["value"].to_numpy())
+    melted = melted.sort_values(
+        ["l_orderkey", "l_linenumber", "measure"]
+    ).reset_index(drop=True)
+    assert list(got["value_x100"]) == list(melted["value_x100"])
+    assert list(got["measure"]) == list(melted["measure"])
+
+
+def test_snm_dup_pairs_brute_force():
+    import re
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.dedup import snm_dup_pairs
+
+    got = snm_dup_pairs(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs["n"] = docs["text"].map(lambda t: len(re.findall(r"\S+", t)))
+    docs["p"] = docs["text"].str[:32]
+    docs = docs.sort_values(["n", "doc_id"]).reset_index(drop=True)
+    want = set()
+    for i in range(len(docs)):
+        for d in range(1, 5):
+            if i + d < len(docs) and docs["p"][i] == docs["p"][i + d]:
+                want.add((docs["doc_id"][i], docs["doc_id"][i + d], d))
+    assert set(zip(got["doc_a"], got["doc_b"], got["gap"])) == want
+    assert len(got) == len(want) and len(want) > 0
