@@ -102,15 +102,15 @@ _R5_WINDOW = [
     "knn_quantized", "cdc_upsert",
     # round-4 session-6 additions
     "suppliers_kept_waiting", "sales_opportunity", "user_event_path",
-    "lineitem_unpivot", "snm_dup_pairs",
+    "lineitem_unpivot", "snm_dup_pairs", "moving_median_3",
+    "skew_profile", "join_size_by_key",
     # oldest never-checked
     "shipping_priority", "returned_order_priority", "docs_rollup",
     "table_profile", "revenue_by_brand", "supplier_region_stats",
     "lang_confusion", "zorder_keys", "heavy_hitters_by_source",
     "approx_percentiles", "session_stats", "kmeans_train",
-    "value_outliers", "promo_revenue", "late_shipment_priority",
-    "discount_revenue", "returned_customers", "media_frame_sample",
-    "unigram_likelihood",
+    "value_outliers", "late_shipment_priority",
+    "media_frame_sample", "unigram_likelihood",
 ]
 
 
@@ -342,6 +342,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_path": relational.user_event_path,
         "lineitem_unpivot": relational.lineitem_unpivot,
         "snm_dup_pairs": dedup.snm_dup_pairs,
+        "moving_median_3": relational.moving_median_3,
+        "skew_profile": relational.skew_profile,
+        "join_size_by_key": relational.join_size_by_key,
     })
 
 
@@ -547,6 +550,9 @@ def oracle_sql() -> dict[str, str]:
         "user_event_path": relational.USER_EVENT_PATH_SQL,
         "lineitem_unpivot": relational.LINEITEM_UNPIVOT_SQL,
         "snm_dup_pairs": dedup.SNM_DUP_PAIRS_SQL,
+        "moving_median_3": relational.MOVING_MEDIAN_3_SQL,
+        "skew_profile": relational.SKEW_PROFILE_SQL,
+        "join_size_by_key": relational.JOIN_SIZE_BY_KEY_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

@@ -8717,3 +8717,243 @@ UNION ALL
 SELECT l_orderkey, l_linenumber, 'tax',
        CAST(floor(l_tax * 100 + 0.5) AS BIGINT) FROM sub
 """
+
+
+# -- centered rolling median (order-statistic window) -------------------------
+
+
+def moving_median_3(sf_dir: str) -> "ray.data.Dataset":
+    """Centered 3-event rolling MEDIAN of each user's event values — the
+    order-statistic window that mean-based moving_sum can't express
+    (medians need a rank pick, not a running sum).  Endpoints of each
+    user's sequence are excluded (no complete window).
+
+    Scale shape: ONE user-keyed shuffle; the kernel lexsorts (user, ts,
+    event_id) and computes median-of-3 closed-form (a+b+c-min-max) over
+    three shifted slices — pure numpy, no per-window loop, and exact in
+    integer cents (the median of three ints IS one of them)."""
+    from ._util import partitioned_by_key
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "med_cents": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows < 3:
+            return empty
+        u = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(
+            pc.cast(part.column("ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        cents = money_cents(part.column("value").to_numpy(zero_copy_only=False))
+        order = np.lexsort((eid, ts, u))
+        u, eid, cents = u[order], eid[order], cents[order]
+        # complete centered window: neighbours exist and share the user
+        mid = np.arange(1, len(u) - 1)
+        ok = (u[mid - 1] == u[mid]) & (u[mid] == u[mid + 1])
+        mid = mid[ok]
+        a, b, c = cents[mid - 1], cents[mid], cents[mid + 1]
+        med = a + b + c - np.maximum(np.maximum(a, b), c) - np.minimum(
+            np.minimum(a, b), c
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(eid[mid], pa.int64()),
+                "user_id": pa.array(u[mid], pa.int64()),
+                "med_cents": pa.array(med, pa.int64()),
+            }
+        )
+
+    return partitioned_by_key(ds, "user_id", kernel)
+
+
+MOVING_MEDIAN_3_SQL = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         median(CAST(floor(value * 100 + 0.5) AS BIGINT))
+           OVER (w ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS med
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, CAST(med AS BIGINT) AS med_cents
+FROM e WHERE rn > 1 AND rn < n
+"""
+
+
+# -- key-skew diagnostic ------------------------------------------------------
+
+
+def skew_profile(sf_dir: str, topn: int = 10) -> pa.Table:
+    """Shuffle-key skew diagnostic: how concentrated is events.user_id?
+    Reports total rows, distinct keys, the hottest key's count, and the
+    top-10 keys' share of all rows (permille) — the number that decides
+    whether a keyed shuffle needs salting.  This is engine
+    introspection-as-an-operator: run it BEFORE a groupby at 100 TB.
+
+    Scale shape: per-batch partial counts collapse the fact table to
+    (key, count) rows (one bounded keyed shuffle); totals come from a
+    distributed aggregate over that rollup and the top-N from per-block
+    select_k — the driver only ever sees blocks x N candidate rows,
+    never the key set."""
+    counts = (
+        _read(sf_dir, "events", ["user_id"])
+        .groupby("user_id")
+        .count()
+    )
+
+    totals = counts.aggregate(
+        ray.data.aggregate.Sum("count()", alias_name="total_rows"),
+        ray.data.aggregate.Count(alias_name="distinct_keys"),
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch,
+            k=min(topn, batch.num_rows),
+            sort_keys=[("count()", "descending"), ("user_id", "ascending")],
+        )
+        return batch.take(idx)
+
+    from ._util import ensure_columns
+
+    cand = ensure_columns(
+        counts.map_batches(
+            local_topk, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas(),  # bounded: blocks x topn candidates
+        ["user_id", "count()"],
+    ).sort_values(["count()", "user_id"], ascending=[False, True]).head(topn)
+
+    total = int(totals["total_rows"])
+    nkeys = int(totals["distinct_keys"])
+    top = cand["count()"].to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "total_rows": pa.array([total], pa.int64()),
+            "distinct_keys": pa.array([nkeys], pa.int64()),
+            "max_key_count": pa.array([int(top[0]) if len(top) else 0], pa.int64()),
+            "top10_permille": pa.array(
+                [int(top.sum()) * 1000 // max(total, 1)], pa.int64()
+            ),
+        }
+    )
+
+
+SKEW_PROFILE_SQL = """
+WITH c AS (
+  SELECT user_id, count(*) AS c FROM events GROUP BY 1
+),
+top AS (
+  SELECT c FROM c ORDER BY c DESC, user_id ASC LIMIT 10
+)
+SELECT (SELECT CAST(sum(c) AS BIGINT) FROM c) AS total_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS distinct_keys,
+       (SELECT CAST(max(c) AS BIGINT) FROM c) AS max_key_count,
+       CAST((SELECT sum(c) FROM top) * 1000
+            // greatest((SELECT sum(c) FROM c), 1) AS BIGINT)
+         AS top10_permille
+"""
+
+
+# -- join cardinality without executing the join ------------------------------
+
+
+def join_size_by_key(sf_dir: str) -> pa.Table:
+    """EXACT output cardinality of orders ⋈ events (custkey = user_id)
+    computed WITHOUT materializing a single joined row: |A ⋈ B| =
+    Σ_k cnt_A(k) · cnt_B(k).  The planner primitive behind
+    auto_equi_join's broadcast-vs-shuffle pick, exposed as a
+    first-class operator — at 100 TB you run this before committing to
+    a join whose output might be 100× its inputs.
+
+    Scale shape: each side collapses to (key, count) partials (two
+    bounded keyed rollups); the union is resolved in ONE key-keyed
+    shuffle whose kernel multiplies per-key pairs via run boundaries;
+    the final sum/count/max is a scalar aggregate — no join rows ever
+    exist."""
+    from ._util import partitioned_by_key, run_bounds
+
+    def count_side(table: str, key: str, side: int):
+        def partial(batch: pa.Table) -> pa.Table:
+            g = batch.select([key]).group_by(key).aggregate([([], "count_all")])
+            return pa.table(
+                {
+                    "k": pc.cast(g.column(key), pa.int64()),
+                    "c": pc.cast(g.column("count_all"), pa.int64()),
+                    "side": pa.array([side] * g.num_rows, pa.int8()),
+                }
+            )
+
+        return _read(sf_dir, table, [key]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    both = count_side("orders", "o_custkey", 0).union(
+        count_side("events", "user_id", 1)
+    )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "contrib": pa.array([], pa.int64()),
+                "n_keys": pa.array([], pa.int64()),
+                "max_contrib": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        k = part.column("k").to_numpy(zero_copy_only=False)
+        c = part.column("c").to_numpy(zero_copy_only=False)
+        s = part.column("side").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((s, k))
+        k, c, s = k[order], c[order], s[order]
+        b = run_bounds(k)
+        starts = b[:-1]
+        # per-key per-side totals (batch partials may repeat a side)
+        ca = np.add.reduceat(np.where(s == 0, c, 0), starts)
+        cb = np.add.reduceat(np.where(s == 1, c, 0), starts)
+        contrib = ca * cb
+        contrib = contrib[contrib > 0]  # keys present on both sides
+        if len(contrib) == 0:
+            return empty
+        return pa.table(
+            {
+                "contrib": pa.array([int(contrib.sum())], pa.int64()),
+                "n_keys": pa.array([len(contrib)], pa.int64()),
+                "max_contrib": pa.array([int(contrib.max())], pa.int64()),
+            }
+        )
+
+    parts = partitioned_by_key(both, "k", kernel).take_all()  # bounded: P rows
+    return pa.table(
+        {
+            "join_rows": pa.array(
+                [sum(r["contrib"] for r in parts)], pa.int64()
+            ),
+            "matching_keys": pa.array(
+                [sum(r["n_keys"] for r in parts)], pa.int64()
+            ),
+            "max_key_contribution": pa.array(
+                [max((r["max_contrib"] for r in parts), default=0)], pa.int64()
+            ),
+        }
+    )
+
+
+JOIN_SIZE_BY_KEY_SQL = """
+WITH a AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+b AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+j AS (SELECT a.k, a.c * b.c AS contrib FROM a JOIN b ON a.k = b.k)
+SELECT CAST(sum(contrib) AS BIGINT) AS join_rows,
+       CAST(count(*) AS BIGINT) AS matching_keys,
+       CAST(max(contrib) AS BIGINT) AS max_key_contribution
+FROM j
+"""

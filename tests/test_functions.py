@@ -3883,6 +3883,8 @@ def test_partitioned_by_key_invariant_to_partition_count(monkeypatch):
             "suppliers_kept_waiting": relational.suppliers_kept_waiting,
             "user_event_path": relational.user_event_path,
             "snm_dup_pairs": dedup.snm_dup_pairs,
+            "moving_median_3": relational.moving_median_3,
+            "join_size_by_key": relational.join_size_by_key,
         }
     )
 
@@ -4983,3 +4985,55 @@ def test_snm_dup_pairs_brute_force():
                 want.add((docs["doc_id"][i], docs["doc_id"][i + d], d))
     assert set(zip(got["doc_a"], got["doc_b"], got["gap"])) == want
     assert len(got) == len(want) and len(want) > 0
+
+
+def test_moving_median_3_brute_force():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions._util import money_cents
+    from go_boilerpipe_ray.functions.relational import moving_median_3
+
+    got = moving_median_3(SF).to_pandas().set_index("event_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(["ts", "event_id"])
+    ev["cents"] = money_cents(ev["value"].to_numpy())
+    n_expected = 0
+    for _, sub in ev.groupby("user_id"):
+        c = sub["cents"].to_numpy()
+        e = sub["event_id"].to_numpy()
+        for i in range(1, len(c) - 1):
+            assert got.loc[e[i], "med_cents"] == sorted(c[i - 1 : i + 2])[1]
+            n_expected += 1
+    assert len(got) == n_expected and n_expected > 0
+
+
+def test_skew_profile_brute_force():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import skew_profile
+
+    got = skew_profile(SF).to_pandas().iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    c = ev["user_id"].value_counts()
+    assert got["total_rows"] == len(ev)
+    assert got["distinct_keys"] == len(c)
+    assert got["max_key_count"] == c.max()
+    assert got["top10_permille"] == c.nlargest(10).sum() * 1000 // len(ev)
+
+
+def test_join_size_by_key_brute_force():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import join_size_by_key
+
+    got = join_size_by_key(SF).to_pandas().iloc[0]
+    od = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey"])
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    a = od["o_custkey"].value_counts()
+    b = ev["user_id"].value_counts()
+    contrib = (a * b).dropna().astype("int64")
+    contrib = contrib[contrib > 0]
+    # ground truth: the join actually executed
+    actual = len(od.merge(ev, left_on="o_custkey", right_on="user_id"))
+    assert got["join_rows"] == contrib.sum() == actual
+    assert got["matching_keys"] == len(contrib)
+    assert got["max_key_contribution"] == contrib.max()
