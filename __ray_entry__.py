@@ -103,14 +103,14 @@ _R5_WINDOW = [
     # round-4 session-6 additions
     "suppliers_kept_waiting", "sales_opportunity", "user_event_path",
     "lineitem_unpivot", "snm_dup_pairs", "moving_median_3",
-    "skew_profile", "join_size_by_key",
+    "skew_profile", "join_size_by_key", "local_supplier_volume",
     # oldest never-checked
     "shipping_priority", "returned_order_priority", "docs_rollup",
     "table_profile", "revenue_by_brand", "supplier_region_stats",
     "lang_confusion", "zorder_keys", "heavy_hitters_by_source",
     "approx_percentiles", "session_stats", "kmeans_train",
     "value_outliers", "late_shipment_priority",
-    "media_frame_sample", "unigram_likelihood",
+    "media_frame_sample",
 ]
 
 
@@ -345,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_median_3": relational.moving_median_3,
         "skew_profile": relational.skew_profile,
         "join_size_by_key": relational.join_size_by_key,
+        "local_supplier_volume": relational.local_supplier_volume,
     })
 
 
@@ -553,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
         "moving_median_3": relational.MOVING_MEDIAN_3_SQL,
         "skew_profile": relational.SKEW_PROFILE_SQL,
         "join_size_by_key": relational.JOIN_SIZE_BY_KEY_SQL,
+        "local_supplier_volume": relational.LOCAL_SUPPLIER_VOLUME_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

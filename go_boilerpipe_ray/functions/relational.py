@@ -8957,3 +8957,160 @@ SELECT CAST(sum(contrib) AS BIGINT) AS join_rows,
        CAST(max(contrib) AS BIGINT) AS max_key_contribution
 FROM j
 """
+
+
+# -- TPC-H Q5: local supplier volume ------------------------------------------
+
+
+def local_supplier_volume(sf_dir: str) -> pa.Table:
+    """TPC-H Q5 "local supplier volume": revenue from lineitems whose
+    SUPPLIER and CUSTOMER share a nation, restricted to the ASIA region
+    and a 3-year order window — the 6-table star join with a cross-dim
+    equality (c_nationkey = s_nationkey) that a naive planner turns
+    into three shuffles.
+
+    Plan by side size: supplier→nation and customer→nation are
+    broadcast dims resolved with vectorized index_in probes; lineitem
+    pre-combines to (orderkey, supp_nation, partial cents) inside each
+    batch; the ONLY shuffle is the fact-fact repartition join with the
+    date-filtered orders slice (which also prunes the fan-out before it
+    moves); the same-nation test is a vectorized equality after the
+    customer probe, and the nation rollup is bounded at 25 rows."""
+    import pyarrow.parquet as pq
+
+    LO = np.datetime64("1996-01-01", "us").astype("int64")
+    HI = np.datetime64("1999-01-01", "us").astype("int64")
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sup_ref = ray.put(
+        (
+            sup.column("s_suppkey").combine_chunks(),
+            pc.cast(sup.column("s_nationkey"), pa.int64()).combine_chunks(),
+        )
+    )
+
+    def fact_partial(batch: pa.Table) -> pa.Table:
+        keys, nk = ray.get(sup_ref)
+        idx = pc.index_in(batch.column("l_suppkey"), value_set=keys)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "s_nationkey": pc.take(nk, idx),
+                "cents": pa.array(money_cents(price * (1 - disc)), pa.int64()),
+            }
+        )
+        g = t.group_by(["l_orderkey", "s_nationkey"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["l_orderkey", "s_nationkey", "cents"])
+
+    fact = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(fact_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def order_window(batch: pa.Table) -> pa.Table:
+        od = pc.cast(
+            pc.cast(batch.column("o_orderdate"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        keep = (od >= LO) & (od < HI)
+        sub = batch.filter(pa.array(keep))
+        return sub.select(["o_orderkey", "o_custkey"])
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_window, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = repartition_join(
+        fact,
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        [("s_nationkey", pa.int64()), ("cents", pa.int64())],
+        [("o_custkey", pa.int64())],
+        how="inner",
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    asia = pc.cast(
+        region.filter(pc.equal(region.column("r_name"), "ASIA")).column(
+            "r_regionkey"
+        ),
+        pa.int64(),
+    ).to_pylist()
+    nat_keys = pc.cast(nation.column("n_nationkey"), pa.int64()).combine_chunks()
+    nat_in_asia = pc.is_in(
+        pc.cast(nation.column("n_regionkey"), pa.int64()),
+        value_set=pa.array(asia, pa.int64()),
+    )
+    dim_ref = ray.put(
+        (
+            cust.column("c_custkey").combine_chunks(),
+            pc.cast(cust.column("c_nationkey"), pa.int64()).combine_chunks(),
+            nat_keys,
+            nation.column("n_name").combine_chunks(),
+            nat_in_asia.combine_chunks()
+            if isinstance(nat_in_asia, pa.ChunkedArray)
+            else nat_in_asia,
+        )
+    )
+
+    def same_nation_rollup(batch: pa.Table) -> pa.Table:
+        ckeys, cnk, nkeys, nnames, in_asia = ray.get(dim_ref)
+        cidx = pc.index_in(batch.column("o_custkey"), value_set=ckeys)
+        cust_nation = pc.take(cnk, cidx)
+        same = pc.equal(cust_nation, batch.column("s_nationkey"))
+        nidx = pc.index_in(batch.column("s_nationkey"), value_set=nkeys)
+        keep = pc.and_kleene(same, pc.take(in_asia, nidx))
+        sub = pa.table(
+            {
+                "n_name": pc.take(nnames, nidx),
+                "cents": batch.column("cents"),
+            }
+        ).filter(pc.fill_null(keep, False))
+        g = sub.group_by("n_name").aggregate([("cents", "sum")])
+        return g.rename_columns(["n_name", "p_rev"])
+
+    out = (
+        joined.map_batches(
+            same_nation_rollup, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("n_name")
+        .aggregate(ray.data.aggregate.Sum("p_rev", alias_name="revenue_cents"))
+        .to_pandas()  # bounded: <= 25 nations
+        .sort_values("n_name")
+    )
+    return pa.table(
+        {
+            "n_name": pa.array(out["n_name"], pa.string()),
+            "revenue_cents": pa.array(
+                out["revenue_cents"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1999-01-01'
+GROUP BY 1 ORDER BY 1
+"""

@@ -5037,3 +5037,40 @@ def test_join_size_by_key_brute_force():
     assert got["join_rows"] == contrib.sum() == actual
     assert got["matching_keys"] == len(contrib)
     assert got["max_key_contribution"] == contrib.max()
+
+
+def test_local_supplier_volume_matches_pandas():
+    # sf0.01 has multi-nation matches (sf0.001 yields a single row).
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions._util import money_cents
+    from go_boilerpipe_ray.functions.relational import local_supplier_volume
+
+    sf = "/root/testdata/sf0.01"
+    got = local_supplier_volume(sf).to_pandas()
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    od = pd.read_parquet(f"{sf}/orders.parquet")
+    cu = pd.read_parquet(f"{sf}/customer.parquet")
+    su = pd.read_parquet(f"{sf}/supplier.parquet")
+    na = pd.read_parquet(f"{sf}/nation.parquet")
+    re_ = pd.read_parquet(f"{sf}/region.parquet")
+    od = od[
+        (od["o_orderdate"] >= "1996-01-01") & (od["o_orderdate"] < "1999-01-01")
+    ]
+    j = (
+        li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cu, left_on="o_custkey", right_on="c_custkey")
+        .merge(su, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    j = j[j["c_nationkey"] == j["s_nationkey"]]
+    j = j.merge(na, left_on="s_nationkey", right_on="n_nationkey").merge(
+        re_, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    j = j[j["r_name"] == "ASIA"]
+    j["cents"] = money_cents(
+        (j["l_extendedprice"] * (1 - j["l_discount"])).to_numpy()
+    )
+    want = j.groupby("n_name")["cents"].sum().sort_index()
+    assert len(got) == len(want) and len(want) > 1
+    assert list(got["n_name"]) == list(want.index)
+    assert list(got["revenue_cents"]) == list(want)
