@@ -104,12 +104,12 @@ _R5_WINDOW = [
     "suppliers_kept_waiting", "sales_opportunity", "user_event_path",
     "lineitem_unpivot", "snm_dup_pairs", "moving_median_3",
     "skew_profile", "join_size_by_key", "local_supplier_volume",
+    "interval_coverage", "supplier_hhi",
     # oldest never-checked
     "shipping_priority", "returned_order_priority", "docs_rollup",
     "table_profile", "revenue_by_brand", "supplier_region_stats",
     "lang_confusion", "zorder_keys", "heavy_hitters_by_source",
     "approx_percentiles", "session_stats", "kmeans_train",
-    "value_outliers", "late_shipment_priority",
     "media_frame_sample",
 ]
 
@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_profile": relational.skew_profile,
         "join_size_by_key": relational.join_size_by_key,
         "local_supplier_volume": relational.local_supplier_volume,
+        "interval_coverage": relational.interval_coverage,
+        "supplier_hhi": relational.supplier_hhi,
     })
 
 
@@ -555,6 +557,8 @@ def oracle_sql() -> dict[str, str]:
         "skew_profile": relational.SKEW_PROFILE_SQL,
         "join_size_by_key": relational.JOIN_SIZE_BY_KEY_SQL,
         "local_supplier_volume": relational.LOCAL_SUPPLIER_VOLUME_SQL,
+        "interval_coverage": relational.INTERVAL_COVERAGE_SQL,
+        "supplier_hhi": relational.SUPPLIER_HHI_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

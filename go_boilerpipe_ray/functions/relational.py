@@ -9114,3 +9114,223 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1999-01-01'
 GROUP BY 1 ORDER BY 1
 """
+
+
+# -- interval-union coverage (gaps-and-islands over padded events) ------------
+
+
+def interval_coverage(sf_dir: str, pad_us: int = 300_000_000) -> "ray.data.Dataset":
+    """Active-time coverage per user: each event opens a 5-minute
+    activity interval [ts, ts+pad); overlapping intervals merge, and
+    the operator reports each user's island count and total covered
+    microseconds — the interval-UNION aggregate (distinct from
+    max_concurrent_events' boundary sweep and user_activity_streak's
+    day islands).
+
+    Scale shape: ONE user-keyed shuffle; equal-length intervals make
+    the union linear — after a (user, ts) lexsort an island starts
+    exactly where the gap exceeds the pad, so islands fall out of one
+    vectorized boundary mask + two reduceat sweeps (per-island span,
+    then per-user rollup).  No per-user loop, no quadratic overlap
+    test."""
+    from ._util import partitioned_by_key, run_bounds
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_islands": pa.array([], pa.int64()),
+                "covered_us": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        u = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(
+            pc.cast(part.column("ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        new_island = np.r_[True, (u[1:] != u[:-1]) | (ts[1:] > ts[:-1] + pad_us)]
+        starts = np.flatnonzero(np.r_[new_island, True])
+        # island i spans rows [starts[i], starts[i+1])
+        cov = ts[starts[1:] - 1] + pad_us - ts[starts[:-1]]
+        iu = u[starts[:-1]]
+        b = run_bounds(iu)
+        return pa.table(
+            {
+                "user_id": pa.array(iu[b[:-1]], pa.int64()),
+                "n_islands": pa.array(np.diff(b), pa.int64()),
+                "covered_us": pa.array(
+                    np.add.reduceat(cov, b[:-1]), pa.int64()
+                ),
+            }
+        )
+
+    return partitioned_by_key(ds, "user_id", kernel)
+
+
+INTERVAL_COVERAGE_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) > lag(epoch_us(ts)) OVER w + 300000000
+              THEN 1 ELSE 0 END AS new_island
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+g AS (
+  SELECT user_id, t,
+         sum(new_island) OVER (
+           PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING
+         ) AS isl
+  FROM e
+),
+i AS (
+  SELECT user_id, isl, max(t) + 300000000 - min(t) AS cov
+  FROM g GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(cov) AS BIGINT) AS covered_us
+FROM i GROUP BY 1
+"""
+
+
+# -- market concentration (HHI) per nation ------------------------------------
+
+
+def supplier_hhi(sf_dir: str) -> pa.Table:
+    """Supplier market concentration per nation: Herfindahl-Hirschman
+    index over revenue shares (integer permille, so the oracle is
+    hash-exact) — the skew/diversity rollup a curation pipeline runs on
+    source mix as much as a warehouse runs on suppliers.
+
+    Scale shape: lineitem collapses to (nation, supplier, cents)
+    partials (supplier→nation is a broadcast dim probe) in one bounded
+    keyed rollup; nation totals are a 25-row broadcast; the share² sum
+    is another per-batch partial + bounded rollup.  Shares use floor
+    division on non-negative cents only (DuckDB // truncates toward
+    zero — keep operands non-negative, the dsir_weights rule)."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sup_ref = ray.put(
+        (
+            sup.column("s_suppkey").combine_chunks(),
+            pc.cast(sup.column("s_nationkey"), pa.int64()).combine_chunks(),
+        )
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, nk = ray.get(sup_ref)
+        idx = pc.index_in(batch.column("l_suppkey"), value_set=keys)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "nk": pc.take(nk, idx),
+                "s": pc.cast(batch.column("l_suppkey"), pa.int64()),
+                "cents": pa.array(money_cents(price * (1 - disc)), pa.int64()),
+            }
+        )
+        g = t.group_by(["nk", "s"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["nk", "s", "cents"])
+
+    per_supp = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["nk", "s"])
+        .sum("cents")
+        .rename_columns({"sum(cents)": "cents"})
+    )
+
+    # nation totals: bounded (25 rows) -> broadcast
+    totals = {
+        r["nk"]: (r["total"], r["n"])
+        for r in per_supp.groupby("nk")
+        .aggregate(
+            ray.data.aggregate.Sum("cents", alias_name="total"),
+            ray.data.aggregate.Count(alias_name="n"),
+        )
+        .take_all()
+    }
+    tot_ref = ray.put(totals)
+
+    def hhi_partial(batch: pa.Table) -> pa.Table:
+        tot = ray.get(tot_ref)
+        nk = batch.column("nk").to_numpy(zero_copy_only=False)
+        cents = batch.column("cents").to_numpy(zero_copy_only=False)
+        denom = np.array([tot[k][0] for k in nk], dtype=np.int64)
+        share = cents * 1000 // np.maximum(denom, 1)
+        t = pa.table(
+            {"nk": pa.array(nk, pa.int64()), "sq": pa.array(share * share, pa.int64())}
+        )
+        g = t.group_by("nk").aggregate([("sq", "sum"), ([], "count_all")])
+        return g.rename_columns(["nk", "sq", "n_part"])
+
+    rolled = (
+        per_supp.map_batches(
+            hhi_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("nk")
+        .aggregate(
+            ray.data.aggregate.Sum("sq", alias_name="hhi"),
+            ray.data.aggregate.Sum("n_part", alias_name="n_suppliers"),
+        )
+        .to_pandas()  # bounded: <= 25 nations
+    )
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap = dict(
+        zip(
+            pc.cast(nation.column("n_nationkey"), pa.int64()).to_pylist(),
+            nation.column("n_name").to_pylist(),
+        )
+    )
+    rolled["n_name"] = rolled["nk"].map(nmap)
+    rolled["total_cents"] = rolled["nk"].map(lambda k: totals[k][0])
+    rolled = rolled.sort_values("n_name")
+    return pa.table(
+        {
+            "n_name": pa.array(rolled["n_name"], pa.string()),
+            "n_suppliers": pa.array(
+                rolled["n_suppliers"].astype("int64"), pa.int64()
+            ),
+            "total_cents": pa.array(
+                rolled["total_cents"].astype("int64"), pa.int64()
+            ),
+            "hhi": pa.array(rolled["hhi"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+SUPPLIER_HHI_SQL = """
+WITH per AS (
+  SELECT s_nationkey AS nk, l_suppkey AS s,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+             AS BIGINT)) AS cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT nk, sum(cents) AS total, count(*) AS n FROM per GROUP BY 1)
+SELECT n_name,
+       CAST(tot.n AS BIGINT) AS n_suppliers,
+       CAST(tot.total AS BIGINT) AS total_cents,
+       CAST(sum((per.cents * 1000 // greatest(tot.total, 1))
+                * (per.cents * 1000 // greatest(tot.total, 1))) AS BIGINT)
+         AS hhi
+FROM per
+JOIN tot USING (nk)
+JOIN nation ON nk = n_nationkey
+GROUP BY 1, 2, 3 ORDER BY 1
+"""

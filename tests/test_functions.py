@@ -3885,6 +3885,7 @@ def test_partitioned_by_key_invariant_to_partition_count(monkeypatch):
             "snm_dup_pairs": dedup.snm_dup_pairs,
             "moving_median_3": relational.moving_median_3,
             "join_size_by_key": relational.join_size_by_key,
+            "interval_coverage": relational.interval_coverage,
         }
     )
 
@@ -5074,3 +5075,54 @@ def test_local_supplier_volume_matches_pandas():
     assert len(got) == len(want) and len(want) > 1
     assert list(got["n_name"]) == list(want.index)
     assert list(got["revenue_cents"]) == list(want)
+
+
+def test_interval_coverage_brute_force():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import interval_coverage
+
+    PAD = 300_000_000
+    got = interval_coverage(SF).to_pandas().set_index("user_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    ev["t"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    for uid, sub in ev.groupby("user_id"):
+        ts = sorted(sub["t"])
+        islands, cov, start, end = 0, 0, ts[0], ts[0] + PAD
+        for t in ts[1:]:
+            if t > end:
+                islands += 1
+                cov += end - start
+                start, end = t, t + PAD
+            else:
+                end = t + PAD
+        islands += 1
+        cov += end - start
+        assert got.loc[uid, "n_islands"] == islands, uid
+        assert got.loc[uid, "covered_us"] == cov, uid
+    assert len(got) == ev["user_id"].nunique()
+
+
+def test_supplier_hhi_brute_force():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions._util import money_cents
+    from go_boilerpipe_ray.functions.relational import supplier_hhi
+
+    got = supplier_hhi(SF).to_pandas().set_index("n_name")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    su = pd.read_parquet(f"{SF}/supplier.parquet")
+    na = pd.read_parquet(f"{SF}/nation.parquet").set_index("n_nationkey")["n_name"]
+    li["cents"] = money_cents(
+        (li["l_extendedprice"] * (1 - li["l_discount"])).to_numpy()
+    )
+    j = li.merge(su, left_on="l_suppkey", right_on="s_suppkey")
+    per = j.groupby(["s_nationkey", "s_suppkey"])["cents"].sum().reset_index()
+    for nk, sub in per.groupby("s_nationkey"):
+        total = sub["cents"].sum()
+        share = sub["cents"] * 1000 // total
+        row = got.loc[na[nk]]
+        assert row["n_suppliers"] == len(sub)
+        assert row["total_cents"] == total
+        assert row["hhi"] == (share * share).sum()
+    assert len(got) == per["s_nationkey"].nunique() > 0
