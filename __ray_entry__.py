@@ -104,10 +104,10 @@ _R5_WINDOW = [
     "suppliers_kept_waiting", "sales_opportunity", "user_event_path",
     "lineitem_unpivot", "snm_dup_pairs", "moving_median_3",
     "skew_profile", "join_size_by_key", "local_supplier_volume",
-    "interval_coverage", "supplier_hhi",
+    "interval_coverage", "supplier_hhi", "brand_discount_revenue",
     # oldest never-checked
     "shipping_priority", "returned_order_priority", "docs_rollup",
-    "table_profile", "revenue_by_brand", "supplier_region_stats",
+    "table_profile", "supplier_region_stats",
     "lang_confusion", "zorder_keys", "heavy_hitters_by_source",
     "approx_percentiles", "session_stats", "kmeans_train",
     "media_frame_sample",
@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": relational.local_supplier_volume,
         "interval_coverage": relational.interval_coverage,
         "supplier_hhi": relational.supplier_hhi,
+        "brand_discount_revenue": relational.brand_discount_revenue,
     })
 
 
@@ -559,6 +560,7 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_volume": relational.LOCAL_SUPPLIER_VOLUME_SQL,
         "interval_coverage": relational.INTERVAL_COVERAGE_SQL,
         "supplier_hhi": relational.SUPPLIER_HHI_SQL,
+        "brand_discount_revenue": relational.BRAND_DISCOUNT_REVENUE_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

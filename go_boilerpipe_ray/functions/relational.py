@@ -9334,3 +9334,90 @@ JOIN tot USING (nk)
 JOIN nation ON nk = n_nationkey
 GROUP BY 1, 2, 3 ORDER BY 1
 """
+
+
+# -- TPC-H Q19: disjunctive dimension-predicate revenue -----------------------
+
+
+def brand_discount_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q19-shaped "discounted revenue" under a DISJUNCTION of
+    cross-table predicates — three (brand, part-size range, quantity
+    range) arms OR'd together (the synthetic part table has no
+    container attribute; size stands in).  The shape that defeats
+    simple predicate pushdown: each arm constrains BOTH the dimension
+    (part) and the fact (lineitem).
+
+    Scale shape: the part dimension collapses to two broadcast arrays
+    (brand code, size) probed per batch with index_in; all three arms
+    evaluate as vectorized boolean algebra over the probe results —
+    the fact table is read once, never joined, never shuffled; the
+    result is a scalar partial sum."""
+    import pyarrow.parquet as pq
+
+    ARMS = [  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+        ("Brand#1", 1, 15, 1, 15),
+        ("Brand#2", 16, 30, 10, 25),
+        ("Brand#3", 31, 50, 20, 40),
+    ]
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    dim_ref = ray.put(
+        (
+            part.column("p_partkey").combine_chunks(),
+            part.column("p_brand").combine_chunks(),
+            pc.cast(part.column("p_size"), pa.int64()).combine_chunks(),
+        )
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, brand, size = ray.get(dim_ref)
+        idx = pc.index_in(batch.column("l_partkey"), value_set=keys)
+        b = np.asarray(pc.take(brand, idx).to_pylist(), dtype=object)
+        s = pc.take(size, idx).to_numpy(zero_copy_only=False)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(qty), dtype=bool)
+        for br, slo, shi, qlo, qhi in ARMS:
+            keep |= (b == br) & (s >= slo) & (s <= shi) & (qty >= qlo) & (qty <= qhi)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = money_cents((price * (1 - disc))[keep])
+        return pa.table(
+            {
+                "rev": pa.array([int(cents.sum())], pa.int64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )  # bounded: one row per block
+    return pa.table(
+        {
+            "revenue_cents": pa.array(
+                [sum(r["rev"] for r in parts)], pa.int64()
+            ),
+            "n_lineitems": pa.array([sum(r["n"] for r in parts)], pa.int64()),
+        }
+    )
+
+
+BRAND_DISCOUNT_REVENUE_SQL = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 30
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+"""

@@ -5126,3 +5126,29 @@ def test_supplier_hhi_brute_force():
         assert row["total_cents"] == total
         assert row["hhi"] == (share * share).sum()
     assert len(got) == per["s_nationkey"].nunique() > 0
+
+
+def test_brand_discount_revenue_brute_force():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions._util import money_cents
+    from go_boilerpipe_ray.functions.relational import brand_discount_revenue
+
+    got = brand_discount_revenue(SF).to_pandas().iloc[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    pt = pd.read_parquet(f"{SF}/part.parquet")
+    j = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    keep = (
+        ((j["p_brand"] == "Brand#1") & j["p_size"].between(1, 15)
+         & j["l_quantity"].between(1, 15))
+        | ((j["p_brand"] == "Brand#2") & j["p_size"].between(16, 30)
+           & j["l_quantity"].between(10, 25))
+        | ((j["p_brand"] == "Brand#3") & j["p_size"].between(31, 50)
+           & j["l_quantity"].between(20, 40))
+    )
+    sub = j[keep]
+    cents = money_cents(
+        (sub["l_extendedprice"] * (1 - sub["l_discount"])).to_numpy()
+    )
+    assert got["n_lineitems"] == len(sub) > 0
+    assert got["revenue_cents"] == cents.sum()
