@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_coverage": relational.interval_coverage,
         "supplier_hhi": relational.supplier_hhi,
         "brand_discount_revenue": relational.brand_discount_revenue,
+        "knn_pq": similarity.knn_pq,
     })
 
 
@@ -564,8 +565,8 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /
-        # knn_quantized (approximate; exhaustive-probe==brute pinned in
-        # pytest),
+        # knn_quantized / knn_pq (approximate; exhaustive-probe==brute
+        # pinned in pytest),
         # media_decode (stub features are blake2b-based), bpe_train
         # (iterative greedy segmentation; merge sequence pinned by a
         # sequential pure-Python reference in pytest), pca_project

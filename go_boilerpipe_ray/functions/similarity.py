@@ -1737,3 +1737,125 @@ def knn_quantized(
         two_stage, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
     )
     return _distributed_rank_reduce(candidates, k)
+
+
+# -- product quantization (PQ-ADC) ANN ---------------------------------------
+
+
+def _train_pq_codebooks(
+    sample: np.ndarray, n_sub: int, n_codes: int, iters: int = 10
+) -> np.ndarray:
+    """Deterministic per-subspace Lloyd kmeans: init = the first
+    n_codes sample rows (input order is the dataset's deterministic
+    read order), fixed iteration count, empty clusters keep their old
+    centroid.  Returns (n_sub, n_codes, sub_dim) codebooks."""
+    n, d = sample.shape
+    sub = d // n_sub
+    kk = min(n_codes, n)
+    books = np.zeros((n_sub, kk, sub), dtype=np.float64)
+    for m in range(n_sub):
+        x = sample[:, m * sub : (m + 1) * sub]
+        c = x[:kk].copy()
+        for _ in range(iters):
+            d2 = (
+                (x * x).sum(axis=1, keepdims=True)
+                - 2.0 * (x @ c.T)
+                + (c * c).sum(axis=1)
+            )
+            assign = np.argmin(d2, axis=1)
+            for j in range(kk):
+                sel = assign == j
+                if sel.any():
+                    c[j] = x[sel].mean(axis=0)
+        books[m] = c
+    return books
+
+
+def knn_pq(
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 8,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    coarse_mult: int = 8,
+    sample_size: int = 2048,
+    exhaustive: bool = False,
+) -> pa.Table:
+    """Product-quantization ANN (Jégou et al. 2011), the memory-bound
+    scale path past SQ8: vectors compress to n_sub 4-bit-ish codes
+    (here one uint8 per subspace), and each query scores the WHOLE
+    batch through an (n_sub × n_codes) lookup table built once per
+    query — asymmetric distance computation (ADC).  The ADC scan keeps
+    ``coarse_mult × k`` survivors per query per batch; only those are
+    rescored with exact float cosine, then reduced through the same
+    distributed groupby(query_id) top-k as knn_brute.  Approximate by
+    design → registered rows-only; recall vs knn_brute and the
+    exhaustive==brute identity are pinned by pytest.
+
+    Scale shape: codebooks train on a bounded deterministic sample
+    (like knn_ivf) and broadcast once; per-batch work is one encode
+    matmul + an O(n · n_sub) table gather — at 10⁹ vectors the 64-byte
+    code replaces the 256-byte float32 row in the bandwidth-bound
+    inner loop, and shuffle volume stays the bounded candidate
+    stream."""
+    qids, qm = _load_queries(sf_dir, n_queries)
+    if len(qids) == 0:
+        return _empty_knn_result()
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = _normalize(
+        np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
+    )
+    books = _train_pq_codebooks(sample, n_sub, n_codes)
+    state_ref = ray.put((qids, qm, books))
+    m_keep = coarse_mult * k
+
+    def adc_scan(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat, cb = ray.get(state_ref)
+        ids, m = _batch_matrix(batch)
+        unit = _normalize(m)
+        n_s, kk, sub = cb.shape
+        # encode: per subspace argmin ||x_sub - c||^2
+        codes = np.empty((len(ids), n_s), dtype=np.int64)
+        for s in range(n_s):
+            x = unit[:, s * sub : (s + 1) * sub]
+            c = cb[s]
+            d2 = -2.0 * (x @ c.T) + (c * c).sum(axis=1)
+            codes[:, s] = np.argmin(d2, axis=1)
+        keep = len(ids) if exhaustive else min(m_keep, len(ids))
+        top = min(k, len(ids))
+        out_q: list[int] = []
+        out_n: list[int] = []
+        out_s: list[float] = []
+        for j, qid in enumerate(q_ids):
+            # ADC lookup table: dot(q_sub, centroid) per subspace
+            lut = np.stack(
+                [
+                    cb[s] @ q_mat[j, s * sub : (s + 1) * sub]
+                    for s in range(n_s)
+                ]
+            )  # (n_sub, n_codes)
+            score = lut[np.arange(n_s)[None, :], codes].sum(axis=1)
+            cand = np.lexsort((ids, -score))[:keep]
+            exact = unit[cand] @ q_mat[j]
+            idx = cand[np.lexsort((ids[cand], -exact))[:top]]
+            sims = unit[idx] @ q_mat[j]
+            for i, sim in zip(idx, sims):
+                out_q.append(int(qid))
+                out_n.append(int(ids[i]))
+                out_s.append(float(sim))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    candidates = ds.map_batches(
+        adc_scan, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
+    )
+    return _distributed_rank_reduce(candidates, k)

@@ -5152,3 +5152,22 @@ def test_brand_discount_revenue_brute_force():
     )
     assert got["n_lineitems"] == len(sub) > 0
     assert got["revenue_cents"] == cents.sum()
+
+
+def test_knn_pq_recall_vs_brute():
+    """PQ-ADC coarse + exact rescore: decent recall at the default
+    coarse_mult, and EXACTLY brute's ranking when the ADC stage keeps
+    every vector (the rescore is exact float cosine)."""
+    from go_boilerpipe_ray.functions.similarity import knn_brute, knn_pq
+
+    brute = knn_brute(SF).to_pandas()
+    pq_res = knn_pq(SF).to_pandas()
+    b = set(map(tuple, brute[["query_id", "neighbor_id"]].to_numpy()))
+    q = set(map(tuple, pq_res[["query_id", "neighbor_id"]].to_numpy()))
+    recall = len(b & q) / len(b)
+    assert recall >= 0.6, recall
+
+    exhaustive = knn_pq(SF, exhaustive=True).to_pandas()
+    assert exhaustive[["query_id", "neighbor_id", "rank"]].equals(
+        brute[["query_id", "neighbor_id", "rank"]]
+    )
