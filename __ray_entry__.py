@@ -105,9 +105,10 @@ _R5_WINDOW = [
     "lineitem_unpivot", "snm_dup_pairs", "moving_median_3",
     "skew_profile", "join_size_by_key", "local_supplier_volume",
     "interval_coverage", "supplier_hhi", "brand_discount_revenue",
+    "top_supplier_q15", "snm_multipass_pairs",
     # oldest never-checked
-    "shipping_priority", "returned_order_priority", "docs_rollup",
-    "table_profile", "supplier_region_stats",
+    "shipping_priority", "returned_order_priority",
+    "table_profile",
     "lang_confusion", "zorder_keys", "heavy_hitters_by_source",
     "approx_percentiles", "session_stats", "kmeans_train",
     "media_frame_sample",
@@ -350,6 +351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_hhi": relational.supplier_hhi,
         "brand_discount_revenue": relational.brand_discount_revenue,
         "knn_pq": similarity.knn_pq,
+        "top_supplier_q15": relational.top_supplier_q15,
+        "snm_multipass_pairs": dedup.snm_multipass_pairs,
     })
 
 
@@ -562,6 +565,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_coverage": relational.INTERVAL_COVERAGE_SQL,
         "supplier_hhi": relational.SUPPLIER_HHI_SQL,
         "brand_discount_revenue": relational.BRAND_DISCOUNT_REVENUE_SQL,
+        "top_supplier_q15": relational.TOP_SUPPLIER_Q15_SQL,
+        "snm_multipass_pairs": dedup.SNM_MULTIPASS_PAIRS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

@@ -2189,6 +2189,17 @@ def snm_dup_pairs(sf_dir: str, w: int = 4, prefix: int = 32) -> "ray.data.Datase
     feats = read_documents(sf_dir).map_batches(
         features, batch_format="pyarrow", zero_copy_batch=True
     )
+    return _snm_window_pairs(feats, w)
+
+
+def _snm_window_pairs(feats: "ray.data.Dataset", w: int) -> "ray.data.Dataset":
+    """Window-pair engine shared by the SNM passes: exact global ranks
+    for the (n, doc_id) order via the bounded-histogram trick, then
+    bucket-ghost co-location with position-offset partners.  ``feats``
+    must carry (doc_id, n, p); a pair qualifies when p is equal."""
+    from ._util import partitioned_by_key, run_bounds
+
+    import ray
 
     # stage 1: bounded histogram of the sort key -> exact rank offsets
     def n_counts(batch: pa.Table) -> pa.Table:
@@ -2332,4 +2343,88 @@ WITH t AS (
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(b.rn - a.rn AS BIGINT) AS gap
 FROM t a JOIN t b ON b.rn > a.rn AND b.rn <= a.rn + 4 AND a.p = b.p
+"""
+
+
+def snm_multipass_pairs(
+    sf_dir: str, w: int = 4, prefix: int = 32
+) -> "ray.data.Dataset":
+    """Multi-pass SNM — Hernandez & Stolfo's production variant: a
+    single sort key misses duplicates that disagree on that key, so run
+    the window under TWO independent orders (pass 1: whitespace token
+    count; pass 2: character count) and union the candidate pairs.
+    Pairs normalize to (min id, max id) and dedupe distributed.
+
+    Scale shape: each pass is the shared _snm_window_pairs engine (two
+    bounded-histogram keyed shuffles of narrow rows); the union is a
+    stream concat and the distinct is ONE keyed groupby on the pair —
+    multi-pass costs exactly pass-count × single-pass, the published
+    trade."""
+    from .text import read_documents
+
+    def features(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "nt": pc.cast(
+                    pc.count_substring_regex(text, pattern=r"\S+"), pa.int64()
+                ),
+                "nc": pc.cast(pc.utf8_length(text), pa.int64()),
+                "p": pc.utf8_slice_codeunits(text, 0, prefix),
+            }
+        )
+
+    feats = read_documents(sf_dir).map_batches(
+        features, batch_format="pyarrow", zero_copy_batch=True
+    )
+    p1 = _snm_window_pairs(
+        feats.select_columns(["doc_id", "nt", "p"]).rename_columns({"nt": "n"}),
+        w,
+    )
+    p2 = _snm_window_pairs(
+        feats.select_columns(["doc_id", "nc", "p"]).rename_columns({"nc": "n"}),
+        w,
+    )
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a")
+        b = batch.column("doc_b")
+        return pa.table(
+            {
+                "doc_a": pc.min_element_wise(a, b),
+                "doc_b": pc.max_element_wise(a, b),
+            }
+        )
+
+    return (
+        p1.union(p2)
+        .map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["doc_a", "doc_b"])
+        .count()
+        .select_columns(["doc_a", "doc_b"])
+    )
+
+
+SNM_MULTIPASS_PAIRS_SQL = r"""
+WITH t1 AS (
+  SELECT doc_id, substr(text, 1, 32) AS p,
+         row_number() OVER (
+           ORDER BY len(regexp_extract_all(text, '\S+')), doc_id
+         ) AS rn
+  FROM documents
+),
+t2 AS (
+  SELECT doc_id, substr(text, 1, 32) AS p,
+         row_number() OVER (ORDER BY length(text), doc_id) AS rn
+  FROM documents
+),
+u AS (
+  SELECT least(a.doc_id, b.doc_id) AS da, greatest(a.doc_id, b.doc_id) AS db
+  FROM t1 a JOIN t1 b ON b.rn > a.rn AND b.rn <= a.rn + 4 AND a.p = b.p
+  UNION
+  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+  FROM t2 a JOIN t2 b ON b.rn > a.rn AND b.rn <= a.rn + 4 AND a.p = b.p
+)
+SELECT da AS doc_a, db AS doc_b FROM u
 """

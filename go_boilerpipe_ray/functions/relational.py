@@ -9421,3 +9421,99 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50
        AND l_quantity BETWEEN 20 AND 40)
 """
+
+
+# -- TPC-H Q15: top supplier by windowed revenue ------------------------------
+
+
+def top_supplier_q15(sf_dir: str) -> pa.Table:
+    """TPC-H Q15 "top supplier": revenue per supplier over one quarter,
+    then the supplier(s) whose revenue EQUALS the global maximum — the
+    aggregate → scalar → filter-by-equality shape (a correlated scalar
+    subquery over an aggregate view), distinct from top-k: ties all
+    surface, nothing is ranked.
+
+    Scale shape: lineitem date-prunes and pre-combines to (suppkey,
+    cents) partials in one narrow pass; the supplier rollup is bounded
+    by the supplier dim; the max is ONE driver scalar from a
+    distributed aggregate (never a sorted row set); the equality filter
+    re-streams the bounded rollup.  Names broadcast; output sorted by
+    suppkey (ties deterministic)."""
+    import pyarrow.parquet as pq
+
+    LO = np.datetime64("1996-01-01", "us").astype("int64")
+    HI = np.datetime64("1996-04-01", "us").astype("int64")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(
+            pc.cast(batch.column("l_shipdate"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        keep = (ship >= LO) & (ship < HI)
+        sub = batch.filter(pa.array(keep))
+        price = sub.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = sub.column("l_discount").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "s": pc.cast(sub.column("l_suppkey"), pa.int64()),
+                "cents": pa.array(money_cents(price * (1 - disc)), pa.int64()),
+            }
+        )
+        g = t.group_by("s").aggregate([("cents", "sum")])
+        return g.rename_columns(["s", "cents"])
+
+    per_supp = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("s")
+        .sum("cents")
+        .rename_columns({"sum(cents)": "total_cents"})
+    )
+
+    best = per_supp.aggregate(
+        ray.data.aggregate.Max("total_cents", alias_name="mx")
+    )["mx"]
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("total_cents"), best))
+
+    winners = per_supp.map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # bounded: the tied maxima
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    nmap = dict(
+        zip(sup.column("s_suppkey").to_pylist(), sup.column("s_name").to_pylist())
+    )
+    winners["s_name"] = winners["s"].map(nmap)
+    winners = winners.sort_values("s")
+    return pa.table(
+        {
+            "s_suppkey": pa.array(winners["s"].astype("int64"), pa.int64()),
+            "s_name": pa.array(winners["s_name"], pa.string()),
+            "total_cents": pa.array(
+                winners["total_cents"].astype("int64"), pa.int64()
+            ),
+        }
+    )
+
+
+TOP_SUPPLIER_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS s,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+             AS BIGINT)) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1
+)
+SELECT s AS s_suppkey, s_name, CAST(total_cents AS BIGINT) AS total_cents
+FROM revenue JOIN supplier ON s = s_suppkey
+WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+ORDER BY s
+"""

@@ -3883,6 +3883,7 @@ def test_partitioned_by_key_invariant_to_partition_count(monkeypatch):
             "suppliers_kept_waiting": relational.suppliers_kept_waiting,
             "user_event_path": relational.user_event_path,
             "snm_dup_pairs": dedup.snm_dup_pairs,
+            "snm_multipass_pairs": dedup.snm_multipass_pairs,
             "moving_median_3": relational.moving_median_3,
             "join_size_by_key": relational.join_size_by_key,
             "interval_coverage": relational.interval_coverage,
@@ -5171,3 +5172,56 @@ def test_knn_pq_recall_vs_brute():
     assert exhaustive[["query_id", "neighbor_id", "rank"]].equals(
         brute[["query_id", "neighbor_id", "rank"]]
     )
+
+
+def test_snm_multipass_pairs_brute_force():
+    import re
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.dedup import snm_dup_pairs, snm_multipass_pairs
+
+    got = snm_multipass_pairs(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs["nt"] = docs["text"].map(lambda t: len(re.findall(r"\S+", t)))
+    docs["nc"] = docs["text"].str.len()
+    docs["p"] = docs["text"].str[:32]
+    want = set()
+    for key in ["nt", "nc"]:
+        s = docs.sort_values([key, "doc_id"]).reset_index(drop=True)
+        for i in range(len(s)):
+            for d in range(1, 5):
+                if i + d < len(s) and s["p"][i] == s["p"][i + d]:
+                    a, b = s["doc_id"][i], s["doc_id"][i + d]
+                    want.add((min(a, b), max(a, b)))
+    assert set(zip(got["doc_a"], got["doc_b"])) == want
+    # the second pass must contribute pairs the first key's window missed
+    single = snm_dup_pairs(SF).to_pandas()
+    single_set = {
+        (min(a, b), max(a, b))
+        for a, b in zip(single["doc_a"], single["doc_b"])
+    }
+    assert single_set <= want and len(want) > len(single_set)
+
+
+def test_top_supplier_q15_brute_force():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions._util import money_cents
+    from go_boilerpipe_ray.functions.relational import top_supplier_q15
+
+    got = top_supplier_q15(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    su = pd.read_parquet(f"{SF}/supplier.parquet").set_index("s_suppkey")["s_name"]
+    li = li[
+        (li["l_shipdate"] >= "1996-01-01") & (li["l_shipdate"] < "1996-04-01")
+    ]
+    li["cents"] = money_cents(
+        (li["l_extendedprice"] * (1 - li["l_discount"])).to_numpy()
+    )
+    per = li.groupby("l_suppkey")["cents"].sum()
+    best = per.max()
+    winners = sorted(per[per == best].index)
+    assert list(got["s_suppkey"]) == winners
+    assert set(got["total_cents"]) == {best}
+    assert list(got["s_name"]) == [su[s] for s in winners]
