@@ -105,9 +105,9 @@ _R5_WINDOW = [
     "lineitem_unpivot", "snm_dup_pairs", "moving_median_3",
     "skew_profile", "join_size_by_key", "local_supplier_volume",
     "interval_coverage", "supplier_hhi", "brand_discount_revenue",
-    "top_supplier_q15", "snm_multipass_pairs",
+    "top_supplier_q15", "snm_multipass_pairs", "source_vocab_containment",
     # oldest never-checked
-    "shipping_priority", "returned_order_priority",
+    "shipping_priority",
     "table_profile",
     "lang_confusion", "zorder_keys", "heavy_hitters_by_source",
     "approx_percentiles", "session_stats", "kmeans_train",
@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq": similarity.knn_pq,
         "top_supplier_q15": relational.top_supplier_q15,
         "snm_multipass_pairs": dedup.snm_multipass_pairs,
+        "source_vocab_containment": text.source_vocab_containment,
     })
 
 
@@ -567,6 +568,7 @@ def oracle_sql() -> dict[str, str]:
         "brand_discount_revenue": relational.BRAND_DISCOUNT_REVENUE_SQL,
         "top_supplier_q15": relational.TOP_SUPPLIER_Q15_SQL,
         "snm_multipass_pairs": dedup.SNM_MULTIPASS_PAIRS_SQL,
+        "source_vocab_containment": text.SOURCE_VOCAB_CONTAINMENT_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

@@ -4010,3 +4010,169 @@ SELECT doc_id,
          AS logit
 FROM feats GROUP BY 1
 """
+
+
+# -- cross-source vocabulary containment --------------------------------------
+
+
+def source_vocab_containment(sf_dir: str) -> pa.Table:
+    """Vocabulary containment between every ordered source pair:
+    |V_a ∩ V_b| / |V_a| in integer permille — the corpus-curation
+    signal for "source b already covers source a's vocabulary" (mix
+    planning, dedup-across-dumps triage).
+
+    Scale shape: the source catalog is bounded (broadcast as a code
+    table); each batch emits batch-distinct (token-hash, source-code)
+    rows; ONE token-keyed shuffle co-locates each token's sources and
+    the kernel collapses every token run to a SOURCE BITMASK with one
+    bitwise_or.reduceat sweep — per-pair counting then iterates over
+    DISTINCT masks only (≤ observed co-occurrence patterns, not
+    tokens), accumulating a K×K matrix whose diagonal is |V_s|.  Only
+    P bounded matrices reach the driver; token volume never does."""
+    import re as _re
+
+    from ._util import (
+        TOKEN_PATTERN,
+        blake2_u63,
+        partitioned_by_key,
+        run_bounds,
+    )
+
+    docs = read_documents(sf_dir, columns=["text", "source"])
+
+    sources = sorted(
+        r["source"]
+        for r in docs.groupby("source").count().select_columns(["source"]).take_all()
+    )  # bounded: the source catalog
+    scode = {s: i for i, s in enumerate(sources)}
+    K = len(sources)
+    if K == 0:
+        return pa.table(
+            {
+                "src_a": pa.array([], pa.string()),
+                "src_b": pa.array([], pa.string()),
+                "n_common": pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "containment_permille": pa.array([], pa.int64()),
+            }
+        )
+    if K > 63:
+        raise ValueError(
+            f"source_vocab_containment packs sources into an int64 bitmask; "
+            f"{K} sources exceed 63 — shard the catalog or widen the mask"
+        )
+    scode_ref = ray.put(scode)
+    tok_re = _re.compile(TOKEN_PATTERN)
+
+    def vocab_rows(batch: pa.Table) -> pa.Table:
+        codes = ray.get(scode_ref)
+        texts = batch.column("text").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        toks: list[str] = []
+        out_src: list[int] = []
+        for t, s in zip(texts, srcs):
+            c = codes[s]
+            for tok in set(tok_re.findall(t.lower())):
+                toks.append(tok)
+                out_src.append(c)
+        th = blake2_u63(toks)
+        # batch-level distinct: the mask OR downstream is idempotent,
+        # but dropping repeats here shrinks the shuffle
+        pair = np.stack([th, np.asarray(out_src, dtype=np.int64)])
+        _, keep = np.unique(pair, axis=1, return_index=True)
+        return pa.table(
+            {
+                "th": pa.array(th[keep], pa.int64()),
+                "sc": pa.array(np.asarray(out_src, np.int64)[keep], pa.int64()),
+            }
+        )
+
+    def mask_kernel(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        th = part.column("th").to_numpy(zero_copy_only=False)
+        sc = part.column("sc").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sc, th))
+        th, sc = th[order], sc[order]
+        b = run_bounds(th)
+        masks = np.bitwise_or.reduceat(
+            np.left_shift(np.int64(1), sc), b[:-1]
+        )
+        uniq, counts = np.unique(masks, return_counts=True)
+        mat = np.zeros((K, K), dtype=np.int64)
+        for mask, cnt in zip(uniq, counts):
+            idx = np.flatnonzero((mask >> np.arange(K)) & 1)
+            mat[np.ix_(idx, idx)] += cnt
+        a, bb = np.nonzero(mat)
+        return pa.table(
+            {
+                "a": pa.array(a.astype(np.int64), pa.int64()),
+                "b": pa.array(bb.astype(np.int64), pa.int64()),
+                "n": pa.array(mat[a, bb], pa.int64()),
+            }
+        )
+
+    rows = (
+        partitioned_by_key(
+            docs.map_batches(
+                vocab_rows, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "th",
+            mask_kernel,
+        )
+        .groupby(["a", "b"])
+        .sum("n")
+        .to_pandas()  # bounded: K x K
+    )
+    import pandas as pd
+
+    mat = np.zeros((K, K), dtype=np.int64)
+    for _, r in rows.iterrows():
+        mat[int(r["a"]), int(r["b"])] = int(r["sum(n)"])
+    out_a, out_b, out_c, out_na, out_p = [], [], [], [], []
+    for i in range(K):
+        for j in range(K):
+            if i == j or mat[i, j] == 0:
+                continue
+            out_a.append(sources[i])
+            out_b.append(sources[j])
+            out_c.append(int(mat[i, j]))
+            out_na.append(int(mat[i, i]))
+            out_p.append(int(mat[i, j]) * 1000 // max(int(mat[i, i]), 1))
+    return pa.table(
+        {
+            "src_a": pa.array(out_a, pa.string()),
+            "src_b": pa.array(out_b, pa.string()),
+            "n_common": pa.array(out_c, pa.int64()),
+            "n_a": pa.array(out_na, pa.int64()),
+            "containment_permille": pa.array(out_p, pa.int64()),
+        }
+    )
+
+
+SOURCE_VOCAB_CONTAINMENT_SQL = r"""
+WITH v AS (
+  SELECT DISTINCT source,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+sz AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM v a JOIN v b ON a.tok = b.tok AND a.source != b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(sz.n AS BIGINT) AS n_a,
+       CAST(n_common * 1000 // greatest(sz.n, 1) AS BIGINT)
+         AS containment_permille
+FROM inter JOIN sz ON src_a = sz.source
+ORDER BY 1, 2
+"""

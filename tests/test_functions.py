@@ -3887,6 +3887,7 @@ def test_partitioned_by_key_invariant_to_partition_count(monkeypatch):
             "moving_median_3": relational.moving_median_3,
             "join_size_by_key": relational.join_size_by_key,
             "interval_coverage": relational.interval_coverage,
+            "source_vocab_containment": text.source_vocab_containment,
         }
     )
 
@@ -5225,3 +5226,35 @@ def test_top_supplier_q15_brute_force():
     assert list(got["s_suppkey"]) == winners
     assert set(got["total_cents"]) == {best}
     assert list(got["s_name"]) == [su[s] for s in winners]
+
+
+def test_source_vocab_containment_brute_force():
+    import re
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.text import source_vocab_containment
+
+    got = source_vocab_containment(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text", "source"])
+    vocab: dict[str, set] = {}
+    for t, s in zip(docs["text"], docs["source"]):
+        vocab.setdefault(s, set()).update(re.findall(r"[a-z0-9]+", t.lower()))
+    want = {}
+    for a in vocab:
+        for b in vocab:
+            if a != b and vocab[a] & vocab[b]:
+                want[(a, b)] = (
+                    len(vocab[a] & vocab[b]),
+                    len(vocab[a]),
+                    len(vocab[a] & vocab[b]) * 1000 // len(vocab[a]),
+                )
+    have = {
+        (r["src_a"], r["src_b"]): (
+            r["n_common"],
+            r["n_a"],
+            r["containment_permille"],
+        )
+        for _, r in got.iterrows()
+    }
+    assert have == want and len(want) > 0
