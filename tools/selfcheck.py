@@ -19,7 +19,18 @@ def to_pandas(res) -> pd.DataFrame:
         return res
     if isinstance(res, pa.Table):
         return res.to_pandas()
-    return res.to_pandas()  # ray Dataset
+    df = res.to_pandas()  # ray Dataset
+    if len(df) == 0 and len(df.columns) == 0:
+        # Ray's to_pandas drops the schema when every block is empty;
+        # rebuild the typed empty frame from the Dataset schema so a
+        # legitimately-empty result still column/dtype-matches its oracle.
+        schema = res.schema()
+        if schema is not None:
+            empty = pa.table(
+                {n: pa.array([], t) for n, t in zip(schema.names, schema.types)}
+            )
+            return empty.to_pandas()
+    return df
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
