@@ -303,3 +303,149 @@ def test_repartition_join_matches_pandas(case):
         ref = sorted(lv[np.asarray(keep, bool)].tolist())
         got = sorted(out["lv"].tolist()) if len(out) else []
         assert got == ref
+
+
+# -- session-6 kernel differentials vs in-test references ---------------------
+
+_events_case = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user
+        st.integers(min_value=0, max_value=2000),   # ts offset, seconds
+        st.integers(min_value=-500, max_value=500), # value, cents
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _write_events(tmpdir, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_700_000_000_000_000  # µs epoch
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+            ),
+            "value": pa.array([r[2] / 100.0 for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(t, f"{tmpdir}/events.parquet")
+    return tmpdir
+
+
+@settings(max_examples=20, deadline=None)
+@given(_events_case)
+def test_interval_coverage_property(rows):
+    """Differential vs a sequential interval-merge reference on random
+    (user, ts) sets — duplicate timestamps, touching pads, single-event
+    users, empty input."""
+    import tempfile
+
+    from go_boilerpipe_ray.functions.relational import interval_coverage
+
+    PAD = 300_000_000
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        got = {
+            r["user_id"]: (r["n_islands"], r["covered_us"])
+            for r in interval_coverage(d).take_all()
+        }
+    want = {}
+    by_user: dict[int, list[int]] = {}
+    base = 1_700_000_000_000_000
+    for u, s, _ in rows:
+        by_user.setdefault(u, []).append(base + s * 1_000_000)
+    for u, ts in by_user.items():
+        ts.sort()
+        islands, cov, start, end = 0, 0, ts[0], ts[0] + PAD
+        for t in ts[1:]:
+            if t > end:
+                islands, cov = islands + 1, cov + (end - start)
+                start, end = t, t + PAD
+            else:
+                end = t + PAD
+        want[u] = (islands + 1, cov + (end - start))
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(_events_case)
+def test_moving_median_3_property(rows):
+    """Differential vs a per-window sorted pick, including negative
+    cents and duplicate timestamps (event_id breaks ties)."""
+    import tempfile
+
+    from go_boilerpipe_ray.functions.relational import moving_median_3
+
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        got = {
+            r["event_id"]: r["med_cents"]
+            for r in moving_median_3(d).take_all()
+        }
+    ordered: dict[int, list[tuple]] = {}
+    base = 1_700_000_000_000_000
+    for eid, (u, s, c) in enumerate(rows):
+        ordered.setdefault(u, []).append((base + s * 1_000_000, eid, c))
+    want = {}
+    for u, seq in ordered.items():
+        seq.sort()
+        for i in range(1, len(seq) - 1):
+            cents = sorted(x[2] for x in seq[i - 1 : i + 2])
+            want[seq[i][1]] = cents[1]
+    assert got == want
+
+
+_snm_case = st.tuples(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=5),  # window w
+    st.integers(min_value=1, max_value=4),  # prefix length
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(_snm_case)
+def test_snm_dup_pairs_property(case):
+    """Differential vs an O(n·w) reference over random tiny documents:
+    duplicate texts, empty strings, all-equal token counts (one giant
+    rank run), w larger than the corpus."""
+    import re
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.dedup import snm_dup_pairs
+
+    texts, w, prefix = case
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            f"{d}/documents.parquet",
+        )
+        got = {
+            (r["doc_a"], r["doc_b"], r["gap"])
+            for r in snm_dup_pairs(d, w=w, prefix=prefix).take_all()
+        }
+    feats = sorted(
+        (len(re.findall(r"\S+", t)), i, t[:prefix]) for i, t in enumerate(texts)
+    )
+    want = set()
+    for i in range(len(feats)):
+        for dd in range(1, w + 1):
+            if i + dd < len(feats) and feats[i][2] == feats[i + dd][2]:
+                want.add((feats[i][1], feats[i + dd][1], dd))
+    assert got == want
