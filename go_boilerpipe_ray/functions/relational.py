@@ -9517,3 +9517,66 @@ FROM revenue JOIN supplier ON s = s_suppkey
 WHERE total_cents = (SELECT max(total_cents) FROM revenue)
 ORDER BY s
 """
+
+
+# -- Benford first-digit profile (data-forensics) ------------------------------
+
+
+def benford_profile(sf_dir: str) -> pa.Table:
+    """First-significant-digit distribution of order totals — the
+    Benford's-law forensic check auditors (and data-quality gates) run
+    on any money column; synthetic or truncated data betrays itself by
+    a flat profile.
+
+    Scale shape: the digit extraction is a vectorized string head
+    (astype('U1') on integer cents — no log10 float edge at powers of
+    ten); per-batch (digit, count) partials roll up to ≤9 rows; the
+    permille normalization happens on that bounded table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = money_cents(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        )
+        digit = cents.astype("U1").astype(np.int64)
+        t = pa.table({"digit": pa.array(digit, pa.int64())})
+        g = t.group_by("digit").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "digit": g.column("digit"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    rolled = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("digit")
+        .sum("n")
+        .to_pandas()  # bounded: <= 9 digits
+        .sort_values("digit")
+    )
+    total = int(rolled["sum(n)"].sum())
+    n = rolled["sum(n)"].to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "digit": pa.array(rolled["digit"].astype("int64"), pa.int64()),
+            "n_orders": pa.array(n, pa.int64()),
+            "permille": pa.array(n * 1000 // max(total, 1), pa.int64()),
+        }
+    )
+
+
+BENFORD_PROFILE_SQL = """
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         count(*) AS n
+  FROM c GROUP BY 1
+)
+SELECT digit, CAST(n AS BIGINT) AS n_orders,
+       CAST(n * 1000 // greatest((SELECT sum(n) FROM d), 1) AS BIGINT)
+         AS permille
+FROM d ORDER BY 1
+"""

@@ -5258,3 +5258,19 @@ def test_source_vocab_containment_brute_force():
         for _, r in got.iterrows()
     }
     assert have == want and len(want) > 0
+
+
+def test_benford_profile_brute_force():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions._util import money_cents
+    from go_boilerpipe_ray.functions.relational import benford_profile
+
+    got = benford_profile(SF).to_pandas().set_index("digit")
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_totalprice"])
+    cents = money_cents(o["o_totalprice"].to_numpy())
+    first = pd.Series([int(str(c)[0]) for c in cents])
+    counts = first.value_counts().sort_index()
+    assert list(got.index) == list(counts.index)
+    assert list(got["n_orders"]) == list(counts)
+    assert list(got["permille"]) == [c * 1000 // len(cents) for c in counts]
