@@ -4176,3 +4176,170 @@ SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
 FROM inter JOIN sz ON src_a = sz.source
 ORDER BY 1, 2
 """
+
+
+# -- BM25 retrieval (integer-exact) --------------------------------------------
+
+
+BM25_QUERY_TERMS = ["scan", "join", "window", "spark"]
+
+
+def bm25_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """BM25 document retrieval for a fixed query — THE lexical-search
+    baseline (k1 = 1.2, b = 0.75), computed in exact integer
+    arithmetic so the oracle is hash-stable: with avg_int = A // N and
+    dl_ratio = 1000·dl // avg_int, each (doc, term) contributes
+    idf_int · part where idf_int = 1000·N // df and
+    part = 22000·tf·1000 // (10000·tf + 3000 + 9·dl_ratio)
+    — the same floor-composition on both sides, monotone in the float
+    BM25 for fixed collection stats, and every intermediate stays far
+    below 2^63 at any corpus size (ratios are pre-bounded, never
+    A·N products).
+
+    Scale shape: ONE corpus scan emits per-(doc, query-term) hit rows
+    plus one batch-summary row (Σdl, #docs) — collection stats and the
+    ≤|Q| document frequencies reduce to driver scalars; scoring is a
+    vectorized map over hit rows with the broadcast stats; the final
+    top-k is per-block select_k + a blocks×k driver merge.  No
+    vocabulary table, no shuffle wider than the hit stream."""
+    import collections
+
+    terms = list(BM25_QUERY_TERMS)
+    tcode = {t: i for i, t in enumerate(terms)}
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        d_doc: list[int] = []
+        d_term: list[int] = []
+        d_tf: list[int] = []
+        d_dl: list[int] = []
+        dl_sum = 0
+        n_docs = 0
+        for did, t in zip(ids, batch.column("text").to_pylist()):
+            toks = _TOKEN_RE.findall(t.lower())
+            if not toks:
+                continue
+            n_docs += 1
+            dl_sum += len(toks)
+            cnt = collections.Counter(toks)
+            for term, code in tcode.items():
+                if cnt[term]:
+                    d_doc.append(did)
+                    d_term.append(code)
+                    d_tf.append(cnt[term])
+                    d_dl.append(len(toks))
+        # sentinel summary row per batch: term = -1, tf = #docs, dl = Σdl
+        d_doc.append(-1)
+        d_term.append(-1)
+        d_tf.append(n_docs)
+        d_dl.append(dl_sum)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_doc, pa.int64()),
+                "term": pa.array(d_term, pa.int64()),
+                "tf": pa.array(d_tf, pa.int64()),
+                "dl": pa.array(d_dl, pa.int64()),
+            }
+        )
+
+    from ._util import cut_lineage
+
+    rows = cut_lineage(
+        read_documents(sf_dir).map_batches(
+            scan, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )  # reused three ways below; cut so the scan runs once per consumer chain
+
+    summaries = rows.filter(expr="term == -1")
+    stats = summaries.aggregate(
+        ray.data.aggregate.Sum("tf", alias_name="n"),
+        ray.data.aggregate.Sum("dl", alias_name="a"),
+    )
+    n_total, a_total = int(stats["n"]), int(stats["a"])
+    if n_total == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.int64()),
+            }
+        )
+    avg_int = max(a_total // n_total, 1)
+
+    hits = rows.filter(expr="term >= 0")
+    df_rows = hits.groupby("term").count().take_all()  # bounded: <= |Q| rows
+    idf = {int(r["term"]): 1000 * n_total // int(r["count()"]) for r in df_rows}
+
+    def score(batch: pa.Table) -> pa.Table:
+        term = batch.column("term").to_numpy(zero_copy_only=False)
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        dl = batch.column("dl").to_numpy(zero_copy_only=False)
+        dl_ratio = 1000 * dl // avg_int
+        part = 22000 * tf * 1000 // (10000 * tf + 3000 + 9 * dl_ratio)
+        idf_v = np.array([idf[int(c)] for c in term], dtype=np.int64)
+        t = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "s": pa.array(idf_v * part, pa.int64()),
+            }
+        )
+        g = t.group_by("doc_id").aggregate([("s", "sum")])
+        return g.rename_columns(["doc_id", "s"])
+
+    per_doc = (
+        hits.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .sum("s")
+        .rename_columns({"sum(s)": "score"})
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch,
+            k=min(k, batch.num_rows),
+            sort_keys=[("score", "descending"), ("doc_id", "ascending")],
+        )
+        return batch.take(idx)
+
+    from ._util import ensure_columns
+
+    agg = ensure_columns(
+        per_doc.map_batches(
+            local_topk, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas(),  # bounded: blocks x k
+        ["doc_id", "score"],
+    ).sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+    return pa.table(
+        {
+            "doc_id": pa.array(agg["doc_id"].astype("int64"), pa.int64()),
+            "score": pa.array(agg["score"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+BM25_TOPK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT sum(dl) AS a, count(*) AS n FROM dl),
+hits AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ('scan', 'join', 'window', 'spark') GROUP BY 1, 2
+),
+df AS (SELECT tok, count(*) AS df FROM hits GROUP BY 1),
+scored AS (
+  SELECT h.doc_id,
+         (1000 * n // df.df) *
+         (22000 * tf * 1000 //
+          (10000 * tf + 3000 + 9 * (1000 * dl.dl // greatest(a // n, 1))))
+           AS s
+  FROM hits h
+  JOIN df USING (tok)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id, CAST(sum(s) AS BIGINT) AS score
+FROM scored GROUP BY 1
+ORDER BY score DESC, doc_id LIMIT 10
+"""

@@ -5274,3 +5274,43 @@ def test_benford_profile_brute_force():
     assert list(got.index) == list(counts.index)
     assert list(got["n_orders"]) == list(counts)
     assert list(got["permille"]) == [c * 1000 // len(cents) for c in counts]
+
+
+def test_bm25_topk_brute_force():
+    """Integer BM25 against a float BM25 reference: the top-k SETS must
+    agree (the integer scaling is monotone for fixed collection stats)
+    and the integer scores must match a direct reimplementation."""
+    import re
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.text import BM25_QUERY_TERMS, bm25_topk
+
+    got = bm25_topk(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        d: re.findall(r"[a-z0-9]+", t.lower())
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    toks = {d: t for d, t in toks.items() if t}
+    n = len(toks)
+    a = sum(len(t) for t in toks.values())
+    avg = max(a // n, 1)
+    df = {
+        q: sum(1 for t in toks.values() if q in t) for q in BM25_QUERY_TERMS
+    }
+    scores = {}
+    for d, t in toks.items():
+        s = 0
+        for q in BM25_QUERY_TERMS:
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            part = 22000 * tf * 1000 // (
+                10000 * tf + 3000 + 9 * (1000 * len(t) // avg)
+            )
+            s += (1000 * n // df[q]) * part
+        if s:
+            scores[d] = s
+    want = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:10]
+    assert list(zip(got["doc_id"], got["score"])) == want
