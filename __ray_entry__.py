@@ -106,9 +106,8 @@ _R5_WINDOW = [
     "skew_profile", "join_size_by_key", "local_supplier_volume",
     "interval_coverage", "supplier_hhi", "brand_discount_revenue",
     "top_supplier_q15", "snm_multipass_pairs", "source_vocab_containment",
-    "benford_profile", "bm25_topk",
+    "benford_profile", "bm25_topk", "winnowing_fingerprints",
     # oldest never-checked
-    "shipping_priority",
     "table_profile",
     "lang_confusion", "zorder_keys",
     "approx_percentiles", "kmeans_train",
@@ -357,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_containment": text.source_vocab_containment,
         "benford_profile": relational.benford_profile,
         "bm25_topk": text.bm25_topk,
+        "winnowing_fingerprints": text.winnowing_fingerprints,
     })
 
 
@@ -574,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
         "source_vocab_containment": text.SOURCE_VOCAB_CONTAINMENT_SQL,
         "benford_profile": relational.BENFORD_PROFILE_SQL,
         "bm25_topk": text.BM25_TOPK_SQL,
+        "winnowing_fingerprints": text.WINNOWING_FINGERPRINTS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

@@ -4343,3 +4343,110 @@ SELECT doc_id, CAST(sum(s) AS BIGINT) AS score
 FROM scored GROUP BY 1
 ORDER BY score DESC, doc_id LIMIT 10
 """
+
+
+# -- winnowing fingerprints (Schleimer et al. 2003, the MOSS selector) ---------
+
+
+def winnowing_fingerprints(sf_dir: str, w: int = 4) -> "ray.data.Dataset":
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): slide a window of `w` over each
+    document's k-gram hash sequence and keep the MINIMUM hash of every
+    window (rightmost on ties), deduplicated by selected position.
+    Guarantees a match of length w+k-1 between two documents shares a
+    fingerprint — the density-bounded alternative to keeping every
+    k-gram.  Documents too short for one complete window emit nothing
+    (spec choice, mirrored by the oracle).
+
+    Scale shape: embarrassingly parallel — one narrow map over
+    documents, no shuffle; the fingerprint stream is ~1/w of the
+    k-gram stream and flows straight to the consumer.  K-gram hashes
+    reuse rolling_fingerprint's DuckDB-matchable md5 window polynomial
+    mod 2^61-1, so the oracle recomputes every window hash AND the
+    winnowing selection exactly."""
+    from .dedup import _md5_u64
+
+    K = 4  # k-gram width (tokens); window w slides over the hash sequence
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        base, mod = 1_000_003, (1 << 61) - 1
+        out_doc: list[int] = []
+        out_pos: list[int] = []
+        out_fp: list[int] = []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = _TOKEN_RE.findall(t.lower())
+            if len(toks) < K:
+                continue
+            vals = [_md5_u64(x) & 0xFFFFFFFF for x in toks]
+            hs: list[int] = []
+            h = 0
+            power = pow(base, K - 1, mod)
+            for v in vals[:K]:
+                h = (h * base + v) % mod
+            hs.append(h)
+            for i in range(K, len(vals)):
+                h = ((h - vals[i - K] * power) * base + vals[i]) % mod
+                hs.append(h)
+            if len(hs) < w:
+                continue
+            sel: set[tuple[int, int]] = set()
+            for j in range(w - 1, len(hs)):
+                window = hs[j - w + 1 : j + 1]
+                mn = min(window)
+                pos = (
+                    j - w + 1
+                    + max(i for i, v in enumerate(window) if v == mn)
+                )
+                sel.add((pos + 1, mn))  # 1-based to match the SQL mirror
+            for pos, fp in sorted(sel):
+                out_doc.append(did)
+                out_pos.append(pos)
+                out_fp.append(fp)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "pos": pa.array(out_pos, pa.int64()),
+                "fp": pa.array(out_fp, pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir).map_batches(
+        batch_fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+WINNOWING_FINGERPRINTS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                        x -> (md5_number_lower(x) & 4294967295)::BIGINT) AS v
+  FROM documents
+),
+hs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(v) - 2), i ->
+           {'idx': i,
+            'h': ((v[i]::HUGEINT * 1000003 * 1000003 * 1000003
+                 + v[i+1]::HUGEINT * 1000003 * 1000003
+                 + v[i+2]::HUGEINT * 1000003
+                 + v[i+3]::HUGEINT) % 2305843009213693951)::BIGINT})) AS u
+  FROM t WHERE len(v) >= 4
+),
+flat AS (SELECT doc_id, u.idx AS idx, u.h AS h FROM hs),
+win AS (
+  SELECT doc_id, idx AS we,
+         min(h) OVER (PARTITION BY doc_id ORDER BY idx
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn
+  FROM flat
+),
+sel AS (
+  SELECT w.doc_id, max(f.idx) AS pos, w.mn AS fp
+  FROM win w JOIN flat f
+    ON f.doc_id = w.doc_id AND f.idx BETWEEN w.we - 3 AND w.we AND f.h = w.mn
+  WHERE w.we >= 4
+  GROUP BY w.doc_id, w.we, w.mn
+)
+SELECT DISTINCT doc_id, pos, fp FROM sel
+"""

@@ -5314,3 +5314,37 @@ def test_bm25_topk_brute_force():
             scores[d] = s
     want = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:10]
     assert list(zip(got["doc_id"], got["score"])) == want
+
+
+def test_winnowing_guarantee_and_density(tmp_path):
+    """The winnowing contract (Schleimer et al.): two documents sharing
+    a run of >= w + k - 1 tokens share at least one fingerprint VALUE;
+    and selected positions are never more than w apart (density)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 = w + k - 1 tokens
+    texts = [
+        "one two three " + shared + " four five six seven eight",
+        "red green blue yellow " + shared + " purple orange pink",
+        "totally unrelated words with no common run at all here folks",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    got = winnowing_fingerprints(str(tmp_path)).to_pandas()
+    by_doc = {d: set(sub["fp"]) for d, sub in got.groupby("doc_id")}
+    assert by_doc[0] & by_doc[1], "shared 7-token run must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2] & by_doc[1] & by_doc[2])
+    for _, sub in got.groupby("doc_id"):
+        pos = sorted(sub["pos"])
+        assert all(b - a <= 4 for a, b in zip(pos, pos[1:])), "density > w"
