@@ -4447,64 +4447,96 @@ def supplier_pagerank(sf_dir: str) -> pa.Table:
     co-supply graph: suppliers are linked when they supply the same
     part.  The iterative-graph shape done scale-honestly: edge DISCOVERY
     is distributed — distinct (part, supplier) rows reduce in-scan, the
-    per-part pair fan-out runs inside ``groupby(part)`` groups (bounded
-    by suppliers-per-part, a dimension property), and pair dedup is one
-    keyed rollup; the ITERATION then runs on the driver over the
+    per-part pair fan-out is one partition-vectorized kernel, and pair
+    dedup is a PACKED-int64 keyed unique (sweep profiling showed Ray's
+    sort groupby over ~1M (src, dst) groups costs 160 s at sf0.1 — the
+    per-GROUP overhead disease again; a pk-keyed np.unique kernel is
+    P calls total); the ITERATION then runs on the driver over the
     bounded node/edge tables (nodes ≤ supplier dimension, edges ≤
     nodes² — the same bounded-state pattern as kmeans' centroids).
     All arithmetic is integer ppb with floor division, mirrored exactly
     by the unrolled-CTE oracle; every quantity is non-negative so
     DuckDB's truncating // and numpy's flooring // agree."""
+    from ._util import partitioned_by_key, run_bounds
 
-    def distinct_ps(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "p": batch.column("l_partkey"),
-                "s": batch.column("l_suppkey"),
-            }
+    def packed_ps(batch: pa.Table) -> pa.Table:
+        p = pc.cast(batch.column("l_partkey"), pa.int64()).to_numpy(
+            zero_copy_only=False
         )
-        g = t.group_by(["p", "s"]).aggregate([])
-        return g
-
-    def drop_cnt(batch: pa.Table) -> pa.Table:
-        return batch.select(["p", "s"])
-
-    # Distinct via a count aggregate (vectorized reducer) rather than a
-    # per-group Python map_groups call — same rows, far fewer task hops.
-    ps = (
-        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-        .map_batches(distinct_ps, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["p", "s"])
-        .aggregate(ray.data.aggregate.Count(alias_name="c"))
-        .map_batches(drop_cnt, batch_format="pyarrow", zero_copy_batch=True)
-    )
-
-    def pairs_in_part(group: pa.Table) -> pa.Table:
-        supps = group.column("s").to_numpy(zero_copy_only=False)
-        k = len(supps)
-        if k < 2:
-            return pa.table(
-                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        s = pc.cast(batch.column("l_suppkey"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(p) and (p.max() >= 1 << 31 or s.max() >= 1 << 31):
+            raise ValueError(
+                "supplier_pagerank packs (part, supplier) into int64; "
+                "keys >= 2^31 need a wider packing"
             )
-        src = np.repeat(supps, k)
-        dst = np.tile(supps, k)
-        keep = src != dst
+        return pa.table(
+            {"ps": pa.array(np.unique((p << 31) | s), pa.int64())}
+        )
+
+    def unique_ps(part: pa.Table) -> pa.Table:
+        ps_arr = part.column("ps").to_numpy(zero_copy_only=False)
+        u = np.unique(ps_arr)
         return pa.table(
             {
-                "src": pa.array(src[keep], pa.int64()),
-                "dst": pa.array(dst[keep], pa.int64()),
+                "p": pa.array(u >> 31, pa.int64()),
+                "s": pa.array(u & ((1 << 31) - 1), pa.int64()),
             }
         )
 
-    edges_pd = (
-        ps.groupby("p")
-        .map_groups(pairs_in_part, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .aggregate(ray.data.aggregate.Count(alias_name="c"))
-        .to_pandas()  # bounded: ≤ supplier_dimension² rows
+    # Distinct (part, supplier) via pk-keyed np.unique — P kernel calls,
+    # never one reducer invocation per distinct pair.
+    ps = partitioned_by_key(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+            packed_ps, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "ps",
+        unique_ps,
     )
-    src = edges_pd["src"].to_numpy()
-    dst = edges_pd["dst"].to_numpy()
+
+    def pairs_kernel(part: pa.Table) -> pa.Table:
+        """All parts of a hash partition in ONE call: sort by part, then
+        build every run's k×k pair fan-out with pure repeat/modulo index
+        arithmetic — no per-run loop.  Emits PACKED (src<<31 | dst)
+        edges, uniqued within the partition, so the downstream global
+        dedup shuffles one int64 column."""
+        empty = pa.table({"e": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        p = part.column("p").to_numpy(zero_copy_only=False)
+        s = part.column("s").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, p))
+        p, s = p[order], s[order]
+        b = run_bounds(p)
+        lens = np.diff(b)
+        seg = lens * lens  # k² raw pairs per part (self-pairs dropped below)
+        if seg.sum() == 0:
+            return empty
+        src = np.repeat(s, np.repeat(lens, lens))
+        starts_rep = np.repeat(b[:-1], seg)
+        k_rep = np.repeat(lens, seg)
+        local = np.arange(int(seg.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(seg)[:-1]]), seg
+        )
+        dst = s[starts_rep + local % k_rep]
+        keep = src != dst
+        return pa.table(
+            {"e": pa.array(np.unique((src[keep] << 31) | dst[keep]), pa.int64())}
+        )
+
+    def unique_edges(part: pa.Table) -> pa.Table:
+        e = part.column("e").to_numpy(zero_copy_only=False)
+        return pa.table({"e": pa.array(np.unique(e), pa.int64())})
+
+    edges_pd = partitioned_by_key(
+        partitioned_by_key(ps, "p", pairs_kernel), "e", unique_edges
+    ).to_pandas()  # bounded: ≤ supplier_dimension² rows
+    packed = edges_pd["e"].to_numpy(dtype=np.int64) if len(edges_pd) else np.array(
+        [], dtype=np.int64
+    )
+    src = packed >> 31
+    dst = packed & ((1 << 31) - 1)
     nodes = np.unique(np.concatenate([src, dst])) if len(src) else np.array(
         [], dtype=np.int64
     )
@@ -4541,8 +4573,12 @@ def supplier_pagerank(sf_dir: str) -> pa.Table:
 
 def _pagerank_sql() -> str:
     parts = [
-        """ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem)""",
-        """e AS (
+        # MATERIALIZED: DuckDB inlines plain CTEs per reference, and `e`
+        # is referenced by deg + every round — at sf0.1 the re-evaluated
+        # distinct self-joins spilled temp storage to disk exhaustion.
+        """ps AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem)""",
+        """e AS MATERIALIZED (
   SELECT DISTINCT a.s AS src, b.s AS dst
   FROM ps a JOIN ps b ON a.p = b.p AND a.s <> b.s
 )""",

@@ -3888,6 +3888,7 @@ def test_partitioned_by_key_invariant_to_partition_count(monkeypatch):
             "join_size_by_key": relational.join_size_by_key,
             "interval_coverage": relational.interval_coverage,
             "source_vocab_containment": text.source_vocab_containment,
+            "supplier_pagerank": relational.supplier_pagerank,
         }
     )
 
