@@ -3635,16 +3635,43 @@ def large_orders(sf_dir: str) -> "ray.data.Dataset":
         g = t.group_by("l_orderkey").aggregate([("q", "sum")])
         return g.rename_columns(["l_orderkey", "q"])
 
-    def having(batch: pa.Table) -> pa.Table:
-        kept = batch.filter(pc.greater(batch.column("sum_qty_x100"), _Q18_QTY_X100))
-        return kept
+    def having_kernel(part: pa.Table) -> pa.Table:
+        """Per-partition sum + HAVING: Ray's sort groupby costs ~10 µs/row
+        at high group cardinality (the supplier_pagerank finding), so the
+        per-orderkey rollup runs as P reduceat kernels instead."""
+        from ._util import run_bounds
 
-    big = (
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-        .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_orderkey")
-        .aggregate(ray.data.aggregate.Sum("q", alias_name="sum_qty_x100"))
-        .map_batches(having, batch_format="pyarrow", zero_copy_batch=True)
+        empty = pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "sum_qty_x100": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        k = part.column("l_orderkey").to_numpy(zero_copy_only=False)
+        q = part.column("q").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, q = k[order], q[order]
+        b = run_bounds(k)
+        sums = np.add.reduceat(q, b[:-1])
+        keys = k[b[:-1]]
+        keep = sums > _Q18_QTY_X100
+        return pa.table(
+            {
+                "l_orderkey": pa.array(keys[keep], pa.int64()),
+                "sum_qty_x100": pa.array(sums[keep], pa.int64()),
+            }
+        )
+
+    from ._util import partitioned_by_key
+
+    big = partitioned_by_key(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+            qty_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "l_orderkey",
+        having_kernel,
     )
 
     cust = pq.read_table(
