@@ -82,13 +82,12 @@ _R4_WINDOW = [
     "label_text_stats",
 ]
 
-# Round 5: switch _window_order to _R5_WINDOW.  79 names remain
-# never-driver-checked after r01-r03 + the planned r04 window (176
-# registered > 4x50 driver slots), so full driver coverage is
-# impossible; this window takes the 20 round-4-session-4 additions
-# (never selfcheck-aged by a judge) plus the oldest 30 never-checked —
-# exactly 50.  The 37 left over are all selfcheck-verified (judge
-# protocol: tools/selfcheck.py covers what the driver window cannot).
+# Round 5: switch _window_order to _R5_WINDOW.  With 209 registered
+# queries and 4×50 driver slots across rounds 1-4, ~60 names can never
+# be driver-checked; this window takes the round-4 session-4/5/6
+# additions plus the oldest never-checked — exactly 50.  Everything
+# left over is selfcheck-verified at sf0.01 AND sf0.1 (judge protocol:
+# tools/selfcheck.py covers what the driver window cannot).
 _R5_WINDOW = [
     # round-4 session-4 additions (newest first)
     "fuzzy_name_pairs", "small_qty_revenue", "orderkey_gaps",
