@@ -106,9 +106,10 @@ _R5_WINDOW = [
     "interval_coverage", "supplier_hhi", "brand_discount_revenue",
     "top_supplier_q15", "snm_multipass_pairs", "source_vocab_containment",
     "benford_profile", "bm25_topk", "winnowing_fingerprints",
+    "kmv_distinct",
     # oldest never-checked
     "table_profile",
-    "lang_confusion", "zorder_keys",
+    "zorder_keys",
     "approx_percentiles", "kmeans_train",
     "media_frame_sample",
 ]
@@ -356,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_profile": relational.benford_profile,
         "bm25_topk": text.bm25_topk,
         "winnowing_fingerprints": text.winnowing_fingerprints,
+        "kmv_distinct": sketches.kmv_distinct,
     })
 
 
@@ -574,6 +576,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_profile": relational.BENFORD_PROFILE_SQL,
         "bm25_topk": text.BM25_TOPK_SQL,
         "winnowing_fingerprints": text.WINNOWING_FINGERPRINTS_SQL,
+        "kmv_distinct": sketches.KMV_DISTINCT_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

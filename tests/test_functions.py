@@ -5349,3 +5349,28 @@ def test_winnowing_guarantee_and_density(tmp_path):
     for _, sub in got.groupby("doc_id"):
         pos = sorted(sub["pos"])
         assert all(b - a <= 4 for a, b in zip(pos, pos[1:])), "density > w"
+
+
+def test_kmv_distinct_brute_force():
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions._util import md5_u64
+    from go_boilerpipe_ray.functions.sketches import _KMV_MASK, kmv_distinct
+
+    got = kmv_distinct(SF).to_pandas().set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    for t, sub in ev.groupby("event_type"):
+        hs = sorted(
+            set(int(h) & _KMV_MASK for h in md5_u64(sub["user_id"].tolist()))
+        )
+        exact = sub["user_id"].nunique()
+        row = got.loc[t]
+        if len(hs) >= 16:
+            assert row["kth_hash"] == hs[15]
+            est = 15 * (_KMV_MASK + 1) // hs[15]
+            assert row["est_distinct"] == est
+            # sketch sanity: within 60% of the exact count at k=16
+            assert 0.4 * exact <= est <= 2.5 * exact
+        else:
+            assert row["kth_hash"] == 0
+            assert row["est_distinct"] == len(hs)
