@@ -2211,13 +2211,15 @@ def _snm_window_pairs(feats: "ray.data.Dataset", w: int) -> "ray.data.Dataset":
             }
         )
 
-    hist = (
+    from ._util import ensure_columns
+
+    hist = ensure_columns(
         feats.map_batches(n_counts, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("n")
         .sum("c")
-        .to_pandas()  # bounded: token-count domain, not corpus size
-        .sort_values("n")
-    )
+        .to_pandas(),  # bounded: token-count domain, not corpus size
+        ["n", "sum(c)"],
+    ).sort_values("n")
     nvals = hist["n"].to_numpy(dtype=np.int64)
     counts = hist["sum(c)"].to_numpy(dtype=np.int64)
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) if len(counts) else counts

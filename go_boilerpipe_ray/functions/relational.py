@@ -8895,8 +8895,8 @@ def skew_profile(sf_dir: str, topn: int = 10) -> pa.Table:
         ["user_id", "count()"],
     ).sort_values(["count()", "user_id"], ascending=[False, True]).head(topn)
 
-    total = int(totals["total_rows"])
-    nkeys = int(totals["distinct_keys"])
+    total = int(totals["total_rows"] or 0)
+    nkeys = int(totals["distinct_keys"] or 0)
     top = cand["count()"].to_numpy(dtype=np.int64)
     return pa.table(
         {
@@ -9146,15 +9146,17 @@ def local_supplier_volume(sf_dir: str) -> pa.Table:
         g = sub.group_by("n_name").aggregate([("cents", "sum")])
         return g.rename_columns(["n_name", "p_rev"])
 
-    out = (
+    from ._util import ensure_columns
+
+    out = ensure_columns(
         joined.map_batches(
             same_nation_rollup, batch_format="pyarrow", zero_copy_batch=True
         )
         .groupby("n_name")
         .aggregate(ray.data.aggregate.Sum("p_rev", alias_name="revenue_cents"))
-        .to_pandas()  # bounded: <= 25 nations
-        .sort_values("n_name")
-    )
+        .to_pandas(),  # bounded: <= 25 nations
+        ["n_name", "revenue_cents"],
+    ).sort_values("n_name")
     return pa.table(
         {
             "n_name": pa.array(out["n_name"], pa.string()),
@@ -9339,7 +9341,9 @@ def supplier_hhi(sf_dir: str) -> pa.Table:
         g = t.group_by("nk").aggregate([("sq", "sum"), ([], "count_all")])
         return g.rename_columns(["nk", "sq", "n_part"])
 
-    rolled = (
+    from ._util import ensure_columns
+
+    rolled = ensure_columns(
         per_supp.map_batches(
             hhi_partial, batch_format="pyarrow", zero_copy_batch=True
         )
@@ -9348,7 +9352,8 @@ def supplier_hhi(sf_dir: str) -> pa.Table:
             ray.data.aggregate.Sum("sq", alias_name="hhi"),
             ray.data.aggregate.Sum("n_part", alias_name="n_suppliers"),
         )
-        .to_pandas()  # bounded: <= 25 nations
+        .to_pandas(),  # bounded: <= 25 nations
+        ["nk", "hhi", "n_suppliers"],
     )
 
     nation = pq.read_table(
@@ -9539,13 +9544,26 @@ def top_supplier_q15(sf_dir: str) -> pa.Table:
     best = per_supp.aggregate(
         ray.data.aggregate.Max("total_cents", alias_name="mx")
     )["mx"]
+    if best is None:  # empty window: no revenue rows at all
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "total_cents": pa.array([], pa.int64()),
+            }
+        )
 
     def pick(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.equal(batch.column("total_cents"), best))
 
-    winners = per_supp.map_batches(
-        pick, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()  # bounded: the tied maxima
+    from ._util import ensure_columns
+
+    winners = ensure_columns(
+        per_supp.map_batches(
+            pick, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas(),  # bounded: the tied maxima
+        ["s", "total_cents"],
+    )
 
     sup = pq.read_table(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
@@ -9610,14 +9628,16 @@ def benford_profile(sf_dir: str) -> pa.Table:
             }
         )
 
-    rolled = (
+    from ._util import ensure_columns
+
+    rolled = ensure_columns(
         _read(sf_dir, "orders", ["o_totalprice"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("digit")
         .sum("n")
-        .to_pandas()  # bounded: <= 9 digits
-        .sort_values("digit")
-    )
+        .to_pandas(),  # bounded: <= 9 digits
+        ["digit", "sum(n)"],
+    ).sort_values("digit")
     total = int(rolled["sum(n)"].sum())
     n = rolled["sum(n)"].to_numpy(dtype=np.int64)
     return pa.table(

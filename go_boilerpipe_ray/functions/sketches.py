@@ -534,13 +534,15 @@ def kmv_distinct(sf_dir: str, k: int = _KMV_K) -> pa.Table:
             }
         )
 
-    out = (
+    from ._util import ensure_columns
+
+    out = ensure_columns(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("event_type")
         .map_groups(merge, batch_format="pyarrow")
-        .to_pandas()  # bounded: one row per event type
-        .sort_values("event_type")
-    )
+        .to_pandas(),  # bounded: one row per event type
+        ["event_type", "kth_hash", "est_distinct"],
+    ).sort_values("event_type")
     return pa.table(
         {
             "event_type": pa.array(out["event_type"], pa.string()),

@@ -4255,7 +4255,7 @@ def bm25_topk(sf_dir: str, k: int = 10) -> pa.Table:
         ray.data.aggregate.Sum("tf", alias_name="n"),
         ray.data.aggregate.Sum("dl", alias_name="a"),
     )
-    n_total, a_total = int(stats["n"]), int(stats["a"])
+    n_total, a_total = int(stats["n"] or 0), int(stats["a"] or 0)
     if n_total == 0:
         return pa.table(
             {
