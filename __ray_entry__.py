@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": text.bm25_topk,
         "winnowing_fingerprints": text.winnowing_fingerprints,
         "kmv_distinct": sketches.kmv_distinct,
+        "span_corruption": text.span_corruption,
     })
 
 
@@ -582,7 +583,8 @@ def oracle_sql() -> dict[str, str]:
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /
         # knn_quantized / knn_pq (approximate; exhaustive-probe==brute
         # pinned in pytest),
-        # media_decode (stub features are blake2b-based), bpe_train
+        # media_decode (stub features are blake2b-based), span_corruption
+        # (greedy span merge; lossless round-trip pinned in pytest), bpe_train
         # (iterative greedy segmentation; merge sequence pinned by a
         # sequential pure-Python reference in pytest), pca_project
         # (eigensolve; cross-checked against numpy PCA in pytest)

@@ -4450,3 +4450,92 @@ sel AS (
 )
 SELECT DISTINCT doc_id, pos, fp FROM sel
 """
+
+
+# -- T5-style span corruption (training-example construction) ------------------
+
+
+def span_corruption(sf_dir: str, noise_permille: int = 150) -> "ray.data.Dataset":
+    """Span-corruption training pairs (Raffel et al. 2020, T5): replace
+    ~15% of each document's tokens, grouped into short spans, with
+    numbered sentinels; the target is the sentinel-delimited sequence
+    of removed spans.  Fully DETERMINISTIC — span starts come from the
+    shared md5 rule on (doc_id, position), so the same corpus always
+    yields the same pairs (resumable, shard-order-independent).
+    Non-SQL-expressible (greedy span merge over positions) → registered
+    rows-only; the LOSSLESS invariant — de-corrupting (input, target)
+    reproduces the original token stream — is pinned by pytest.
+
+    Scale shape: embarrassingly parallel narrow map, no shuffle; output
+    rows stream.  Span starts fire at ~noise/1000 ÷ mean-span-len of
+    positions, so masked fraction tracks noise_permille."""
+    import hashlib
+
+    SPAN_MEAN = 3  # spans of 2-4 tokens
+    fire_per_mille = noise_permille // SPAN_MEAN  # start-probability rule
+
+    def _pos_hashes(did: int, n: int) -> np.ndarray:
+        # (doc, position) hash — unique keys, so no memo (unlike tokens)
+        out = np.empty(n, dtype=np.uint64)
+        for i in range(n):
+            out[i] = int.from_bytes(
+                hashlib.md5(f"{did}:{i}".encode("ascii")).digest()[8:],
+                "little",
+            )
+        return out
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        out_doc: list[int] = []
+        out_in: list[str] = []
+        out_tgt: list[str] = []
+        out_spans: list[int] = []
+        out_masked: list[int] = []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = _TOKEN_RE.findall(t.lower())
+            n = len(toks)
+            if n == 0:
+                continue
+            hv = _pos_hashes(did, n)
+            fire = (hv % np.uint64(1000)) < fire_per_mille
+            length = 2 + (hv >> np.uint64(10)) % np.uint64(3)  # 2..4
+            masked = np.zeros(n, dtype=bool)
+            for i in np.flatnonzero(fire):
+                masked[i : i + int(length[i])] = True
+            inp: list[str] = []
+            tgt: list[str] = []
+            sid = 0
+            i = 0
+            n_spans = 0
+            while i < n:
+                if masked[i]:
+                    sent = f"<extra_id_{sid}>"
+                    inp.append(sent)
+                    tgt.append(sent)
+                    while i < n and masked[i]:
+                        tgt.append(toks[i])
+                        i += 1
+                    sid += 1
+                    n_spans += 1
+                else:
+                    inp.append(toks[i])
+                    i += 1
+            out_doc.append(did)
+            out_in.append(" ".join(inp))
+            out_tgt.append(" ".join(tgt))
+            out_spans.append(n_spans)
+            out_masked.append(int(masked.sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "input_text": pa.array(out_in, pa.string()),
+                "target_text": pa.array(out_tgt, pa.string()),
+                "n_spans": pa.array(out_spans, pa.int64()),
+                "n_masked": pa.array(out_masked, pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir).map_batches(
+        batch_fn, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -5506,3 +5506,50 @@ def test_session6_operators_survive_empty_tables(tmp_path):
         except Exception as exc:  # noqa: BLE001 - audit collects all
             failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:120]}")
     assert not failures, "\n".join(failures)
+
+
+def test_span_corruption_lossless_and_budget():
+    """T5 span corruption must be LOSSLESS (interleaving input and
+    target sentinel-wise reproduces the original token stream),
+    deterministic, and mask roughly the requested token budget."""
+    import re
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.text import span_corruption
+
+    got = span_corruption(SF).to_pandas()
+    again = span_corruption(SF).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True),
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    orig = {
+        d: re.findall(r"[a-z0-9]+", t.lower())
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    total_tokens = total_masked = 0
+    sent = re.compile(r"<extra_id_(\d+)>")
+    for _, r in got.iterrows():
+        inp = r["input_text"].split()
+        tgt = r["target_text"].split()
+        # split target into sentinel -> span map
+        spans: dict[str, list[str]] = {}
+        cur = None
+        for w in tgt:
+            if sent.fullmatch(w):
+                cur = w
+                spans[cur] = []
+            else:
+                spans[cur].append(w)
+        rebuilt: list[str] = []
+        for w in inp:
+            rebuilt.extend(spans[w] if sent.fullmatch(w) else [w])
+        assert rebuilt == orig[r["doc_id"]], r["doc_id"]
+        assert r["n_masked"] == sum(len(v) for v in spans.values())
+        assert r["n_spans"] == len(spans)
+        total_tokens += len(orig[r["doc_id"]])
+        total_masked += r["n_masked"]
+    frac = total_masked / total_tokens
+    assert 0.05 <= frac <= 0.35, frac  # ~15% requested
