@@ -106,11 +106,11 @@ _R5_WINDOW = [
     "interval_coverage", "supplier_hhi", "brand_discount_revenue",
     "top_supplier_q15", "snm_multipass_pairs", "source_vocab_containment",
     "benford_profile", "bm25_topk", "winnowing_fingerprints",
-    "kmv_distinct",
+    "kmv_distinct", "vocab_coverage_curve",
     # oldest never-checked
     "table_profile",
     "zorder_keys",
-    "approx_percentiles", "kmeans_train",
+    "kmeans_train",
     "media_frame_sample",
 ]
 
@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnowing_fingerprints": text.winnowing_fingerprints,
         "kmv_distinct": sketches.kmv_distinct,
         "span_corruption": text.span_corruption,
+        "vocab_coverage_curve": text.vocab_coverage_curve,
     })
 
 
@@ -578,6 +579,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": text.BM25_TOPK_SQL,
         "winnowing_fingerprints": text.WINNOWING_FINGERPRINTS_SQL,
         "kmv_distinct": sketches.KMV_DISTINCT_SQL,
+        "vocab_coverage_curve": text.VOCAB_COVERAGE_CURVE_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

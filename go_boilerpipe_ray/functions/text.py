@@ -4539,3 +4539,152 @@ def span_corruption(sf_dir: str, noise_permille: int = 150) -> "ray.data.Dataset
     return read_documents(sf_dir).map_batches(
         batch_fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# -- vocabulary coverage curve (tokenizer sizing) -------------------------------
+
+
+VOCAB_COVERAGE_TARGETS = [500, 900, 950, 990]  # permille of occurrences
+
+
+def vocab_coverage_curve(sf_dir: str) -> pa.Table:
+    """Vocabulary coverage curve — the tokenizer-sizing question: how
+    many distinct tokens (taken by descending frequency) cover 50 / 90
+    / 95 / 99% of all token occurrences?  Exact integer semantics:
+    need = ceil(total·t/1000); whole frequency classes are taken while
+    they fit and the marginal class contributes ceil(remaining/f)
+    interchangeable tokens.
+
+    Scale shape: the per-token totals reduce in ONE token-keyed shuffle
+    (doc_frequency's discipline — no vocabulary ever materializes in
+    one place); token identity is then DROPPED and only the
+    frequency-of-frequencies table survives — its size is bounded by
+    the number of distinct frequency VALUES (O(√total-occurrences)),
+    so the descending walk is driver-bounded no matter the corpus."""
+    import re as _re
+
+    from ._util import (
+        TOKEN_PATTERN,
+        blake2_u63,
+        ensure_columns,
+        partitioned_by_key,
+        run_bounds,
+    )
+
+    tok_re = _re.compile(TOKEN_PATTERN)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        import collections
+
+        c: collections.Counter = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(tok_re.findall(t.lower()))
+        toks = list(c.keys())
+        return pa.table(
+            {
+                "th": pa.array(blake2_u63(toks), pa.int64()),
+                "c": pa.array([c[t] for t in toks], pa.int64()),
+            }
+        )
+
+    def freq_kernel(part: pa.Table) -> pa.Table:
+        """Total per token (reduceat over the co-located partials), then
+        collapse immediately to this partition's (freq, n_tokens) rows —
+        token identity dies here."""
+        empty = pa.table(
+            {"f": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if part.num_rows == 0:
+            return empty
+        th = part.column("th").to_numpy(zero_copy_only=False)
+        c = part.column("c").to_numpy(zero_copy_only=False)
+        order = np.argsort(th, kind="stable")
+        th, c = th[order], c[order]
+        b = run_bounds(th)
+        totals = np.add.reduceat(c, b[:-1])
+        f, n = np.unique(totals, return_counts=True)
+        return pa.table(
+            {
+                "f": pa.array(f, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    ff = ensure_columns(
+        partitioned_by_key(
+            read_documents(sf_dir).map_batches(
+                counts, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "th",
+            freq_kernel,
+        )
+        .groupby("f")
+        .sum("n")
+        .to_pandas(),  # bounded: distinct frequency values, O(sqrt(occurrences))
+        ["f", "sum(n)"],
+    ).sort_values("f", ascending=False)
+
+    f = ff["f"].to_numpy(dtype=np.int64)
+    n = ff["sum(n)"].to_numpy(dtype=np.int64)
+    occ = f * n
+    total = int(occ.sum())
+    cum_occ = np.cumsum(occ)
+    cum_tok = np.cumsum(n)
+    out_p: list[int] = []
+    out_tok: list[int] = []
+    out_need: list[int] = []
+    for p in VOCAB_COVERAGE_TARGETS:
+        need = (total * p + 999) // 1000
+        if total == 0:
+            out_p.append(p)
+            out_tok.append(0)
+            out_need.append(0)
+            continue
+        i = int(np.searchsorted(cum_occ, need))
+        prev_occ = int(cum_occ[i - 1]) if i else 0
+        prev_tok = int(cum_tok[i - 1]) if i else 0
+        k = (need - prev_occ + int(f[i]) - 1) // int(f[i])
+        out_p.append(p)
+        out_tok.append(prev_tok + k)
+        out_need.append(need)
+    return pa.table(
+        {
+            "permille": pa.array(out_p, pa.int64()),
+            "tokens_needed": pa.array(out_tok, pa.int64()),
+            "occ_needed": pa.array(out_need, pa.int64()),
+            "total_occ": pa.array([total] * len(out_p), pa.int64()),
+        }
+    )
+
+
+VOCAB_COVERAGE_CURVE_SQL = r"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents
+),
+tf AS (SELECT t, count(*) AS f FROM tok GROUP BY 1),
+ff AS (SELECT f, count(*) AS n FROM tf GROUP BY 1),
+w AS (
+  SELECT f, n,
+         sum(f * n) OVER (ORDER BY f DESC) AS cum_occ,
+         sum(n) OVER (ORDER BY f DESC) AS cum_tok,
+         sum(f * n) OVER () AS total
+  FROM ff
+),
+targets(p) AS (VALUES (500), (900), (950), (990)),
+marg AS (
+  SELECT p, f, n, cum_occ, cum_tok, total,
+         (total * p + 999) // 1000 AS need,
+         row_number() OVER (
+           PARTITION BY p ORDER BY cum_occ ASC
+         ) AS rn
+  FROM w CROSS JOIN targets
+  WHERE cum_occ >= (total * p + 999) // 1000
+)
+SELECT CAST(p AS BIGINT) AS permille,
+       CAST(cum_tok - n + (need - (cum_occ - f * n) + f - 1) // f AS BIGINT)
+         AS tokens_needed,
+       CAST(need AS BIGINT) AS occ_needed,
+       CAST(total AS BIGINT) AS total_occ
+FROM marg WHERE rn = 1 ORDER BY 1
+"""

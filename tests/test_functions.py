@@ -5553,3 +5553,32 @@ def test_span_corruption_lossless_and_budget():
         total_masked += r["n_masked"]
     frac = total_masked / total_tokens
     assert 0.05 <= frac <= 0.35, frac  # ~15% requested
+
+
+def test_vocab_coverage_curve_brute_force():
+    import collections
+    import re
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.text import vocab_coverage_curve
+
+    got = vocab_coverage_curve(SF).to_pandas().set_index("permille")
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    c: collections.Counter = collections.Counter()
+    for t in docs["text"]:
+        c.update(re.findall(r"[a-z0-9]+", t.lower()))
+    freqs = sorted(c.values(), reverse=True)
+    total = sum(freqs)
+    for p in [500, 900, 950, 990]:
+        need = (total * p + 999) // 1000
+        cum = k = 0
+        for f in freqs:
+            if cum >= need:
+                break
+            cum += f
+            k += 1
+        row = got.loc[p]
+        assert row["tokens_needed"] == k, p
+        assert row["occ_needed"] == need
+        assert row["total_occ"] == total
