@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": sketches.kmv_distinct,
         "span_corruption": text.span_corruption,
         "vocab_coverage_curve": text.vocab_coverage_curve,
+        "kmv_jaccard": sketches.kmv_jaccard,
     })
 
 
@@ -580,6 +581,7 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_fingerprints": text.WINNOWING_FINGERPRINTS_SQL,
         "kmv_distinct": sketches.KMV_DISTINCT_SQL,
         "vocab_coverage_curve": text.VOCAB_COVERAGE_CURVE_SQL,
+        "kmv_jaccard": sketches.KMV_JACCARD_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

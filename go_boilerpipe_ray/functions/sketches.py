@@ -575,3 +575,135 @@ SELECT event_type,
             ELSE max(m) END AS BIGINT) AS est_distinct
 FROM r WHERE rn <= 16 GROUP BY 1 ORDER BY 1
 """
+
+
+# -- KMV Jaccard (sketch-based set similarity between key sets) ----------------
+
+
+def kmv_jaccard(sf_dir: str, k: int = _KMV_K) -> pa.Table:
+    """KMV-sketch Jaccard estimate between the USER SETS of every pair
+    of event types (Beyer et al. 2007 "On synopses for distinct-value
+    estimation"): per type keep the k smallest md5 hashes of user_id;
+    for a pair (a, b) take the ku = min(k, |union|) smallest hashes of
+    the sketch union and count how many are in BOTH sketches —
+    jaccard_permille = 1000 * |S ∩ A ∩ B| // ku.  Entirely integer, so
+    the DuckDB oracle reconstructs every sketch AND every pair estimate
+    bit-for-bit — same mergeable-sketch contract as kmv_distinct.
+
+    Scale shape: the distributed phase is the kmv_distinct partial
+    (each batch reduces to ≤ k hashes per type; merging k-min sets is
+    the k-min of the union), so the shuffle moves ≤ types × blocks × k
+    fixed-width rows.  The pair combination runs on the merged bounded
+    table (types × k rows, independent of corpus size) — same
+    bounded-rollup-to-driver shape as brand_affinity_lift."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        uid = batch.column("user_id").to_pylist()
+        hv = (md5_u64(uid) & np.uint64(_KMV_MASK)).astype(np.int64)
+        types, code = np.unique(et.astype(str), return_inverse=True)
+        order = np.lexsort((hv, code))
+        code, hv = code[order], hv[order]
+        new_t = np.r_[True, code[1:] != code[:-1]]
+        new_h = new_t | np.r_[True, hv[1:] != hv[:-1]]
+        starts = np.flatnonzero(new_t)
+        pos = np.cumsum(new_h) - np.repeat(
+            np.cumsum(new_h)[starts] - 1, np.diff(np.r_[starts, len(code)])
+        )
+        keep = new_h & (pos < k)
+        return pa.table(
+            {
+                "event_type": pa.array(types[code[keep]].tolist(), pa.string()),
+                "hv": pa.array(hv[keep], pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        t = group.column("event_type")[0].as_py()
+        hs = np.unique(group.column("hv").to_numpy(zero_copy_only=False))[:k]
+        return pa.table(
+            {
+                "event_type": pa.array([t] * len(hs), pa.string()),
+                "hv": pa.array(hs, pa.int64()),
+            }
+        )
+
+    from ._util import ensure_columns
+
+    sk = ensure_columns(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pyarrow")
+        .to_pandas(),  # bounded: ≤ types × k rows
+        ["event_type", "hv"],
+    )
+    sketches = {
+        str(t): set(g["hv"].astype("int64").tolist())
+        for t, g in sk.groupby("event_type")
+    }
+    types = sorted(sketches)
+    out_a, out_b, out_ku, out_ov, out_j = [], [], [], [], []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            a, b = sketches[ta], sketches[tb]
+            union = sorted(a | b)
+            ku = min(k, len(union))
+            s = union[:ku]
+            ov = sum(1 for h in s if h in a and h in b)
+            out_a.append(ta)
+            out_b.append(tb)
+            out_ku.append(ku)
+            out_ov.append(ov)
+            out_j.append(1000 * ov // ku if ku else 0)
+    return pa.table(
+        {
+            "type_a": pa.array(out_a, pa.string()),
+            "type_b": pa.array(out_b, pa.string()),
+            "ku": pa.array(out_ku, pa.int64()),
+            "overlap_k": pa.array(out_ov, pa.int64()),
+            "jaccard_permille": pa.array(out_j, pa.int64()),
+        }
+    )
+
+
+KMV_JACCARD_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(md5_number_lower(user_id::VARCHAR) & 1125899906842623 AS BIGINT)
+           AS hv
+  FROM events
+),
+s AS (
+  SELECT event_type, hv FROM (
+    SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+    FROM h
+  ) WHERE rn <= 16
+),
+t AS (SELECT DISTINCT event_type FROM s),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM t a, t b WHERE a.event_type < b.event_type
+),
+u AS (
+  SELECT p.ta, p.tb, s.hv,
+         max(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN s ON s.event_type IN (p.ta, p.tb)
+  GROUP BY 1, 2, 3
+),
+ru AS (
+  SELECT ta, tb, in_a, in_b,
+         row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+  FROM u
+)
+SELECT ta AS type_a, tb AS type_b,
+       CAST(count(*) AS BIGINT) AS ku,
+       CAST(sum(in_a * in_b) AS BIGINT) AS overlap_k,
+       CAST(1000 * sum(in_a * in_b) // count(*) AS BIGINT) AS jaccard_permille
+FROM ru WHERE rn <= 16
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
