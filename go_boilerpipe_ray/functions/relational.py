@@ -9663,3 +9663,80 @@ SELECT digit, CAST(n AS BIGINT) AS n_orders,
          AS permille
 FROM d ORDER BY 1
 """
+
+
+# -- table checksum (order-independent content fingerprint) -------------------
+
+_CK_MASK = (1 << 50) - 1
+_CK_PRIME = 2147483647  # Mersenne 2^31-1: residues sum safely in int64
+
+
+def table_checksum(sf_dir: str) -> pa.Table:
+    """Order-independent content fingerprint of the orders table: each
+    row is canonicalized to ``key|custkey|status|priority``, hashed with
+    the shared md5 low-8-byte scheme, masked to 50 bits, and the
+    residues mod 2^31-1 are summed mod the same prime.  The (row_count,
+    checksum) pair validates a migration / rewrite / compaction without
+    comparing data: any dropped, duplicated or mutated row moves the
+    sum.  Commutative + associative, so block order, partitioning and
+    execution plan can't affect it — exactly what a 100 TB rewrite
+    audit needs (per-batch partials are 2 ints; the only "shuffle" is a
+    scalar aggregate).
+
+    The DuckDB oracle recomputes the identical fingerprint from the
+    same canonical string via md5_number_lower."""
+    import hashlib
+
+    ds = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_pylist()
+        ck = batch.column("o_custkey").to_pylist()
+        st = batch.column("o_orderstatus").to_pylist()
+        pr = batch.column("o_orderpriority").to_pylist()
+        s = 0
+        for a, b, c, d in zip(ok, ck, st, pr):
+            hv = (
+                int.from_bytes(
+                    hashlib.md5(f"{a}|{b}|{c}|{d}".encode()).digest()[8:],
+                    "little",
+                )
+                & _CK_MASK
+            )
+            s += hv % _CK_PRIME
+        return pa.table(
+            {
+                "n": pa.array([len(ok)], pa.int64()),
+                "s": pa.array([s % _CK_PRIME], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("n"), Sum("s"))
+    n = int(agg.get("sum(n)") or 0)
+    s = int(agg.get("sum(s)") or 0) % _CK_PRIME
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "checksum": pa.array([s], pa.int64()),
+        }
+    )
+
+
+TABLE_CHECKSUM_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(sum(
+         (md5_number_lower(
+            o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' ||
+            o_orderstatus || '|' || o_orderpriority
+          ) & {_CK_MASK}) % {_CK_PRIME}
+       ), 0) % {_CK_PRIME} AS BIGINT) AS checksum
+FROM orders
+"""
