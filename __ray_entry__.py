@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage_curve": text.vocab_coverage_curve,
         "kmv_jaccard": sketches.kmv_jaccard,
         "table_checksum": relational.table_checksum,
+        "scd2_history": relational.scd2_history,
     })
 
 
@@ -584,6 +585,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage_curve": text.VOCAB_COVERAGE_CURVE_SQL,
         "kmv_jaccard": sketches.KMV_JACCARD_SQL,
         "table_checksum": relational.TABLE_CHECKSUM_SQL,
+        "scd2_history": relational.SCD2_HISTORY_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

@@ -9740,3 +9740,94 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        ), 0) % {_CK_PRIME} AS BIGINT) AS checksum
 FROM orders
 """
+
+
+# -- SCD-2 history build (validity intervals from an event stream) ------------
+
+
+def scd2_history(sf_dir: str) -> pa.Table:
+    """Slowly-changing-dimension type-2 build: collapse each user's
+    event stream into validity intervals — one row per run of
+    consecutive equal event_type, with valid_from = run start and
+    valid_to = next run's start (NULL for the open current state).
+    The warehouse-dimension shape every CDC/state pipeline needs.
+
+    Scale shape: partitioned_by_key(user_id) — ONE keyed shuffle, one
+    vectorized kernel per hash partition (lexsort + run-boundary sweep),
+    never a per-user map_groups.  Ordering is made total with
+    (ts, event_id) so ties are deterministic on both sides."""
+    from ._util import ensure_columns, partitioned_by_key
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "valid_from": pa.array([], pa.timestamp("us")),
+                "valid_to": pa.array([], pa.timestamp("us")),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(
+            pc.cast(part.column("ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        et = np.asarray(part.column("event_type").to_pylist(), dtype=object)
+        types, code = np.unique(et.astype(str), return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, code = uid[order], ts[order], code[order]
+        start = np.r_[True, (uid[1:] != uid[:-1]) | (code[1:] != code[:-1])]
+        si = np.flatnonzero(start)
+        s_uid, s_ts, s_code = uid[si], ts[si], code[si]
+        nxt = np.empty(len(si), dtype=np.int64)
+        nxt[:-1] = s_ts[1:]
+        nxt[-1] = 0
+        open_run = np.r_[s_uid[1:] != s_uid[:-1], True]
+        valid_to = pc.if_else(
+            pa.array(open_run),
+            pa.scalar(None, pa.timestamp("us")),
+            pa.array(nxt, pa.int64()).cast(pa.timestamp("us")),
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(s_uid, pa.int64()),
+                "event_type": pa.array(types[s_code].tolist(), pa.string()),
+                "valid_from": pa.array(s_ts, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "valid_to": valid_to,
+            }
+        )
+
+    df = ensure_columns(
+        partitioned_by_key(ds, "user_id", kernel).to_pandas(),
+        ["user_id", "event_type", "valid_from", "valid_to"],
+    )
+    return pa.Table.from_pandas(
+        df.sort_values(["user_id", "valid_from"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+SCD2_HISTORY_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM e WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (
+         PARTITION BY user_id ORDER BY valid_from, event_id
+       ) AS valid_to
+FROM runs ORDER BY user_id, valid_from
+"""

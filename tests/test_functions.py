@@ -3889,6 +3889,7 @@ def test_partitioned_by_key_invariant_to_partition_count(monkeypatch):
             "interval_coverage": relational.interval_coverage,
             "source_vocab_containment": text.source_vocab_containment,
             "supplier_pagerank": relational.supplier_pagerank,
+            "scd2_history": relational.scd2_history,
         }
     )
 
