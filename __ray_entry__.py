@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_jaccard": sketches.kmv_jaccard,
         "table_checksum": relational.table_checksum,
         "scd2_history": relational.scd2_history,
+        "greedy_kcenter": similarity.greedy_kcenter,
     })
 
 
@@ -586,6 +587,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_jaccard": sketches.KMV_JACCARD_SQL,
         "table_checksum": relational.TABLE_CHECKSUM_SQL,
         "scd2_history": relational.SCD2_HISTORY_SQL,
+        "greedy_kcenter": similarity.GREEDY_KCENTER_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

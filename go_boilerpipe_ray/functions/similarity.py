@@ -1859,3 +1859,148 @@ def knn_pq(
         adc_scan, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
     )
     return _distributed_rank_reduce(candidates, k)
+
+
+# -- greedy k-center coreset selection -----------------------------------------
+
+
+def greedy_kcenter(sf_dir: str, k: int = 8) -> pa.Table:
+    """Greedy k-center (farthest-point / Gonzalez 1985) coreset
+    selection over the embeddings table: start from the smallest
+    vec_id, then repeatedly add the point with the LARGEST distance to
+    its nearest already-selected center (ties → smallest vec_id) — the
+    classic diversity-maximizing data-selection primitive for training
+    corpora (2-approximation of the optimal k-center cover).
+
+    Scale shape: k sequential rounds, each ONE streaming map_batches
+    pass — the ≤ k selected centers are a tiny closure broadcast to
+    every task, each batch emits a single local champion row, and the
+    global champion is a bounded (one-row-per-block) reduce on the
+    driver.  No shuffle at all; cost is k scans, the canonical price of
+    the greedy algorithm.  Selection compares SQUARED L2 distances
+    (monotonic in L2), so the output is pure integers and the DuckDB
+    oracle — a chained MATERIALIZED-CTE argmax per round — matches
+    exactly unless two min-distances tie to the last float bit."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def first_candidate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64())})
+        return pa.table({"vec_id": pa.array([int(ids.min())], pa.int64())})
+
+    firsts = ds.map_batches(
+        first_candidate, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    if not firsts:
+        return pa.table(
+            {"rank": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64())}
+        )
+    chosen = [min(r["vec_id"] for r in firsts)]
+
+    def vectors_of(ids: list[int]) -> np.ndarray:
+        idset = set(ids)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            v = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            m = np.isin(v, list(idset))
+            return batch.filter(pa.array(m))
+
+        rows = ds.map_batches(
+            pick, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        by_id = {
+            r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in rows
+        }
+        return np.stack([by_id[i] for i in ids])
+
+    for rank in range(1, k):
+        C = vectors_of(chosen)  # ≤ k × d, broadcast via task closure
+        chosen_set = frozenset(chosen)
+
+        def champion(batch: pa.Table, C=C, chosen_set=chosen_set) -> pa.Table:
+            empty = pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "md": pa.array([], pa.float64()),
+                }
+            )
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            keep = ~np.isin(ids, list(chosen_set))
+            if not keep.any():
+                return empty
+            ids = ids[keep]
+            X = np.asarray(
+                batch.column("embedding").to_pylist(), dtype=np.float64
+            )[keep]
+            # min squared L2 to any center, computed per center to keep
+            # the float op order identical across batch sizes
+            md = np.full(len(ids), np.inf)
+            for c in C:
+                d = ((X - c) ** 2).sum(axis=1)
+                md = np.minimum(md, d)
+            j = np.lexsort((ids, -md))[0]
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(ids[j])], pa.int64()),
+                    "md": pa.array([float(md[j])], pa.float64()),
+                }
+            )
+
+        cands = ds.map_batches(
+            champion, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        if not cands:
+            break
+        best = min(cands, key=lambda r: (-r["md"], r["vec_id"]))
+        chosen.append(best["vec_id"])
+
+    return pa.table(
+        {
+            "rank": pa.array(range(len(chosen)), pa.int64()),
+            "vec_id": pa.array(chosen, pa.int64()),
+        }
+    )
+
+
+def _greedy_kcenter_sql(k: int = 8) -> str:
+    """Chained-argmax oracle: acc{i} is the selected set after i+1
+    rounds.  Every CTE is MATERIALIZED — DuckDB inlines plain CTEs per
+    reference, and acc{i-1} is referenced three times per round, which
+    would re-evaluate the whole chain exponentially."""
+    parts = [
+        "WITH acc0 AS MATERIALIZED (\n"
+        "  SELECT CAST(0 AS BIGINT) AS rank, vec_id\n"
+        "  FROM embeddings ORDER BY vec_id LIMIT 1\n)"
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"s{i} AS MATERIALIZED (\n"
+            f"  SELECT e.vec_id,\n"
+            f"         min(list_distance(e.embedding::DOUBLE[],"
+            f" ec.embedding::DOUBLE[]) ** 2) AS md\n"
+            f"  FROM embeddings e\n"
+            f"  CROSS JOIN acc{i - 1} a\n"
+            f"  JOIN embeddings ec ON ec.vec_id = a.vec_id\n"
+            f"  WHERE e.vec_id NOT IN (SELECT vec_id FROM acc{i - 1})\n"
+            f"  GROUP BY e.vec_id\n)"
+        )
+        parts.append(
+            f"p{i} AS MATERIALIZED (\n"
+            f"  SELECT CAST({i} AS BIGINT) AS rank, vec_id\n"
+            f"  FROM s{i} ORDER BY md DESC, vec_id LIMIT 1\n)"
+        )
+        parts.append(
+            f"acc{i} AS MATERIALIZED (\n"
+            f"  SELECT * FROM acc{i - 1} UNION ALL SELECT * FROM p{i}\n)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT rank, vec_id FROM acc{k - 1} ORDER BY rank"
+    )
+
+
+GREEDY_KCENTER_SQL = _greedy_kcenter_sql()

@@ -5583,3 +5583,30 @@ def test_vocab_coverage_curve_brute_force():
         assert row["tokens_needed"] == k, p
         assert row["occ_needed"] == need
         assert row["total_occ"] == total
+
+
+def test_greedy_kcenter_brute_force():
+    """Replay Gonzalez greedy farthest-point in one process over the
+    full matrix and compare the selected ids round for round."""
+    import numpy as np
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.similarity import greedy_kcenter
+
+    got = greedy_kcenter(SF).to_pandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    X = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    chosen = [int(ids[0])]
+    md = ((X - X[0]) ** 2).sum(axis=1)
+    for _ in range(1, 8):
+        m = ~np.isin(ids, chosen)
+        j = np.lexsort((ids[m], -md[m]))[0]
+        nxt = int(ids[m][j])
+        chosen.append(nxt)
+        d = ((X - X[ids == nxt][0]) ** 2).sum(axis=1)
+        md = np.minimum(md, d)
+    assert got["vec_id"].tolist() == chosen
+    assert got["rank"].tolist() == list(range(8))
