@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_checksum": relational.table_checksum,
         "scd2_history": relational.scd2_history,
         "greedy_kcenter": similarity.greedy_kcenter,
+        "gram_novelty": dedup.gram_novelty,
     })
 
 
@@ -588,6 +589,7 @@ def oracle_sql() -> dict[str, str]:
         "table_checksum": relational.TABLE_CHECKSUM_SQL,
         "scd2_history": relational.SCD2_HISTORY_SQL,
         "greedy_kcenter": similarity.GREEDY_KCENTER_SQL,
+        "gram_novelty": dedup.GRAM_NOVELTY_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

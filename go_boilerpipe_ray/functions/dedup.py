@@ -2430,3 +2430,132 @@ u AS (
 )
 SELECT da AS doc_a, db AS doc_b FROM u
 """
+
+
+# -- gram novelty (corpus redundancy growth) -----------------------------------
+
+
+def gram_novelty(sf_dir: str, k: int = 3) -> pa.Table:
+    """Per-document novelty: the fraction of a doc's distinct word
+    k-grams whose FIRST corpus occurrence (minimum doc_id) is this doc —
+    the redundancy-growth curve a crawl scheduler / corpus mixer reads
+    to decide when more data stops adding information (docs with fewer
+    than k tokens have no grams and are absent, both sides).
+
+    Scale shape: two partition-keyed shuffles of fixed-width rows, both
+    with vectorized kernels — (1) shingle-hash partitions compute each
+    gram's min doc_id with one lexsort + run-head sweep and emit
+    per-(partition, doc) partial novel counts; (2) doc_id partitions
+    fold the partials with reduceat.  The Jaccard-denominator trick
+    travels here too: each row carries its doc's distinct-gram count
+    n_sh, so no size table is ever broadcast or joined.  Grams shuffle
+    as 8-byte hashes, never strings (same collision caveat as
+    ngram_jaccard_pairs: exact absent 64-bit collisions)."""
+    from ._util import partitioned_by_key, read_parquet_clean, run_bounds
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    shingles = ds.map_batches(
+        lambda b: _shingle_batch(b, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def firsts_kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "novel_part": pa.array([], pa.int64()),
+                    "n_sh": pa.array([], pa.int64()),
+                }
+            )
+        sh = part.column("shingle").to_numpy(zero_copy_only=False)
+        doc = part.column("doc_id").to_numpy(zero_copy_only=False)
+        nsh = part.column("n_sh").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, sh))
+        sh, doc, nsh = sh[order], doc[order], nsh[order]
+        b = run_bounds(sh)
+        novel = np.zeros(len(sh), dtype=np.int64)
+        novel[b[:-1]] = 1  # run head = min doc_id of the gram
+        # fold to one (doc, novel_cnt, n_sh) partial per doc in partition
+        o2 = np.argsort(doc, kind="stable")
+        doc, novel, nsh = doc[o2], novel[o2], nsh[o2]
+        d = run_bounds(doc)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[d[:-1]], pa.int64()),
+                "novel_part": pa.array(
+                    np.add.reduceat(novel, d[:-1]), pa.int64()
+                ),
+                "n_sh": pa.array(nsh[d[:-1]], pa.int64()),
+            }
+        )
+
+    partials = partitioned_by_key(shingles, "shingle", firsts_kernel)
+
+    def fold_kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "novel": pa.array([], pa.int64()),
+                    "novelty_permille": pa.array([], pa.int64()),
+                }
+            )
+        doc = part.column("doc_id").to_numpy(zero_copy_only=False)
+        nov = part.column("novel_part").to_numpy(zero_copy_only=False)
+        nsh = part.column("n_sh").to_numpy(zero_copy_only=False)
+        order = np.argsort(doc, kind="stable")
+        doc, nov, nsh = doc[order], nov[order], nsh[order]
+        b = run_bounds(doc)
+        d_ids = doc[b[:-1]]
+        novel = np.add.reduceat(nov, b[:-1])
+        n_grams = nsh[b[:-1]]
+        return pa.table(
+            {
+                "doc_id": pa.array(d_ids, pa.int64()),
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "novel": pa.array(novel, pa.int64()),
+                "novelty_permille": pa.array(
+                    1000 * novel // n_grams, pa.int64()
+                ),
+            }
+        )
+
+    from ._util import ensure_columns
+
+    df = ensure_columns(
+        partitioned_by_key(partials, "doc_id", fold_kernel).to_pandas(),
+        ["doc_id", "n_grams", "novel", "novelty_permille"],
+    )
+    return pa.Table.from_pandas(
+        df.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+GRAM_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(ts) - 1)) AS r(i)
+),
+firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle),
+per AS (
+  SELECT s.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS novel
+  FROM sh s JOIN firsts f USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(novel AS BIGINT) AS novel,
+       CAST(1000 * novel // n_grams AS BIGINT) AS novelty_permille
+FROM per ORDER BY doc_id
+"""

@@ -3890,6 +3890,7 @@ def test_partitioned_by_key_invariant_to_partition_count(monkeypatch):
             "source_vocab_containment": text.source_vocab_containment,
             "supplier_pagerank": relational.supplier_pagerank,
             "scd2_history": relational.scd2_history,
+            "gram_novelty": dedup.gram_novelty,
         }
     )
 
