@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_history": relational.scd2_history,
         "greedy_kcenter": similarity.greedy_kcenter,
         "gram_novelty": dedup.gram_novelty,
+        "bucketed_join_roundtrip": formats.bucketed_join_roundtrip,
     })
 
 
@@ -590,6 +591,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": relational.SCD2_HISTORY_SQL,
         "greedy_kcenter": similarity.GREEDY_KCENTER_SQL,
         "gram_novelty": dedup.GRAM_NOVELTY_SQL,
+        "bucketed_join_roundtrip": formats.BUCKETED_JOIN_ROUNDTRIP_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

@@ -523,3 +523,145 @@ SELECT o_orderstatus,
          AS total_cents
 FROM orders GROUP BY 1
 """
+
+
+_BUCKET_B = 8
+_BUCKET_BUILD_CACHE: dict = {}
+
+
+def bucketed_join_roundtrip(
+    sf_dir: str, out_dir: str | None = None, n_buckets: int = _BUCKET_B
+) -> "ray.data.Dataset":
+    """Bucketed-storage join: write BOTH join sides hash-bucketed by the
+    join key (``bucket = custkey % B`` as a partition directory), then
+    join bucket-to-bucket with NO shuffle — every orders task reads its
+    aligned customer bucket straight from storage (cached per worker
+    process, so each worker reads each build bucket at most once).
+    This is the layout trick that turns a repeated 100 TB fact-dim join
+    from an all-to-all exchange into an embarrassingly parallel map:
+    co-location is established once at write time and every later join
+    reuses it.  The rollup per market segment proves the joined values
+    arrived bit-exact.
+
+    Scale shape: two distributed bucketed writes, then B independent
+    pruned reads (bucket directories) → map_batches probe with a
+    per-worker build-side cache → bounded (≤ segments × blocks) partial
+    rollup.  The bucket column is derived, carried only in the path."""
+    import numpy as np
+
+    cust_out = _sink_dir("bucket_cust", sf_dir, out_dir and out_dir + "/c")
+    ord_out = _sink_dir("bucket_ord", sf_dir, out_dir and out_dir + "/o")
+
+    def add_bucket(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = pc.cast(batch.column(col), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            return batch.append_column(
+                "bucket", pa.array((k % n_buckets).astype(np.int64), pa.int64())
+            )
+
+        return fn
+
+    ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        add_bucket("c_custkey"), batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(cust_out, partition_cols=["bucket"])
+    ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        add_bucket("o_custkey"), batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(ord_out, partition_cols=["bucket"])
+
+    def probe_for(bucket: int):
+        build_dir = os.path.join(cust_out, f"bucket={bucket}")
+
+        def probe(batch: pa.Table) -> pa.Table:
+            seg_by_key = _BUCKET_BUILD_CACHE.get(build_dir)
+            if seg_by_key is None:
+                import pyarrow.parquet as pq
+
+                bt = pq.read_table(build_dir)
+                seg_by_key = dict(
+                    zip(
+                        bt.column("c_custkey").to_pylist(),
+                        bt.column("c_mktsegment").to_pylist(),
+                    )
+                )
+                if len(_BUCKET_BUILD_CACHE) > 64:
+                    _BUCKET_BUILD_CACHE.clear()
+                _BUCKET_BUILD_CACHE[build_dir] = seg_by_key
+            keys = batch.column("o_custkey").to_pylist()
+            segs = [seg_by_key.get(k) for k in keys]
+            cents = money_cents(
+                batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            )
+            # inner-join semantics: drop orders without a customer row
+            hit = [i for i, s in enumerate(segs) if s is not None]
+            t = pa.table(
+                {
+                    "c_mktsegment": pa.array(
+                        [segs[i] for i in hit], pa.string()
+                    ),
+                    "n": pa.array(np.ones(len(hit), np.int64), pa.int64()),
+                    "cents": pa.array(cents[hit], pa.int64()),
+                }
+            ).group_by("c_mktsegment").aggregate(
+                [("n", "sum"), ("cents", "sum")]
+            )
+            return t.rename_columns(["c_mktsegment", "n", "cents"])
+
+        return probe
+
+    parts = []
+    for b in range(n_buckets):
+        odir = os.path.join(ord_out, f"bucket={b}")
+        if not os.path.isdir(odir):
+            continue  # empty bucket wrote no directory
+        parts.append(
+            ray.data.read_parquet(odir).map_batches(
+                probe_for(b), batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    if not parts:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "total_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": pc.cast(t.column("c_mktsegment"), pa.string()),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+                "total_cents": pc.cast(t.column("total_cents"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("c_mktsegment")
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n_orders"),
+            ray.data.aggregate.Sum("cents", alias_name="total_cents"),
+        )
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+BUCKETED_JOIN_ROUNDTRIP_SQL = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""

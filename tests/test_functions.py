@@ -5611,3 +5611,83 @@ def test_greedy_kcenter_brute_force():
         md = np.minimum(md, d)
     assert got["vec_id"].tolist() == chosen
     assert got["rank"].tolist() == list(range(8))
+
+
+def test_session7_operators_survive_empty_tables(tmp_path):
+    """Empty-input hardening audit for this session's operator wave."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schemas = {
+        "orders": pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderstatus", pa.string()),
+                ("o_totalprice", pa.float64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+        "customer": pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("c_name", pa.string()),
+                ("c_nationkey", pa.int32()),
+                ("c_acctbal", pa.float64()),
+                ("c_mktsegment", pa.string()),
+            ]
+        ),
+        "events": pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        ),
+        "documents": pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        ),
+        "embeddings": pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
+        ),
+    }
+    for name, schema in schemas.items():
+        pq.write_table(schema.empty_table(), f"{tmp_path}/{name}.parquet")
+
+    from go_boilerpipe_ray.functions import dedup, relational, similarity, sketches
+    from go_boilerpipe_ray.sources import formats
+
+    ops = {
+        "kmv_jaccard": sketches.kmv_jaccard,
+        "table_checksum": relational.table_checksum,
+        "scd2_history": relational.scd2_history,
+        "greedy_kcenter": similarity.greedy_kcenter,
+        "gram_novelty": dedup.gram_novelty,
+        "bucketed_join_roundtrip": formats.bucketed_join_roundtrip,
+    }
+    failures = []
+    for name, fn in ops.items():
+        try:
+            out = fn(str(tmp_path))
+            n = out.count() if hasattr(out, "count") and not isinstance(
+                out, pa.Table
+            ) else out.num_rows
+            # table_checksum legitimately returns one (0, 0) row
+            assert n <= 1, (name, n)
+        except Exception as exc:  # noqa: BLE001 - audit collects all
+            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:120]}")
+    assert not failures, "\n".join(failures)
