@@ -2004,3 +2004,85 @@ def _greedy_kcenter_sql(k: int = 8) -> str:
 
 
 GREEDY_KCENTER_SQL = _greedy_kcenter_sql()
+
+
+# -- hard-negative mining (contrastive training pairs) --------------------------
+
+
+def hard_negatives(sf_dir: str, k: int = 5, n_queries: int = 8) -> pa.Table:
+    """Contrastive-pair mining: for each query vector, the top-k most
+    cosine-similar corpus vectors with a DIFFERENT label — the "hard
+    negatives" a contrastive/embedding trainer pairs against the
+    anchor.  The exact inverse predicate of knn_filtered, same scale
+    shape: queries broadcast once via ray.put, per-batch vectorized
+    mask + local top-k, candidates bounded at batches × queries × k,
+    then the distributed rank reduce.  Output is integer ranks, so the
+    oracle comparison is float-free."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    qids = np.asarray(qt.column("vec_id").to_pylist(), dtype=np.int64)
+    if len(qids) == 0:
+        return _empty_knn_result()
+    qlabs = np.asarray(qt.column("label").to_pylist(), dtype=np.int64)
+    qm = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ref = ray.put((qids, qlabs, qm))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_labs, q_mat = ray.get(q_ref)
+        ids, m = _batch_matrix(batch)
+        labs = np.asarray(batch.column("label").to_pylist(), dtype=np.int64)
+        sims = _normalize(m) @ q_mat.T
+        out_q: list[int] = []
+        out_n: list[int] = []
+        out_s: list[float] = []
+        for j, (qid, qlab) in enumerate(zip(q_ids, q_labs)):
+            valid = np.flatnonzero(labs != qlab)
+            if valid.size == 0:
+                continue
+            col = sims[valid, j]
+            pick = valid[np.lexsort((ids[valid], -col))[: min(k, valid.size)]]
+            for i in pick:
+                out_q.append(int(qid))
+                out_n.append(int(ids[i]))
+                out_s.append(float(sims[i, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    candidates = ds.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
+    )
+    return _distributed_rank_reduce(candidates, k)
+
+
+HARD_NEGATIVES_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS ql
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.qid,
+         e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+         ) AS r
+  FROM embeddings e JOIN q ON e.label <> q.ql
+)
+SELECT qid AS query_id, vec_id AS neighbor_id, r AS rank
+FROM scored WHERE r <= 5
+"""
