@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_novelty": dedup.gram_novelty,
         "bucketed_join_roundtrip": formats.bucketed_join_roundtrip,
         "hard_negatives": similarity.hard_negatives,
+        "rrf_fusion": similarity.rrf_fusion,
     })
 
 
@@ -594,6 +595,7 @@ def oracle_sql() -> dict[str, str]:
         "gram_novelty": dedup.GRAM_NOVELTY_SQL,
         "bucketed_join_roundtrip": formats.BUCKETED_JOIN_ROUNDTRIP_SQL,
         "hard_negatives": similarity.HARD_NEGATIVES_SQL,
+        "rrf_fusion": similarity.RRF_FUSION_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

@@ -2086,3 +2086,87 @@ scored AS (
 SELECT qid AS query_id, vec_id AS neighbor_id, r AS rank
 FROM scored WHERE r <= 5
 """
+
+
+# -- reciprocal rank fusion (hybrid lexical + dense retrieval) ------------------
+
+
+def rrf_fusion(sf_dir: str, k: int = 10, depth: int = 20) -> pa.Table:
+    """Hybrid retrieval: fuse the BM25 lexical top-``depth`` (fixed
+    query terms, text.bm25_topk) with the dense cosine top-``depth``
+    (query vector = vec_id 0, knn_brute) by Reciprocal Rank Fusion
+    (Cormack, Clarke & Buettcher 2009): each list contributes
+    ``1000000 // (60 + rank)`` — integer RRF with the standard
+    rrf_k = 60 — and the fused top-k is ordered by (score desc, id).
+
+    Scale shape: all heavy work happens inside the two retrievers
+    (each already distributed and individually oracle-checked); the
+    fusion itself touches only 2 × depth bounded driver rows.  That IS
+    the production shape — RRF is a reranker over candidate lists, not
+    a corpus scan."""
+    from .text import bm25_topk
+
+    sparse = bm25_topk(sf_dir, k=depth)  # (doc_id, score) best-first
+    dense = knn_brute(sf_dir, k=depth, n_queries=1)  # ranks start at 1
+    score: dict[int, int] = {}
+    for i, did in enumerate(sparse.column("doc_id").to_pylist()):
+        score[did] = score.get(did, 0) + 1_000_000 // (60 + i + 1)
+    for nid, r in zip(
+        dense.column("neighbor_id").to_pylist(),
+        dense.column("rank").to_pylist(),
+    ):
+        score[nid] = score.get(nid, 0) + 1_000_000 // (60 + r)
+    top = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([t[0] for t in top], pa.int64()),
+            "rrf_score": pa.array([t[1] for t in top], pa.int64()),
+        }
+    )
+
+
+RRF_FUSION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT sum(dl) AS a, count(*) AS n FROM dl),
+hits AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ('scan', 'join', 'window', 'spark') GROUP BY 1, 2
+),
+df AS (SELECT tok, count(*) AS df FROM hits GROUP BY 1),
+scored AS (
+  SELECT h.doc_id,
+         (1000 * n // df.df) *
+         (22000 * tf * 1000 //
+          (10000 * tf + 3000 + 9 * (1000 * dl.dl // greatest(a // n, 1))))
+           AS s
+  FROM hits h
+  JOIN df USING (tok)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+sparse AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY sum(s) DESC, doc_id) AS r
+  FROM scored GROUP BY doc_id
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+dense AS (
+  SELECT e.vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+         ) AS r
+  FROM embeddings e CROSS JOIN q
+),
+u AS (
+  SELECT doc_id, r FROM sparse WHERE r <= 20
+  UNION ALL
+  SELECT doc_id, r FROM dense WHERE r <= 20
+)
+SELECT doc_id, CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_score
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
