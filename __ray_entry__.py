@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join_roundtrip": formats.bucketed_join_roundtrip,
         "hard_negatives": similarity.hard_negatives,
         "rrf_fusion": similarity.rrf_fusion,
+        "containment_pairs": dedup.containment_pairs,
     })
 
 
@@ -596,6 +597,7 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join_roundtrip": formats.BUCKETED_JOIN_ROUNDTRIP_SQL,
         "hard_negatives": similarity.HARD_NEGATIVES_SQL,
         "rrf_fusion": similarity.RRF_FUSION_SQL,
+        "containment_pairs": dedup.CONTAINMENT_PAIRS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

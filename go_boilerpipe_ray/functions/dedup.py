@@ -2559,3 +2559,134 @@ SELECT doc_id,
        CAST(1000 * novel // n_grams AS BIGINT) AS novelty_permille
 FROM per ORDER BY doc_id
 """
+
+
+# -- directed containment pairs (doc-in-doc detection) --------------------------
+
+
+def containment_pairs(
+    sf_dir: str, k: int = 3, permille: int = 900
+) -> "ray.data.Dataset":
+    """Directed near-duplicate detection by shingle CONTAINMENT
+    C(src→dst) = |S_src ∩ S_dst| / |S_src| ≥ permille/1000 — the
+    asymmetric complement of Jaccard that catches a document EMBEDDED
+    in a larger one (quote farms, boilerplate wrappers, scraped
+    articles inside aggregator pages), where Jaccard stays low because
+    the union is dominated by the host document.  Runs over dup_corpus
+    (known duplicate structure), emits (src_id, dst_id) directed edges.
+
+    Scale shape: identical to ngram_jaccard_pairs — two int-keyed
+    shuffles (shingle % P, pair-hash % P), vectorized kernels, both
+    docs' shingle-set sizes carried in the pair rows, and the
+    threshold test is INTEGER (1000·c ≥ permille·n) so the SQL oracle
+    is float-free."""
+    shingled = dup_corpus(sf_dir).map_batches(
+        lambda b: _shingle_batch(b, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    P = wide_partitions()
+
+    def add_shingle_pk(batch: pa.Table) -> pa.Table:
+        sh = batch.column("shingle").to_numpy(zero_copy_only=False)
+        return batch.append_column("pk", pa.array(sh % P, pa.int32()))
+
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        sh = group.column("shingle").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        ns = group.column("n_sh").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sh))
+        sh, ids, ns = sh[order], ids[order], ns[order]
+        bounds = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1], True])
+        out = {n: [] for n in ("id_a", "id_b", "n_a", "n_b")}
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            g = e - s
+            if g < 2:
+                continue
+            ii, jj = np.triu_indices(g, 1)
+            out["id_a"].append(ids[s + ii])
+            out["id_b"].append(ids[s + jj])
+            out["n_a"].append(ns[s + ii])
+            out["n_b"].append(ns[s + jj])
+        if not out["id_a"]:
+            return pa.table(
+                {n: pa.array([], pa.int64()) for n in out}
+            )
+        return pa.table(
+            {n: pa.array(np.concatenate(v), pa.int64()) for n, v in out.items()}
+        )
+
+    pairs = (
+        shingled.map_batches(
+            add_shingle_pk, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("pk")
+        .map_groups(partition_pairs, batch_format="pyarrow")
+    )
+
+    def add_pair_pk(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pk", pa.array((a * 1_000_003 + b) % P, pa.int32())
+        )
+
+    def count_and_emit(group: pa.Table) -> pa.Table:
+        counted = (
+            group.select(["id_a", "id_b", "n_a", "n_b"])
+            .group_by(["id_a", "id_b"])
+            .aggregate([("id_a", "count"), ("n_a", "min"), ("n_b", "min")])
+        )
+        c = counted.column("id_a_count").to_numpy(zero_copy_only=False)
+        a = counted.column("id_a").to_numpy(zero_copy_only=False)
+        b = counted.column("id_b").to_numpy(zero_copy_only=False)
+        na = counted.column("n_a_min").to_numpy(zero_copy_only=False)
+        nb = counted.column("n_b_min").to_numpy(zero_copy_only=False)
+        fwd = 1000 * c >= permille * na  # a contained in b
+        rev = 1000 * c >= permille * nb  # b contained in a
+        return pa.table(
+            {
+                "src_id": pa.array(
+                    np.concatenate([a[fwd], b[rev]]), pa.int64()
+                ),
+                "dst_id": pa.array(
+                    np.concatenate([b[fwd], a[rev]]), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        pairs.map_batches(add_pair_pk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .map_groups(count_and_emit, batch_format="pyarrow")
+    )
+
+
+CONTAINMENT_PAIRS_SQL = f"""
+WITH corpus AS ({DUP_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(ts) - 1)) AS r(i)
+  WHERE len(ts) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+directed AS (
+  SELECT id_a AS src_id, id_b AS dst_id
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+  WHERE 1000 * c >= 900 * sa.n
+  UNION ALL
+  SELECT id_b AS src_id, id_a AS dst_id
+  FROM inter JOIN sizes sb ON sb.doc_id = id_b
+  WHERE 1000 * c >= 900 * sb.n
+)
+SELECT src_id, dst_id FROM directed
+"""
