@@ -369,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": similarity.hard_negatives,
         "rrf_fusion": similarity.rrf_fusion,
         "containment_pairs": dedup.containment_pairs,
+        "watermark_hourly": relational.watermark_hourly,
     })
 
 
@@ -598,6 +599,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": similarity.HARD_NEGATIVES_SQL,
         "rrf_fusion": similarity.RRF_FUSION_SQL,
         "containment_pairs": dedup.CONTAINMENT_PAIRS_SQL,
+        "watermark_hourly": relational.WATERMARK_HOURLY_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

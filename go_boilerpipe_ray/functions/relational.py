@@ -9831,3 +9831,167 @@ SELECT user_id, event_type, valid_from,
        ) AS valid_to
 FROM runs ORDER BY user_id, valid_from
 """
+
+
+# -- watermark + allowed-lateness hourly aggregation ---------------------------
+
+_WM_BUCKET = 1 << 18  # arrival-order ids per bucket; driver holds one max each
+_WM_LATE_US = 3_600_000_000  # allowed lateness: 1 hour
+
+
+def watermark_hourly(sf_dir: str, bucket_size: int = _WM_BUCKET) -> pa.Table:
+    """Streaming-semantics tumbling aggregation: events arrive in
+    event_id order, the watermark after each event is the running max
+    event-time seen so far, and an event is LATE (dropped from its
+    hourly window) when its event-time is more than 1 h behind the
+    watermark at arrival — the allowed-lateness contract of every
+    streaming engine, reproduced deterministically on a batch table.
+    Output: per event-time hour, on-time and late counts.
+
+    Scale shape — a distributed prefix scan, no global sort:
+    (1) one streaming pass rolls up the MAX event-time per contiguous
+        arrival bucket (event_id // 2^18; max is order-free, so this
+        is a plain bounded groupby);
+    (2) the driver computes the exclusive prefix-max over the bucket
+        maxima (one row per bucket) and broadcasts the offsets;
+    (3) one partitioned_by_key(bucket) pass sorts each bucket by
+        event_id, takes the local exclusive cummax, combines it with
+        the bucket's prefix offset to recover the EXACT global
+        watermark at every row, flags lateness and folds to (hour,
+        on-time, late) partials — finished by a tiny hour rollup."""
+    from ._util import ensure_columns, partitioned_by_key
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def bucket_max(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(
+            pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        b = eid // bucket_size
+        t = pa.table(
+            {
+                "bucket": pa.array(b, pa.int64()),
+                "mx": pa.array(ts, pa.int64()),
+            }
+        ).group_by("bucket").aggregate([("mx", "max")])
+        return t.rename_columns(["bucket", "mx"])
+
+    bmax = (
+        ds.map_batches(bucket_max, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .max("mx")
+        .to_pandas()  # bounded: one row per 2^18 arrival ids
+        .sort_values("bucket")
+    )
+    if len(bmax) == 0:
+        return pa.table(
+            {
+                "hour": pa.array([], pa.timestamp("us")),
+                "n_ontime": pa.array([], pa.int64()),
+                "n_late": pa.array([], pa.int64()),
+            }
+        )
+    buckets = bmax["bucket"].to_numpy()
+    maxes = bmax["max(mx)"].to_numpy()
+    # exclusive prefix max: watermark entering each bucket
+    prefix = np.r_[np.iinfo(np.int64).min, np.maximum.accumulate(maxes)[:-1]]
+    offsets = dict(zip(buckets.tolist(), prefix.tolist()))
+    offsets_ref = ray.put(offsets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        eid = pc.cast(batch.column("event_id"), pa.int64())
+        return pa.table(
+            {
+                "event_id": eid,
+                "ts": pc.cast(batch.column("ts"), pa.timestamp("us")),
+                "bucket": pc.divide(eid, bucket_size),
+            }
+        )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "hour": pa.array([], pa.int64()),
+                "ontime": pa.array([], pa.int64()),
+                "late": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        offs = ray.get(offsets_ref)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(part.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        bk = part.column("bucket").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, bk))
+        eid, ts, bk = eid[order], ts[order], bk[order]
+        from ._util import run_bounds
+
+        wm = np.empty(len(ts), dtype=np.int64)
+        rb = run_bounds(bk)
+        for s, e in zip(rb[:-1], rb[1:]):
+            local = ts[s:e]
+            excl = np.r_[
+                np.iinfo(np.int64).min, np.maximum.accumulate(local)[:-1]
+            ]
+            wm[s:e] = np.maximum(excl, offs[int(bk[s])])
+        late = (wm > np.iinfo(np.int64).min) & (ts < wm - _WM_LATE_US)
+        hour = ts // _WM_LATE_US * _WM_LATE_US
+        t = pa.table(
+            {
+                "hour": pa.array(hour, pa.int64()),
+                "ontime": pa.array((~late).astype(np.int64), pa.int64()),
+                "late": pa.array(late.astype(np.int64), pa.int64()),
+            }
+        ).group_by("hour").aggregate([("ontime", "sum"), ("late", "sum")])
+        return t.rename_columns(["hour", "ontime", "late"])
+
+    rolled = ensure_columns(
+        partitioned_by_key(
+            ds.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "bucket",
+            kernel,
+        )
+        .groupby("hour")
+        .sum(["ontime", "late"])
+        .to_pandas(),  # bounded: one row per active hour
+        ["hour", "sum(ontime)", "sum(late)"],
+    ).sort_values("hour")
+    return pa.table(
+        {
+            "hour": pa.array(
+                rolled["hour"].astype("int64"), pa.int64()
+            ).cast(pa.timestamp("us")),
+            "n_ontime": pa.array(
+                rolled["sum(ontime)"].astype("int64"), pa.int64()
+            ),
+            "n_late": pa.array(
+                rolled["sum(late)"].astype("int64"), pa.int64()
+            ),
+        }
+    )
+
+
+WATERMARK_HOURLY_SQL = """
+WITH w AS (
+  SELECT ts,
+         max(ts) OVER (
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS wm
+  FROM events
+),
+flagged AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         (wm IS NOT NULL AND ts < wm - INTERVAL 1 HOUR) AS late
+  FROM w
+)
+SELECT hour,
+       CAST(count(*) FILTER (WHERE NOT late) AS BIGINT) AS n_ontime,
+       CAST(count(*) FILTER (WHERE late) AS BIGINT) AS n_late
+FROM flagged GROUP BY hour ORDER BY hour
+"""

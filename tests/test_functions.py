@@ -5691,3 +5691,61 @@ def test_session7_operators_survive_empty_tables(tmp_path):
         except Exception as exc:  # noqa: BLE001 - audit collects all
             failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:120]}")
     assert not failures, "\n".join(failures)
+
+
+def _watermark_brute(eids, tss_us, late_us=3_600_000_000):
+    """Sequential reference: running max over arrival (event_id) order."""
+    import numpy as np
+
+    order = np.argsort(eids)
+    ts = np.asarray(tss_us)[order]
+    wm = -(1 << 62)
+    hours = {}
+    for t in ts:
+        late = wm > -(1 << 62) and t < wm - late_us
+        h = t // late_us * late_us
+        o, l = hours.get(h, (0, 0))
+        hours[h] = (o + (not late), l + late)
+        wm = max(wm, t)
+    return hours
+
+
+def test_watermark_hourly_cross_bucket_brute_force(tmp_path):
+    """Pin the cross-bucket prefix-max path: tiny bucket_size forces
+    many buckets, with late events whose watermark was set in an
+    EARLIER bucket."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.relational import watermark_hourly
+
+    rng = np.random.RandomState(11)
+    n = 2000
+    eids = np.arange(n, dtype=np.int64) * 3 + 7  # non-contiguous ids
+    base = 1_700_000_000_000_000
+    # mostly increasing event times with heavy out-of-order jitter so
+    # lateness crosses bucket boundaries
+    ts = base + np.cumsum(rng.randint(0, 120, n)) * 60_000_000
+    ts = ts - rng.randint(0, 5000, n) * 60_000_000
+    t = pa.table(
+        {
+            "event_id": pa.array(eids, pa.int64()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(np.ones(n, np.int64), pa.int64()),
+            "event_type": pa.array(["x"] * n, pa.string()),
+            "value": pa.array(np.zeros(n), pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+
+    got = watermark_hourly(str(tmp_path), bucket_size=64).to_pandas()
+    exp = _watermark_brute(eids, ts)
+    assert len(got) == len(exp)
+    got["h_us"] = got["hour"].astype("int64")
+    for _, row in got.iterrows():
+        o, l = exp[row["h_us"]]
+        assert (row["n_ontime"], row["n_late"]) == (o, l), row["h_us"]
+    assert got["n_late"].sum() > 0, "fixture must exercise late events"
