@@ -370,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": similarity.rrf_fusion,
         "containment_pairs": dedup.containment_pairs,
         "watermark_hourly": relational.watermark_hourly,
+        "matryoshka_recall": similarity.matryoshka_recall,
     })
 
 
@@ -600,6 +601,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": similarity.RRF_FUSION_SQL,
         "containment_pairs": dedup.CONTAINMENT_PAIRS_SQL,
         "watermark_hourly": relational.WATERMARK_HOURLY_SQL,
+        "matryoshka_recall": similarity.MATRYOSHKA_RECALL_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

@@ -2170,3 +2170,127 @@ SELECT doc_id, CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_score
 FROM u GROUP BY doc_id
 ORDER BY rrf_score DESC, doc_id LIMIT 10
 """
+
+
+# -- matryoshka truncation evaluation -------------------------------------------
+
+
+def matryoshka_recall(
+    sf_dir: str, k: int = 10, n_queries: int = 8, trunc_dim: int = 16
+) -> pa.Table:
+    """Matryoshka-embedding evaluation (Kusupati et al. 2022): how much
+    of the full-dimension top-k survives when search uses only the
+    first ``trunc_dim`` coordinates — the measurement that decides
+    whether a cheap truncated index is good enough before you build
+    it.  Output per query: |top-k(full) ∩ top-k(truncated)|.
+
+    Scale shape: two knn_brute-shaped passes (broadcast query matrix,
+    per-batch local top-k, distributed rank reduce) — the truncated
+    pass normalizes on the SLICE, exactly like a truncated index would;
+    the set intersection runs on 2 × queries × k bounded driver rows."""
+    import pyarrow.parquet as pq
+
+    full = knn_brute(sf_dir, k=k, n_queries=n_queries)
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    qids = np.asarray(qt.column("vec_id").to_pylist(), dtype=np.int64)
+    if len(qids) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "n_overlap": pa.array([], pa.int64()),
+            }
+        )
+    qm = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)[
+        :, :trunc_dim
+    ]
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ref = ray.put((qids, qm))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat = ray.get(q_ref)
+        ids, m = _batch_matrix(batch)
+        sims = _normalize(m[:, :trunc_dim]) @ q_mat.T
+        out_q: list[int] = []
+        out_n: list[int] = []
+        out_s: list[float] = []
+        for j, qid in enumerate(q_ids):
+            col = sims[:, j]
+            pick = np.lexsort((ids, -col))[: min(k, len(ids))]
+            for i in pick:
+                out_q.append(int(qid))
+                out_n.append(int(ids[i]))
+                out_s.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    trunc = _distributed_rank_reduce(
+        ds.map_batches(
+            local_topk,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=2048,
+        ),
+        k,
+    )
+
+    by_q: dict[int, set[int]] = {}
+    for r in full.to_pylist():
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    out_q, out_o = [], []
+    tr: dict[int, set[int]] = {}
+    for r in trunc.to_pylist():
+        tr.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qid in sorted(by_q):
+        out_q.append(qid)
+        out_o.append(len(by_q[qid] & tr.get(qid, set())))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "n_overlap": pa.array(out_o, pa.int64()),
+        }
+    )
+
+
+MATRYOSHKA_RECALL_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8
+),
+full_r AS (
+  SELECT q.qid, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+         ) AS r
+  FROM embeddings e CROSS JOIN q
+),
+trunc_r AS (
+  SELECT q.qid, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(
+             e.embedding[1:16], q.qe[1:16]
+           ) DESC, e.vec_id
+         ) AS r
+  FROM embeddings e CROSS JOIN q
+)
+SELECT f.qid AS query_id,
+       CAST(count(t.vec_id) AS BIGINT) AS n_overlap
+FROM full_r f
+LEFT JOIN trunc_r t
+  ON t.qid = f.qid AND t.vec_id = f.vec_id AND t.r <= 10
+WHERE f.r <= 10
+GROUP BY f.qid ORDER BY f.qid
+"""
