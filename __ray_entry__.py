@@ -82,21 +82,25 @@ _R4_WINDOW = [
     "label_text_stats",
 ]
 
-# Round 5: switch _window_order to _R5_WINDOW.  With 209 registered
-# queries and 4×50 driver slots across rounds 1-4, ~60 names can never
-# be driver-checked; this window takes the round-4 session-4/5/6
-# additions plus the oldest never-checked — exactly 50.  Everything
-# left over is selfcheck-verified at sf0.01 AND sf0.1 (judge protocol:
-# tools/selfcheck.py covers what the driver window cannot).
+# Round 5: switch _window_order to _R5_WINDOW.  With 223 registered
+# queries and 4×50 driver slots across rounds 1-4, ~70 names can never
+# be driver-checked; this window takes the round-4 session-7 additions
+# first (newest, least history), then session-4/6 additions — exactly
+# 50.  Everything left over is selfcheck-verified at sf0.01 (most also
+# at sf0.1; judge protocol: tools/selfcheck.py covers what the driver
+# window cannot).
 _R5_WINDOW = [
-    # round-4 session-4 additions (newest first)
+    # round-4 session-7 additions (newest first)
+    "kmv_jaccard", "table_checksum", "scd2_history", "greedy_kcenter",
+    "gram_novelty", "bucketed_join_roundtrip", "hard_negatives",
+    "rrf_fusion", "containment_pairs", "watermark_hourly",
+    "matryoshka_recall",
+    # round-4 session-4 additions
     "fuzzy_name_pairs", "small_qty_revenue", "orderkey_gaps",
-    "copurchase_degree_hist", "max_concurrent_events",
-    "sliding_distinct_users", "hashed_features", "ipc_roundtrip",
-    "cumulative_unique_users", "user_activity_streak", "sentence_stats",
+    "max_concurrent_events", "sliding_distinct_users",
     "dup_cluster_size_hist", "split_leakage_audit", "weighted_median_discount",
     "brand_affinity_lift", "asof_join_forward", "dsir_weights",
-    "classifier_logits", "orc_roundtrip", "daily_churn", "hive_roundtrip",
+    "classifier_logits", "orc_roundtrip", "hive_roundtrip",
     "top_parts_per_brand", "late_event_audit", "compact_roundtrip",
     "knn_quantized", "cdc_upsert",
     # round-4 session-6 additions
@@ -107,12 +111,11 @@ _R5_WINDOW = [
     "top_supplier_q15", "snm_multipass_pairs", "source_vocab_containment",
     "benford_profile", "bm25_topk", "winnowing_fingerprints",
     "kmv_distinct", "vocab_coverage_curve",
-    # oldest never-checked
-    "table_profile",
-    "zorder_keys",
-    "kmeans_train",
-    "media_frame_sample",
 ]
+# Evicted to fit 50 (all remain selfcheck-green): table_profile,
+# zorder_keys, kmeans_train, media_frame_sample, copurchase_degree_hist,
+# hashed_features, ipc_roundtrip, cumulative_unique_users,
+# user_activity_streak, sentence_stats, daily_churn.
 
 
 def _window_order(d: dict[str, Any]) -> dict[str, Any]:
