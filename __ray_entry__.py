@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": dedup.containment_pairs,
         "watermark_hourly": relational.watermark_hourly,
         "matryoshka_recall": similarity.matryoshka_recall,
+        "top_paths": relational.top_paths,
     })
 
 
@@ -605,6 +606,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": dedup.CONTAINMENT_PAIRS_SQL,
         "watermark_hourly": relational.WATERMARK_HOURLY_SQL,
         "matryoshka_recall": similarity.MATRYOSHKA_RECALL_SQL,
+        "top_paths": relational.TOP_PATHS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

@@ -9995,3 +9995,83 @@ SELECT hour,
        CAST(count(*) FILTER (WHERE late) AS BIGINT) AS n_late
 FROM flagged GROUP BY hour ORDER BY hour
 """
+
+
+# -- top paths (behavioural sequence mining) ------------------------------------
+
+
+def top_paths(sf_dir: str, cap: int = 5, k: int = 10) -> pa.Table:
+    """The k most common user journeys: each user's first ``cap``
+    event types joined in order, counted across users, top-k by
+    (count desc, path asc) — the sequence-frequency report behind
+    funnel design and behavioural tokenization.
+
+    Scale shape: user_event_path's single user-keyed shuffle builds the
+    per-user path strings; counting paths re-keys on a path HASH
+    partition (strings shuffle once, bounded by users, not events),
+    folds with a per-partition group count, and the final top-k is a
+    per-block select_k + bounded driver merge — no global sort."""
+    from ._util import blake2_u63, ensure_columns
+
+    paths = user_event_path(sf_dir, cap=cap)
+
+    P_local = 64
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        p = batch.column("path").to_pylist()
+        return pa.table(
+            {
+                "path": batch.column("path"),
+                "pk": pa.array(
+                    (blake2_u63(p) % P_local).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def count_kernel(group: pa.Table) -> pa.Table:
+        t = (
+            group.select(["path"])
+            .append_column(
+                "n", pa.array(np.ones(group.num_rows, np.int64), pa.int64())
+            )
+            .group_by("path")
+            .aggregate([("n", "sum")])
+            .rename_columns(["path", "n"])
+        )
+        idx = pc.select_k_unstable(
+            t,
+            k=min(k, t.num_rows),
+            sort_keys=[("n", "descending"), ("path", "ascending")],
+        )
+        return t.take(idx)
+
+    cand = ensure_columns(
+        paths.map_batches(add_pk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .map_groups(count_kernel, batch_format="pyarrow")
+        .to_pandas(),  # bounded: ≤ P × k candidate rows
+        ["path", "n"],
+    )
+    cand = cand.sort_values(["n", "path"], ascending=[False, True]).head(k)
+    return pa.table(
+        {
+            "path": pa.array(cand["path"], pa.string()),
+            "n_users": pa.array(cand["n"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+TOP_PATHS_SQL = """
+WITH e AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM e WHERE rn <= 5 GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path LIMIT 10
+"""
