@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watermark_hourly": relational.watermark_hourly,
         "matryoshka_recall": similarity.matryoshka_recall,
         "top_paths": relational.top_paths,
+        "rfm_scores": relational.rfm_scores,
     })
 
 
@@ -607,6 +608,7 @@ def oracle_sql() -> dict[str, str]:
         "watermark_hourly": relational.WATERMARK_HOURLY_SQL,
         "matryoshka_recall": similarity.MATRYOSHKA_RECALL_SQL,
         "top_paths": relational.TOP_PATHS_SQL,
+        "rfm_scores": relational.RFM_SCORES_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

@@ -10075,3 +10075,166 @@ SELECT path, CAST(count(*) AS BIGINT) AS n_users
 FROM p GROUP BY path
 ORDER BY n_users DESC, path LIMIT 10
 """
+
+
+# -- RFM customer segmentation ---------------------------------------------------
+
+
+def rfm_scores(sf_dir: str) -> pa.Table:
+    """RFM segmentation: per customer Recency (days from last order to
+    the corpus max order date), Frequency (order count) and Monetary
+    (total spend, cents), each scored into quintiles 1-5 by the exact
+    rank rule ``score = 1 + 5·(rank−1) // n`` with RANK() semantics
+    (ties share the count-of-strictly-smaller rank) — the classic
+    marketing / user-value segmentation, fully integer.
+
+    Scale shape: one custkey-keyed shuffle folds orders to (R, F, M)
+    per customer (partitioned_by_key kernel, never per-group Python);
+    each metric's rank function comes from a (value, count) histogram
+    rollup — bounded by DISTINCT observed metric values, not rows —
+    cumsum'd on the driver and broadcast once; scoring is then a pure
+    map.  For metrics with unbounded value domains at extreme scale,
+    swap the histogram for percent_rank's two-stage bucketed ranks;
+    with money bounded (price caps) the dict stays small."""
+    from ._util import ensure_columns, partitioned_by_key, run_bounds
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def fold(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "custkey": pa.array([], pa.int64()),
+                "last_us": pa.array([], pa.int64()),
+                "f": pa.array([], pa.int64()),
+                "m": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        ck = part.column("o_custkey").to_numpy(zero_copy_only=False)
+        dt = pc.cast(
+            pc.cast(part.column("o_orderdate"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        cents = money_cents(
+            part.column("o_totalprice").to_numpy(zero_copy_only=False)
+        )
+        order = np.argsort(ck, kind="stable")
+        ck, dt, cents = ck[order], dt[order], cents[order]
+        b = run_bounds(ck)
+        return pa.table(
+            {
+                "custkey": pa.array(ck[b[:-1]], pa.int64()),
+                "last_us": pa.array(
+                    np.maximum.reduceat(dt, b[:-1]), pa.int64()
+                ),
+                "f": pa.array(np.diff(b), pa.int64()),
+                "m": pa.array(np.add.reduceat(cents, b[:-1]), pa.int64()),
+            }
+        )
+
+    from ._util import cut_lineage
+
+    per_cust = cut_lineage(
+        partitioned_by_key(ds, "o_custkey", fold)
+    )  # reused for the global max, three histograms, and scoring
+
+    mx = per_cust.aggregate(ray.data.aggregate.Max("last_us"))
+    max_us = int(mx.get("max(last_us)") or 0)
+    n_total = per_cust.count()
+    if n_total == 0:
+        return pa.table(
+            {
+                "custkey": pa.array([], pa.int64()),
+                "r_score": pa.array([], pa.int64()),
+                "f_score": pa.array([], pa.int64()),
+                "m_score": pa.array([], pa.int64()),
+            }
+        )
+
+    _DAY_US = 86_400_000_000
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        last = batch.column("last_us").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "custkey": batch.column("custkey"),
+                "r": pa.array((max_us - last) // _DAY_US, pa.int64()),
+                "f": batch.column("f"),
+                "m": batch.column("m"),
+            }
+        )
+
+    scored_input = per_cust.map_batches(
+        metrics, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def hist_of(col: str) -> dict:
+        def partial(batch: pa.Table) -> pa.Table:
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            vals, cnts = np.unique(v, return_counts=True)
+            return pa.table(
+                {
+                    "v": pa.array(vals, pa.int64()),
+                    "c": pa.array(cnts, pa.int64()),
+                }
+            )
+
+        h = (
+            scored_input.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("v")
+            .sum("c")
+            .to_pandas()  # bounded: one row per distinct metric value
+            .sort_values("v")
+        )
+        vals = h["v"].to_numpy()
+        cnts = h["sum(c)"].to_numpy()
+        smaller = np.r_[0, np.cumsum(cnts)[:-1]]  # RANK() − 1
+        return dict(zip(vals.tolist(), smaller.tolist()))
+
+    ranks = {c: ray.put(hist_of(c)) for c in ("r", "f", "m")}
+
+    def score(batch: pa.Table) -> pa.Table:
+        out = {"custkey": batch.column("custkey")}
+        for c in ("r", "f", "m"):
+            rk = ray.get(ranks[c])
+            v = batch.column(c).to_numpy(zero_copy_only=False)
+            sm = np.fromiter((rk[int(x)] for x in v), np.int64, len(v))
+            out[f"{c}_score"] = pa.array(1 + 5 * sm // n_total, pa.int64())
+        return pa.table(out)
+
+    df = ensure_columns(
+        scored_input.map_batches(
+            score, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas(),
+        ["custkey", "r_score", "f_score", "m_score"],
+    )
+    return pa.Table.from_pandas(
+        df.sort_values("custkey").reset_index(drop=True), preserve_index=False
+    )
+
+
+RFM_SCORES_SQL = """
+WITH rfm AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', max(o_orderdate),
+                   (SELECT max(o_orderdate) FROM orders)) AS r,
+         count(*) AS f,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS m
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT custkey,
+         rank() OVER (ORDER BY r) AS rr,
+         rank() OVER (ORDER BY f) AS fr,
+         rank() OVER (ORDER BY m) AS mr,
+         count(*) OVER () AS n
+  FROM rfm
+)
+SELECT custkey,
+       CAST(1 + 5 * (rr - 1) // n AS BIGINT) AS r_score,
+       CAST(1 + 5 * (fr - 1) // n AS BIGINT) AS f_score,
+       CAST(1 + 5 * (mr - 1) // n AS BIGINT) AS m_score
+FROM ranked ORDER BY custkey
+"""
