@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matryoshka_recall": similarity.matryoshka_recall,
         "top_paths": relational.top_paths,
         "rfm_scores": relational.rfm_scores,
+        "pruned_read_revenue": relational.pruned_read_revenue,
     })
 
 
@@ -609,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
         "matryoshka_recall": similarity.MATRYOSHKA_RECALL_SQL,
         "top_paths": relational.TOP_PATHS_SQL,
         "rfm_scores": relational.RFM_SCORES_SQL,
+        "pruned_read_revenue": relational.PRUNED_READ_REVENUE_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

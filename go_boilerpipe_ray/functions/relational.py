@@ -10238,3 +10238,75 @@ SELECT custkey,
        CAST(1 + 5 * (mr - 1) // n AS BIGINT) AS m_score
 FROM ranked ORDER BY custkey
 """
+
+
+# -- pushdown-pruned read --------------------------------------------------------
+
+
+def pruned_read_revenue(sf_dir: str) -> pa.Table:
+    """Predicate + projection pushdown at the READ: urgent-order
+    revenue per order-status, with the row filter bound into
+    ``read_parquet`` (pyarrow dataset filter → row-group statistics
+    pruning: row groups whose min/max exclude '1-URGENT' are never
+    decoded) and only the 3 needed columns projected.  At 100 TB the
+    difference between filtering in the engine and filtering at the
+    read is the whole scan: bytes that never leave storage cost
+    nothing downstream.
+
+    Scale shape: pruned scan → per-batch partial rollup → ≤ statuses
+    × blocks groupby."""
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_totalprice", "o_orderpriority"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = money_cents(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        )
+        t = (
+            pa.table(
+                {
+                    "o_orderstatus": pc.cast(
+                        batch.column("o_orderstatus"), pa.string()
+                    ),
+                    "n": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+                    "cents": pa.array(cents, pa.int64()),
+                }
+            )
+            .group_by("o_orderstatus")
+            .aggregate([("n", "sum"), ("cents", "sum")])
+        )
+        return t.rename_columns(["o_orderstatus", "n", "cents"])
+
+    from ._util import ensure_columns
+
+    df = ensure_columns(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderstatus")
+        .sum(["n", "cents"])
+        .to_pandas(),  # bounded: one row per order status
+        ["o_orderstatus", "sum(n)", "sum(cents)"],
+    ).sort_values("o_orderstatus")
+    return pa.table(
+        {
+            "o_orderstatus": pa.array(df["o_orderstatus"], pa.string()),
+            "n_orders": pa.array(df["sum(n)"].astype("int64"), pa.int64()),
+            "total_cents": pa.array(
+                df["sum(cents)"].astype("int64"), pa.int64()
+            ),
+        }
+    )
+
+
+PRUNED_READ_REVENUE_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1 ORDER BY 1
+"""
