@@ -665,3 +665,127 @@ SELECT c.c_mktsegment,
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1
 """
+
+
+def _align_to(batch: pa.Table, names: list, types: dict) -> pa.Table:
+    """Project a shard batch onto the unified schema: missing columns
+    materialize as typed nulls, order is canonical."""
+    cols = {}
+    for n in names:
+        if n in batch.column_names:
+            cols[n] = pc.cast(batch.column(n), types[n])
+        else:
+            cols[n] = pa.nulls(batch.num_rows, types[n])
+    return pa.table(cols)
+
+
+def schema_evolution_roundtrip(
+    sf_dir: str, out_dir: str | None = None
+) -> "ray.data.Dataset":
+    """Schema-evolution read: a corpus whose early shards were written
+    BEFORE a column existed (here: events split into a v1 shard without
+    ``event_type`` and a v2 shard with it) must still read as one
+    dataset.  The engine pattern: read each shard generation with its
+    own schema, project every batch onto the UNIFIED schema (missing
+    columns become typed nulls — ``_align_to``), then union; never
+    rely on the reader guessing across heterogeneous files (pyarrow
+    binds the first fragment's schema, silently dropping or erroring
+    on stragglers).  The rollup groups nulls under a sentinel to prove
+    row-level survival.
+
+    Scale shape: two distributed writes, two streaming reads, a
+    zero-copy per-batch projection, one bounded rollup — the union is
+    a metadata concat, not a shuffle."""
+    import numpy as np
+
+    out = _sink_dir("schemaevo", sf_dir, out_dir)
+
+    def v1_filter(batch: pa.Table) -> pa.Table:
+        eid = pc.cast(batch.column("event_id"), pa.int64())
+        keep = pc.equal(pc.bit_wise_and(eid, 1), 0)
+        return batch.filter(keep).select(["event_id", "value"])
+
+    def v2_filter(batch: pa.Table) -> pa.Table:
+        eid = pc.cast(batch.column("event_id"), pa.int64())
+        keep = pc.equal(pc.bit_wise_and(eid, 1), 1)
+        return batch.filter(keep).select(["event_id", "value", "event_type"])
+
+    src = f"{sf_dir}/events.parquet"
+    cols = ["event_id", "value", "event_type"]
+    ray.data.read_parquet(src, columns=cols).map_batches(
+        v1_filter, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(os.path.join(out, "v1"))
+    ray.data.read_parquet(src, columns=cols).map_batches(
+        v2_filter, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(os.path.join(out, "v2"))
+
+    names = ["event_id", "value", "event_type"]
+    types = {
+        "event_id": pa.int64(),
+        "value": pa.float64(),
+        "event_type": pa.string(),
+    }
+
+    def read_aligned(sub: str) -> "ray.data.Dataset":
+        d = os.path.join(out, sub)
+        if not os.path.isdir(d):
+            return ray.data.from_arrow(
+                pa.table({n: pa.array([], types[n]) for n in names})
+            )
+        return ray.data.read_parquet(d).map_batches(
+            lambda b: _align_to(b, names, types),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    unified = read_aligned("v1").union(read_aligned("v2"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        et = pc.fill_null(pc.cast(et, pa.string()), "<missing>")
+        cents = money_cents(
+            batch.column("value").to_numpy(zero_copy_only=False)
+        )
+        t = (
+            pa.table(
+                {
+                    "event_type": et,
+                    "n": pa.array(
+                        np.ones(batch.num_rows, np.int64), pa.int64()
+                    ),
+                    "cents": pa.array(cents, pa.int64()),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("n", "sum"), ("cents", "sum")])
+        )
+        return t.rename_columns(["event_type", "n", "cents"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": pc.cast(t.column("event_type"), pa.string()),
+                "n_events": pc.cast(t.column("n_events"), pa.int64()),
+                "total_cents": pc.cast(t.column("total_cents"), pa.int64()),
+            }
+        )
+
+    return (
+        unified.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n_events"),
+            ray.data.aggregate.Sum("cents", alias_name="total_cents"),
+        )
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+SCHEMA_EVOLUTION_ROUNDTRIP_SQL = """
+SELECT CASE WHEN event_id % 2 = 0 THEN '<missing>' ELSE event_type END
+         AS event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events GROUP BY 1
+"""
