@@ -2294,3 +2294,145 @@ LEFT JOIN trunc_r t
 WHERE f.r <= 10
 GROUP BY f.qid ORDER BY f.qid
 """
+
+
+# -- maximal marginal relevance selection ----------------------------------------
+
+
+def mmr_select(sf_dir: str, k: int = 8) -> pa.Table:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) with
+    λ = 0.5: select k corpus vectors for query vec_id 0, each round
+    maximizing ``relevance − max-similarity-to-already-selected`` (the
+    λ=0.5 selection key, ties → smallest vec_id; the query vector
+    itself is excluded) — the relevance-AND-diversity selection step
+    of RAG context assembly and eval-set construction.
+
+    Scale shape: identical to greedy_kcenter — k streaming scans, the
+    ≤ k selected vectors broadcast in the task closure, one champion
+    row per block, bounded driver reduce, no shuffle.  The oracle is
+    the same chained MATERIALIZED-CTE argmax chain (plain CTEs would
+    re-evaluate the prefix exponentially)."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
+    )
+    if qt.num_rows == 0:
+        return pa.table(
+            {"rank": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64())}
+        )
+    q = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)[0]
+    q = q / np.linalg.norm(q)
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def vectors_of(ids: list[int]) -> np.ndarray:
+        idset = set(ids)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            v = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(np.isin(v, list(idset))))
+
+        rows = ds.map_batches(
+            pick, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        by_id = {
+            r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in rows
+        }
+        m = np.stack([by_id[i] for i in ids])
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    chosen: list[int] = []
+    for _ in range(k):
+        S = vectors_of(chosen) if chosen else None
+        chosen_set = frozenset(chosen)
+
+        def champion(
+            batch: pa.Table, S=S, chosen_set=chosen_set
+        ) -> pa.Table:
+            empty = pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "sc": pa.array([], pa.float64()),
+                }
+            )
+            ids, m = _batch_matrix(batch)
+            keep = (ids != 0) & ~np.isin(ids, list(chosen_set))
+            if not keep.any():
+                return empty
+            ids = ids[keep]
+            u = _normalize(m[keep])
+            sc = u @ q
+            if S is not None:
+                sc = sc - (u @ S.T).max(axis=1)
+            j = np.lexsort((ids, -sc))[0]
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(ids[j])], pa.int64()),
+                    "sc": pa.array([float(sc[j])], pa.float64()),
+                }
+            )
+
+        cands = ds.map_batches(
+            champion, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        if not cands:
+            break
+        best = min(cands, key=lambda r: (-r["sc"], r["vec_id"]))
+        chosen.append(best["vec_id"])
+
+    return pa.table(
+        {
+            "rank": pa.array(range(len(chosen)), pa.int64()),
+            "vec_id": pa.array(chosen, pa.int64()),
+        }
+    )
+
+
+def _mmr_select_sql(k: int = 8) -> str:
+    parts = [
+        "WITH q AS MATERIALIZED (\n"
+        "  SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0\n)",
+        "acc0 AS MATERIALIZED (\n"
+        "  SELECT CAST(0 AS BIGINT) AS rank, e.vec_id\n"
+        "  FROM embeddings e CROSS JOIN q\n"
+        "  WHERE e.vec_id <> 0\n"
+        "  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe)"
+        " DESC, e.vec_id LIMIT 1\n)",
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"s{i} AS MATERIALIZED (\n"
+            f"  SELECT e.vec_id,\n"
+            f"         max(list_cosine_similarity(e.embedding::DOUBLE[],"
+            f" q.qe))\n"
+            f"         - max(list_cosine_similarity(e.embedding::DOUBLE[],"
+            f" ec.embedding::DOUBLE[])) AS sc\n"
+            f"  FROM embeddings e CROSS JOIN q\n"
+            f"  CROSS JOIN acc{i - 1} a\n"
+            f"  JOIN embeddings ec ON ec.vec_id = a.vec_id\n"
+            f"  WHERE e.vec_id <> 0\n"
+            f"    AND e.vec_id NOT IN (SELECT vec_id FROM acc{i - 1})\n"
+            f"  GROUP BY e.vec_id\n)"
+        )
+        parts.append(
+            f"p{i} AS MATERIALIZED (\n"
+            f"  SELECT CAST({i} AS BIGINT) AS rank, vec_id\n"
+            f"  FROM s{i} ORDER BY sc DESC, vec_id LIMIT 1\n)"
+        )
+        parts.append(
+            f"acc{i} AS MATERIALIZED (\n"
+            f"  SELECT * FROM acc{i - 1} UNION ALL SELECT * FROM p{i}\n)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT rank, vec_id FROM acc{k - 1} ORDER BY rank"
+    )
+
+
+MMR_SELECT_SQL = _mmr_select_sql()
