@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pruned_read_revenue": relational.pruned_read_revenue,
         "schema_evolution_roundtrip": formats.schema_evolution_roundtrip,
         "mmr_select": similarity.mmr_select,
+        "event_trigram_counts": relational.event_trigram_counts,
     })
 
 
@@ -615,6 +616,7 @@ def oracle_sql() -> dict[str, str]:
         "pruned_read_revenue": relational.PRUNED_READ_REVENUE_SQL,
         "schema_evolution_roundtrip": formats.SCHEMA_EVOLUTION_ROUNDTRIP_SQL,
         "mmr_select": similarity.MMR_SELECT_SQL,
+        "event_trigram_counts": relational.EVENT_TRIGRAM_COUNTS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

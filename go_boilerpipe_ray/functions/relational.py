@@ -10310,3 +10310,90 @@ SELECT o_orderstatus,
 FROM orders WHERE o_orderpriority = '1-URGENT'
 GROUP BY 1 ORDER BY 1
 """
+
+
+# -- event trigram counts ---------------------------------------------------------
+
+
+def event_trigram_counts(sf_dir: str, k: int = 25) -> pa.Table:
+    """Top-k event TRIGRAMS across per-user ordered streams — the
+    order-3 extension of event_transitions that behavioural sequence
+    models (and funnel designers) read before committing to a context
+    length.  Output: (t1, t2, t3, cnt), top-k by (cnt desc, types asc).
+
+    Scale shape: same as event_transitions — one user-keyed shuffle,
+    per-partition coded-trigram bincount (≤ types³ partial rows per
+    partition regardless of stream length), tiny rollup, then top-k by
+    per-block select_k + bounded driver merge."""
+    from ._util import ensure_columns, partitioned_by_key
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def partial(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "t1": pa.array([], pa.string()),
+                "t2": pa.array([], pa.string()),
+                "t3": pa.array([], pa.string()),
+                "cnt_part": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows < 3:
+            return empty
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(
+            pc.cast(part.column("ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        types = np.asarray(part.column("event_type").to_pylist(), dtype=object)
+        uniq, code = np.unique(types, return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        uid, code = uid[order], code[order]
+        T = len(uniq)
+        same = (uid[2:] == uid[:-2]) & (uid[1:-1] == uid[:-2])
+        tri = (code[:-2][same] * T + code[1:-1][same]) * T + code[2:][same]
+        if len(tri) == 0:
+            return empty
+        cnt = np.bincount(tri, minlength=T * T * T)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "t1": pa.array(uniq[nz // (T * T)], pa.string()),
+                "t2": pa.array(uniq[(nz // T) % T], pa.string()),
+                "t3": pa.array(uniq[nz % T], pa.string()),
+                "cnt_part": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    rolled = ensure_columns(
+        partitioned_by_key(ds, "user_id", partial)
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(ray.data.aggregate.Sum("cnt_part", alias_name="cnt"))
+        .to_pandas(),  # bounded: ≤ types³ rows
+        ["t1", "t2", "t3", "cnt"],
+    )
+    rolled = rolled.sort_values(
+        ["cnt", "t1", "t2", "t3"], ascending=[False, True, True, True]
+    ).head(k)
+    return pa.table(
+        {
+            "t1": pa.array(rolled["t1"], pa.string()),
+            "t2": pa.array(rolled["t2"], pa.string()),
+            "t3": pa.array(rolled["t3"], pa.string()),
+            "cnt": pa.array(rolled["cnt"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+EVENT_TRIGRAM_COUNTS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS t3,
+         lag(event_type, 1) OVER w AS t2,
+         lag(event_type, 2) OVER w AS t1
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS cnt
+FROM seq WHERE t1 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY cnt DESC, t1, t2, t3 LIMIT 25
+"""
