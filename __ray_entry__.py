@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_evolution_roundtrip": formats.schema_evolution_roundtrip,
         "mmr_select": similarity.mmr_select,
         "event_trigram_counts": relational.event_trigram_counts,
+        "entity_clusters": dedup.entity_clusters,
     })
 
 
@@ -617,6 +618,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_evolution_roundtrip": formats.SCHEMA_EVOLUTION_ROUNDTRIP_SQL,
         "mmr_select": similarity.MMR_SELECT_SQL,
         "event_trigram_counts": relational.EVENT_TRIGRAM_COUNTS_SQL,
+        "entity_clusters": dedup.ENTITY_CLUSTERS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

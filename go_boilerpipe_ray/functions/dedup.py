@@ -2690,3 +2690,94 @@ directed AS (
 )
 SELECT src_id, dst_id FROM directed
 """
+
+
+# -- entity resolution: fuzzy pairs → entity clusters ----------------------------
+
+
+def entity_clusters(sf_dir: str) -> pa.Table:
+    """End-to-end entity resolution on the customer table: the
+    symmetric-delete edit-distance≤1 blocking of fuzzy_name_pairs
+    produces the match edges, connected_components folds them into
+    entity clusters (entity id = min custkey) — the full
+    record-linkage pipeline (block → match → cluster) that billing /
+    identity systems run, composed from two already-verified stages.
+    Customers with no fuzzy match are singleton entities and appear
+    with entity = custkey (both sides).
+
+    Scale shape: inherits its stages' shapes — blocking is two keyed
+    shuffles of deletion-variant hashes; clustering is the volume-
+    routed CC (one-task fold for small edge graphs, O(log diameter)
+    keyed-shuffle rounds above the limit); the singleton fill is a
+    broadcast anti-join (component map is bounded by matched nodes).
+
+    Oracle note: the recursive-CTE closure enumerates O(m²) (node,
+    label) pairs on an m-node chain component — synthetic names at
+    sf0.1 form one giant near-chain, so the ORACLE (not the Ray side,
+    which volume-routes) is certified at sf0.001/sf0.01, the driver's
+    gate scale."""
+    from ._util import ensure_columns, read_parquet_clean
+
+    edges = fuzzy_name_pairs(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "id_a": b.column("custkey_a"),
+                "id_b": b.column("custkey_b"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    comp = ensure_columns(
+        connected_components(edges).to_pandas(),  # bounded by matched nodes
+        ["doc_id", "component"],
+    )
+    comp_map = dict(
+        zip(comp["doc_id"].astype("int64"), comp["component"].astype("int64"))
+    )
+    comp_ref = ray.put(comp_map)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = ray.get(comp_ref)
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        ent = np.fromiter((m.get(int(k), int(k)) for k in ck), np.int64, len(ck))
+        return pa.table(
+            {
+                "custkey": pa.array(ck.astype(np.int64), pa.int64()),
+                "entity": pa.array(ent, pa.int64()),
+            }
+        )
+
+    df = ensure_columns(
+        read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas(),
+        ["custkey", "entity"],
+    )
+    return pa.Table.from_pandas(
+        df.sort_values("custkey").reset_index(drop=True), preserve_index=False
+    )
+
+
+ENTITY_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({FUZZY_NAME_PAIRS_SQL.replace("ORDER BY 1, 2", "")}),
+edges AS (
+  SELECT custkey_a AS u, custkey_b AS v FROM pairs
+  UNION ALL SELECT custkey_b, custkey_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v AS node, r.label
+  FROM reach r JOIN edges e ON e.u = r.node
+  WHERE r.label < e.v
+)
+SELECT CAST(c.c_custkey AS BIGINT) AS custkey,
+       CAST(COALESCE(m.component, c.c_custkey) AS BIGINT) AS entity
+FROM customer c
+LEFT JOIN (
+  SELECT node, min(label) AS component FROM reach GROUP BY node
+) m ON m.node = c.c_custkey
+ORDER BY 1
+"""
