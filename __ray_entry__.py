@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_select": similarity.mmr_select,
         "event_trigram_counts": relational.event_trigram_counts,
         "entity_clusters": dedup.entity_clusters,
+        "range_partition_plan": relational.range_partition_plan,
     })
 
 
@@ -619,6 +620,7 @@ def oracle_sql() -> dict[str, str]:
         "mmr_select": similarity.MMR_SELECT_SQL,
         "event_trigram_counts": relational.EVENT_TRIGRAM_COUNTS_SQL,
         "entity_clusters": dedup.ENTITY_CLUSTERS_SQL,
+        "range_partition_plan": relational.RANGE_PARTITION_PLAN_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

@@ -10397,3 +10397,98 @@ FROM seq WHERE t1 IS NOT NULL
 GROUP BY 1, 2, 3
 ORDER BY cnt DESC, t1, t2, t3 LIMIT 25
 """
+
+
+# -- range partition planner (pre-sort boundary computation) ----------------------
+
+
+def range_partition_plan(sf_dir: str, n_buckets: int = 8) -> pa.Table:
+    """Range-partition planner: the step a scalable distributed sort or
+    range-bucketed write runs FIRST — compute ``n_buckets`` balanced
+    key ranges for orders.o_totalprice (cents) from an exact value
+    histogram, so downstream range exchanges are skew-free.  Output per
+    bucket: inclusive lo/hi cent bounds and the exact row count that
+    will land there.  Bucket b covers ranks [b·n/B, (b+1)·n/B) under
+    (cents, rank) order — sizes differ by at most 1 even through value
+    ties, because ties are split by rank, exactly how a range
+    exchange with a tie-break column behaves.
+
+    Scale shape: one streaming pass folds to a (cents, count)
+    histogram — bounded by DISTINCT price values (prices are domain-
+    bounded), shuffled as a tiny rollup; the boundary walk runs on the
+    bounded histogram on the driver."""
+    from ._util import ensure_columns
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = money_cents(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        )
+        v, c = np.unique(cents, return_counts=True)
+        return pa.table(
+            {
+                "cents": pa.array(v, pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = ensure_columns(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cents")
+        .sum("c")
+        .to_pandas(),  # bounded: one row per distinct price
+        ["cents", "sum(c)"],
+    ).sort_values("cents")
+    if len(hist) == 0:
+        return pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "lo_cents": pa.array([], pa.int64()),
+                "hi_cents": pa.array([], pa.int64()),
+                "n_rows": pa.array([], pa.int64()),
+            }
+        )
+    vals = hist["cents"].to_numpy()
+    cnts = hist["sum(c)"].to_numpy()
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    out_b, out_lo, out_hi, out_n = [], [], [], []
+    for b in range(n_buckets):
+        # rank rk belongs to bucket rk·B // n, so bucket b covers ranks
+        # [ceil(b·n/B), ceil((b+1)·n/B))
+        r_lo = (b * n + n_buckets - 1) // n_buckets
+        r_hi = ((b + 1) * n + n_buckets - 1) // n_buckets
+        if r_hi <= r_lo:
+            continue
+        i_lo = int(np.searchsorted(cum, r_lo + 1))
+        i_hi = int(np.searchsorted(cum, r_hi))
+        out_b.append(b)
+        out_lo.append(int(vals[i_lo]))
+        out_hi.append(int(vals[i_hi]))
+        out_n.append(r_hi - r_lo)
+    return pa.table(
+        {
+            "bucket": pa.array(out_b, pa.int64()),
+            "lo_cents": pa.array(out_lo, pa.int64()),
+            "hi_cents": pa.array(out_hi, pa.int64()),
+            "n_rows": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+RANGE_PARTITION_PLAN_SQL = """
+WITH r AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (
+           ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+         ) - 1 AS rk,
+         count(*) OVER () AS n
+  FROM orders
+)
+SELECT CAST(rk * 8 // n AS BIGINT) AS bucket,
+       CAST(min(cents) AS BIGINT) AS lo_cents,
+       CAST(max(cents) AS BIGINT) AS hi_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM r GROUP BY 1 ORDER BY 1
+"""
