@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trigram_counts": relational.event_trigram_counts,
         "entity_clusters": dedup.entity_clusters,
         "range_partition_plan": relational.range_partition_plan,
+        "shard_manifest": text.shard_manifest,
     })
 
 
@@ -621,6 +622,7 @@ def oracle_sql() -> dict[str, str]:
         "event_trigram_counts": relational.EVENT_TRIGRAM_COUNTS_SQL,
         "entity_clusters": dedup.ENTITY_CLUSTERS_SQL,
         "range_partition_plan": relational.RANGE_PARTITION_PLAN_SQL,
+        "shard_manifest": text.SHARD_MANIFEST_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

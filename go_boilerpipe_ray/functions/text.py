@@ -4688,3 +4688,162 @@ SELECT CAST(p AS BIGINT) AS permille,
        CAST(total AS BIGINT) AS total_occ
 FROM marg WHERE rn = 1 ORDER BY 1
 """
+
+
+# -- shard manifest (token-budget shard assignment) ------------------------------
+
+_SHARD_BUDGET = 4096
+_SHARD_BUCKET = 1 << 16  # doc ids per prefix-sum bucket
+
+
+def shard_manifest(
+    sf_dir: str, budget: int = _SHARD_BUDGET, bucket_size: int = _SHARD_BUCKET
+) -> pa.Table:
+    """Training-shard manifest: documents in doc_id order are packed
+    greedily into shards by whitespace-token budget — a doc belongs to
+    the shard its RUNNING-TOKEN START offset falls in
+    (``start // budget``), the deterministic assignment a resumable
+    shard writer needs (adding docs never reshuffles earlier shards).
+    Output per shard: doc count, token count, doc-id range.
+
+    Scale shape — a distributed prefix SUM (the additive sibling of
+    watermark_hourly's prefix max): (1) one pass rolls token counts up
+    per contiguous doc_id bucket; (2) the driver exclusive-prefix-sums
+    the bounded bucket totals and broadcasts the offsets; (3) one
+    partitioned_by_key(bucket) pass recovers every doc's exact global
+    start offset with a local cumsum + bucket offset, folds to
+    per-shard partials, and a tiny shard rollup finishes.  One row per
+    output shard — the manifest itself is the product."""
+    from ._util import ensure_columns, partitioned_by_key
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = pc.cast(
+            pc.count_substring_regex(batch.column("text"), r"\S+"), pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "tok": toks,
+                "bucket": pa.array(ids // bucket_size, pa.int64()),
+            }
+        )
+
+    counted = ds.map_batches(
+        tok_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    from ._util import cut_lineage
+
+    counted = cut_lineage(counted)  # consumed twice: bucket sums + assignment
+
+    bsum = ensure_columns(
+        counted.groupby("bucket").sum("tok").to_pandas(),
+        ["bucket", "sum(tok)"],
+    ).sort_values("bucket")
+    if len(bsum) == 0:
+        return pa.table(
+            {
+                "shard_id": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "first_doc": pa.array([], pa.int64()),
+                "last_doc": pa.array([], pa.int64()),
+            }
+        )
+    buckets = bsum["bucket"].to_numpy()
+    sums = bsum["sum(tok)"].to_numpy()
+    prefix = np.r_[0, np.cumsum(sums)[:-1]]
+    offsets = dict(zip(buckets.tolist(), prefix.tolist()))
+    offsets_ref = ray.put(offsets)
+
+    def kernel(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "shard_id": pa.array([], pa.int64()),
+                "docs": pa.array([], pa.int64()),
+                "toks": pa.array([], pa.int64()),
+                "fd": pa.array([], pa.int64()),
+                "ld": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        offs = ray.get(offsets_ref)
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+        tok = part.column("tok").to_numpy(zero_copy_only=False)
+        bk = part.column("bucket").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bk))
+        ids, tok, bk = ids[order], tok[order], bk[order]
+        from ._util import run_bounds
+
+        start = np.empty(len(ids), dtype=np.int64)
+        rb = run_bounds(bk)
+        for s, e in zip(rb[:-1], rb[1:]):
+            local = tok[s:e]
+            start[s:e] = (
+                np.r_[0, np.cumsum(local)[:-1]] + offs[int(bk[s])]
+            )
+        shard = start // budget
+        t = pa.table(
+            {
+                "shard_id": pa.array(shard, pa.int64()),
+                "docs": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+                "toks": pa.array(tok, pa.int64()),
+                "fd": pa.array(ids, pa.int64()),
+                "ld": pa.array(ids, pa.int64()),
+            }
+        ).group_by("shard_id").aggregate(
+            [("docs", "sum"), ("toks", "sum"), ("fd", "min"), ("ld", "max")]
+        )
+        return t.rename_columns(["shard_id", "docs", "toks", "fd", "ld"])
+
+    rolled = ensure_columns(
+        partitioned_by_key(counted, "bucket", kernel)
+        .groupby("shard_id")
+        .aggregate(
+            ray.data.aggregate.Sum("docs", alias_name="n_docs"),
+            ray.data.aggregate.Sum("toks", alias_name="n_tokens"),
+            ray.data.aggregate.Min("fd", alias_name="first_doc"),
+            ray.data.aggregate.Max("ld", alias_name="last_doc"),
+        )
+        .to_pandas(),  # one row per output shard
+        ["shard_id", "n_docs", "n_tokens", "first_doc", "last_doc"],
+    ).sort_values("shard_id")
+    return pa.table(
+        {
+            "shard_id": pa.array(rolled["shard_id"].astype("int64"), pa.int64()),
+            "n_docs": pa.array(rolled["n_docs"].astype("int64"), pa.int64()),
+            "n_tokens": pa.array(
+                rolled["n_tokens"].astype("int64"), pa.int64()
+            ),
+            "first_doc": pa.array(
+                rolled["first_doc"].astype("int64"), pa.int64()
+            ),
+            "last_doc": pa.array(
+                rolled["last_doc"].astype("int64"), pa.int64()
+            ),
+        }
+    )
+
+
+SHARD_MANIFEST_SQL = r"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS tok
+  FROM documents
+),
+s AS (
+  SELECT doc_id, tok,
+         COALESCE(sum(tok) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start
+  FROM t
+)
+SELECT CAST(start // 4096 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS n_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM s GROUP BY 1 ORDER BY 1
+"""

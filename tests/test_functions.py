@@ -5750,3 +5750,55 @@ def test_watermark_hourly_cross_bucket_brute_force(tmp_path):
         o, l = exp[row["h_us"]]
         assert (row["n_ontime"], row["n_late"]) == (o, l), row["h_us"]
     assert got["n_late"].sum() > 0, "fixture must exercise late events"
+
+
+def test_shard_manifest_cross_bucket_brute_force(tmp_path):
+    """Pin the distributed prefix-SUM across buckets: tiny bucket_size
+    forces shard boundaries to span buckets."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.text import shard_manifest
+
+    rng = np.random.RandomState(5)
+    n = 500
+    ids = np.arange(n, dtype=np.int64) * 7 + 3  # sparse ids
+    texts = [
+        " ".join(f"w{j}" for j in range(rng.randint(1, 40))) for _ in range(n)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/documents.parquet")
+
+    got = shard_manifest(str(tmp_path), budget=100, bucket_size=32).to_pandas()
+
+    toks = np.array([len(re.findall(r"\S+", x)) for x in texts])
+    start = np.r_[0, np.cumsum(toks)[:-1]]
+    shard = start // 100
+    exp = (
+        pd.DataFrame(
+            {"shard_id": shard, "tok": toks, "doc_id": ids}
+        )
+        .groupby("shard_id")
+        .agg(
+            n_docs=("doc_id", "size"),
+            n_tokens=("tok", "sum"),
+            first_doc=("doc_id", "min"),
+            last_doc=("doc_id", "max"),
+        )
+        .reset_index()
+    )
+    assert len(got) == len(exp) > 5
+    for c in ["shard_id", "n_docs", "n_tokens", "first_doc", "last_doc"]:
+        assert got[c].astype("int64").tolist() == exp[c].astype("int64").tolist(), c
