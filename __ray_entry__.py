@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_clusters": dedup.entity_clusters,
         "range_partition_plan": relational.range_partition_plan,
         "shard_manifest": text.shard_manifest,
+        "user_set_ops": relational.user_set_ops,
     })
 
 
@@ -623,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_clusters": dedup.ENTITY_CLUSTERS_SQL,
         "range_partition_plan": relational.RANGE_PARTITION_PLAN_SQL,
         "shard_manifest": text.SHARD_MANIFEST_SQL,
+        "user_set_ops": relational.USER_SET_OPS_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

@@ -10492,3 +10492,110 @@ SELECT CAST(rk * 8 // n AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM r GROUP BY 1 ORDER BY 1
 """
+
+
+# -- set operations over behaviour cohorts ----------------------------------------
+
+
+def user_set_ops(sf_dir: str) -> pa.Table:
+    """EXCEPT / INTERSECT set semantics over activity cells: each
+    (user, day) cell is classified click-only (clicked EXCEPT
+    purchased), purchase-only, or both (INTERSECT) — the cohort
+    set-algebra report, computed WITHOUT materializing the two
+    distinct sets and shuffling them through set operators: each batch
+    folds to per-cell membership flags (OR merges as Max over 0/1),
+    one keyed rollup classifies every cell.
+
+    Scale shape: bounded per-batch partials, one (user, day)-keyed
+    rollup, a 3-row result."""
+    from ._util import ensure_columns
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    _DAY_US2 = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(
+            pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        day = ts // _DAY_US2
+        is_c = (et == "click").astype(np.int64)
+        is_p = (et == "purchase").astype(np.int64)
+        keep = (is_c | is_p) > 0
+        if not keep.any():
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "day": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "p": pa.array([], pa.int64()),
+                }
+            )
+        uid, day, is_c, is_p = uid[keep], day[keep], is_c[keep], is_p[keep]
+        cell = uid * 1_000_000 + day  # day count since epoch < 1e6
+        u, inv = np.unique(cell, return_inverse=True)
+        c = np.zeros(len(u), dtype=np.int64)
+        p = np.zeros(len(u), dtype=np.int64)
+        np.maximum.at(c, inv, is_c)
+        np.maximum.at(p, inv, is_p)
+        return pa.table(
+            {
+                "user_id": pa.array(u // 1_000_000, pa.int64()),
+                "day": pa.array(u % 1_000_000, pa.int64()),
+                "c": pa.array(c, pa.int64()),
+                "p": pa.array(p, pa.int64()),
+            }
+        )
+
+    def classify(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        p = b.column("p").to_numpy(zero_copy_only=False)
+        op = np.select(
+            [(c == 1) & (p == 0), (c == 0) & (p == 1)],
+            ["click_only", "purchase_only"],
+            default="both",
+        )
+        return pa.table(
+            {
+                "op": pa.array(op, pa.string()),
+                "n": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    rolled = ensure_columns(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "day"])
+        .aggregate(
+            ray.data.aggregate.Max("c", alias_name="c"),
+            ray.data.aggregate.Max("p", alias_name="p"),
+        )
+        .map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("op")
+        .sum("n")
+        .to_pandas(),  # 3 rows
+        ["op", "sum(n)"],
+    ).sort_values("op")
+    return pa.table(
+        {
+            "op": pa.array(rolled["op"], pa.string()),
+            "n_cells": pa.array(rolled["sum(n)"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+USER_SET_OPS_SQL = """
+WITH m AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+)
+SELECT CASE WHEN c = 1 AND p = 0 THEN 'click_only'
+            WHEN c = 0 AND p = 1 THEN 'purchase_only'
+            ELSE 'both' END AS op,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM m GROUP BY 1 ORDER BY 1
+"""
