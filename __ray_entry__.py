@@ -384,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition_plan": relational.range_partition_plan,
         "shard_manifest": text.shard_manifest,
         "user_set_ops": relational.user_set_ops,
+        "revenue_concentration": relational.revenue_concentration,
     })
 
 
@@ -625,6 +626,7 @@ def oracle_sql() -> dict[str, str]:
         "range_partition_plan": relational.RANGE_PARTITION_PLAN_SQL,
         "shard_manifest": text.SHARD_MANIFEST_SQL,
         "user_set_ops": relational.USER_SET_OPS_SQL,
+        "revenue_concentration": relational.REVENUE_CONCENTRATION_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

@@ -10599,3 +10599,117 @@ SELECT CASE WHEN c = 1 AND p = 0 THEN 'click_only'
        CAST(count(*) AS BIGINT) AS n_cells
 FROM m GROUP BY 1 ORDER BY 1
 """
+
+
+# -- revenue concentration (top-p% share) -----------------------------------------
+
+
+def revenue_concentration(sf_dir: str) -> pa.Table:
+    """Revenue concentration: the permille share of total revenue held
+    by the top 1 / 5 / 10 / 25 % of customers by spend (k = max(1,
+    n·p // 100) customers) — the whale-dependence metric.  Exact even
+    through spend ties: tied customers have identical spend, so which
+    of them fill the last cutoff slots cannot change the sum.
+
+    Scale shape: one custkey-keyed fold to per-customer cents, then a
+    (spend → customer count) histogram rollup — bounded by distinct
+    spend values — walked top-down on the driver."""
+    from ._util import ensure_columns, partitioned_by_key, run_bounds
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    "custkey": pa.array([], pa.int64()),
+                    "m": pa.array([], pa.int64()),
+                }
+            )
+        ck = part.column("o_custkey").to_numpy(zero_copy_only=False)
+        cents = money_cents(
+            part.column("o_totalprice").to_numpy(zero_copy_only=False)
+        )
+        order = np.argsort(ck, kind="stable")
+        ck, cents = ck[order], cents[order]
+        b = run_bounds(ck)
+        return pa.table(
+            {
+                "custkey": pa.array(ck[b[:-1]], pa.int64()),
+                "m": pa.array(np.add.reduceat(cents, b[:-1]), pa.int64()),
+            }
+        )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column("m").to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "m": pa.array(vals, pa.int64()),
+                "c": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    h = ensure_columns(
+        partitioned_by_key(ds, "o_custkey", fold)
+        .map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("m")
+        .sum("c")
+        .to_pandas(),  # bounded: one row per distinct spend value
+        ["m", "sum(c)"],
+    ).sort_values("m", ascending=False)
+    if len(h) == 0:
+        return pa.table(
+            {
+                "pct": pa.array([], pa.int64()),
+                "n_top": pa.array([], pa.int64()),
+                "share_permille": pa.array([], pa.int64()),
+            }
+        )
+    vals = h["m"].to_numpy()
+    cnts = h["sum(c)"].to_numpy()
+    cum_n = np.cumsum(cnts)
+    cum_s = np.cumsum(vals * cnts)
+    n = int(cum_n[-1])
+    total = int(cum_s[-1])
+    out_p, out_k, out_s = [], [], []
+    for p in (1, 5, 10, 25):
+        k = max(n * p // 100, 1)
+        i = int(np.searchsorted(cum_n, k))  # first idx with cum_n >= k
+        # sum of top-k spends: full groups above + partial tied group
+        full = int(cum_s[i - 1]) if i > 0 else 0
+        prev_n = int(cum_n[i - 1]) if i > 0 else 0
+        top = full + (k - prev_n) * int(vals[i])
+        out_p.append(p)
+        out_k.append(k)
+        out_s.append(1000 * top // total if total else 0)
+    return pa.table(
+        {
+            "pct": pa.array(out_p, pa.int64()),
+            "n_top": pa.array(out_k, pa.int64()),
+            "share_permille": pa.array(out_s, pa.int64()),
+        }
+    )
+
+
+REVENUE_CONCENTRATION_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS m
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT m,
+         row_number() OVER (ORDER BY m DESC, o_custkey) AS rn,
+         count(*) OVER () AS n,
+         sum(m) OVER () AS total
+  FROM spend
+)
+SELECT CAST(p.pct AS BIGINT) AS pct,
+       CAST(greatest(max(n) * p.pct // 100, 1) AS BIGINT) AS n_top,
+       CAST(1000 * sum(CASE WHEN rn <= greatest(n * p.pct // 100, 1)
+                            THEN m ELSE 0 END) // max(total) AS BIGINT)
+         AS share_permille
+FROM (VALUES (1), (5), (10), (25)) AS p(pct), r
+GROUP BY p.pct ORDER BY p.pct
+"""
