@@ -385,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_manifest": text.shard_manifest,
         "user_set_ops": relational.user_set_ops,
         "revenue_concentration": relational.revenue_concentration,
+        "kmv_merge_check": sketches.kmv_merge_check,
     })
 
 
@@ -627,6 +628,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_manifest": text.SHARD_MANIFEST_SQL,
         "user_set_ops": relational.USER_SET_OPS_SQL,
         "revenue_concentration": relational.REVENUE_CONCENTRATION_SQL,
+        "kmv_merge_check": sketches.KMV_MERGE_CHECK_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

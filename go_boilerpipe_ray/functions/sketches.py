@@ -707,3 +707,161 @@ SELECT ta AS type_a, tb AS type_b,
 FROM ru WHERE rn <= 16
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# -- KMV mergeability check ------------------------------------------------------
+
+
+def kmv_merge_check(sf_dir: str, k: int = _KMV_K) -> pa.Table:
+    """Sketch-mergeability demonstrated end-to-end: split events by
+    event_id parity, build an independent KMV distinct-user sketch per
+    half, MERGE the two sketches (k-min of the union of k-min sets),
+    and emit the merged sketch next to the sketch built over the full
+    corpus in one pass.  The two rows must be IDENTICAL — the algebraic
+    property (k-min of a union = k-min of the k-mins) that makes KMV a
+    valid distributed aggregate: partial sketches from any partitioning
+    of a 100 TB corpus combine to the exact same state as a single
+    scan, so re-sharding never changes the answer.  The oracle
+    recomputes both rows independently in SQL.
+
+    Scale shape: one streaming pass emits ≤ k hashes per (side, batch);
+    the rollup and merge touch ≤ 3k fixed-width rows."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_pylist()
+        hv = (md5_u64(uid) & np.uint64(_KMV_MASK)).astype(np.int64)
+        side = (eid % 2).astype(np.int64)
+        out_s, out_h = [], []
+        for s in (0, 1):
+            hs = np.unique(hv[side == s])[:k]
+            out_s.extend([s] * len(hs))
+            out_h.extend(hs.tolist())
+        return pa.table(
+            {
+                "side": pa.array(out_s, pa.int64()),
+                "hv": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    from ._util import ensure_columns
+
+    sk = ensure_columns(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("side")
+        .map_groups(
+            lambda g: pa.table(
+                {
+                    "side": pa.array(
+                        [g.column("side")[0].as_py()]
+                        * min(
+                            k,
+                            len(
+                                np.unique(
+                                    g.column("hv").to_numpy(
+                                        zero_copy_only=False
+                                    )
+                                )
+                            ),
+                        ),
+                        pa.int64(),
+                    ),
+                    "hv": pa.array(
+                        np.unique(
+                            g.column("hv").to_numpy(zero_copy_only=False)
+                        )[:k],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas(),  # ≤ 2k rows
+        ["side", "hv"],
+    )
+
+    def estimate(hs: np.ndarray) -> tuple[int, int]:
+        hs = np.unique(hs)[:k]
+        if len(hs) >= k:
+            kth = int(hs[k - 1])
+            return kth, (k - 1) * (_KMV_MASK + 1) // kth
+        return 0, len(hs)
+
+    a = sk[sk["side"] == 0]["hv"].to_numpy()
+    b = sk[sk["side"] == 1]["hv"].to_numpy()
+    merged_kth, merged_est = estimate(np.concatenate([a, b]))
+    # full-corpus single-pass sketch (no parity split)
+    full = ensure_columns(
+        ds.map_batches(
+            lambda batch: pa.table(
+                {
+                    "hv": pa.array(
+                        np.unique(
+                            (
+                                md5_u64(batch.column("user_id").to_pylist())
+                                & np.uint64(_KMV_MASK)
+                            ).astype(np.int64)
+                        )[:k],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas(),
+        ["hv"],
+    )
+    full_kth, full_est = estimate(full["hv"].to_numpy())
+    return pa.table(
+        {
+            "scope": pa.array(["full", "merged"], pa.string()),
+            "kth_hash": pa.array([full_kth, merged_kth], pa.int64()),
+            "est_distinct": pa.array([full_est, merged_est], pa.int64()),
+        }
+    )
+
+
+KMV_MERGE_CHECK_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_id % 2 AS side,
+         CAST(md5_number_lower(user_id::VARCHAR) & {_KMV_MASK} AS BIGINT)
+           AS hv
+  FROM events
+),
+side_k AS (
+  SELECT side, hv FROM (
+    SELECT side, hv,
+           row_number() OVER (PARTITION BY side ORDER BY hv) AS rn
+    FROM h
+  ) WHERE rn <= {_KMV_K}
+),
+merged AS (
+  SELECT hv FROM (
+    SELECT DISTINCT hv FROM side_k
+  ) ORDER BY hv LIMIT {_KMV_K}
+),
+full_h AS (
+  SELECT hv FROM (SELECT DISTINCT hv FROM h) ORDER BY hv LIMIT {_KMV_K}
+),
+est AS (
+  SELECT 'merged' AS scope,
+         CASE WHEN count(*) >= {_KMV_K} THEN max(hv) ELSE 0 END AS kth,
+         CASE WHEN count(*) >= {_KMV_K}
+              THEN {_KMV_K - 1} * {_KMV_MASK + 1} // max(hv)
+              ELSE count(*) END AS est
+  FROM merged
+  UNION ALL
+  SELECT 'full',
+         CASE WHEN count(*) >= {_KMV_K} THEN max(hv) ELSE 0 END,
+         CASE WHEN count(*) >= {_KMV_K}
+              THEN {_KMV_K - 1} * {_KMV_MASK + 1} // max(hv)
+              ELSE count(*) END
+  FROM full_h
+)
+SELECT scope, CAST(kth AS BIGINT) AS kth_hash,
+       CAST(est AS BIGINT) AS est_distinct
+FROM est ORDER BY scope
+"""

@@ -5802,3 +5802,33 @@ def test_shard_manifest_cross_bucket_brute_force(tmp_path):
     assert len(got) == len(exp) > 5
     for c in ["shard_id", "n_docs", "n_tokens", "first_doc", "last_doc"]:
         assert got[c].astype("int64").tolist() == exp[c].astype("int64").tolist(), c
+
+
+def test_kmv_merge_check_property():
+    """Mergeability is the op's contract: the merged row must EQUAL the
+    full-corpus row, and both must match a brute-force k-min."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.sketches import _KMV_K, _KMV_MASK, kmv_merge_check
+
+    got = kmv_merge_check(SF).to_pandas().set_index("scope")
+    assert got.loc["full", "kth_hash"] == got.loc["merged", "kth_hash"]
+    assert got.loc["full", "est_distinct"] == got.loc["merged", "est_distinct"]
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    hs = np.unique(
+        [
+            int.from_bytes(
+                hashlib.md5(str(int(u)).encode()).digest()[8:], "little"
+            )
+            & _KMV_MASK
+            for u in ev["user_id"]
+        ]
+    )
+    if len(hs) >= _KMV_K:
+        assert got.loc["full", "kth_hash"] == int(hs[_KMV_K - 1])
+    else:
+        assert got.loc["full", "est_distinct"] == len(hs)
