@@ -82,19 +82,25 @@ _R4_WINDOW = [
     "label_text_stats",
 ]
 
-# Round 5: switch _window_order to _R5_WINDOW.  With 223 registered
-# queries and 4×50 driver slots across rounds 1-4, ~70 names can never
-# be driver-checked; this window takes the round-4 session-7 additions
-# first (newest, least history), then session-4/6 additions — exactly
-# 50.  Everything left over is selfcheck-verified at sf0.01 (most also
-# at sf0.1; judge protocol: tools/selfcheck.py covers what the driver
-# window cannot).
+# Round 5: switch _window_order to _R5_WINDOW.  With 235 registered
+# queries and 4×50 driver slots across rounds 1-4, ~80 names can never
+# be driver-checked; this window re-seats the 4 extract_* flagship
+# checks (the engine's core — driver-checked every round so far), then
+# every round-4 session-7 addition (newest, least external history),
+# then the newest previously-planned names — exactly 50.  Everything
+# left over is selfcheck-verified at sf0.01 (most also at sf0.1; judge
+# protocol: tools/selfcheck.py covers what the driver window cannot).
 _R5_WINDOW = [
+    # flagship re-checks
+    "extract_titles", "extract_authors", "extract_stats", "extract_golden",
     # round-4 session-7 additions (newest first)
     "kmv_jaccard", "table_checksum", "scd2_history", "greedy_kcenter",
     "gram_novelty", "bucketed_join_roundtrip", "hard_negatives",
     "rrf_fusion", "containment_pairs", "watermark_hourly",
-    "matryoshka_recall",
+    "matryoshka_recall", "top_paths", "rfm_scores", "pruned_read_revenue",
+    "schema_evolution_roundtrip", "mmr_select", "event_trigram_counts",
+    "entity_clusters", "range_partition_plan", "shard_manifest",
+    "user_set_ops", "revenue_concentration", "kmv_merge_check",
     # round-4 session-4 additions
     "fuzzy_name_pairs", "small_qty_revenue", "orderkey_gaps",
     "max_concurrent_events", "sliding_distinct_users",
@@ -105,17 +111,18 @@ _R5_WINDOW = [
     "knn_quantized", "cdc_upsert",
     # round-4 session-6 additions
     "suppliers_kept_waiting", "sales_opportunity", "user_event_path",
-    "lineitem_unpivot", "snm_dup_pairs", "moving_median_3",
-    "skew_profile", "join_size_by_key", "local_supplier_volume",
-    "interval_coverage", "supplier_hhi", "brand_discount_revenue",
-    "top_supplier_q15", "snm_multipass_pairs", "source_vocab_containment",
-    "benford_profile", "bm25_topk", "winnowing_fingerprints",
-    "kmv_distinct", "vocab_coverage_curve",
+    "lineitem_unpivot",
 ]
-# Evicted to fit 50 (all remain selfcheck-green): table_profile,
-# zorder_keys, kmeans_train, media_frame_sample, copurchase_degree_hist,
-# hashed_features, ipc_roundtrip, cumulative_unique_users,
-# user_activity_streak, sentence_stats, daily_churn.
+# Evicted to fit 50 (all remain selfcheck-green at sf0.01):
+# snm_dup_pairs, moving_median_3, skew_profile, join_size_by_key,
+# local_supplier_volume, interval_coverage, supplier_hhi,
+# brand_discount_revenue, top_supplier_q15, snm_multipass_pairs,
+# source_vocab_containment, benford_profile, bm25_topk,
+# winnowing_fingerprints, kmv_distinct, vocab_coverage_curve,
+# table_profile, zorder_keys, kmeans_train, media_frame_sample,
+# copurchase_degree_hist, hashed_features, ipc_roundtrip,
+# cumulative_unique_users, user_activity_streak, sentence_stats,
+# daily_churn.
 
 
 def _window_order(d: dict[str, Any]) -> dict[str, Any]:
