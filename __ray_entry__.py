@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_set_ops": relational.user_set_ops,
         "revenue_concentration": relational.revenue_concentration,
         "kmv_merge_check": sketches.kmv_merge_check,
+        "value_drift": relational.value_drift,
     })
 
 
@@ -636,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
         "user_set_ops": relational.USER_SET_OPS_SQL,
         "revenue_concentration": relational.REVENUE_CONCENTRATION_SQL,
         "kmv_merge_check": sketches.KMV_MERGE_CHECK_SQL,
+        "value_drift": relational.VALUE_DRIFT_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

@@ -10713,3 +10713,123 @@ SELECT CAST(p.pct AS BIGINT) AS pct,
 FROM (VALUES (1), (5), (10), (25)) AS p(pct), r
 GROUP BY p.pct ORDER BY p.pct
 """
+
+
+# -- distribution drift between cohorts --------------------------------------------
+
+
+def value_drift(sf_dir: str) -> pa.Table:
+    """Distribution-drift report between the 'click' and 'purchase'
+    value distributions: per 10-unit value bin, both cohorts' permille
+    frequencies and the per-bin absolute difference, plus the summary
+    total-variation row (bin = -1, drift = Σ|p−q| // 2) — the data-
+    quality gate a production pipeline runs between ingest generations
+    before mixing them.  All arithmetic is integer permille (floored),
+    mirrored exactly by the oracle.
+
+    Scale shape: one streaming pass folds to a (type, bin, count)
+    histogram — bounded by types × bins — and the drift math runs on
+    the bounded rollup."""
+    from ._util import ensure_columns
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        if not keep.any():
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "bin": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        et, v = et[keep], v[keep]
+        b = np.floor(v / 10).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": pa.array(et.astype(str).tolist(), pa.string()),
+                "bin": pa.array(b, pa.int64()),
+                "c": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            }
+        ).group_by(["event_type", "bin"]).aggregate([("c", "sum")])
+        return t.rename_columns(["event_type", "bin", "c"])
+
+    h = ensure_columns(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "bin"])
+        .sum("c")
+        .to_pandas(),  # bounded: 2 × bins rows
+        ["event_type", "bin", "sum(c)"],
+    )
+    import pandas as pd
+
+    piv = (
+        h.pivot_table(
+            index="bin", columns="event_type", values="sum(c)", fill_value=0
+        )
+        .reindex(columns=["click", "purchase"], fill_value=0)
+        .sort_index()
+    )
+    if len(piv) == 0:
+        return pa.table(
+            {
+                "bin": pa.array([], pa.int64()),
+                "click_permille": pa.array([], pa.int64()),
+                "purchase_permille": pa.array([], pa.int64()),
+                "abs_diff": pa.array([], pa.int64()),
+            }
+        )
+    c = piv["click"].to_numpy().astype(np.int64)
+    p = piv["purchase"].to_numpy().astype(np.int64)
+    nc, npu = max(int(c.sum()), 1), max(int(p.sum()), 1)
+    cp = 1000 * c // nc
+    pp = 1000 * p // npu
+    d = np.abs(cp - pp)
+    bins = piv.index.to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "bin": pa.array(np.r_[bins, [-1]], pa.int64()),
+            "click_permille": pa.array(np.r_[cp, [int(cp.sum())]], pa.int64()),
+            "purchase_permille": pa.array(
+                np.r_[pp, [int(pp.sum())]], pa.int64()
+            ),
+            "abs_diff": pa.array(np.r_[d, [int(d.sum()) // 2]], pa.int64()),
+        }
+    )
+
+
+VALUE_DRIFT_SQL = """
+WITH h AS (
+  SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bin, count(*) AS c
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+),
+bins AS (SELECT DISTINCT bin FROM h),
+w AS (
+  SELECT b.bin,
+         COALESCE(max(CASE WHEN event_type = 'click' THEN c END), 0) AS cc,
+         COALESCE(max(CASE WHEN event_type = 'purchase' THEN c END), 0) AS pc
+  FROM bins b LEFT JOIN h ON h.bin = b.bin
+  GROUP BY 1
+),
+t AS (SELECT greatest(sum(cc), 1) AS nc, greatest(sum(pc), 1) AS np FROM w),
+f AS (
+  SELECT w.bin,
+         1000 * w.cc // t.nc AS cp,
+         1000 * w.pc // t.np AS pp
+  FROM w CROSS JOIN t
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(cp AS BIGINT) AS click_permille,
+       CAST(pp AS BIGINT) AS purchase_permille,
+       CAST(abs(cp - pp) AS BIGINT) AS abs_diff
+FROM f
+UNION ALL
+SELECT -1, CAST(sum(cp) AS BIGINT), CAST(sum(pp) AS BIGINT),
+       CAST(sum(abs(cp - pp)) // 2 AS BIGINT)
+FROM f
+ORDER BY bin
+"""
