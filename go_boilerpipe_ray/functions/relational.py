@@ -9877,13 +9877,13 @@ def watermark_hourly(sf_dir: str, bucket_size: int = _WM_BUCKET) -> pa.Table:
         ).group_by("bucket").aggregate([("mx", "max")])
         return t.rename_columns(["bucket", "mx"])
 
-    bmax = (
+    bmax = ensure_columns(
         ds.map_batches(bucket_max, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .max("mx")
-        .to_pandas()  # bounded: one row per 2^18 arrival ids
-        .sort_values("bucket")
-    )
+        .to_pandas(),  # bounded: one row per 2^18 arrival ids
+        ["bucket", "max(mx)"],
+    ).sort_values("bucket")
     if len(bmax) == 0:
         return pa.table(
             {
