@@ -101,6 +101,7 @@ _R5_WINDOW = [
     "schema_evolution_roundtrip", "mmr_select", "event_trigram_counts",
     "entity_clusters", "range_partition_plan", "shard_manifest",
     "user_set_ops", "revenue_concentration", "kmv_merge_check",
+    "value_drift",
     # round-4 session-4 additions
     "fuzzy_name_pairs", "small_qty_revenue", "orderkey_gaps",
     "max_concurrent_events", "sliding_distinct_users",
@@ -111,9 +112,9 @@ _R5_WINDOW = [
     "knn_quantized", "cdc_upsert",
     # round-4 session-6 additions
     "suppliers_kept_waiting", "sales_opportunity", "user_event_path",
-    "lineitem_unpivot",
 ]
 # Evicted to fit 50 (all remain selfcheck-green at sf0.01):
+# lineitem_unpivot,
 # snm_dup_pairs, moving_median_3, skew_profile, join_size_by_key,
 # local_supplier_volume, interval_coverage, supplier_hhi,
 # brand_discount_revenue, top_supplier_q15, snm_multipass_pairs,

@@ -9836,7 +9836,8 @@ FROM runs ORDER BY user_id, valid_from
 # -- watermark + allowed-lateness hourly aggregation ---------------------------
 
 _WM_BUCKET = 1 << 18  # arrival-order ids per bucket; driver holds one max each
-_WM_LATE_US = 3_600_000_000  # allowed lateness: 1 hour
+_HOUR_US = 3_600_000_000  # output window width: always 1 hour
+_WM_LATE_US = 3_600_000_000  # allowed lateness (independent knob, 1 h today)
 
 
 def watermark_hourly(sf_dir: str, bucket_size: int = _WM_BUCKET) -> pa.Table:
@@ -9938,7 +9939,7 @@ def watermark_hourly(sf_dir: str, bucket_size: int = _WM_BUCKET) -> pa.Table:
             ]
             wm[s:e] = np.maximum(excl, offs[int(bk[s])])
         late = (wm > np.iinfo(np.int64).min) & (ts < wm - _WM_LATE_US)
-        hour = ts // _WM_LATE_US * _WM_LATE_US
+        hour = ts // _HOUR_US * _HOUR_US
         t = pa.table(
             {
                 "hour": pa.array(hour, pa.int64()),
@@ -10354,14 +10355,15 @@ def event_trigram_counts(sf_dir: str, k: int = 25) -> pa.Table:
         tri = (code[:-2][same] * T + code[1:-1][same]) * T + code[2:][same]
         if len(tri) == 0:
             return empty
-        cnt = np.bincount(tri, minlength=T * T * T)
-        nz = np.flatnonzero(cnt)
+        # sparse count: a dense bincount would allocate T^3 cells, which
+        # explodes on high-cardinality type domains
+        nz, cnt = np.unique(tri, return_counts=True)
         return pa.table(
             {
                 "t1": pa.array(uniq[nz // (T * T)], pa.string()),
                 "t2": pa.array(uniq[(nz // T) % T], pa.string()),
                 "t3": pa.array(uniq[nz % T], pa.string()),
-                "cnt_part": pa.array(cnt[nz], pa.int64()),
+                "cnt_part": pa.array(cnt.astype(np.int64), pa.int64()),
             }
         )
 
@@ -10830,6 +10832,6 @@ FROM f
 UNION ALL
 SELECT -1, CAST(sum(cp) AS BIGINT), CAST(sum(pp) AS BIGINT),
        CAST(sum(abs(cp - pp)) // 2 AS BIGINT)
-FROM f
+FROM f HAVING count(*) > 0
 ORDER BY bin
 """

@@ -1874,13 +1874,15 @@ def greedy_kcenter(sf_dir: str, k: int = 8) -> pa.Table:
 
     Scale shape: k sequential rounds, each ONE streaming map_batches
     pass — the ≤ k selected centers are a tiny closure broadcast to
-    every task, each batch emits a single local champion row, and the
-    global champion is a bounded (one-row-per-block) reduce on the
-    driver.  No shuffle at all; cost is k scans, the canonical price of
-    the greedy algorithm.  Selection compares SQUARED L2 distances
-    (monotonic in L2), so the output is pure integers and the DuckDB
-    oracle — a chained MATERIALIZED-CTE argmax per round — matches
-    exactly unless two min-distances tie to the last float bit."""
+    every task, each batch emits a single local champion row CARRYING
+    ITS EMBEDDING (so no second scan ever refetches chosen vectors),
+    and the global champion is a bounded (one-row-per-block) reduce on
+    the driver.  No shuffle at all; cost is exactly k scans, the
+    canonical price of the greedy algorithm.  Selection compares
+    SQUARED L2 distances (monotonic in L2), so the output is pure
+    integers and the DuckDB oracle — a chained MATERIALIZED-CTE argmax
+    per round — matches exactly unless two min-distances tie to the
+    last float bit."""
     ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
@@ -1888,8 +1890,27 @@ def greedy_kcenter(sf_dir: str, k: int = 8) -> pa.Table:
     def first_candidate(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         if len(ids) == 0:
-            return pa.table({"vec_id": pa.array([], pa.int64())})
-        return pa.table({"vec_id": pa.array([int(ids.min())], pa.int64())})
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "emb": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        j = int(np.argmin(ids))
+        return pa.table(
+            {
+                "vec_id": pa.array([int(ids[j])], pa.int64()),
+                "emb": pa.array(
+                    [
+                        np.asarray(
+                            batch.column("embedding")[j].as_py(),
+                            dtype=np.float64,
+                        ).tolist()
+                    ],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
 
     firsts = ds.map_batches(
         first_candidate, batch_format="pyarrow", zero_copy_batch=True
@@ -1898,27 +1919,12 @@ def greedy_kcenter(sf_dir: str, k: int = 8) -> pa.Table:
         return pa.table(
             {"rank": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64())}
         )
-    chosen = [min(r["vec_id"] for r in firsts)]
-
-    def vectors_of(ids: list[int]) -> np.ndarray:
-        idset = set(ids)
-
-        def pick(batch: pa.Table) -> pa.Table:
-            v = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            m = np.isin(v, list(idset))
-            return batch.filter(pa.array(m))
-
-        rows = ds.map_batches(
-            pick, batch_format="pyarrow", zero_copy_batch=True
-        ).take_all()
-        by_id = {
-            r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
-            for r in rows
-        }
-        return np.stack([by_id[i] for i in ids])
+    seed = min(firsts, key=lambda r: r["vec_id"])
+    chosen = [seed["vec_id"]]
+    centers = [np.asarray(seed["emb"], dtype=np.float64)]
 
     for rank in range(1, k):
-        C = vectors_of(chosen)  # ≤ k × d, broadcast via task closure
+        C = np.stack(centers)  # ≤ k × d, broadcast via task closure
         chosen_set = frozenset(chosen)
 
         def champion(batch: pa.Table, C=C, chosen_set=chosen_set) -> pa.Table:
@@ -1926,6 +1932,7 @@ def greedy_kcenter(sf_dir: str, k: int = 8) -> pa.Table:
                 {
                     "vec_id": pa.array([], pa.int64()),
                     "md": pa.array([], pa.float64()),
+                    "emb": pa.array([], pa.list_(pa.float64())),
                 }
             )
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
@@ -1947,6 +1954,7 @@ def greedy_kcenter(sf_dir: str, k: int = 8) -> pa.Table:
                 {
                     "vec_id": pa.array([int(ids[j])], pa.int64()),
                     "md": pa.array([float(md[j])], pa.float64()),
+                    "emb": pa.array([X[j].tolist()], pa.list_(pa.float64())),
                 }
             )
 
@@ -1957,6 +1965,7 @@ def greedy_kcenter(sf_dir: str, k: int = 8) -> pa.Table:
             break
         best = min(cands, key=lambda r: (-r["md"], r["vec_id"]))
         chosen.append(best["vec_id"])
+        centers.append(np.asarray(best["emb"], dtype=np.float64))
 
     return pa.table(
         {
@@ -2309,9 +2318,10 @@ def mmr_select(sf_dir: str, k: int = 8) -> pa.Table:
 
     Scale shape: identical to greedy_kcenter — k streaming scans, the
     ≤ k selected vectors broadcast in the task closure, one champion
-    row per block, bounded driver reduce, no shuffle.  The oracle is
-    the same chained MATERIALIZED-CTE argmax chain (plain CTEs would
-    re-evaluate the prefix exponentially)."""
+    row per block CARRYING ITS EMBEDDING (no refetch scan), bounded
+    driver reduce, no shuffle.  The oracle is the same chained
+    MATERIALIZED-CTE argmax chain (plain CTEs would re-evaluate the
+    prefix exponentially)."""
     import pyarrow.parquet as pq
 
     qt = pq.read_table(
@@ -2330,26 +2340,10 @@ def mmr_select(sf_dir: str, k: int = 8) -> pa.Table:
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
-    def vectors_of(ids: list[int]) -> np.ndarray:
-        idset = set(ids)
-
-        def pick(batch: pa.Table) -> pa.Table:
-            v = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            return batch.filter(pa.array(np.isin(v, list(idset))))
-
-        rows = ds.map_batches(
-            pick, batch_format="pyarrow", zero_copy_batch=True
-        ).take_all()
-        by_id = {
-            r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
-            for r in rows
-        }
-        m = np.stack([by_id[i] for i in ids])
-        return m / np.linalg.norm(m, axis=1, keepdims=True)
-
     chosen: list[int] = []
+    sel_unit: list[np.ndarray] = []  # normalized selected vectors
     for _ in range(k):
-        S = vectors_of(chosen) if chosen else None
+        S = np.stack(sel_unit) if sel_unit else None
         chosen_set = frozenset(chosen)
 
         def champion(
@@ -2359,6 +2353,7 @@ def mmr_select(sf_dir: str, k: int = 8) -> pa.Table:
                 {
                     "vec_id": pa.array([], pa.int64()),
                     "sc": pa.array([], pa.float64()),
+                    "emb": pa.array([], pa.list_(pa.float64())),
                 }
             )
             ids, m = _batch_matrix(batch)
@@ -2375,6 +2370,7 @@ def mmr_select(sf_dir: str, k: int = 8) -> pa.Table:
                 {
                     "vec_id": pa.array([int(ids[j])], pa.int64()),
                     "sc": pa.array([float(sc[j])], pa.float64()),
+                    "emb": pa.array([u[j].tolist()], pa.list_(pa.float64())),
                 }
             )
 
@@ -2385,6 +2381,7 @@ def mmr_select(sf_dir: str, k: int = 8) -> pa.Table:
             break
         best = min(cands, key=lambda r: (-r["sc"], r["vec_id"]))
         chosen.append(best["vec_id"])
+        sel_unit.append(np.asarray(best["emb"], dtype=np.float64))
 
     return pa.table(
         {

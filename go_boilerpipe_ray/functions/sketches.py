@@ -508,7 +508,7 @@ def kmv_distinct(sf_dir: str, k: int = _KMV_K) -> pa.Table:
         pos = np.cumsum(new_h) - np.repeat(
             np.cumsum(new_h)[starts] - 1, np.diff(np.r_[starts, len(code)])
         )
-        keep = new_h & (pos < k)
+        keep = new_h & (pos <= k)  # pos is 1-based: <= keeps exactly k
         return pa.table(
             {
                 "event_type": pa.array(types[code[keep]].tolist(), pa.string()),
@@ -613,7 +613,7 @@ def kmv_jaccard(sf_dir: str, k: int = _KMV_K) -> pa.Table:
         pos = np.cumsum(new_h) - np.repeat(
             np.cumsum(new_h)[starts] - 1, np.diff(np.r_[starts, len(code)])
         )
-        keep = new_h & (pos < k)
+        keep = new_h & (pos <= k)  # pos is 1-based: <= keeps exactly k
         return pa.table(
             {
                 "event_type": pa.array(types[code[keep]].tolist(), pa.string()),

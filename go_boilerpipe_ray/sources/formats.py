@@ -574,11 +574,20 @@ def bucketed_join_roundtrip(
         add_bucket("o_custkey"), batch_format="pyarrow", zero_copy_batch=True
     ).write_parquet(ord_out, partition_cols=["bucket"])
 
+    # Per-call run token: the sink path is deterministic and gets
+    # rewritten every call, but worker processes outlive calls — a cache
+    # keyed on path alone would serve the PREVIOUS run's dimension table
+    # after the input changed.  The token makes reuse within-call only.
+    import uuid
+
+    run_token = uuid.uuid4().hex
+
     def probe_for(bucket: int):
         build_dir = os.path.join(cust_out, f"bucket={bucket}")
+        cache_key = (build_dir, run_token)
 
         def probe(batch: pa.Table) -> pa.Table:
-            seg_by_key = _BUCKET_BUILD_CACHE.get(build_dir)
+            seg_by_key = _BUCKET_BUILD_CACHE.get(cache_key)
             if seg_by_key is None:
                 import pyarrow.parquet as pq
 
@@ -591,7 +600,7 @@ def bucketed_join_roundtrip(
                 )
                 if len(_BUCKET_BUILD_CACHE) > 64:
                     _BUCKET_BUILD_CACHE.clear()
-                _BUCKET_BUILD_CACHE[build_dir] = seg_by_key
+                _BUCKET_BUILD_CACHE[cache_key] = seg_by_key
             keys = batch.column("o_custkey").to_pylist()
             segs = [seg_by_key.get(k) for k in keys]
             cents = money_cents(

@@ -5857,3 +5857,49 @@ def test_kmv_merge_check_property():
         assert got.loc["full", "kth_hash"] == int(hs[_KMV_K - 1])
     else:
         assert got.loc["full", "est_distinct"] == len(hs)
+
+
+def test_kmv_partial_keeps_exactly_k_per_batch(tmp_path):
+    """Regression: the per-batch KMV partial must keep the k SMALLEST
+    distinct hashes (1-based pos <= k), not k-1 — a single large block
+    holding >= k distinct same-type hashes used to drop the global kth
+    minimum permanently and diverge from the SQL oracle."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.sketches import (
+        _KMV_K,
+        _KMV_MASK,
+        kmv_distinct,
+    )
+
+    n = 400  # one parquet row group -> likely one Ray block
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "ts": pa.array(
+                np.full(n, 1_700_000_000_000_000, np.int64), pa.int64()
+            ).cast(pa.timestamp("us")),
+            "user_id": pa.array(np.arange(n, dtype=np.int64) * 7 + 1, pa.int64()),
+            "event_type": pa.array(["only"] * n, pa.string()),
+            "value": pa.array(np.zeros(n), pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    got = kmv_distinct(str(tmp_path)).to_pandas().iloc[0]
+    hs = np.unique(
+        [
+            int.from_bytes(
+                hashlib.md5(str(int(u) * 7 + 1).encode()).digest()[8:],
+                "little",
+            )
+            & _KMV_MASK
+            for u in range(n)
+        ]
+    )
+    assert got["kth_hash"] == int(hs[_KMV_K - 1])
