@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_concentration": relational.revenue_concentration,
         "kmv_merge_check": sketches.kmv_merge_check,
         "value_drift": relational.value_drift,
+        "distinct_estimators_report": sketches.distinct_estimators_report,
     })
 
 
@@ -639,6 +640,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_concentration": relational.REVENUE_CONCENTRATION_SQL,
         "kmv_merge_check": sketches.KMV_MERGE_CHECK_SQL,
         "value_drift": relational.VALUE_DRIFT_SQL,
+        "distinct_estimators_report": sketches.DISTINCT_ESTIMATORS_REPORT_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

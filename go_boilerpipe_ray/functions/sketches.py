@@ -865,3 +865,110 @@ SELECT scope, CAST(kth AS BIGINT) AS kth_hash,
        CAST(est AS BIGINT) AS est_distinct
 FROM est ORDER BY scope
 """
+
+
+# -- estimator cross-validation report -------------------------------------------
+
+
+def distinct_estimators_report(sf_dir: str) -> pa.Table:
+    """Cardinality-estimator cross-validation: the exact distinct user
+    count next to the HLL and KMV estimates computed from the SAME
+    corpus — the accuracy report a platform team reads before picking
+    a sketch for a 100 TB pipeline (where exact is unaffordable and
+    the sketch's observed error at sample scale is the evidence).
+
+    Scale shape: exact = per-batch unique fold + one user-keyed rollup
+    (the only part that wouldn't scale unbounded — which is the
+    point); HLL = 512-register max-merge; KMV = k-min merge.  The
+    oracle recomputes all three, HLL's float estimate included (both
+    sides sum 512 double terms; rtol 1e-9 absorbs ordering ulps)."""
+    from ._util import ensure_columns
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def uniq_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column("user_id").to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
+    exact = (
+        ds.map_batches(uniq_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .count()
+        .count()
+    )
+
+    hll_est = hll_estimate(hll_registers(sf_dir))
+
+    def kmv_partial(batch: pa.Table) -> pa.Table:
+        hv = np.unique(
+            (
+                md5_u64(batch.column("user_id").to_pylist())
+                & np.uint64(_KMV_MASK)
+            ).astype(np.int64)
+        )[:_KMV_K]
+        return pa.table({"hv": pa.array(hv, pa.int64())})
+
+    hs = np.unique(
+        ensure_columns(
+            ds.map_batches(
+                kmv_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).to_pandas(),  # ≤ k × blocks rows
+            ["hv"],
+        )["hv"].to_numpy()
+    )[:_KMV_K]
+    if len(hs) >= _KMV_K:
+        kmv_est = (_KMV_K - 1) * float(_KMV_MASK + 1) / float(hs[_KMV_K - 1])
+    else:
+        kmv_est = float(len(hs))
+
+    return pa.table(
+        {
+            "estimator": pa.array(["exact", "hll", "kmv"], pa.string()),
+            "estimate": pa.array(
+                [float(exact), float(hll_est), float(kmv_est)], pa.float64()
+            ),
+        }
+    )
+
+
+DISTINCT_ESTIMATORS_REPORT_SQL = f"""
+WITH h AS (SELECT md5_number_lower(user_id::VARCHAR) AS h FROM events),
+regs AS (
+  SELECT CAST(h & {_M - 1} AS BIGINT) AS register,
+         MAX(CASE WHEN ((h >> {HLL_P}) & 4294967295) = 0
+                  THEN {_WINDOW_BITS + 1}
+                  ELSE {_WINDOW_BITS} -
+                       CAST(floor(log2(((h >> {HLL_P}) & 4294967295)))
+                            AS BIGINT)
+             END) AS max_rho
+  FROM h GROUP BY 1
+),
+hll_raw AS (
+  SELECT (0.7213 / (1 + 1.079 / {_M})) * {_M} * {_M} /
+           (sum(power(2.0, -max_rho)) + ({_M} - count(*))) AS raw,
+         {_M} - count(*) AS zeros
+  FROM regs
+),
+hll AS (
+  SELECT CASE WHEN raw <= 2.5 * {_M} AND zeros > 0
+              THEN {_M} * ln({_M} * 1.0 / zeros)
+              ELSE raw END AS est
+  FROM hll_raw
+),
+kh AS (
+  SELECT hv FROM (
+    SELECT DISTINCT CAST(h & {_KMV_MASK} AS BIGINT) AS hv FROM h
+  ) ORDER BY hv LIMIT {_KMV_K}
+),
+kmv AS (
+  SELECT CASE WHEN count(*) >= {_KMV_K}
+              THEN {_KMV_K - 1} * {float(_KMV_MASK + 1)} / max(hv)
+              ELSE count(*) * 1.0 END AS est
+  FROM kh
+)
+SELECT 'exact' AS estimator,
+       CAST(count(DISTINCT user_id) AS DOUBLE) AS estimate FROM events
+UNION ALL SELECT 'hll', est FROM hll
+UNION ALL SELECT 'kmv', est FROM kmv
+ORDER BY estimator
+"""
