@@ -396,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_merge_check": sketches.kmv_merge_check,
         "value_drift": relational.value_drift,
         "distinct_estimators_report": sketches.distinct_estimators_report,
+        "weekday_hour_heatmap": relational.weekday_hour_heatmap,
     })
 
 
@@ -641,6 +642,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_merge_check": sketches.KMV_MERGE_CHECK_SQL,
         "value_drift": relational.VALUE_DRIFT_SQL,
         "distinct_estimators_report": sketches.DISTINCT_ESTIMATORS_REPORT_SQL,
+        "weekday_hour_heatmap": relational.WEEKDAY_HOUR_HEATMAP_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

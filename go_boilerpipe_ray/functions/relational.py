@@ -10835,3 +10835,60 @@ SELECT -1, CAST(sum(cp) AS BIGINT), CAST(sum(pp) AS BIGINT),
 FROM f HAVING count(*) > 0
 ORDER BY bin
 """
+
+
+# -- weekday × hour activity heatmap ------------------------------------------------
+
+
+def weekday_hour_heatmap(sf_dir: str) -> pa.Table:
+    """Activity heatmap: event counts per (day-of-week, hour-of-day)
+    cell — the seasonality fingerprint capacity planners and anomaly
+    baselines read.  dow follows DuckDB's dayofweek (Sunday = 0),
+    derived in pure integer math from the µs timestamp
+    ((days_since_epoch + 4) % 7 — 1970-01-01 was a Thursday).
+
+    Scale shape: per-batch fold to ≤ 168 cells, one bounded rollup."""
+    from ._util import ensure_columns
+
+    ds = _read(sf_dir, "events", ["ts"])
+    _DAY = 86_400_000_000
+    _HR = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(
+            pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        dow = (ts // _DAY + 4) % 7
+        hr = (ts % _DAY) // _HR
+        cell = dow * 24 + hr
+        c, n = np.unique(cell, return_counts=True)
+        return pa.table(
+            {
+                "dow": pa.array(c // 24, pa.int64()),
+                "hour": pa.array(c % 24, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    df = ensure_columns(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["dow", "hour"])
+        .sum("n")
+        .to_pandas(),  # ≤ 168 rows
+        ["dow", "hour", "sum(n)"],
+    ).sort_values(["dow", "hour"])
+    return pa.table(
+        {
+            "dow": pa.array(df["dow"].astype("int64"), pa.int64()),
+            "hour": pa.array(df["hour"].astype("int64"), pa.int64()),
+            "n_events": pa.array(df["sum(n)"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+WEEKDAY_HOUR_HEATMAP_SQL = """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
