@@ -397,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_drift": relational.value_drift,
         "distinct_estimators_report": sketches.distinct_estimators_report,
         "weekday_hour_heatmap": relational.weekday_hour_heatmap,
+        "wap_publish": formats.wap_publish,
     })
 
 
@@ -643,6 +644,7 @@ def oracle_sql() -> dict[str, str]:
         "value_drift": relational.VALUE_DRIFT_SQL,
         "distinct_estimators_report": sketches.DISTINCT_ESTIMATORS_REPORT_SQL,
         "weekday_hour_heatmap": relational.WEEKDAY_HOUR_HEATMAP_SQL,
+        "wap_publish": formats.WAP_PUBLISH_SQL,
         # rows-only (non-SQL-expressible): extract_golden (byte-exact vs
         # reference goldens), dedup_minhash_lsh (seeded permutations),
         # dedup_incremental (Bloom sketch), knn_lsh / knn_ivf /

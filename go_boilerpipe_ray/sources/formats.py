@@ -798,3 +798,109 @@ SELECT CASE WHEN event_id % 2 = 0 THEN '<missing>' ELSE event_type END
          AS total_cents
 FROM events GROUP BY 1
 """
+
+
+def wap_publish(sf_dir: str, out_dir: str | None = None) -> "ray.data.Dataset":
+    """Write-Audit-Publish: the data-lake release idiom — the rollup is
+    written to a STAGING prefix, an audit recomputes (row count,
+    order-independent content checksum) from the staged files and
+    compares against the same fingerprint computed from the source
+    scan, and only on exact match does the staging prefix move to the
+    published location readers see.  A failed audit raises loudly and
+    leaves the previous published data untouched.  On shared storage
+    the final move is a manifest swap; locally it is an atomic rename.
+
+    Scale shape: one distributed write, two streaming audit scans
+    folding to scalar (count, checksum) pairs, a metadata publish, and
+    a published read-back."""
+    import numpy as np
+
+    base = _sink_dir("wap", sf_dir, out_dir)
+    staging = os.path.join(base, "staging")
+    published = os.path.join(base, "published")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = money_cents(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        )
+        t = (
+            pa.table(
+                {
+                    "o_orderpriority": pc.cast(
+                        batch.column("o_orderpriority"), pa.string()
+                    ),
+                    "n": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+                    "cents": pa.array(cents, pa.int64()),
+                }
+            )
+            .group_by("o_orderpriority")
+            .aggregate([("n", "sum"), ("cents", "sum")])
+        )
+        return t.rename_columns(["o_orderpriority", "n", "cents"])
+
+    rollup = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderpriority", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n_orders"),
+            ray.data.aggregate.Sum("cents", alias_name="total_cents"),
+        )
+    )
+    rollup.write_parquet(staging)
+
+    def fingerprint(ds: "ray.data.Dataset") -> tuple[int, int]:
+        """(rows, order-independent checksum) of a rollup dataset."""
+        import hashlib
+
+        P = 2147483647
+
+        def fold(batch: pa.Table) -> pa.Table:
+            s = 0
+            for pr, n, c in zip(
+                batch.column("o_orderpriority").to_pylist(),
+                batch.column("n_orders").to_pylist(),
+                batch.column("total_cents").to_pylist(),
+            ):
+                hv = int.from_bytes(
+                    hashlib.md5(f"{pr}|{n}|{c}".encode()).digest()[8:],
+                    "little",
+                )
+                s += (hv & ((1 << 50) - 1)) % P
+            return pa.table(
+                {
+                    "n": pa.array([batch.num_rows], pa.int64()),
+                    "s": pa.array([s % P], pa.int64()),
+                }
+            )
+
+        agg = ds.map_batches(
+            fold, batch_format="pyarrow", zero_copy_batch=True
+        ).aggregate(
+            ray.data.aggregate.Sum("n"), ray.data.aggregate.Sum("s")
+        )
+        return int(agg.get("sum(n)") or 0), int(agg.get("sum(s)") or 0) % P
+
+    # audit: staged files vs a fresh source-derived rollup
+    expected = fingerprint(rollup)
+    staged = fingerprint(ray.data.read_parquet(staging))
+    if staged != expected:
+        raise RuntimeError(
+            f"WAP audit failed: staged {staged} != expected {expected}; "
+            "publish aborted, previous published data untouched"
+        )
+    shutil.rmtree(published, ignore_errors=True)
+    os.replace(staging, published)
+    return ray.data.read_parquet(published)
+
+
+WAP_PUBLISH_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders GROUP BY 1
+"""
