@@ -10892,3 +10892,99 @@ SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
        CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# -- temporal train/test split --------------------------------------------------
+
+
+def temporal_split(sf_dir: str, train_permille: int = 800) -> pa.Table:
+    """Leakage-free temporal holdout: each user's events are split
+    chronologically — the FIRST ceil(80%) by (ts, event_id) order are
+    'train', the rest 'test' — the split an event-sequence model must
+    use (random splits leak future behaviour into training).  Output:
+    per (user, split) row counts plus each side's time range, so the
+    no-overlap property is auditable per user.
+
+    Scale shape: one user-keyed shuffle, vectorized rank-within-run
+    kernel (lexsort + run boundaries + position arithmetic), bounded
+    2-rows-per-user output."""
+    from ._util import ensure_columns, partitioned_by_key, run_bounds
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "split": pa.array([], pa.string()),
+                "n_events": pa.array([], pa.int64()),
+                "min_ts": pa.array([], pa.timestamp("us")),
+                "max_ts": pa.array([], pa.timestamp("us")),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(
+            pc.cast(part.column("ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        b = run_bounds(uid)
+        sizes = np.diff(b)
+        # train size = ceil(n * permille / 1000), mirrored by the oracle
+        train_n = -(-sizes * train_permille // 1000)
+        pos = np.arange(len(uid)) - np.repeat(b[:-1], sizes)
+        is_train = pos < np.repeat(train_n, sizes)
+        key = uid * 2 + (~is_train).astype(np.int64)
+        o2 = np.argsort(key, kind="stable")
+        key, ts2 = key[o2], ts[o2]
+        kb = run_bounds(key)
+        return pa.table(
+            {
+                "user_id": pa.array(key[kb[:-1]] // 2, pa.int64()),
+                "split": pa.array(
+                    np.where(key[kb[:-1]] % 2 == 0, "train", "test").tolist(),
+                    pa.string(),
+                ),
+                "n_events": pa.array(np.diff(kb), pa.int64()),
+                "min_ts": pa.array(
+                    np.minimum.reduceat(ts2, kb[:-1]), pa.int64()
+                ).cast(pa.timestamp("us")),
+                "max_ts": pa.array(
+                    np.maximum.reduceat(ts2, kb[:-1]), pa.int64()
+                ).cast(pa.timestamp("us")),
+            }
+        )
+
+    df = ensure_columns(
+        partitioned_by_key(ds, "user_id", kernel).to_pandas(),
+        ["user_id", "split", "n_events", "min_ts", "max_ts"],
+    )
+    return pa.Table.from_pandas(
+        df.sort_values(["user_id", "split"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+TEMPORAL_SPLIT_SQL = """
+WITH r AS (
+  SELECT user_id, ts,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         CASE WHEN rn <= (n * 800 + 999) // 1000 THEN 'train'
+              ELSE 'test' END AS split
+  FROM r
+)
+SELECT user_id, split,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""

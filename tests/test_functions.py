@@ -3892,6 +3892,7 @@ def test_partitioned_by_key_invariant_to_partition_count(monkeypatch):
             "scd2_history": relational.scd2_history,
             "gram_novelty": dedup.gram_novelty,
             "event_trigram_counts": relational.event_trigram_counts,
+            "temporal_split": relational.temporal_split,
         }
     )
 
