@@ -10988,3 +10988,102 @@ SELECT user_id, split,
        min(ts) AS min_ts, max(ts) AS max_ts
 FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# -- state dwell times -------------------------------------------------------------
+
+
+def state_dwell_times(sf_dir: str) -> pa.Table:
+    """Time-in-state analytics over the SCD-2 interval stream: for each
+    event_type state, the total dwell time (µs) users spent in it and
+    the closed-interval count — the state-machine report behind
+    engagement and ops dashboards.  Open (current) intervals have no
+    end and are excluded, both sides.
+
+    Scale shape: scd2_history's single user-keyed shuffle and run
+    sweep, with the interval rows folded to a ≤-types rollup inside
+    the same kernel — durations never leave the partition as rows."""
+    from ._util import ensure_columns, partitioned_by_key, run_bounds
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "dwell_us": pa.array([], pa.int64()),
+                "n_intervals": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(
+            pc.cast(part.column("ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        et = np.asarray(part.column("event_type").to_pylist(), dtype=object)
+        types, code = np.unique(et.astype(str), return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, code = uid[order], ts[order], code[order]
+        start = np.r_[True, (uid[1:] != uid[:-1]) | (code[1:] != code[:-1])]
+        si = np.flatnonzero(start)
+        s_uid, s_ts, s_code = uid[si], ts[si], code[si]
+        closed = np.r_[s_uid[1:] == s_uid[:-1], False]
+        dur = np.zeros(len(si), dtype=np.int64)
+        dur[:-1] = s_ts[1:] - s_ts[:-1]
+        c = s_code[closed]
+        d = dur[closed]
+        dwell = np.zeros(len(types), dtype=np.int64)
+        cnt = np.zeros(len(types), dtype=np.int64)
+        np.add.at(dwell, c, d)
+        np.add.at(cnt, c, 1)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "event_type": pa.array(types[nz].tolist(), pa.string()),
+                "dwell_us": pa.array(dwell[nz], pa.int64()),
+                "n_intervals": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    df = ensure_columns(
+        partitioned_by_key(ds, "user_id", kernel)
+        .groupby("event_type")
+        .sum(["dwell_us", "n_intervals"])
+        .to_pandas(),  # ≤ types rows
+        ["event_type", "sum(dwell_us)", "sum(n_intervals)"],
+    ).sort_values("event_type")
+    return pa.table(
+        {
+            "event_type": pa.array(df["event_type"], pa.string()),
+            "dwell_us": pa.array(
+                df["sum(dwell_us)"].astype("int64"), pa.int64()
+            ),
+            "n_intervals": pa.array(
+                df["sum(n_intervals)"].astype("int64"), pa.int64()
+            ),
+        }
+    )
+
+
+STATE_DWELL_TIMES_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS valid_to
+  FROM e WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT event_type,
+       CAST(sum(epoch_us(valid_to) - epoch_us(valid_from)) AS BIGINT)
+         AS dwell_us,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM runs WHERE valid_to IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
