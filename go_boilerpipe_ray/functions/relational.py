@@ -11087,3 +11087,105 @@ SELECT event_type,
 FROM runs WHERE valid_to IS NOT NULL
 GROUP BY 1 ORDER BY 1
 """
+
+
+# -- primary-key uniqueness audit ----------------------------------------------------
+
+
+def pk_audit(sf_dir: str) -> pa.Table:
+    """Primary-key audit across the fact tables: per (table, key), the
+    row count, distinct-key count and number of duplicated key values —
+    the ingest-contract check every pipeline runs before trusting a
+    MERGE/upsert key.  A healthy corpus reports zero duplicates; the
+    op exists so a broken ingest is caught by a 3-row report, not a
+    corrupted join downstream.
+
+    Scale shape: per table, one pass of per-batch (key, partial count)
+    rollups → key-keyed rollup → ≤-1-row fold (rows, distinct, dups
+    are all sums over the bounded per-key count table — which itself
+    never reaches the driver; the fold is a second tiny aggregate)."""
+    from ._util import ensure_columns
+
+    specs = [
+        ("orders", "o_orderkey"),
+        ("events", "event_id"),
+        ("customer", "c_custkey"),
+    ]
+    names, rows_l, dist_l, dup_l = [], [], [], []
+    for table, key in specs:
+        ds = _read(sf_dir, table, [key])
+
+        def partial(batch: pa.Table, key=key) -> pa.Table:
+            v, c = np.unique(
+                pc.cast(batch.column(key), pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+                return_counts=True,
+            )
+            return pa.table(
+                {
+                    "k": pa.array(v, pa.int64()),
+                    "c": pa.array(c.astype(np.int64), pa.int64()),
+                }
+            )
+
+        def fold(batch: pa.Table) -> pa.Table:
+            c = batch.column("c").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "rows": pa.array([int(c.sum())], pa.int64()),
+                    "dist": pa.array([len(c)], pa.int64()),
+                    "dups": pa.array([int((c > 1).sum())], pa.int64()),
+                }
+            )
+
+        agg = (
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("k")
+            .sum("c")
+            .rename_columns({"sum(c)": "c"})
+            .map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+            .aggregate(
+                ray.data.aggregate.Sum("rows", alias_name="rows"),
+                ray.data.aggregate.Sum("dist", alias_name="dist"),
+                ray.data.aggregate.Sum("dups", alias_name="dups"),
+            )
+        )
+        names.append(f"{table}.{key}")
+        rows_l.append(int(agg.get("rows") or 0))
+        dist_l.append(int(agg.get("dist") or 0))
+        dup_l.append(int(agg.get("dups") or 0))
+    return pa.table(
+        {
+            "key": pa.array(names, pa.string()),
+            "n_rows": pa.array(rows_l, pa.int64()),
+            "n_distinct": pa.array(dist_l, pa.int64()),
+            "n_dup_keys": pa.array(dup_l, pa.int64()),
+        }
+    )
+
+
+PK_AUDIT_SQL = """
+SELECT 'customer.c_custkey' AS key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+       CAST((SELECT count(*) FROM (
+          SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1
+       )) AS BIGINT) AS n_dup_keys
+FROM customer
+UNION ALL
+SELECT 'events.event_id', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT event_id) AS BIGINT),
+       CAST((SELECT count(*) FROM (
+          SELECT event_id FROM events GROUP BY 1 HAVING count(*) > 1
+       )) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'orders.o_orderkey', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT o_orderkey) AS BIGINT),
+       CAST((SELECT count(*) FROM (
+          SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1
+       )) AS BIGINT)
+FROM orders
+ORDER BY key
+"""
