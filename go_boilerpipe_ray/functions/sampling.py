@@ -425,3 +425,84 @@ QUALIFY row_number() OVER (
 
 
 REBALANCE_MIX_SQL = _rebalance_sql()
+
+
+# -- deterministic k-per-group sample ---------------------------------------------
+
+
+def group_sample_k(sf_dir: str, k: int = 3) -> "pa.Table":
+    """Deterministic k-per-group exemplar sample: for every language,
+    the k documents with the smallest md5(doc_id) — the "show me k
+    examples per stratum" debugging/eval pick that is stable across
+    runs, shards and cluster sizes (pure key hash, no RNG state).
+
+    Scale shape: per-batch local k-min per group (vectorized lexsort +
+    run-position cut), then a bounded per-group merge — candidate
+    volume is ≤ groups × blocks × k, never the corpus."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ._util import ensure_columns, md5_u64, read_parquet_clean
+
+    _MASK = (1 << 50) - 1
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def local_kmin(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lang = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        hv = (md5_u64(ids.tolist()) & np.uint64(_MASK)).astype(np.int64)
+        uniq, code = np.unique(lang.astype(str), return_inverse=True)
+        order = np.lexsort((ids, hv, code))
+        code, ids, hv = code[order], ids[order], hv[order]
+        new_g = np.r_[True, code[1:] != code[:-1]]
+        starts = np.flatnonzero(new_g)
+        pos = np.arange(len(code)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(code)])
+        )
+        keep = pos < k
+        return pa.table(
+            {
+                "lang": pa.array(uniq[code[keep]].tolist(), pa.string()),
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "hv": pa.array(hv[keep], pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        lang = group.column("lang")[0].as_py()
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        hv = group.column("hv").to_numpy(zero_copy_only=False)
+        sel = np.lexsort((ids, hv))[:k]
+        return pa.table(
+            {
+                "lang": pa.array([lang] * len(sel), pa.string()),
+                "doc_id": pa.array(ids[sel], pa.int64()),
+            }
+        )
+
+    df = ensure_columns(
+        ds.map_batches(local_kmin, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(merge, batch_format="pyarrow")  # bounded: few langs
+        .to_pandas(),
+        ["lang", "doc_id"],
+    )
+    return pa.Table.from_pandas(
+        df.sort_values(["lang", "doc_id"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+GROUP_SAMPLE_K_SQL = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5_number_lower(doc_id::VARCHAR) & 1125899906842623,
+                    doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 3 ORDER BY lang, doc_id
+"""
