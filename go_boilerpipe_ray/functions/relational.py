@@ -11189,3 +11189,187 @@ SELECT 'orders.o_orderkey', CAST(count(*) AS BIGINT),
 FROM orders
 ORDER BY key
 """
+
+
+# -- Spearman rank correlation via bounded joint histogram ---------------------
+
+
+def spearman_rank_stats(sf_dir: str) -> pa.Table:
+    """Exact Spearman sufficient statistics between l_quantity and
+    l_discount, the bounded-domain rank trick: both columns have tiny
+    value domains (50 x 11), so instead of globally sorting 100 TB of
+    rows to assign ranks, each batch emits a (qty, disc) joint histogram
+    (pre-combined), one keyed shuffle merges it to <= 550 cells, and the
+    driver derives tie-averaged ranks from the marginal counts — a
+    frequency-of-frequencies computation over the cell table, never the
+    rows.  Ranks are DOUBLED so tie-averages stay integral
+    (2*avg_rank = 2*min_rank + tie_count - 1), making the whole output
+    int64 and the oracle hash exact; rho itself is a trivial downstream
+    divide (pinned in pytest).  int64 bound: sum(rx*ry*cnt) <= 4*n^3,
+    safe to n ~= 1.3e6 per partial — the 100 TB path promotes the final
+    six-word merge to 128-bit (DuckDB's HUGEINT sum does the same
+    upstream before our CAST).  Scale shape: shuffle moves only
+    histogram cells; rank derivation is O(domain), not O(rows)."""
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = (
+            batch.column("l_quantity")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        d = np.rint(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        # Pack the pair into one int64 key (domain tiny; guard anyway).
+        packed = q * 1000 + d
+        keys, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "q": pa.array(keys // 1000, pa.int64()),
+                "d": pa.array(keys % 1000, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    joint = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["q", "d"])
+        .aggregate(ray.data.aggregate.Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    names = ["n", "sum_rx", "sum_ry", "sum_rxy", "sum_rx2", "sum_ry2"]
+    if joint.empty:
+        return pa.table({c: pa.array([0], pa.int64()) for c in names})
+    qv = joint["q"].to_numpy().astype(np.int64)
+    dv = joint["d"].to_numpy().astype(np.int64)
+    cv = joint["cnt"].to_numpy().astype(np.int64)
+
+    def _dr(marginal: dict[int, int]) -> dict[int, int]:
+        # 2*avg_rank per distinct value: 2*(1 + #smaller) + ties - 1.
+        out: dict[int, int] = {}
+        below = 0
+        for v in sorted(marginal):
+            c = marginal[v]
+            out[v] = 2 * (below + 1) + c - 1
+            below += c
+        return out
+
+    mq: dict[int, int] = {}
+    md: dict[int, int] = {}
+    for qi, di, ci in zip(qv.tolist(), dv.tolist(), cv.tolist()):
+        mq[qi] = mq.get(qi, 0) + ci
+        md[di] = md.get(di, 0) + ci
+    rq, rd = _dr(mq), _dr(md)
+    n = sum_rx = sum_ry = sum_rxy = sum_rx2 = sum_ry2 = 0
+    for qi, di, ci in zip(qv.tolist(), dv.tolist(), cv.tolist()):
+        rx, ry = rq[qi], rd[di]
+        n += ci
+        sum_rx += rx * ci
+        sum_ry += ry * ci
+        sum_rxy += rx * ry * ci
+        sum_rx2 += rx * rx * ci
+        sum_ry2 += ry * ry * ci
+    vals = [n, sum_rx, sum_ry, sum_rxy, sum_rx2, sum_ry2]
+    if max(vals) >= 2**63:  # loud, not silent wrap (ADVICE r3 pattern)
+        raise OverflowError("spearman_rank_stats: int64 sufficient stats overflow")
+    return pa.table({c: pa.array([v], pa.int64()) for c, v in zip(names, vals)})
+
+
+SPEARMAN_RANK_STATS_SQL = """
+WITH r AS (
+  SELECT
+    2 * RANK() OVER (ORDER BY l_quantity)
+      + COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS rx,
+    2 * RANK() OVER (ORDER BY l_discount)
+      + COUNT(*) OVER (PARTITION BY l_discount) - 1 AS ry
+  FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT)                 AS n,
+       CAST(COALESCE(sum(rx), 0) AS BIGINT)     AS sum_rx,
+       CAST(COALESCE(sum(ry), 0) AS BIGINT)     AS sum_ry,
+       CAST(COALESCE(sum(rx * ry), 0) AS BIGINT) AS sum_rxy,
+       CAST(COALESCE(sum(rx * rx), 0) AS BIGINT) AS sum_rx2,
+       CAST(COALESCE(sum(ry * ry), 0) AS BIGINT) AS sum_ry2
+FROM r
+"""
+
+
+# -- per-group Gini impurity (integer permille) --------------------------------
+
+
+def source_lang_gini(sf_dir: str) -> pa.Table:
+    """Language-mix Gini impurity per document source — the corpus-
+    balance diagnostic an LLM-data pipeline runs before fixing sampling
+    weights.  gini_permille = 1000 - floor(1000 * sum(c^2) / n^2), exact
+    integer arithmetic end-to-end (operands non-negative, so DuckDB's
+    truncating // and Python's floor // agree).  Scale shape: batches
+    pre-combine to (source, lang) cells, one keyed shuffle merges the
+    cell table (|sources| x |langs|, tiny), and the quadratic sum is a
+    second cell-level rollup — rows never shuffle."""
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "lang": batch.column("lang"),
+                "cnt": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by(["source", "lang"]).aggregate([("cnt", "sum")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "lang": g.column("lang"),
+                "cnt": g.column("cnt_sum"),
+            }
+        )
+
+    cells = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang"])
+        .aggregate(ray.data.aggregate.Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    if cells.empty:
+        return pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "n_langs": pa.array([], pa.int64()),
+                "gini_permille": pa.array([], pa.int64()),
+            }
+        )
+    rows = []
+    for src, grp in cells.groupby("source", sort=True):
+        c = grp["cnt"].to_numpy().astype(np.int64)
+        n = int(c.sum())
+        s2 = int((c.astype(object) ** 2).sum())  # python ints: no wrap
+        rows.append((src, n, len(c), 1000 - (1000 * s2) // (n * n)))
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "n_langs": pa.array([r[2] for r in rows], pa.int64()),
+            "gini_permille": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+SOURCE_LANG_GINI_SQL = """
+WITH c AS (
+  SELECT source, lang, count(*) AS cnt
+  FROM documents GROUP BY 1, 2
+), t AS (
+  SELECT source, sum(cnt) AS n, count(*) AS n_langs,
+         sum(cnt * cnt) AS s2
+  FROM c GROUP BY 1
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       CAST(1000 - (1000 * s2) // (n * n) AS BIGINT) AS gini_permille
+FROM t
+ORDER BY source
+"""

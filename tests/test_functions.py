@@ -5904,3 +5904,53 @@ def test_kmv_partial_keeps_exactly_k_per_batch(tmp_path):
         ]
     )
     assert got["kth_hash"] == int(hs[_KMV_K - 1])
+
+
+def test_spearman_rank_stats_derives_rho():
+    # The doubled-rank sufficient statistics must reproduce pandas'
+    # tie-averaged Spearman rho (Pearson on average ranks); doubling
+    # cancels in the ratio, so the exact-integer table is enough.
+    import numpy as np
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import spearman_rank_stats
+
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_quantity", "l_discount"]
+    )
+    row = spearman_rank_stats(SF).to_pandas().iloc[0]
+    rx = 2 * li["l_quantity"].rank(method="average").to_numpy()
+    disc = np.rint(li["l_discount"].to_numpy() * 100).astype("int64")
+    ry = 2 * pd.Series(disc).rank(method="average").to_numpy()
+    assert int(row["n"]) == len(li)
+    assert int(row["sum_rx"]) == int(rx.sum())
+    assert int(row["sum_ry"]) == int(ry.sum())
+    assert int(row["sum_rxy"]) == int((rx * ry).sum())
+    n, sx, sy = int(row["n"]), int(row["sum_rx"]), int(row["sum_ry"])
+    sxy, sx2, sy2 = int(row["sum_rxy"]), int(row["sum_rx2"]), int(row["sum_ry2"])
+    num = n * sxy - sx * sy
+    den = np.sqrt(float(n * sx2 - sx * sx) * float(n * sy2 - sy * sy))
+    want = (
+        pd.Series(rx).corr(pd.Series(ry))  # Pearson on avg ranks == Spearman
+    )
+    assert abs(num / den - want) < 1e-9
+
+
+def test_source_lang_gini_brute(tmp_path):
+    # Hand-checkable mix: s1 is pure (gini 0), s2 is a 3/1 split
+    # (1000 - 1000*(9+1)//16 = 375).
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import source_lang_gini
+
+    pd.DataFrame(
+        {
+            "source": ["s1", "s1", "s2", "s2", "s2", "s2"],
+            "lang": ["en", "en", "en", "en", "en", "de"],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = source_lang_gini(str(tmp_path)).to_pandas().set_index("source")
+    assert int(got.loc["s1", "gini_permille"]) == 0
+    assert int(got.loc["s1", "n_langs"]) == 1
+    assert int(got.loc["s2", "gini_permille"]) == 375
+    assert int(got.loc["s2", "n"]) == 4
