@@ -867,6 +867,114 @@ FROM est ORDER BY scope
 """
 
 
+# -- HLL mergeability check ---------------------------------------------------
+
+
+def hll_merge_check(sf_dir: str) -> pa.Table:
+    """HLL's distributed-aggregate contract demonstrated end-to-end
+    (the register-table twin of kmv_merge_check): split events by
+    event_id parity, build an independent register sketch per half,
+    MERGE them (elementwise max), and emit the merged register table
+    next to one built over the full corpus in a SEPARATE single-pass
+    scan.  The two scopes must be row-identical — max is associative
+    and commutative over any partitioning, so re-sharding a 100 TB
+    corpus never changes the sketch.  The oracle recomputes both
+    scopes independently in SQL.
+
+    Scale shape: each pass folds batches to <= m touched registers
+    before the shuffle; the merge is a <= 2m-row rollup."""
+    from ._util import ensure_columns
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        ids = batch.column("user_id").to_numpy(zero_copy_only=False)
+        h = _md5_u64_str(ids)
+        reg = (h & np.uint64(_M - 1)).astype(np.int64)
+        suffix = ((h >> np.uint64(HLL_P)) & np.uint64(0xFFFFFFFF)).astype(
+            np.uint64
+        )
+        rho = _rho(suffix)
+        side = (eid % 2).astype(np.int64)
+        out_side: list[int] = []
+        out_reg: list[int] = []
+        out_rho: list[int] = []
+        for s in (0, 1):
+            m = np.zeros(_M, dtype=np.int64)
+            sel = side == s
+            np.maximum.at(m, reg[sel], rho[sel])
+            touched = np.flatnonzero(m)
+            out_side.extend([s] * len(touched))
+            out_reg.extend(touched.tolist())
+            out_rho.extend(m[touched].tolist())
+        return pa.table(
+            {
+                "side": pa.array(out_side, pa.int64()),
+                "register": pa.array(out_reg, pa.int64()),
+                "rho": pa.array(out_rho, pa.int64()),
+            }
+        )
+
+    side_reg = ensure_columns(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["side", "register"])
+        .max("rho")
+        .to_pandas(),  # <= 2m rows
+        ["side", "register", "max(rho)"],
+    )
+    merged = (
+        side_reg.groupby("register")["max(rho)"].max().sort_index()
+    )  # elementwise max of the two half sketches
+    full = hll_registers(sf_dir)  # independent full-corpus single pass
+    scopes = ["full"] * full.num_rows + ["merged"] * len(merged)
+    regs = full.column("register").to_pylist() + merged.index.tolist()
+    rhos = full.column("max_rho").to_pylist() + [
+        int(v) for v in merged.to_numpy()
+    ]
+    return pa.table(
+        {
+            "scope": pa.array(scopes, pa.string()),
+            "register": pa.array(regs, pa.int64()),
+            "max_rho": pa.array(rhos, pa.int64()),
+        }
+    )
+
+
+HLL_MERGE_CHECK_SQL = f"""
+WITH h AS (
+  SELECT event_id % 2 AS side,
+         md5_number_lower(user_id::VARCHAR) AS h
+  FROM events
+),
+r AS (
+  SELECT side,
+         CAST(h & {_M - 1} AS BIGINT) AS register,
+         CASE WHEN ((h >> {HLL_P}) & 4294967295) = 0 THEN {_WINDOW_BITS + 1}
+              ELSE {_WINDOW_BITS} - CAST(floor(log2(((h >> {HLL_P}) & 4294967295))) AS BIGINT)
+         END AS rho
+  FROM h
+),
+side_reg AS (
+  SELECT side, register, MAX(rho) AS max_rho FROM r GROUP BY 1, 2
+),
+merged AS (
+  SELECT register, MAX(max_rho) AS max_rho FROM side_reg GROUP BY 1
+),
+full_reg AS (
+  SELECT register, MAX(rho) AS max_rho FROM r GROUP BY 1
+)
+SELECT scope, register, CAST(max_rho AS BIGINT) AS max_rho FROM (
+  SELECT 'full' AS scope, register, max_rho FROM full_reg
+  UNION ALL
+  SELECT 'merged', register, max_rho FROM merged
+)
+ORDER BY scope, register
+"""
+
+
 # -- estimator cross-validation report -------------------------------------------
 
 

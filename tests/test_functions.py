@@ -5954,3 +5954,16 @@ def test_source_lang_gini_brute(tmp_path):
     assert int(got.loc["s1", "n_langs"]) == 1
     assert int(got.loc["s2", "gini_permille"]) == 375
     assert int(got.loc["s2", "n"]) == 4
+
+
+def test_hll_merge_check_property():
+    """Mergeability is the op's contract: the merged register table must
+    EQUAL the full-corpus single-pass register table row for row."""
+    from go_boilerpipe_ray.functions.sketches import hll_merge_check
+
+    got = hll_merge_check(SF).to_pandas()
+    full = got[got["scope"] == "full"].set_index("register")["max_rho"]
+    merged = got[got["scope"] == "merged"].set_index("register")["max_rho"]
+    assert len(full) > 0
+    assert full.index.equals(merged.index)
+    assert (full.to_numpy() == merged.to_numpy()).all()
