@@ -5967,3 +5967,21 @@ def test_hll_merge_check_property():
     assert len(full) > 0
     assert full.index.equals(merged.index)
     assert (full.to_numpy() == merged.to_numpy()).all()
+
+
+def test_session8_ops_survive_empty_inputs(tmp_path):
+    # Session-8 ops over empty production schemas: spearman emits its
+    # zero-stat single row; the others return typed empty tables.
+    import pandas as pd
+
+    for t in ["events", "lineitem", "documents"]:
+        pd.read_parquet(f"{SF}/{t}.parquet").head(0).to_parquet(
+            tmp_path / f"{t}.parquet"
+        )
+    from go_boilerpipe_ray.functions import relational, sketches
+
+    sf = str(tmp_path)
+    row = relational.spearman_rank_stats(sf)
+    assert row.num_rows == 1 and row.column("n")[0].as_py() == 0
+    assert relational.source_lang_gini(sf).num_rows == 0
+    assert sketches.hll_merge_check(sf).num_rows == 0
