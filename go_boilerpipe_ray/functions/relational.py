@@ -11373,3 +11373,322 @@ SELECT source,
 FROM t
 ORDER BY source
 """
+
+
+# -- merkle-style per-shard checksums ------------------------------------------
+
+
+def merkle_shards(sf_dir: str, buckets: int = 64) -> pa.Table:
+    """Per-shard content fingerprints (the merkle layer above
+    table_checksum): orders rows are assigned to orderkey-mod buckets
+    and each bucket gets its own order-independent (n_rows, checksum)
+    pair.  Two replicas diff their 64-row manifests and re-sync ONLY
+    the buckets whose residues differ — the anti-entropy pattern that
+    turns a 100 TB table comparison into a KB-sized exchange.  Same
+    md5 low-8-byte / mod-Mersenne-prime scheme as table_checksum, so
+    the DuckDB oracle reconstructs every bucket bit-exactly.
+
+    Scale shape: per-batch fold to <= buckets rows; one tiny keyed
+    rollup; commutative+associative, so partitioning can't move it."""
+    import hashlib
+
+    ds = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_pylist()
+        ck = batch.column("o_custkey").to_pylist()
+        st = batch.column("o_orderstatus").to_pylist()
+        pr = batch.column("o_orderpriority").to_pylist()
+        res = np.fromiter(
+            (
+                (
+                    int.from_bytes(
+                        hashlib.md5(f"{a}|{b}|{c}|{d}".encode()).digest()[8:],
+                        "little",
+                    )
+                    & _CK_MASK
+                )
+                % _CK_PRIME
+                for a, b, c, d in zip(ok, ck, st, pr)
+            ),
+            dtype=np.int64,
+            count=len(ok),
+        )
+        bkt = np.asarray(ok, dtype=np.int64) % buckets
+        n = np.bincount(bkt, minlength=buckets)
+        s = np.bincount(bkt, weights=res.astype(np.float64), minlength=buckets)
+        # float64 sums are exact: residues < 2^31, batch rows < 2^21.
+        touched = np.flatnonzero(n)
+        return pa.table(
+            {
+                "bucket": pa.array(touched, pa.int64()),
+                "n": pa.array(n[touched].astype(np.int64), pa.int64()),
+                "s": pa.array(
+                    (s[touched].astype(np.int64) % _CK_PRIME), pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n_rows"),
+            ray.data.aggregate.Sum("s", alias_name="s"),
+        )
+        .to_pandas()
+    )
+    from ._util import ensure_columns
+
+    out = ensure_columns(out, ["bucket", "n_rows", "s"]).sort_values("bucket")
+    return pa.table(
+        {
+            "bucket": pa.array(out["bucket"].to_numpy(), pa.int64()),
+            "n_rows": pa.array(out["n_rows"].to_numpy(), pa.int64()),
+            "checksum": pa.array(
+                out["s"].to_numpy().astype(np.int64) % _CK_PRIME, pa.int64()
+            ),
+        }
+    )
+
+
+MERKLE_SHARDS_SQL = f"""
+SELECT CAST(o_orderkey % 64 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(
+         (md5_number_lower(
+            o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' ||
+            o_orderstatus || '|' || o_orderpriority
+          ) & {_CK_MASK}) % {_CK_PRIME}
+       ) % {_CK_PRIME} AS BIGINT) AS checksum
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# -- expectation-suite data validation -----------------------------------------
+
+
+def expectations_report(sf_dir: str) -> pa.Table:
+    """Great-Expectations-style validation suite: five declarative
+    rules over four tables, each reported as (rule, n_rows, n_pass,
+    n_fail).  Every rule is a vectorized boolean folded to two ints
+    per batch, the four scans stream independently and union into one
+    O(#rules) rollup — a contract gate that costs one column-pruned
+    pass per table at any corpus size.  Float-domain rules compare in
+    integer units (cents / permille) so the oracle is hash-exact."""
+    from ray.data.aggregate import Sum
+
+    def fold(rule: str, ok: np.ndarray) -> pa.Table:
+        return pa.table(
+            {
+                "rule": pa.array([rule], pa.string()),
+                "n_rows": pa.array([len(ok)], pa.int64()),
+                "n_pass": pa.array([int(np.count_nonzero(ok))], pa.int64()),
+            }
+        )
+
+    def li_rules(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        d = np.rint(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.concat_tables(
+            [
+                fold("lineitem_qty_in_1_50", (q >= 1) & (q <= 50)),
+                fold("lineitem_discount_in_0_10pct", (d >= 0) & (d <= 10)),
+            ]
+        )
+
+    def ord_rules(batch: pa.Table) -> pa.Table:
+        p = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return fold("orders_totalprice_positive", p > 0)
+
+    def ev_rules(batch: pa.Table) -> pa.Table:
+        ok = pc.is_valid(batch.column("value")).to_numpy(zero_copy_only=False)
+        return fold("events_value_nonnull", ok)
+
+    def doc_rules(batch: pa.Table) -> pa.Table:
+        ln = pc.cast(pc.utf8_length(batch.column("text")), pa.int64())
+        ok = pc.equal(ln, pc.cast(batch.column("n_chars"), pa.int64()))
+        return fold(
+            "documents_nchars_matches_text",
+            pc.fill_null(ok, False).to_numpy(zero_copy_only=False),
+        )
+
+    parts = [
+        _read(sf_dir, "lineitem", ["l_quantity", "l_discount"]).map_batches(
+            li_rules, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+            ord_rules, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        _read(sf_dir, "events", ["value"]).map_batches(
+            ev_rules, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        _read(sf_dir, "documents", ["text", "n_chars"]).map_batches(
+            doc_rules, batch_format="pyarrow", zero_copy_batch=True
+        ),
+    ]
+    ds = parts[0].union(*parts[1:])
+    out = (
+        ds.groupby("rule")
+        .aggregate(
+            ray.data.aggregate.Sum("n_rows", alias_name="n_rows"),
+            ray.data.aggregate.Sum("n_pass", alias_name="n_pass"),
+        )
+        .to_pandas()
+    )
+    from ._util import ensure_columns
+
+    out = ensure_columns(out, ["rule", "n_rows", "n_pass"]).sort_values("rule")
+    nr = out["n_rows"].to_numpy().astype(np.int64)
+    npass = out["n_pass"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "rule": pa.array(out["rule"], pa.string()),
+            "n_rows": pa.array(nr, pa.int64()),
+            "n_pass": pa.array(npass, pa.int64()),
+            "n_fail": pa.array(nr - npass, pa.int64()),
+        }
+    )
+
+
+EXPECTATIONS_REPORT_SQL = """
+SELECT * FROM (
+  SELECT 'documents_nchars_matches_text' AS rule,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(COALESCE(sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pass,
+         CAST(count(*) - COALESCE(sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_fail
+  FROM documents
+  UNION ALL
+  SELECT 'events_value_nonnull',
+         CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+         CAST(count(*) - COALESCE(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'lineitem_discount_in_0_10pct',
+         CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 0 AND 10 THEN 1 ELSE 0 END), 0) AS BIGINT),
+         CAST(count(*) - COALESCE(sum(CASE WHEN CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 0 AND 10 THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_qty_in_1_50',
+         CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END), 0) AS BIGINT),
+         CAST(count(*) - COALESCE(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders_totalprice_positive',
+         CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END), 0) AS BIGINT),
+         CAST(count(*) - COALESCE(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM orders
+)
+ORDER BY rule
+"""
+
+
+# -- seasonal-naive forecast backtest ------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def seasonal_naive_mae(sf_dir: str) -> pa.Table:
+    """Forecast-backtest report: per event type, the absolute error of
+    the seasonal-naive model (predict today = same weekday last week)
+    over daily value totals, in exact integer cents.  The shape every
+    pipeline-health dashboard needs before trusting a volume forecast.
+
+    Scale shape: rows fold to a (type, day, cents) cell table per
+    batch, ONE keyed shuffle merges it, and the lag-7 alignment runs on
+    the merged cell table (|types| x |days| — bounded by the calendar,
+    not the corpus, so driver-side alignment holds at any scale).
+    Missing days are skipped (join semantics), not zero-filled —
+    mirrored by the SQL self-join on day = day + 7."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.timestamp("us"))
+        day = (
+            pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+            // _DAY_US
+        )
+        cents = money_cents(batch.column("value").to_numpy(zero_copy_only=False))
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": pa.array(day, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type", "day"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["event_type", "day", "cents"])
+
+    cells = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .aggregate(ray.data.aggregate.Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    names = ["event_type", "n_days", "abs_err_sum"]
+    if cells.empty:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_days": pa.array([], pa.int64()),
+                "abs_err_sum": pa.array([], pa.int64()),
+            }
+        )
+    rows = []
+    for et, grp in cells.groupby("event_type", sort=True):
+        day = grp["day"].to_numpy().astype(np.int64)
+        val = grp["cents"].to_numpy().astype(np.int64)
+        order = np.argsort(day)
+        day, val = day[order], val[order]
+        # align day d with day d-7 (both present)
+        pos = np.searchsorted(day, day - 7)
+        pos_c = np.clip(pos, 0, len(day) - 1)
+        hit = day[pos_c] == day - 7
+        if not hit.any():
+            continue
+        err = np.abs(val[hit] - val[pos_c[hit]])
+        rows.append((et, int(hit.sum()), int(err.sum())))
+    if not rows:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_days": pa.array([], pa.int64()),
+                "abs_err_sum": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_days": pa.array([r[1] for r in rows], pa.int64()),
+            "abs_err_sum": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+SEASONAL_NAIVE_MAE_SQL = """
+WITH d AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(abs(a.cents - b.cents)) AS BIGINT) AS abs_err_sum
+FROM d a
+JOIN d b ON a.event_type = b.event_type AND a.day = b.day + 7
+GROUP BY 1
+ORDER BY 1
+"""

@@ -3359,6 +3359,84 @@ HAVING count(*) < {K_ANONYMITY_K}
 """
 
 
+L_DIVERSITY_L = 3
+
+
+def l_diversity(sf_dir: str, l: int = L_DIVERSITY_L) -> "ray.data.Dataset":
+    """Privacy-governance audit, the step after k_anonymity: a
+    quasi-identifier group can be large (k-anonymous) yet still leak if
+    everyone in it shares one sensitive value.  Here the sensitive
+    attribute is lang: report (source, len_bucket) groups with fewer
+    than l DISTINCT languages.  Scale shape: batches fold to
+    (source, len_bucket, lang) cells; the first keyed shuffle merges
+    cells (globally unique triples), the second rolls triples up to
+    pairs counting distinct langs as plain rows — distinct-count
+    without any set materialization.  Only violating groups reach the
+    caller."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "len_bucket": pc.cast(
+                    pc.divide(batch.column("n_chars"), pa.scalar(100, pa.int64())),
+                    pa.int64(),
+                ),
+                "lang": batch.column("lang"),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["source", "len_bucket", "lang"]).aggregate([("n", "sum")])
+        return g.rename_columns(["source", "len_bucket", "lang", "n"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        # cells are unique triples after the first shuffle: each row is
+        # one (pair, lang), so distinct-lang count = row count per pair.
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "len_bucket": batch.column("len_bucket"),
+                "n": batch.column("n"),
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["source", "len_bucket"]).aggregate(
+            [("n", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(["source", "len_bucket", "n_docs", "n_langs"])
+
+    def under_l(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("n_langs"), l))
+
+    return (
+        read_documents(sf_dir, columns=["lang", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "len_bucket", "lang"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "len_bucket"])
+        .aggregate(
+            ray.data.aggregate.Sum("n_docs", alias_name="n_docs"),
+            ray.data.aggregate.Sum("n_langs", alias_name="n_langs"),
+        )
+        .map_batches(under_l, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+L_DIVERSITY_SQL = f"""
+WITH c AS (
+  SELECT source, n_chars // 100 AS len_bucket, lang, count(*) AS cnt
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT source,
+       CAST(len_bucket AS BIGINT) AS len_bucket,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs
+FROM c GROUP BY 1, 2
+HAVING count(*) < {L_DIVERSITY_L}
+"""
+
+
 # -- decile profile (global quantile bounds broadcast + bucket rollup) --------
 
 DECILE_PERMILLE = tuple(range(100, 1000, 100))

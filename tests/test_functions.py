@@ -5985,3 +5985,89 @@ def test_session8_ops_survive_empty_inputs(tmp_path):
     assert row.num_rows == 1 and row.column("n")[0].as_py() == 0
     assert relational.source_lang_gini(sf).num_rows == 0
     assert sketches.hll_merge_check(sf).num_rows == 0
+
+
+def test_merkle_shards_sums_to_table_checksum():
+    # Bucket manifests must tile the table: row counts sum to the table
+    # rows and bucket checksums sum (mod prime) to the global checksum.
+    from go_boilerpipe_ray.functions.relational import (
+        _CK_PRIME,
+        merkle_shards,
+        table_checksum,
+    )
+
+    shards = merkle_shards(SF).to_pandas()
+    total = table_checksum(SF).to_pandas().iloc[0]
+    assert int(shards["n_rows"].sum()) == int(total["n_rows"])
+    assert int(shards["checksum"].sum()) % _CK_PRIME == int(total["checksum"])
+
+
+def test_expectations_report_flags_violations(tmp_path):
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import expectations_report
+
+    # production data satisfies every rule
+    got = expectations_report(SF).to_pandas().set_index("rule")
+    assert (got["n_fail"] == 0).all()
+    assert (got["n_rows"] == got["n_pass"]).all()
+
+    # synthetic violations are counted, not just detected
+    pd.DataFrame(
+        {"l_quantity": [0.0, 10.0, 51.0], "l_discount": [0.0, 0.2, 0.05]}
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    pd.DataFrame({"o_totalprice": [1.0, -2.0]}).to_parquet(
+        tmp_path / "orders.parquet"
+    )
+    pd.DataFrame(
+        {"value": pd.array([1.0, None], dtype="float64")}
+    ).to_parquet(tmp_path / "events.parquet")
+    pd.DataFrame({"text": ["abc", "d"], "n_chars": [3, 5]}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    got = expectations_report(str(tmp_path)).to_pandas().set_index("rule")
+    assert int(got.loc["lineitem_qty_in_1_50", "n_fail"]) == 2
+    assert int(got.loc["lineitem_discount_in_0_10pct", "n_fail"]) == 1
+    assert int(got.loc["orders_totalprice_positive", "n_fail"]) == 1
+    assert int(got.loc["events_value_nonnull", "n_fail"]) == 1
+    assert int(got.loc["documents_nchars_matches_text", "n_fail"]) == 1
+
+
+def test_seasonal_naive_mae_brute(tmp_path):
+    # Days 0,1,7,8,15 for one type: day7 pairs with day0 (|30-10|=20),
+    # day8 with day1 (|5-40|=35); day15 has no day8... day8 exists →
+    # |25-5|=20.  n_days=3, abs_err_sum=75.
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import seasonal_naive_mae
+
+    base = pd.Timestamp("2024-01-01")
+    pd.DataFrame(
+        {
+            "event_type": ["a"] * 5,
+            "ts": [base + pd.Timedelta(days=d) for d in (0, 1, 7, 8, 15)],
+            "value": [0.10, 0.40, 0.30, 0.05, 0.25],
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = seasonal_naive_mae(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    assert int(got.loc[0, "n_days"]) == 3
+    assert int(got.loc[0, "abs_err_sum"]) == 75
+
+
+def test_l_diversity_flags_low_diversity_groups(tmp_path):
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.text import l_diversity
+
+    pd.DataFrame(
+        {
+            "source": ["s1"] * 3 + ["s2"] * 3,
+            "lang": ["en", "en", "en", "en", "de", "fr"],
+            "n_chars": [150] * 6,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = l_diversity(str(tmp_path)).to_pandas().set_index("source")
+    assert "s1" in got.index and "s2" not in got.index
+    assert int(got.loc["s1", "n_langs"]) == 1
+    assert int(got.loc["s1", "n_docs"]) == 3
