@@ -2781,3 +2781,108 @@ LEFT JOIN (
 ) m ON m.node = c.c_custkey
 ORDER BY 1
 """
+
+
+# -- blocking-quality evaluation -----------------------------------------------
+
+
+def blocking_recall_report(sf_dir: str) -> pa.Table:
+    """Entity-resolution blocking evaluated against ground truth: treat
+    the simhash hamming-ball pairs as the true near-duplicate set and
+    score the Sorted-Neighborhood candidate pairs against it — the
+    candidate-count vs recall trade-off every blocking strategy must
+    report before it replaces an all-pairs comparison.  Emits one row:
+    (n_true, n_candidates, n_hits, recall_permille).  On the synthetic
+    corpus the measured recall is 0 — SNM's token-count ordering and
+    32-char prefix test see a different similarity notion than the
+    simhash ball; that mismatch is the finding, not a defect (the
+    non-empty intersection path is pinned by pytest).
+
+    Scale shape: both pair sets stay distributed; pairs pack into one
+    int64 key (doc ids < 2^31 guarded upstream), union + one keyed
+    rollup ORs the two membership flags, and per-batch folds reduce to
+    three scalars — the pair sets never gather."""
+    from ray.data.aggregate import Sum
+
+    def tag(cols: tuple[str, str], is_true: int):
+        a_col, b_col = cols
+
+        def fn(batch: pa.Table) -> pa.Table:
+            a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(a) and (a.max() >= 1 << 31 or b.max() >= 1 << 31):
+                raise OverflowError("pair key exceeds packed int64 range")
+            return pa.table(
+                {
+                    "k": pa.array((a << 32) | b, pa.int64()),
+                    "is_true": pa.array(
+                        np.full(len(a), is_true, np.int64), pa.int64()
+                    ),
+                    "is_cand": pa.array(
+                        np.full(len(a), 1 - is_true, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return fn
+
+    t = simhash_pairs(sf_dir).map_batches(
+        tag(("id_a", "id_b"), 1), batch_format="pyarrow", zero_copy_batch=True
+    )
+    c = snm_dup_pairs(sf_dir).map_batches(
+        tag(("doc_a", "doc_b"), 0), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        it = batch.column("is_true").to_numpy(zero_copy_only=False)
+        ic = batch.column("is_cand").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_true": pa.array([int((it > 0).sum())], pa.int64()),
+                "n_candidates": pa.array([int((ic > 0).sum())], pa.int64()),
+                "n_hits": pa.array(
+                    [int(((it > 0) & (ic > 0)).sum())], pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        t.union(c)
+        .groupby("k")
+        .aggregate(
+            Sum("is_true", alias_name="is_true"),
+            Sum("is_cand", alias_name="is_cand"),
+        )
+        .map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("n_true"), Sum("n_candidates"), Sum("n_hits"))
+    )
+    n_true = int(agg.get("sum(n_true)") or 0)
+    n_cand = int(agg.get("sum(n_candidates)") or 0)
+    n_hits = int(agg.get("sum(n_hits)") or 0)
+    return pa.table(
+        {
+            "n_true": pa.array([n_true], pa.int64()),
+            "n_candidates": pa.array([n_cand], pa.int64()),
+            "n_hits": pa.array([n_hits], pa.int64()),
+            "recall_permille": pa.array(
+                [1000 * n_hits // n_true if n_true else 0], pa.int64()
+            ),
+        }
+    )
+
+
+BLOCKING_RECALL_REPORT_SQL = f"""
+WITH t AS ({SIMHASH_PAIRS_SQL}),
+c AS ({SNM_DUP_PAIRS_SQL}),
+j AS (
+  SELECT count(*) AS n_hits
+  FROM t JOIN c ON t.id_a = c.doc_a AND t.id_b = c.doc_b
+)
+SELECT CAST((SELECT count(*) FROM t) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_candidates,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(CASE WHEN (SELECT count(*) FROM t) > 0
+                 THEN 1000 * n_hits // (SELECT count(*) FROM t)
+                 ELSE 0 END AS BIGINT) AS recall_permille
+FROM j
+"""

@@ -6071,3 +6071,30 @@ def test_l_diversity_flags_low_diversity_groups(tmp_path):
     assert "s1" in got.index and "s2" not in got.index
     assert int(got.loc["s1", "n_langs"]) == 1
     assert int(got.loc["s1", "n_docs"]) == 3
+
+
+def test_blocking_recall_report_counts_hits(tmp_path):
+    # Two identical docs are simhash-identical (true pair) AND adjacent
+    # in the SNM token-count order with an equal 32-char prefix
+    # (candidate pair) — the intersection path must count them; a third
+    # unrelated doc must not inflate anything.
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.dedup import blocking_recall_report
+
+    twin = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    other = "completely different words " + "unrelated filler tokens " * 40
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [twin, twin, other],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(twin), len(twin), len(other)],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = blocking_recall_report(str(tmp_path)).to_pandas().iloc[0]
+    assert int(got["n_true"]) >= 1
+    assert int(got["n_hits"]) >= 1
+    assert int(got["recall_permille"]) > 0
+    assert int(got["n_hits"]) <= min(int(got["n_true"]), int(got["n_candidates"]))
