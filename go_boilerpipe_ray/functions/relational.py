@@ -11692,3 +11692,128 @@ JOIN d b ON a.event_type = b.event_type AND a.day = b.day + 7
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# -- GDPR cascade-delete audit ---------------------------------------------------
+
+_FORGET_MOD = 97  # deterministic "right-to-be-forgotten" cohort rule
+
+
+def cascade_delete_audit(sf_dir: str) -> pa.Table:
+    """Right-to-be-forgotten impact report: given a deletion cohort
+    (custkey % 97 == 0 — deterministic so the oracle can mirror it),
+    count the rows each table would lose, INCLUDING the two-hop
+    lineitem cascade through orders.  The blast-radius audit a privacy
+    pipeline runs before executing a purge.
+
+    Scale shape: direct tables are column-pruned scans folded to one
+    count per batch.  The cascade does NOT broadcast the affected
+    orderkey set (1/97 of orders is ~15M keys at 100 TB): lineitem
+    folds to per-orderkey counts per batch, orders emits affected
+    orderkeys, and ONE hash-partitioned kernel sums lineitem counts
+    where an affected key is present — shuffle volume is two ints per
+    distinct orderkey."""
+    from ray.data.aggregate import Sum
+
+    from ._util import partitioned_by_key
+
+    def count_where(ds, col: str, fn) -> int:
+        def fold(batch: pa.Table) -> pa.Table:
+            v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"n": pa.array([int(fn(v).sum())], pa.int64())})
+
+        agg = ds.map_batches(
+            fold, batch_format="pyarrow", zero_copy_batch=True
+        ).aggregate(Sum("n"))
+        return int(agg.get("sum(n)") or 0)
+
+    in_cohort = lambda v: (v % _FORGET_MOD) == 0  # noqa: E731
+
+    n_customer = count_where(
+        _read(sf_dir, "customer", ["c_custkey"]), "c_custkey", in_cohort
+    )
+    n_orders = count_where(
+        _read(sf_dir, "orders", ["o_custkey"]), "o_custkey", in_cohort
+    )
+    n_events = count_where(
+        _read(sf_dir, "events", ["user_id"]), "user_id", in_cohort
+    )
+
+    # two-hop cascade: lineitem rows of affected orders, via one keyed
+    # shuffle (no orderkey-set broadcast)
+    def li_fold(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        keys, cnt = np.unique(ok, return_counts=True)
+        return pa.table(
+            {
+                "orderkey": pa.array(keys.astype(np.int64), pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                "affected": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+            }
+        )
+
+    def ord_fold(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        hit = ok[(ck % _FORGET_MOD) == 0].astype(np.int64)
+        return pa.table(
+            {
+                "orderkey": pa.array(hit, pa.int64()),
+                "cnt": pa.array(np.zeros(len(hit), np.int64), pa.int64()),
+                "affected": pa.array(np.ones(len(hit), np.int64), pa.int64()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        li_fold, batch_format="pyarrow", zero_copy_batch=True
+    )
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        ord_fold, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        k = part.column("orderkey").to_numpy(zero_copy_only=False)
+        c = part.column("cnt").to_numpy(zero_copy_only=False)
+        a = part.column("affected").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, c, a = k[order], c[order], a[order]
+        bounds = np.flatnonzero(np.r_[True, k[1:] != k[:-1], True])
+        csum = np.r_[0, np.cumsum(c)]
+        asum = np.r_[0, np.cumsum(a)]
+        lo, hi = bounds[:-1], bounds[1:]
+        per_key_cnt = csum[hi] - csum[lo]
+        per_key_aff = asum[hi] - asum[lo]
+        n = int(per_key_cnt[per_key_aff > 0].sum())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    agg = partitioned_by_key(li.union(od), "orderkey", kernel).aggregate(Sum("n"))
+    n_lineitem = int(agg.get("sum(n)") or 0)
+
+    names = ["customer", "events", "lineitem", "orders"]
+    vals = [n_customer, n_events, n_lineitem, n_orders]
+    return pa.table(
+        {
+            "table_name": pa.array(names, pa.string()),
+            "n_rows_deleted": pa.array(vals, pa.int64()),
+        }
+    )
+
+
+CASCADE_DELETE_AUDIT_SQL = f"""
+SELECT * FROM (
+  SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows_deleted
+  FROM customer WHERE c_custkey % {_FORGET_MOD} = 0
+  UNION ALL
+  SELECT 'events', CAST(count(*) AS BIGINT)
+  FROM events WHERE user_id % {_FORGET_MOD} = 0
+  UNION ALL
+  SELECT 'lineitem', CAST(count(*) AS BIGINT)
+  FROM lineitem WHERE l_orderkey IN (
+    SELECT o_orderkey FROM orders WHERE o_custkey % {_FORGET_MOD} = 0
+  )
+  UNION ALL
+  SELECT 'orders', CAST(count(*) AS BIGINT)
+  FROM orders WHERE o_custkey % {_FORGET_MOD} = 0
+)
+ORDER BY table_name
+"""

@@ -6098,3 +6098,33 @@ def test_blocking_recall_report_counts_hits(tmp_path):
     assert int(got["n_hits"]) >= 1
     assert int(got["recall_permille"]) > 0
     assert int(got["n_hits"]) <= min(int(got["n_true"]), int(got["n_candidates"]))
+
+
+def test_cascade_delete_audit_brute(tmp_path):
+    # custkey 97 is in the cohort: 1 customer, their 2 orders, and the
+    # 3 lineitems of those orders; user 194 puts 2 events in scope.
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import cascade_delete_audit
+
+    pd.DataFrame({"c_custkey": [1, 97, 98]}).to_parquet(
+        tmp_path / "customer.parquet"
+    )
+    pd.DataFrame(
+        {"o_orderkey": [10, 11, 12], "o_custkey": [97, 97, 98]}
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame({"l_orderkey": [10, 10, 11, 12, 12]}).to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+    pd.DataFrame({"user_id": [194, 194, 3]}).to_parquet(
+        tmp_path / "events.parquet"
+    )
+    got = (
+        cascade_delete_audit(str(tmp_path))
+        .to_pandas()
+        .set_index("table_name")["n_rows_deleted"]
+    )
+    assert int(got["customer"]) == 1
+    assert int(got["orders"]) == 2
+    assert int(got["lineitem"]) == 3
+    assert int(got["events"]) == 2
