@@ -11817,3 +11817,219 @@ SELECT * FROM (
 )
 ORDER BY table_name
 """
+
+
+# -- A/B experiment readout ------------------------------------------------------
+
+
+def ab_test_report(sf_dir: str) -> pa.Table:
+    """Experiment readout over the event stream: users are assigned to
+    arms A/B by md5 parity (the deterministic hash-assignment every
+    online experiment uses — and the same md5_number_lower scheme the
+    split/shard ops share, so the oracle is bit-exact), conversion is
+    "has >= 1 purchase event", and the report emits per arm: users,
+    converted users, conversion permille and purchase revenue in exact
+    integer cents.  Significance math is a trivial downstream divide —
+    the table carries the exact sufficient counts.
+
+    Scale shape: batches fold to (user, conv, cents) cells; one
+    user-keyed shuffle merges them (Max/Sum — both associative), the
+    arm rollup is a 2-group aggregate.  User assignment hashes inside
+    the kernel — no assignment table is joined or broadcast."""
+    from ray.data.aggregate import Max, Sum
+
+    from ._util import ensure_columns, md5_u64
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id")
+        is_p = pc.equal(batch.column("event_type"), pa.scalar("purchase"))
+        cents = money_cents(batch.column("value").to_numpy(zero_copy_only=False))
+        mask = is_p.to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "user_id": uid,
+                "conv": pa.array(mask.astype(np.int64), pa.int64()),
+                "cents": pa.array(
+                    np.where(mask, cents, 0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by("user_id").aggregate([("conv", "max"), ("cents", "sum")])
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "conv": g.column("conv_max"),
+                "cents": g.column("cents_sum"),
+            }
+        )
+
+    users = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            Max("conv", alias_name="conv"), Sum("cents", alias_name="cents")
+        )
+    )
+
+    def arm_fold(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        arm = (md5_u64(uid) % 2).astype(np.int64)
+        conv = batch.column("conv").to_numpy(zero_copy_only=False)
+        cents = batch.column("cents").to_numpy(zero_copy_only=False)
+        rows = []
+        for a, name in ((0, "A"), (1, "B")):
+            sel = arm == a
+            rows.append(
+                (
+                    name,
+                    int(sel.sum()),
+                    int(conv[sel].sum()),
+                    int(cents[sel].sum()),
+                )
+            )
+        return pa.table(
+            {
+                "arm": pa.array([r[0] for r in rows], pa.string()),
+                "n_users": pa.array([r[1] for r in rows], pa.int64()),
+                "n_converted": pa.array([r[2] for r in rows], pa.int64()),
+                "sum_purchase_cents": pa.array(
+                    [r[3] for r in rows], pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        users.map_batches(arm_fold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("arm")
+        .aggregate(
+            Sum("n_users", alias_name="n_users"),
+            Sum("n_converted", alias_name="n_converted"),
+            Sum("sum_purchase_cents", alias_name="sum_purchase_cents"),
+        )
+        .to_pandas()
+    )
+    out = ensure_columns(
+        out, ["arm", "n_users", "n_converted", "sum_purchase_cents"]
+    ).sort_values("arm")
+    nu = out["n_users"].to_numpy().astype(np.int64)
+    nc = out["n_converted"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "arm": pa.array(out["arm"], pa.string()),
+            "n_users": pa.array(nu, pa.int64()),
+            "n_converted": pa.array(nc, pa.int64()),
+            "conv_permille": pa.array(
+                np.where(nu > 0, 1000 * nc // np.maximum(nu, 1), 0).astype(
+                    np.int64
+                ),
+                pa.int64(),
+            ),
+            "sum_purchase_cents": pa.array(
+                out["sum_purchase_cents"].to_numpy().astype(np.int64),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+AB_TEST_REPORT_SQL = """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS cents
+  FROM events GROUP BY 1
+)
+SELECT CASE WHEN md5_number_lower(user_id::VARCHAR) % 2 = 0
+            THEN 'A' ELSE 'B' END AS arm,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(conv) AS BIGINT) AS n_converted,
+       CAST(1000 * sum(conv) // count(*) AS BIGINT) AS conv_permille,
+       CAST(sum(cents) AS BIGINT) AS sum_purchase_cents
+FROM u GROUP BY 1
+ORDER BY 1
+"""
+
+
+# -- data-freshness report -------------------------------------------------------
+
+
+def freshness_report(sf_dir: str) -> pa.Table:
+    """Ops-dashboard freshness: per event type, row count, newest
+    timestamp, and staleness (whole hours behind the freshest type) —
+    the first thing an ingestion SLO monitor computes.  Batches fold to
+    one (type, max_us, n) row; one tiny keyed rollup; the global max is
+    derived from the <= |types| result rows, never a second scan."""
+    from ray.data.aggregate import Max, Sum
+
+    from ._util import ensure_columns
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(
+            pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "mx": pa.array(us, pa.int64()),
+                "n": pa.array(np.ones(len(us), np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by("event_type").aggregate([("mx", "max"), ("n", "sum")])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "mx": g.column("mx_max"),
+                "n": g.column("n_sum"),
+            }
+        )
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Max("mx", alias_name="mx"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = ensure_columns(out, ["event_type", "mx", "n"]).sort_values(
+        "event_type"
+    )
+    if out.empty:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_rows": pa.array([], pa.int64()),
+                "max_ts_us": pa.array([], pa.int64()),
+                "lag_hours": pa.array([], pa.int64()),
+            }
+        )
+    mx = out["mx"].to_numpy().astype(np.int64)
+    gmax = int(mx.max())
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n_rows": pa.array(out["n"].to_numpy().astype(np.int64), pa.int64()),
+            "max_ts_us": pa.array(mx, pa.int64()),
+            "lag_hours": pa.array((gmax - mx) // 3_600_000_000, pa.int64()),
+        }
+    )
+
+
+FRESHNESS_REPORT_SQL = """
+WITH m AS (
+  SELECT event_type,
+         max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx,
+         count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(mx AS BIGINT) AS max_ts_us,
+       CAST(((SELECT max(mx) FROM m) - mx) // 3600000000 AS BIGINT)
+         AS lag_hours
+FROM m ORDER BY 1
+"""

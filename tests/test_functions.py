@@ -6128,3 +6128,65 @@ def test_cascade_delete_audit_brute(tmp_path):
     assert int(got["orders"]) == 2
     assert int(got["lineitem"]) == 3
     assert int(got["events"]) == 2
+
+
+def test_ab_test_report_brute(tmp_path):
+    # Hand-assigned arms via the shared md5 parity: users 1..4; user 1
+    # converts twice (counted once), user 3 converts with 2.50 revenue.
+    import hashlib
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import ab_test_report
+
+    def arm(u):
+        h = int.from_bytes(
+            hashlib.md5(str(u).encode()).digest()[8:], "little"
+        )
+        return "A" if h % 2 == 0 else "B"
+
+    pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 3, 4],
+            "event_type": ["purchase", "purchase", "view", "purchase", "view"],
+            "value": [1.00, 0.50, 9.99, 2.50, 0.0],
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = ab_test_report(str(tmp_path)).to_pandas().set_index("arm")
+    want_users = {"A": 0, "B": 0}
+    want_conv = {"A": 0, "B": 0}
+    want_cents = {"A": 0, "B": 0}
+    for u, convs, cents in ((1, 1, 150), (2, 0, 0), (3, 1, 250), (4, 0, 0)):
+        a = arm(u)
+        want_users[a] += 1
+        want_conv[a] += convs
+        want_cents[a] += cents
+    for a in ("A", "B"):
+        if want_users[a] == 0:
+            assert a not in got.index
+            continue
+        assert int(got.loc[a, "n_users"]) == want_users[a]
+        assert int(got.loc[a, "n_converted"]) == want_conv[a]
+        assert int(got.loc[a, "sum_purchase_cents"]) == want_cents[a]
+        assert (
+            int(got.loc[a, "conv_permille"])
+            == 1000 * want_conv[a] // want_users[a]
+        )
+
+
+def test_freshness_report_brute(tmp_path):
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import freshness_report
+
+    base = pd.Timestamp("2024-06-01 00:00:00")
+    pd.DataFrame(
+        {
+            "event_type": ["a", "a", "b"],
+            "ts": [base, base + pd.Timedelta(hours=5), base + pd.Timedelta(minutes=30)],
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = freshness_report(str(tmp_path)).to_pandas().set_index("event_type")
+    assert int(got.loc["a", "lag_hours"]) == 0
+    assert int(got.loc["b", "lag_hours"]) == 4  # 4.5h behind, floored
+    assert int(got.loc["a", "n_rows"]) == 2
