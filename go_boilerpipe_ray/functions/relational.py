@@ -12033,3 +12033,64 @@ SELECT event_type,
          AS lag_hours
 FROM m ORDER BY 1
 """
+
+
+# -- schema / catalog audit ------------------------------------------------------
+
+_ARROW_TO_SQL_TYPE = {
+    "double": "DOUBLE",
+    "int32": "INTEGER",
+    "int64": "BIGINT",
+    "list<element: float>": "FLOAT[]",
+    "string": "VARCHAR",
+    "timestamp[us]": "TIMESTAMP",
+}
+
+_AUDIT_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def schema_audit(sf_dir: str) -> pa.Table:
+    """Catalog contract check: the full (table, column, ordinal, type)
+    inventory of every table, read from PARQUET FOOTERS ONLY — zero
+    data scan, so the audit costs O(files) at 100 TB and runs before
+    any pipeline to fail fast on schema drift.  Types are normalized
+    to SQL names through an explicit arrow→SQL map (unknown arrow
+    types raise loudly rather than guessing); the oracle reads the
+    same inventory from information_schema."""
+    import pyarrow.parquet as pq
+
+    tns, cns, ords, dts = [], [], [], []
+    for t in _AUDIT_TABLES:
+        sch = pq.read_schema(f"{sf_dir}/{t}.parquet")
+        for i, f in enumerate(sch):
+            key = str(f.type)
+            if key not in _ARROW_TO_SQL_TYPE:
+                raise TypeError(
+                    f"schema_audit: unmapped arrow type {key!r} in {t}.{f.name}"
+                )
+            tns.append(t)
+            cns.append(f.name)
+            ords.append(i + 1)
+            dts.append(_ARROW_TO_SQL_TYPE[key])
+    return pa.table(
+        {
+            "table_name": pa.array(tns, pa.string()),
+            "column_name": pa.array(cns, pa.string()),
+            "ordinal": pa.array(ords, pa.int64()),
+            "data_type": pa.array(dts, pa.string()),
+        }
+    )
+
+
+SCHEMA_AUDIT_SQL = """
+SELECT table_name, column_name,
+       CAST(ordinal_position AS BIGINT) AS ordinal,
+       data_type
+FROM information_schema.columns
+WHERE table_name IN ('region','nation','customer','supplier','part',
+                     'orders','lineitem','events','documents','embeddings')
+ORDER BY table_name, ordinal
+"""

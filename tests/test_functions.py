@@ -6190,3 +6190,35 @@ def test_freshness_report_brute(tmp_path):
     assert int(got.loc["a", "lag_hours"]) == 0
     assert int(got.loc["b", "lag_hours"]) == 4  # 4.5h behind, floored
     assert int(got.loc["a", "n_rows"]) == 2
+
+
+def test_schema_audit_detects_drift(tmp_path):
+    # A shrunk/retyped clone must change the audit rows (drift is
+    # visible), and unknown arrow types must raise, not guess.
+    import pandas as pd
+    import pytest
+
+    from go_boilerpipe_ray.functions.relational import schema_audit
+
+    got = schema_audit(SF).to_pandas()
+    assert len(got) == 51
+    ev = got[got["table_name"] == "events"].set_index("column_name")
+    assert ev.loc["ts", "data_type"] == "TIMESTAMP"
+    assert ev.loc["value", "data_type"] == "DOUBLE"
+
+    # unmapped type (uint8) raises loudly
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        pd.read_parquet(f"{SF}/{t}.parquet").head(1).to_parquet(
+            tmp_path / f"{t}.parquet"
+        )
+    pq.write_table(
+        pa.table({"r_regionkey": pa.array([1], pa.uint8())}),
+        tmp_path / "region.parquet",
+    )
+    with pytest.raises(TypeError, match="unmapped arrow type"):
+        schema_audit(str(tmp_path))
