@@ -12094,3 +12094,117 @@ WHERE table_name IN ('region','nation','customer','supplier','part',
                      'orders','lineitem','events','documents','embeddings')
 ORDER BY table_name, ordinal
 """
+
+
+# -- top-k rank stability between periods ----------------------------------------
+
+_TOPK_SPLIT_US = 883_612_800_000_000  # 1998-01-01 00:00:00 UTC in µs
+
+
+def topk_stability(sf_dir: str, k: int = 20) -> pa.Table:
+    """Leaderboard-drift monitor: the top-k parts by revenue are
+    computed independently for the early (< 1998) and late (>= 1998)
+    shipping periods and compared as sets — (n_overlap,
+    jaccard_permille) is the one-row report a ranking pipeline checks
+    before trusting 'top sellers' features across a time boundary.
+    Total order (revenue DESC, partkey ASC) makes ties deterministic
+    on both sides.
+
+    Scale shape: rows fold to (half, partkey, cents) cells; one keyed
+    shuffle merges them; each output block keeps only its local top-k
+    per half (select-k, no global sort), so the driver merge sees
+    <= 2k rows per block and the final exact top-k is a tiny lexsort."""
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(
+            pc.cast(batch.column("l_shipdate"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        half = (us >= _TOPK_SPLIT_US).astype(np.int64)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = money_cents(price * (1 - disc))
+        t = pa.table(
+            {
+                "half": pa.array(half, pa.int64()),
+                "l_partkey": batch.column("l_partkey"),
+                "rev": pa.array(cents, pa.int64()),
+            }
+        )
+        g = t.group_by(["half", "l_partkey"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["half", "l_partkey", "rev"])
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        h = batch.column("half").to_numpy(zero_copy_only=False)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        rv = batch.column("rev").to_numpy(zero_copy_only=False)
+        keep = []
+        for s in (0, 1):
+            idx = np.flatnonzero(h == s)
+            if len(idx):
+                order = np.lexsort((pk[idx], -rv[idx]))[:k]
+                keep.extend(idx[order].tolist())
+        return batch.take(pa.array(keep, pa.int64()))
+
+    cells = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["half", "l_partkey"])
+        .aggregate(ray.data.aggregate.Sum("rev", alias_name="rev"))
+        .map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    tops: dict[int, set[int]] = {0: set(), 1: set()}
+    if not cells.empty:
+        for s in (0, 1):
+            grp = cells[cells["half"] == s]
+            pk = grp["l_partkey"].to_numpy().astype(np.int64)
+            rv = grp["rev"].to_numpy().astype(np.int64)
+            order = np.lexsort((pk, -rv))[:k]
+            tops[s] = set(pk[order].tolist())
+    a, b = tops[0], tops[1]
+    inter, union = len(a & b), len(a | b)
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "n_early": pa.array([len(a)], pa.int64()),
+            "n_late": pa.array([len(b)], pa.int64()),
+            "n_overlap": pa.array([inter], pa.int64()),
+            "jaccard_permille": pa.array(
+                [1000 * inter // union if union else 0], pa.int64()
+            ),
+        }
+    )
+
+
+TOPK_STABILITY_SQL = """
+WITH r AS (
+  SELECT CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END AS half,
+         l_partkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS rev
+  FROM lineitem GROUP BY 1, 2
+),
+rk AS (
+  SELECT half, l_partkey,
+         row_number() OVER (PARTITION BY half ORDER BY rev DESC, l_partkey)
+           AS rn
+  FROM r
+),
+a AS (SELECT l_partkey FROM rk WHERE half = 0 AND rn <= 20),
+b AS (SELECT l_partkey FROM rk WHERE half = 1 AND rn <= 20),
+s AS (
+  SELECT (SELECT count(*) FROM a) AS na,
+         (SELECT count(*) FROM b) AS nb,
+         (SELECT count(*) FROM a JOIN b USING (l_partkey)) AS ni
+)
+SELECT CAST(20 AS BIGINT) AS k,
+       CAST(na AS BIGINT) AS n_early,
+       CAST(nb AS BIGINT) AS n_late,
+       CAST(ni AS BIGINT) AS n_overlap,
+       CAST(CASE WHEN na + nb - ni > 0
+                 THEN 1000 * ni // (na + nb - ni)
+                 ELSE 0 END AS BIGINT) AS jaccard_permille
+FROM s
+"""

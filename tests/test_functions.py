@@ -6222,3 +6222,27 @@ def test_schema_audit_detects_drift(tmp_path):
     )
     with pytest.raises(TypeError, match="unmapped arrow type"):
         schema_audit(str(tmp_path))
+
+
+def test_topk_stability_tie_break_and_overlap(tmp_path):
+    # k=20 but only 3 parts per half; part 1 and 2 tie on revenue in
+    # the early half (partkey ASC decides), parts {1,2,3} early vs
+    # {2,3,9} late -> overlap 2, union 4, jaccard 500.
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import topk_stability
+
+    early = pd.Timestamp("1995-06-01")
+    late = pd.Timestamp("1999-06-01")
+    pd.DataFrame(
+        {
+            "l_partkey": [1, 2, 3, 2, 3, 9],
+            "l_extendedprice": [10.0, 10.0, 5.0, 7.0, 3.0, 2.0],
+            "l_discount": [0.0] * 6,
+            "l_shipdate": [early] * 3 + [late] * 3,
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    got = topk_stability(str(tmp_path)).to_pandas().iloc[0]
+    assert int(got["n_early"]) == 3 and int(got["n_late"]) == 3
+    assert int(got["n_overlap"]) == 2
+    assert int(got["jaccard_permille"]) == 500
