@@ -12208,3 +12208,111 @@ SELECT CAST(20 AS BIGINT) AS k,
                  ELSE 0 END AS BIGINT) AS jaccard_permille
 FROM s
 """
+
+
+# -- spend inequality (Gini coefficient) -----------------------------------------
+
+
+def spend_gini(sf_dir: str) -> pa.Table:
+    """Exact Gini COEFFICIENT (inequality, not impurity) of per-user
+    event spend, in integer permille: G = (2*S1 - (n+1)*S0) / (n*S0)
+    with S0 = sum(x), S1 = sum(rank*x) over spends sorted ascending —
+    rank-weighted sums are invariant to tie order because tied values
+    are equal, so the statistic is deterministic without a tie rule.
+    The whale-dominance diagnostic for any usage/billing corpus.
+
+    Scale shape: one user-keyed shuffle rolls events to per-user cents;
+    a value-count fold reduces users to a (spend, count) histogram
+    (driver state = distinct spend VALUES, not users — the percentiles
+    reduction); the rank-weighted sum is then exact arithmetic over the
+    sorted histogram with Python ints, guarded to int64 on output."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = money_cents(batch.column("value").to_numpy(zero_copy_only=False))
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        g = t.group_by("user_id").aggregate([("cents", "sum")])
+        return g.rename_columns(["user_id", "cents"])
+
+    def vc_fold(batch: pa.Table) -> pa.Table:
+        vc = batch.column("cents").value_counts()
+        return pa.table(
+            {
+                "spend": vc.field("values"),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    hist = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .map_batches(vc_fold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("spend")
+        .sum("cnt")
+        .to_pandas()
+    )
+    from ._util import ensure_columns
+
+    hist = ensure_columns(hist, ["spend", "sum(cnt)"]).sort_values("spend")
+    if hist.empty:
+        return pa.table(
+            {
+                "n_users": pa.array([0], pa.int64()),
+                "total_cents": pa.array([0], pa.int64()),
+                "gini_permille": pa.array([0], pa.int64()),
+            }
+        )
+    spend = hist["spend"].to_numpy().astype(np.int64)
+    cnt = hist["sum(cnt)"].to_numpy().astype(np.int64)
+    n = int(cnt.sum())
+    s0 = 0
+    s1 = 0
+    rank_base = 0  # users with strictly smaller spend
+    for v, c in zip(spend.tolist(), cnt.tolist()):
+        # ranks rank_base+1 .. rank_base+c all hold value v:
+        # sum(rank)*v = (c*rank_base + c*(c+1)/2) * v
+        s1 += (c * rank_base + c * (c + 1) // 2) * v
+        s0 += c * v
+        rank_base += c
+    gini = (2000 * s1 - 1000 * (n + 1) * s0) // (n * s0) if n and s0 else 0
+    for val in (n, s0, gini):
+        if abs(val) >= 2**63:
+            raise OverflowError("spend_gini: int64 overflow")
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "total_cents": pa.array([s0], pa.int64()),
+            "gini_permille": pa.array([gini], pa.int64()),
+        }
+    )
+
+
+SPEND_GINI_SQL = """
+WITH u AS (
+  SELECT user_id,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, user_id) AS rk
+  FROM u
+),
+s AS (
+  SELECT count(*) AS n, sum(cents) AS s0, sum(rk * cents) AS s1 FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(COALESCE(s0, 0) AS BIGINT) AS total_cents,
+       CAST(CASE WHEN n > 0 AND s0 > 0
+                 THEN (2000 * s1 - 1000 * (n + 1) * s0) // (n * s0)
+                 ELSE 0 END AS BIGINT) AS gini_permille
+FROM s
+"""

@@ -6246,3 +6246,27 @@ def test_topk_stability_tie_break_and_overlap(tmp_path):
     assert int(got["n_early"]) == 3 and int(got["n_late"]) == 3
     assert int(got["n_overlap"]) == 2
     assert int(got["jaccard_permille"]) == 500
+
+
+def test_spend_gini_brute(tmp_path):
+    # Perfect equality -> 0; a known unequal split is checked against
+    # the closed-form sorted formula computed by hand.
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import spend_gini
+
+    pd.DataFrame(
+        {"user_id": [1, 2, 3, 4], "value": [1.0, 1.0, 1.0, 1.0]}
+    ).to_parquet(tmp_path / "events.parquet")
+    got = spend_gini(str(tmp_path)).to_pandas().iloc[0]
+    assert int(got["gini_permille"]) == 0
+    assert int(got["n_users"]) == 4
+
+    # spends 100,100,200,600 cents sorted: S0=1000, S1=1*100+2*100+3*200+4*600=3300
+    # G = (2*3300 - 5*1000)/(4*1000) = 1600/4000 = 0.4 -> 400 permille
+    pd.DataFrame(
+        {"user_id": [1, 2, 3, 4], "value": [1.0, 1.0, 2.0, 6.0]}
+    ).to_parquet(tmp_path / "events.parquet")
+    got = spend_gini(str(tmp_path)).to_pandas().iloc[0]
+    assert int(got["gini_permille"]) == 400
+    assert int(got["total_cents"]) == 1000
