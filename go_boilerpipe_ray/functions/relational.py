@@ -12316,3 +12316,121 @@ SELECT CAST(n AS BIGINT) AS n_users,
                  ELSE 0 END AS BIGINT) AS gini_permille
 FROM s
 """
+
+
+# -- new-vs-returning cohort revenue ---------------------------------------------
+
+
+def cohort_revenue(sf_dir: str) -> pa.Table:
+    """Growth-accounting rollup: per order year, order count and exact
+    integer revenue split into NEW customers (orders inside the
+    customer's first year) vs RETURNING ones — the acquisition-vs-
+    retention decomposition behind every growth dashboard.
+
+    Scale shape: ONE custkey-keyed shuffle (partitioned_by_key), one
+    vectorized kernel per hash partition: lexsort + run bounds find
+    each customer's first year (minimum.reduceat), tags broadcast by
+    np.repeat, and the partition folds straight to (year, 4 sums)
+    partials — per-customer state never leaves the kernel, and the
+    final rollup is O(#years)."""
+    from ray.data.aggregate import Sum
+
+    from ._util import ensure_columns, partitioned_by_key, run_bounds
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = pc.cast(
+            pc.cast(batch.column("o_orderdate"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        yr = (
+            us.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        cents = money_cents(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "yr": pa.array(yr, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        ck = part.column("o_custkey").to_numpy(zero_copy_only=False)
+        yr = part.column("yr").to_numpy(zero_copy_only=False)
+        cents = part.column("cents").to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        ck, yr, cents = ck[order], yr[order], cents[order]
+        b = run_bounds(ck)
+        lo, hi = b[:-1], b[1:]
+        fy = np.repeat(np.minimum.reduceat(yr, lo), hi - lo)
+        is_new = yr == fy
+        years, inv = np.unique(yr, return_inverse=True)
+        k = len(years)
+        out = {
+            "year": years,
+            "n_orders_new": np.bincount(inv, weights=is_new, minlength=k),
+            "rev_new_cents": np.bincount(
+                inv, weights=np.where(is_new, cents, 0), minlength=k
+            ),
+            "n_orders_returning": np.bincount(
+                inv, weights=~is_new, minlength=k
+            ),
+            "rev_returning_cents": np.bincount(
+                inv, weights=np.where(is_new, 0, cents), minlength=k
+            ),
+        }
+        # float64 bincount sums are exact below 2^53 per partition.
+        return pa.table(
+            {c: pa.array(v.astype(np.int64), pa.int64()) for c, v in out.items()}
+        )
+
+    cols = [
+        "n_orders_new",
+        "rev_new_cents",
+        "n_orders_returning",
+        "rev_returning_cents",
+    ]
+    out = (
+        partitioned_by_key(
+            ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+            "o_custkey",
+            kernel,
+        )
+        .groupby("year")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .to_pandas()
+    )
+    out = ensure_columns(out, ["year"] + cols).sort_values("year")
+    return pa.table(
+        {"year": pa.array(out["year"].to_numpy().astype(np.int64), pa.int64())}
+        | {
+            c: pa.array(out[c].to_numpy().astype(np.int64), pa.int64())
+            for c in cols
+        }
+    )
+
+
+COHORT_REVENUE_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+f AS (SELECT o_custkey, min(yr) AS fy FROM o GROUP BY 1)
+SELECT yr AS year,
+       CAST(sum(CASE WHEN yr = fy THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orders_new,
+       CAST(sum(CASE WHEN yr = fy THEN cents ELSE 0 END) AS BIGINT)
+         AS rev_new_cents,
+       CAST(sum(CASE WHEN yr > fy THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orders_returning,
+       CAST(sum(CASE WHEN yr > fy THEN cents ELSE 0 END) AS BIGINT)
+         AS rev_returning_cents
+FROM o JOIN f USING (o_custkey)
+GROUP BY 1 ORDER BY 1
+"""

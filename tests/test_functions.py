@@ -6270,3 +6270,29 @@ def test_spend_gini_brute(tmp_path):
     got = spend_gini(str(tmp_path)).to_pandas().iloc[0]
     assert int(got["gini_permille"]) == 400
     assert int(got["total_cents"]) == 1000
+
+
+def test_cohort_revenue_brute(tmp_path):
+    # cust 1: first year 1995 (2 orders new), returns in 1996.
+    # cust 2: first year 1996 (new that year).
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import cohort_revenue
+
+    pd.DataFrame(
+        {
+            "o_custkey": [1, 1, 1, 2],
+            "o_orderdate": pd.to_datetime(
+                ["1995-03-01", "1995-09-01", "1996-02-01", "1996-07-01"]
+            ),
+            "o_totalprice": [10.0, 20.0, 5.0, 7.0],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    got = cohort_revenue(str(tmp_path)).to_pandas().set_index("year")
+    assert int(got.loc[1995, "n_orders_new"]) == 2
+    assert int(got.loc[1995, "rev_new_cents"]) == 3000
+    assert int(got.loc[1995, "n_orders_returning"]) == 0
+    assert int(got.loc[1996, "n_orders_new"]) == 1
+    assert int(got.loc[1996, "rev_new_cents"]) == 700
+    assert int(got.loc[1996, "n_orders_returning"]) == 1
+    assert int(got.loc[1996, "rev_returning_cents"]) == 500
