@@ -3893,6 +3893,8 @@ def test_partitioned_by_key_invariant_to_partition_count(monkeypatch):
             "gram_novelty": dedup.gram_novelty,
             "event_trigram_counts": relational.event_trigram_counts,
             "temporal_split": relational.temporal_split,
+            "cohort_revenue": relational.cohort_revenue,
+            "cascade_delete_audit": relational.cascade_delete_audit,
         }
     )
 
