@@ -12434,3 +12434,119 @@ SELECT yr AS year,
 FROM o JOIN f USING (o_custkey)
 GROUP BY 1 ORDER BY 1
 """
+
+
+# -- order-to-ship latency histogram ---------------------------------------------
+
+
+def order_ship_delay_hist(sf_dir: str) -> pa.Table:
+    """Fulfilment-latency distribution: whole days between each order's
+    placement and its FIRST lineitem shipment, rolled up to a (days,
+    n_orders) histogram — the fact-fact temporal derivation behind
+    shipping SLO dashboards.
+
+    Scale shape: lineitem folds to per-orderkey min shipdate per batch
+    (combiner), orders emit (orderkey, orderdate); ONE orderkey-keyed
+    union shuffle aligns the two sides and each partition kernel folds
+    straight to <= |days| histogram cells — neither fact table is ever
+    joined row-for-row, and the rollup is O(distinct latencies)."""
+    from ray.data.aggregate import Sum
+
+    from ._util import ensure_columns, partitioned_by_key, run_bounds
+
+    def li_fold(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        us = pc.cast(
+            pc.cast(batch.column("l_shipdate"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        order = np.argsort(ok, kind="stable")
+        ok, us = ok[order], us[order]
+        b = run_bounds(ok)
+        lo = b[:-1]
+        return pa.table(
+            {
+                "orderkey": pa.array(ok[lo].astype(np.int64), pa.int64()),
+                "ship_us": pa.array(
+                    np.minimum.reduceat(us, lo).astype(np.int64), pa.int64()
+                ),
+                "order_us": pa.array(
+                    np.full(len(lo), -1, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def ord_fold(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        us = pc.cast(
+            pc.cast(batch.column("o_orderdate"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "orderkey": pa.array(ok.astype(np.int64), pa.int64()),
+                "ship_us": pa.array(np.full(len(ok), -1, np.int64), pa.int64()),
+                "order_us": pa.array(us.astype(np.int64), pa.int64()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        li_fold, batch_format="pyarrow", zero_copy_batch=True
+    )
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        ord_fold, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        ok = part.column("orderkey").to_numpy(zero_copy_only=False)
+        sh = part.column("ship_us").to_numpy(zero_copy_only=False)
+        od_us = part.column("order_us").to_numpy(zero_copy_only=False)
+        order = np.argsort(ok, kind="stable")
+        ok, sh, od_us = ok[order], sh[order], od_us[order]
+        b = run_bounds(ok)
+        lo, hi = b[:-1], b[1:]
+        # per key: min ship over partials (-1 rows ignored via where),
+        # and the single order date (max over -1 sentinel picks it).
+        big = np.int64(1 << 62)
+        min_ship = np.minimum.reduceat(np.where(sh < 0, big, sh), lo)
+        ord_date = np.maximum.reduceat(od_us, lo)
+        ok_mask = (min_ship < big) & (ord_date >= 0)
+        delta = min_ship[ok_mask] - ord_date[ok_mask]
+        # The synthetic generator draws order and ship dates independently,
+        # so negative latencies exist; DuckDB's // TRUNCATES toward zero
+        # while numpy floors — mirror truncation explicitly.
+        days = np.sign(delta) * (np.abs(delta) // _DAY_US)
+        vals, cnt = np.unique(days, return_counts=True)
+        return pa.table(
+            {
+                "days": pa.array(vals.astype(np.int64), pa.int64()),
+                "n_orders": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        partitioned_by_key(li.union(od), "orderkey", kernel)
+        .groupby("days")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out = ensure_columns(out, ["days", "n_orders"]).sort_values("days")
+    return pa.table(
+        {
+            "days": pa.array(out["days"].to_numpy().astype(np.int64), pa.int64()),
+            "n_orders": pa.array(
+                out["n_orders"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+ORDER_SHIP_DELAY_HIST_SQL = """
+WITH f AS (
+  SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY 1
+)
+SELECT CAST((epoch_us(CAST(first_ship AS TIMESTAMP))
+             - epoch_us(CAST(o_orderdate AS TIMESTAMP))) // 86400000000
+            AS BIGINT) AS days,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN f ON o_orderkey = l_orderkey
+GROUP BY 1 ORDER BY 1
+"""

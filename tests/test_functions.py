@@ -6298,3 +6298,34 @@ def test_cohort_revenue_brute(tmp_path):
     assert int(got.loc[1996, "rev_new_cents"]) == 700
     assert int(got.loc[1996, "n_orders_returning"]) == 1
     assert int(got.loc[1996, "rev_returning_cents"]) == 500
+
+
+def test_order_ship_delay_hist_brute(tmp_path):
+    # order 1: lines ship day +3 and +10 -> first ship = 3 days.
+    # order 2: ships 1.5 days BEFORE the order -> truncation gives -1
+    # (DuckDB // truncates toward zero; the floor answer would be -2).
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import order_ship_delay_hist
+
+    d0 = pd.Timestamp("1996-01-10")
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_orderdate": [d0, d0],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2],
+            "l_shipdate": [
+                d0 + pd.Timedelta(days=3),
+                d0 + pd.Timedelta(days=10),
+                d0 - pd.Timedelta(hours=36),
+            ],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    got = order_ship_delay_hist(str(tmp_path)).to_pandas().set_index("days")
+    assert int(got.loc[3, "n_orders"]) == 1
+    assert int(got.loc[-1, "n_orders"]) == 1
+    assert int(got["n_orders"].sum()) == 2
