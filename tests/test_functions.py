@@ -6329,3 +6329,40 @@ def test_order_ship_delay_hist_brute(tmp_path):
     assert int(got.loc[3, "n_orders"]) == 1
     assert int(got.loc[-1, "n_orders"]) == 1
     assert int(got["n_orders"].sum()) == 2
+
+
+def test_kcore_peel_hand_graph():
+    # Graph: triangle {1,2,3} (core 2) with pendant 4-1 (core 1) and an
+    # isolated edge 5-6 (core 1); plus K4 {7,8,9,10} (core 3).
+    import numpy as np
+
+    from go_boilerpipe_ray.functions.relational import _kcore_peel
+
+    edges = [
+        (1, 2), (2, 3), (1, 3), (1, 4), (5, 6),
+        (7, 8), (7, 9), (7, 10), (8, 9), (8, 10), (9, 10),
+    ]
+    u = np.array([e[0] for e in edges], np.int64)
+    v = np.array([e[1] for e in edges], np.int64)
+    core = _kcore_peel(u, v)
+    assert core == {
+        1: 2, 2: 2, 3: 2, 4: 1, 5: 1, 6: 1, 7: 3, 8: 3, 9: 3, 10: 3
+    }
+
+
+def test_kcore_decompose_runs(tmp_path):
+    # Orders {1,2,3} and {2,3,4} co-purchased: edges form two triangles
+    # sharing edge 2-3 -> every node in a 2-core.
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import kcore_decompose
+
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 1, 2, 2, 2],
+            "l_partkey": [1, 2, 3, 2, 3, 4],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    got = kcore_decompose(str(tmp_path)).to_pandas().set_index("core_k")
+    assert int(got.loc[2, "n_nodes"]) == 4
+    assert int(got["n_nodes"].sum()) == 4
