@@ -12696,3 +12696,75 @@ def _kcore_peel(u: "np.ndarray", v: "np.ndarray") -> dict[int, int]:
             core[alive_node] = k - 1
             break
     return {int(nodes[i]): int(core[i]) for i in range(len(nodes))}
+
+
+# -- bigram next-event predictor evaluation ----------------------------------------
+
+
+def event_next_type_accuracy(sf_dir: str) -> pa.Table:
+    """Baseline-model scorecard: the argmax bigram predictor ("after X,
+    predict the most frequent successor") evaluated over every
+    transition, per source type — the sanity baseline any sequence
+    model must beat, with the evaluation-harness shape (train stats ->
+    frozen predictions -> hit counting) done right.
+
+    Scale shape: the ONLY distributed pass is event_transitions' keyed
+    partial-count shuffle; the transition table is <= types² rows, so
+    argmax selection AND hit counting are driver-side arithmetic over
+    that bounded table — evaluating the predictor needs NO second scan
+    of the corpus, because the transition counts are sufficient
+    statistics for both steps.  Ties break (cnt DESC, to_type ASC),
+    mirrored by the oracle's row_number."""
+    t = event_transitions(sf_dir).to_pandas()
+    if t.empty:
+        return pa.table(
+            {
+                "from_type": pa.array([], pa.string()),
+                "pred_type": pa.array([], pa.string()),
+                "n_total": pa.array([], pa.int64()),
+                "n_hits": pa.array([], pa.int64()),
+                "acc_permille": pa.array([], pa.int64()),
+            }
+        )
+    rows = []
+    for ft, grp in t.groupby("from_type", sort=True):
+        grp = grp.sort_values(
+            ["cnt", "to_type"], ascending=[False, True], kind="stable"
+        )
+        pred = grp.iloc[0]["to_type"]
+        total = int(grp["cnt"].sum())
+        hits = int(grp.loc[grp["to_type"] == pred, "cnt"].sum())
+        rows.append((ft, pred, total, hits, 1000 * hits // total))
+    return pa.table(
+        {
+            "from_type": pa.array([r[0] for r in rows], pa.string()),
+            "pred_type": pa.array([r[1] for r in rows], pa.string()),
+            "n_total": pa.array([r[2] for r in rows], pa.int64()),
+            "n_hits": pa.array([r[3] for r in rows], pa.int64()),
+            "acc_permille": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+EVENT_NEXT_TYPE_ACCURACY_SQL = f"""
+WITH t AS ({EVENT_TRANSITIONS_SQL}),
+p AS (
+  SELECT from_type, to_type AS pred_type FROM (
+    SELECT from_type, to_type,
+           row_number() OVER (PARTITION BY from_type
+                              ORDER BY cnt DESC, to_type) AS rn
+    FROM t
+  ) WHERE rn = 1
+)
+SELECT t.from_type,
+       p.pred_type,
+       CAST(sum(t.cnt) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN t.to_type = p.pred_type THEN t.cnt ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(1000 * sum(CASE WHEN t.to_type = p.pred_type THEN t.cnt
+                            ELSE 0 END) // sum(t.cnt) AS BIGINT)
+         AS acc_permille
+FROM t JOIN p USING (from_type)
+GROUP BY 1, 2
+ORDER BY 1
+"""

@@ -6366,3 +6366,36 @@ def test_kcore_decompose_runs(tmp_path):
     got = kcore_decompose(str(tmp_path)).to_pandas().set_index("core_k")
     assert int(got.loc[2, "n_nodes"]) == 4
     assert int(got["n_nodes"].sum()) == 4
+
+
+def test_event_next_type_accuracy_brute(tmp_path):
+    # user path a->b, a->b, a->c: predictor after 'a' says 'b' (2/3);
+    # tie case: x->y once, x->z once -> tie breaks to 'y' (1/2).
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import (
+        event_next_type_accuracy,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for uid, seq in ((1, "abab"), (2, "ac"), (3, "xy"), (4, "xz")):
+        for i, ch in enumerate(seq):
+            rows.append((eid, uid, ch, base + pd.Timedelta(minutes=eid)))
+            eid += 1
+    pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts"]
+    ).to_parquet(tmp_path / "events.parquet")
+    got = (
+        event_next_type_accuracy(str(tmp_path))
+        .to_pandas()
+        .set_index("from_type")
+    )
+    # transitions from 'a': a->b, a->b (u1), a->c (u2) = 3 total, pred b
+    assert got.loc["a", "pred_type"] == "b"
+    assert int(got.loc["a", "n_total"]) == 3
+    assert int(got.loc["a", "n_hits"]) == 2
+    assert int(got.loc["a", "acc_permille"]) == 666
+    assert got.loc["x", "pred_type"] == "y"
+    assert int(got.loc["x", "acc_permille"]) == 500
