@@ -12768,3 +12768,95 @@ FROM t JOIN p USING (from_type)
 GROUP BY 1, 2
 ORDER BY 1
 """
+
+
+# -- 128-bit distributed sum (custom AggregateFnV2) --------------------------------
+
+_LIMB = 1 << 62
+
+
+class _Sum128(ray.data.aggregate.AggregateFnV2):
+    """Custom distributed aggregate with arbitrary-precision state: the
+    accumulator is a PYTHON int (so partial sums can exceed int64), the
+    block step folds each Arrow block to one exact partial, and combine
+    is plain big-int addition — the carry-safe merge every docstring's
+    "the 100 TB path promotes the merge to 128-bit" remark refers to,
+    implemented for real through Ray Data's user-aggregate surface."""
+
+    def __init__(self, on: str = "cents"):
+        super().__init__(
+            name="sum128", zero_factory=lambda: 0, on=on, ignore_nulls=True
+        )
+
+    def aggregate_block(self, block) -> int:
+        col = block.column(self._target_col_name).to_numpy(
+            zero_copy_only=False
+        )
+        if not len(col):
+            return 0
+        # Chunk so |max| * chunk_len < 2^62: each numpy partial is then
+        # provably wrap-free, and the Python-int accumulation across
+        # chunks is arbitrary-precision — exact for ANY block content
+        # (a plain int64 col.sum() silently wraps on huge values).
+        mx = int(np.abs(col).max())
+        step = max(1, (1 << 62) // max(1, mx))
+        s = 0
+        for i in range(0, len(col), step):
+            s += int(col[i : i + step].sum())
+        return s
+
+    def combine(self, current: int, new: int) -> int:
+        return current + new  # python ints: no wrap, ever
+
+    def finalize(self, accumulator: int) -> int:
+        return accumulator
+
+
+def sum128_total(sf_dir: str) -> pa.Table:
+    """Grand total of event value in cents, accumulated through the
+    custom 128-bit-safe aggregate above and emitted as two int64 limbs
+    (hi = s >> 62, lo = s mod 2^62) so the oracle hash stays exact even
+    when the true total exceeds int64 — the overflow-canary pattern for
+    corpus-scale money sums.  One streaming pass, one scalar state."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cents": pa.array(
+                    money_cents(
+                        batch.column("value").to_numpy(zero_copy_only=False)
+                    ),
+                    pa.int64(),
+                ),
+                "one": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(
+        to_cents, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(_Sum128(on="cents"), ray.data.aggregate.Sum("one"))
+    s = int(agg.get("sum128") or 0)
+    n = int(agg.get("sum(one)") or 0)
+    if s < 0:
+        raise ValueError("sum128_total: negative total; limb split assumes >= 0")
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "hi": pa.array([s >> 62], pa.int64()),
+            "lo": pa.array([s % _LIMB], pa.int64()),
+        }
+    )
+
+
+SUM128_TOTAL_SQL = f"""
+WITH s AS (
+  SELECT count(*) AS n,
+         COALESCE(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0) AS t
+  FROM events
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(t // {_LIMB} AS BIGINT) AS hi,
+       CAST(t % {_LIMB} AS BIGINT) AS lo
+FROM s
+"""

@@ -6399,3 +6399,32 @@ def test_event_next_type_accuracy_brute(tmp_path):
     assert int(got.loc["a", "acc_permille"]) == 666
     assert got.loc["x", "pred_type"] == "y"
     assert int(got.loc["x", "acc_permille"]) == 500
+
+
+def test_sum128_total_exceeds_int64(tmp_path):
+    # Values whose cent total exceeds int64 must come back exact through
+    # the python-int accumulator and split limbs.
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import _LIMB, sum128_total
+
+    big = 9.0e16  # 9e18 cents each; 3 rows -> 2.7e19 > 2^63-1
+    pd.DataFrame({"value": [big, big, big]}).to_parquet(
+        tmp_path / "events.parquet"
+    )
+    got = sum128_total(str(tmp_path)).to_pandas().iloc[0]
+    total = (int(got["hi"]) << 62) + int(got["lo"])
+    assert total == 3 * int(round(big * 100))
+    assert total > 2**63 - 1
+    assert int(got["n_rows"]) == 3
+
+    # the block step itself must not wrap even when all rows share one
+    # block (a plain int64 numpy sum would)
+    import numpy as np
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.relational import _Sum128
+
+    cents = np.full(3, 9_000_000_000_000_000_000, np.int64)
+    blk = pa.table({"cents": pa.array(cents, pa.int64())})
+    assert _Sum128(on="cents").aggregate_block(blk) == 3 * 9 * 10**18
