@@ -1433,7 +1433,11 @@ def event_transitions(sf_dir: str) -> pa.Table:
         .groupby(["from_type", "to_type"])
         .aggregate(ray.data.aggregate.Sum("cnt_part", alias_name="cnt"))
         .to_pandas()
-        .sort_values(["from_type", "to_type"])
+    )
+    from ._util import ensure_columns
+
+    out = ensure_columns(out, ["from_type", "to_type", "cnt"]).sort_values(
+        ["from_type", "to_type"]
     )
     return pa.table(
         {

@@ -6428,3 +6428,31 @@ def test_sum128_total_exceeds_int64(tmp_path):
     cents = np.full(3, 9_000_000_000_000_000_000, np.int64)
     blk = pa.table({"cents": pa.array(cents, pa.int64())})
     assert _Sum128(on="cents").aggregate_block(blk) == 3 * 9 * 10**18
+
+
+def test_session8b_ops_survive_empty_inputs(tmp_path):
+    import pandas as pd
+
+    for t in ["events", "lineitem", "orders", "customer", "documents"]:
+        pd.read_parquet(f"{SF}/{t}.parquet").head(0).to_parquet(
+            tmp_path / f"{t}.parquet"
+        )
+    from go_boilerpipe_ray.functions import dedup, relational
+
+    sf = str(tmp_path)
+    assert relational.ab_test_report(sf).num_rows == 0
+    assert relational.freshness_report(sf).num_rows == 0
+    assert relational.topk_stability(sf).num_rows == 1  # zero-set row
+    g = relational.spend_gini(sf)
+    assert g.num_rows == 1 and g.column("n_users")[0].as_py() == 0
+    assert relational.cohort_revenue(sf).num_rows == 0
+    assert relational.order_ship_delay_hist(sf).num_rows == 0
+    assert relational.kcore_decompose(sf).num_rows == 0
+    assert relational.event_next_type_accuracy(sf).num_rows == 0
+    s = relational.sum128_total(sf)
+    assert s.num_rows == 1 and s.column("n_rows")[0].as_py() == 0
+    b = dedup.blocking_recall_report(sf)
+    assert b.num_rows == 1 and b.column("n_true")[0].as_py() == 0
+    a = relational.cascade_delete_audit(sf)
+    assert a.num_rows == 4
+    assert a.to_pandas()["n_rows_deleted"].sum() == 0
