@@ -12559,7 +12559,7 @@ GROUP BY 1 ORDER BY 1
 # -- k-core decomposition ----------------------------------------------------------
 
 
-def kcore_decompose(sf_dir: str) -> pa.Table:
+def kcore_decompose(sf_dir: str, loop_threshold: int = 2_000_000) -> pa.Table:
     """Core-number decomposition of the part co-purchase graph — the
     iterative-peeling member of the graph family (components = label
     spreading, pagerank = fixed-point iteration, this = monotone
@@ -12633,11 +12633,8 @@ def kcore_decompose(sf_dir: str) -> pa.Table:
         .map_groups(dedup_edges, batch_format="pyarrow")
     )
     n_edges = edges_ds.count()
-    if n_edges > 2_000_000:  # loop arm: keyed peel rounds (see docstring)
-        raise NotImplementedError(
-            "kcore loop arm reserved for >2M edges; synthetic scales route "
-            "through the gathered kernel like the CC volume router"
-        )
+    if n_edges > loop_threshold:  # loop arm: keyed peel rounds
+        return _kcore_loop(edges_ds)
     if n_edges:
         ek = np.sort(
             np.concatenate(
@@ -12864,3 +12861,224 @@ SELECT CAST(n AS BIGINT) AS n_rows,
        CAST(t % {_LIMB} AS BIGINT) AS lo
 FROM s
 """
+
+
+_TRI_MASK = (1 << _TRI_SHIFT) - 1
+_KCORE_DROP_BCAST = 1_000_000  # drop-set broadcast threshold (test-pinned)
+
+
+def _kcore_loop(edges_ds) -> pa.Table:
+    """Distributed peel arm for graphs whose edge set exceeds the
+    gather threshold: the same monotone k-level peeling as _kcore_peel,
+    but every step is a keyed shuffle — per level k, each inner round
+    (1) rolls edge endpoints + the alive-node set into one
+    partitioned kernel that marks nodes with degree < k, (2) counts
+    the drops into the histogram, and (3) filters edges by surviving
+    endpoints in two endpoint-keyed passes.  The edge set shrinks
+    monotonically, so round cost strictly decreases; peel depth is
+    bounded by the graph's degeneracy plus per-level cascade length
+    (small on co-purchase-shaped graphs — documented assumption)."""
+    from ray.data.aggregate import Sum
+
+    from ._util import partitioned_by_key, run_bounds
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        ek = batch.column("k").to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([ek >> _TRI_SHIFT, ek & _TRI_MASK])
+        n, c = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(n.astype(np.int64), pa.int64()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+                "is_node": pa.array(np.zeros(len(n), np.int64), pa.int64()),
+            }
+        )
+
+    def as_alive_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "cnt": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "is_node": pa.array(np.ones(n, np.int64), pa.int64()),
+            }
+        )
+
+    edges = edges_ds.materialize()
+    alive = (
+        edges.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(
+            lambda b: b.select(["node"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    hist: dict[int, int] = {}
+    k = 1
+    while alive.count() > 0:
+        while True:
+
+            def peel_kernel(part: pa.Table, _k: int = k) -> pa.Table:
+                node = part.column("node").to_numpy(zero_copy_only=False)
+                cnt = part.column("cnt").to_numpy(zero_copy_only=False)
+                isn = part.column("is_node").to_numpy(zero_copy_only=False)
+                order = np.argsort(node, kind="stable")
+                node, cnt, isn = node[order], cnt[order], isn[order]
+                b = run_bounds(node)
+                lo = b[:-1]
+                deg = np.add.reduceat(cnt, lo)
+                is_alive = np.add.reduceat(isn, lo) > 0
+                keep_node = node[lo][is_alive]
+                dropped = (deg < _k)[is_alive]
+                return pa.table(
+                    {
+                        "node": pa.array(keep_node.astype(np.int64), pa.int64()),
+                        "dropped": pa.array(
+                            dropped.astype(np.int64), pa.int64()
+                        ),
+                    }
+                )
+
+            marks = partitioned_by_key(
+                edges.map_batches(
+                    endpoints, batch_format="pyarrow", zero_copy_batch=True
+                ).union(
+                    alive.map_batches(
+                        as_alive_rows,
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                    )
+                ),
+                "node",
+                peel_kernel,
+            ).materialize()
+
+            def only(flag: int):
+                def fn(batch: pa.Table) -> pa.Table:
+                    return batch.filter(
+                        pc.equal(batch.column("dropped"), pa.scalar(flag))
+                    ).select(["node"])
+
+                return fn
+
+            n_drop = marks.map_batches(
+                only(1), batch_format="pyarrow", zero_copy_batch=True
+            ).count()
+            if n_drop == 0:
+                break
+            hist[k - 1] = hist.get(k - 1, 0) + n_drop
+            alive = marks.map_batches(
+                only(0), batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
+            dropped_ds = marks.map_batches(
+                only(1), batch_format="pyarrow", zero_copy_batch=True
+            )
+            if n_drop <= _KCORE_DROP_BCAST:
+                # drop sets shrink fast after the first cascade: broadcast
+                # the ids once and filter edges in a single shuffle-free
+                # pass (the small-side-broadcast rule); the keyed two-pass
+                # below remains for giant first-round cascades.
+                drop_ids = np.sort(
+                    np.concatenate(
+                        [
+                            b.column("node").to_numpy(zero_copy_only=False)
+                            for b in dropped_ds.iter_batches(
+                                batch_format="pyarrow", batch_size=None
+                            )
+                        ]
+                        or [np.array([], np.int64)]
+                    )
+                )
+                drop_ref = ray.put(drop_ids)
+
+                def bfilter(batch: pa.Table) -> pa.Table:
+                    ids = ray.get(drop_ref)
+                    ek = batch.column("k").to_numpy(zero_copy_only=False)
+                    u = ek >> _TRI_SHIFT
+                    v = ek & _TRI_MASK
+                    pos_u = np.searchsorted(ids, u)
+                    pos_v = np.searchsorted(ids, v)
+                    bad_u = (pos_u < len(ids)) & (
+                        ids[np.minimum(pos_u, len(ids) - 1)] == u
+                    )
+                    bad_v = (pos_v < len(ids)) & (
+                        ids[np.minimum(pos_v, len(ids) - 1)] == v
+                    )
+                    return pa.table(
+                        {"k": pa.array(ek[~bad_u & ~bad_v], pa.int64())}
+                    )
+
+                edges = edges.map_batches(
+                    bfilter, batch_format="pyarrow", zero_copy_batch=True
+                ).materialize()
+                continue
+            for side in (0, 1):
+
+                def edge_rows(batch: pa.Table, _s: int = side) -> pa.Table:
+                    ek = batch.column("k").to_numpy(zero_copy_only=False)
+                    node = (ek >> _TRI_SHIFT) if _s == 0 else (ek & _TRI_MASK)
+                    return pa.table(
+                        {
+                            "node": pa.array(node.astype(np.int64), pa.int64()),
+                            "k": pa.array(ek, pa.int64()),
+                            "is_marker": pa.array(
+                                np.zeros(len(ek), np.int64), pa.int64()
+                            ),
+                        }
+                    )
+
+                def marker_rows(batch: pa.Table) -> pa.Table:
+                    n = batch.num_rows
+                    return pa.table(
+                        {
+                            "node": batch.column("node"),
+                            "k": pa.array(np.zeros(n, np.int64), pa.int64()),
+                            "is_marker": pa.array(
+                                np.ones(n, np.int64), pa.int64()
+                            ),
+                        }
+                    )
+
+                def filt_kernel(part: pa.Table) -> pa.Table:
+                    node = part.column("node").to_numpy(zero_copy_only=False)
+                    ek = part.column("k").to_numpy(zero_copy_only=False)
+                    mark = part.column("is_marker").to_numpy(
+                        zero_copy_only=False
+                    )
+                    marked = set(node[mark == 1].tolist())
+                    if not marked:
+                        keep = mark == 0
+                    else:
+                        keep = (mark == 0) & ~np.isin(
+                            node, np.fromiter(marked, np.int64, len(marked))
+                        )
+                    return pa.table({"k": pa.array(ek[keep], pa.int64())})
+
+                edges = partitioned_by_key(
+                    edges.map_batches(
+                        edge_rows, batch_format="pyarrow", zero_copy_batch=True
+                    ).union(
+                        dropped_ds.map_batches(
+                            marker_rows,
+                            batch_format="pyarrow",
+                            zero_copy_batch=True,
+                        )
+                    ),
+                    "node",
+                    filt_kernel,
+                ).materialize()
+        k += 1
+    if not hist:
+        return pa.table(
+            {"core_k": pa.array([], pa.int64()), "n_nodes": pa.array([], pa.int64())}
+        )
+    ks = sorted(hist)
+    return pa.table(
+        {
+            "core_k": pa.array(ks, pa.int64()),
+            "n_nodes": pa.array([hist[x] for x in ks], pa.int64()),
+        }
+    )

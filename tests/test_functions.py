@@ -6456,3 +6456,33 @@ def test_session8b_ops_survive_empty_inputs(tmp_path):
     a = relational.cascade_delete_audit(sf)
     assert a.num_rows == 4
     assert a.to_pandas()["n_rows_deleted"].sum() == 0
+
+
+def test_kcore_loop_arm_matches_gather_arm(tmp_path, monkeypatch):
+    # Force the distributed peel (loop_threshold=-1) and compare it
+    # row-for-row against the gathered kernel on the same graph:
+    # triangle + pendant via orders {1,2,3},{2,3,4},{1,3} plus K4-ish
+    # order {5,6,7,8}.
+    import pandas as pd
+
+    import go_boilerpipe_ray.functions._util as util
+    from go_boilerpipe_ray.functions.relational import kcore_decompose
+
+    monkeypatch.setattr(util, "wide_partitions", lambda floor=64: 3)
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 1, 2, 2, 2, 3, 3, 4, 4, 4, 4],
+            "l_partkey": [1, 2, 3, 2, 3, 4, 1, 3, 5, 6, 7, 8],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    gather = kcore_decompose(str(tmp_path)).to_pandas()
+    loop = kcore_decompose(str(tmp_path), loop_threshold=-1).to_pandas()
+    assert gather.values.tolist() == loop.values.tolist()
+    assert int(gather["n_nodes"].sum()) == 8
+
+    # the keyed two-pass edge filter (giant-cascade arm) must agree too
+    import go_boilerpipe_ray.functions.relational as rel
+
+    monkeypatch.setattr(rel, "_KCORE_DROP_BCAST", -1)
+    keyed = kcore_decompose(str(tmp_path), loop_threshold=-1).to_pandas()
+    assert keyed.values.tolist() == gather.values.tolist()
