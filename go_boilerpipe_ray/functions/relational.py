@@ -13082,3 +13082,117 @@ def _kcore_loop(edges_ds) -> pa.Table:
             "n_nodes": pa.array([hist[x] for x in ks], pa.int64()),
         }
     )
+
+
+# -- change-point detection (integer CUSUM argmax) ---------------------------------
+
+
+def change_point_detect(sf_dir: str) -> pa.Table:
+    """Single change-point detector over the daily event-count series,
+    per event type: the split day t maximizing the cross-multiplied
+    mean-shift score |S_t * n - S_n * t| (the CUSUM statistic with the
+    division cleared, so the argmax is EXACT integer arithmetic — no
+    float epsilon can flip the winner).  Ties break on the earlier
+    day.  The volume-regime-shift alarm every ingestion monitor wants.
+
+    Scale shape: rows fold to (type, day, n) cells per batch; one keyed
+    shuffle merges the cell table (bounded by types x calendar, not
+    corpus size); the prefix-sum scan over each type's day series is
+    driver-side arithmetic on that bounded table.  Score overflow is
+    guarded: S_n * t <= total_rows * days < 2^63 at any tested scale,
+    and the guard raises loudly rather than wrapping."""
+    from ray.data.aggregate import Sum
+
+    from ._util import ensure_columns
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.timestamp("us"))
+        day = (
+            pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US
+        )
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": pa.array(day, pa.int64()),
+                "n": pa.array(np.ones(len(day), np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type", "day"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "day", "n"])
+
+    cells = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cells = ensure_columns(cells, ["event_type", "day", "n"])
+    rows = []
+    for et, grp in cells.groupby("event_type", sort=True):
+        day = grp["day"].to_numpy().astype(np.int64)
+        n = grp["n"].to_numpy().astype(np.int64)
+        order = np.argsort(day)
+        day, n = day[order], n[order]
+        if len(day) < 2:
+            continue
+        # t = position index 1..len-1 (split AFTER position t-1)
+        s = np.cumsum(n)
+        total, m = int(s[-1]), len(day)
+        if total * m >= 2**63:
+            raise OverflowError("change_point_detect: score overflow")
+        t_idx = np.arange(1, m)
+        score = np.abs(s[:-1] * m - total * t_idx)
+        best = int(np.argmax(score))  # first max = earliest day tie-break
+        rows.append((et, int(day[t_idx[best]]), int(score[best]), m))
+    if not rows:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "change_day": pa.array([], pa.int64()),
+                "score": pa.array([], pa.int64()),
+                "n_days": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "change_day": pa.array([r[1] for r in rows], pa.int64()),
+            "score": pa.array([r[2] for r in rows], pa.int64()),
+            "n_days": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+CHANGE_POINT_DETECT_SQL = """
+WITH d AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT event_type, day, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY day) AS s,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         sum(n) OVER (PARTITION BY event_type) AS total,
+         count(*) OVER (PARTITION BY event_type) AS m,
+         lead(day) OVER (PARTITION BY event_type ORDER BY day) AS next_day
+  FROM d
+),
+sc AS (
+  SELECT event_type, next_day AS change_day,
+         abs(s * m - total * t) AS score, m,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(s * m - total * t) DESC, day)
+           AS rn
+  FROM p WHERE next_day IS NOT NULL AND m >= 2
+)
+SELECT event_type,
+       CAST(change_day AS BIGINT) AS change_day,
+       CAST(score AS BIGINT) AS score,
+       CAST(m AS BIGINT) AS n_days
+FROM sc WHERE rn = 1
+ORDER BY event_type
+"""

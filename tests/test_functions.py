@@ -6486,3 +6486,27 @@ def test_kcore_loop_arm_matches_gather_arm(tmp_path, monkeypatch):
     monkeypatch.setattr(rel, "_KCORE_DROP_BCAST", -1)
     keyed = kcore_decompose(str(tmp_path), loop_threshold=-1).to_pandas()
     assert keyed.values.tolist() == gather.values.tolist()
+
+
+def test_change_point_detect_brute(tmp_path):
+    # 4 days at 1/day then 4 days at 5/day: the maximal mean-shift
+    # split is after the 4th day -> change_day = day index of day 5.
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import change_point_detect
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for d in range(8):
+        per = 1 if d < 4 else 5
+        for i in range(per):
+            rows.append(("a", base + pd.Timedelta(days=d, minutes=i)))
+    pd.DataFrame(rows, columns=["event_type", "ts"]).to_parquet(
+        tmp_path / "events.parquet"
+    )
+    got = change_point_detect(str(tmp_path)).to_pandas().iloc[0]
+    day0 = int(base.value // 1000 // 86_400_000_000)
+    assert int(got["change_day"]) == day0 + 4
+    assert int(got["n_days"]) == 8
+    # score at t=4: |S_t*m - total*t| = |4*8 - 24*4| = 64
+    assert int(got["score"]) == 64
