@@ -2886,3 +2886,185 @@ SELECT CAST((SELECT count(*) FROM t) AS BIGINT) AS n_true,
                  ELSE 0 END AS BIGINT) AS recall_permille
 FROM j
 """
+
+
+# -- survivorship merge (golden records) ----------------------------------------
+
+
+def survivorship_merge(sf_dir: str) -> pa.Table:
+    """MDM golden-record construction on top of entity resolution:
+    every entity cluster from entity_clusters collapses to ONE
+    surviving record under field-level rules — name = longest (ties:
+    lexicographically smallest), acctbal = max in exact cents,
+    representative key = min custkey — the deterministic survivorship
+    step billing systems run after record linkage.
+
+    Scale shape: the (custkey, entity) map re-enters the engine as a
+    Dataset and joins customer attributes in ONE custkey-keyed union
+    kernel (no broadcast of the map); survivorship itself is a second
+    entity-keyed partition kernel — both stages stay distributed even
+    when the entity map outgrows driver memory.  Oracle composes the
+    recursive-CTE clusters with window-ranked field picks (same sf
+    certification note as entity_clusters)."""
+    import ray
+
+    from ._util import partitioned_by_key, read_parquet_clean, run_bounds
+
+    ent = ray.data.from_arrow(entity_clusters(sf_dir))
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        from ._util import money_cents
+
+        return pa.table(
+            {
+                "custkey": pc.cast(batch.column("c_custkey"), pa.int64()),
+                "entity": pa.array(
+                    np.full(batch.num_rows, -1, np.int64), pa.int64()
+                ),
+                "name": batch.column("c_name"),
+                "acctbal_cents": pa.array(
+                    money_cents(
+                        batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def ent_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "custkey": batch.column("custkey"),
+                "entity": batch.column("entity"),
+                "name": pa.array([""] * n, pa.string()),
+                "acctbal_cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def attach_kernel(part: pa.Table) -> pa.Table:
+        ck = part.column("custkey").to_numpy(zero_copy_only=False)
+        en = part.column("entity").to_numpy(zero_copy_only=False)
+        names = np.asarray(part.column("name").to_pylist(), dtype=object)
+        bal = part.column("acctbal_cents").to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        ck, en, names, bal = ck[order], en[order], names[order], bal[order]
+        b = run_bounds(ck)
+        lo, hi = b[:-1], b[1:]
+        ent_per_key = np.maximum.reduceat(en, lo)  # map row carries entity
+        out_k, out_e, out_n, out_b = [], [], [], []
+        for i, (s, e) in enumerate(zip(lo, hi)):
+            if ent_per_key[i] < 0:
+                continue  # customer without a map row (none in practice)
+            for j in range(s, e):
+                if en[j] < 0:  # the attribute row
+                    out_k.append(int(ck[j]))
+                    out_e.append(int(ent_per_key[i]))
+                    out_n.append(names[j])
+                    out_b.append(int(bal[j]))
+        return pa.table(
+            {
+                "custkey": pa.array(out_k, pa.int64()),
+                "entity": pa.array(out_e, pa.int64()),
+                "name": pa.array(out_n, pa.string()),
+                "acctbal_cents": pa.array(out_b, pa.int64()),
+            }
+        )
+
+    tagged = partitioned_by_key(
+        cust.map_batches(
+            cust_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).union(
+            ent.map_batches(ent_rows, batch_format="pyarrow", zero_copy_batch=True)
+        ),
+        "custkey",
+        attach_kernel,
+    )
+
+    def survive_kernel(part: pa.Table) -> pa.Table:
+        en = part.column("entity").to_numpy(zero_copy_only=False)
+        ck = part.column("custkey").to_numpy(zero_copy_only=False)
+        names = np.asarray(part.column("name").to_pylist(), dtype=object)
+        bal = part.column("acctbal_cents").to_numpy(zero_copy_only=False)
+        order = np.argsort(en, kind="stable")
+        en, ck, names, bal = en[order], ck[order], names[order], bal[order]
+        b = run_bounds(en)
+        lo, hi = b[:-1], b[1:]
+        out = {"entity": [], "n_members": [], "rep_custkey": [],
+               "golden_name": [], "max_acctbal_cents": []}
+        for s, e in zip(lo, hi):
+            seg_names = names[s:e]
+            # longest name, ties lexicographically smallest
+            best = min(range(s, e), key=lambda j: (-len(names[j]), names[j]))
+            out["entity"].append(int(en[s]))
+            out["n_members"].append(int(e - s))
+            out["rep_custkey"].append(int(ck[s:e].min()))
+            out["golden_name"].append(names[best])
+            out["max_acctbal_cents"].append(int(bal[s:e].max()))
+        return pa.table(
+            {
+                "entity": pa.array(out["entity"], pa.int64()),
+                "n_members": pa.array(out["n_members"], pa.int64()),
+                "rep_custkey": pa.array(out["rep_custkey"], pa.int64()),
+                "golden_name": pa.array(out["golden_name"], pa.string()),
+                "max_acctbal_cents": pa.array(
+                    out["max_acctbal_cents"], pa.int64()
+                ),
+            }
+        )
+
+    out = partitioned_by_key(tagged, "entity", survive_kernel).to_pandas()
+    from ._util import ensure_columns
+
+    out = ensure_columns(
+        out,
+        ["entity", "n_members", "rep_custkey", "golden_name",
+         "max_acctbal_cents"],
+    ).sort_values("entity")
+    return pa.table(
+        {
+            "entity": pa.array(out["entity"].to_numpy().astype(np.int64), pa.int64()),
+            "n_members": pa.array(
+                out["n_members"].to_numpy().astype(np.int64), pa.int64()
+            ),
+            "rep_custkey": pa.array(
+                out["rep_custkey"].to_numpy().astype(np.int64), pa.int64()
+            ),
+            "golden_name": pa.array(out["golden_name"], pa.string()),
+            "max_acctbal_cents": pa.array(
+                out["max_acctbal_cents"].to_numpy().astype(np.int64),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+_EC_BODY = ENTITY_CLUSTERS_SQL
+
+SURVIVORSHIP_MERGE_SQL = f"""
+WITH clusters AS ({_EC_BODY}),
+j AS (
+  SELECT cl.entity, c.c_custkey, c.c_name,
+         CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer c JOIN clusters cl ON c.c_custkey = cl.custkey
+),
+pick AS (
+  SELECT entity, c_name,
+         row_number() OVER (PARTITION BY entity
+                            ORDER BY length(c_name) DESC, c_name) AS rn
+  FROM j
+)
+SELECT j.entity,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(j.c_custkey) AS BIGINT) AS rep_custkey,
+       any_value(p.c_name) AS golden_name,
+       CAST(max(j.cents) AS BIGINT) AS max_acctbal_cents
+FROM j JOIN (SELECT entity, c_name FROM pick WHERE rn = 1) p
+  USING (entity)
+GROUP BY j.entity
+ORDER BY j.entity
+"""

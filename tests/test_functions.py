@@ -6510,3 +6510,30 @@ def test_change_point_detect_brute(tmp_path):
     assert int(got["n_days"]) == 8
     # score at t=4: |S_t*m - total*t| = |4*8 - 24*4| = 64
     assert int(got["score"]) == 64
+
+
+def test_survivorship_merge_brute(tmp_path):
+    # Cluster {1: "Ann", 2: "Anne"} (edit distance 1): golden name is
+    # the longer "Anne", rep key 1, max balance from member 2.
+    # Customer 9 ("Zzzz...") is a singleton entity.
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.dedup import survivorship_merge
+
+    pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 9],
+            "c_name": ["Ann", "Anne", "Zebra Holdings"],
+            "c_acctbal": [10.00, 25.50, 7.77],
+            "c_nationkey": [0, 0, 0],
+            "c_mktsegment": ["A", "A", "B"],
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    got = survivorship_merge(str(tmp_path)).to_pandas().set_index("entity")
+    assert len(got) == 2
+    assert got.loc[1, "golden_name"] == "Anne"
+    assert int(got.loc[1, "n_members"]) == 2
+    assert int(got.loc[1, "rep_custkey"]) == 1
+    assert int(got.loc[1, "max_acctbal_cents"]) == 2550
+    assert got.loc[9, "golden_name"] == "Zebra Holdings"
+    assert int(got.loc[9, "n_members"]) == 1
