@@ -904,3 +904,96 @@ SELECT o_orderpriority,
          AS total_cents
 FROM orders GROUP BY 1
 """
+
+
+def codec_roundtrip(sf_dir: str, out_dir: str | None = None) -> "ray.data.Dataset":
+    """Compression-codec A/B for the storage layer: the same supplier
+    shard set is written twice — zstd and snappy parquet — read back
+    independently, and BOTH rollups are emitted side by side tagged by
+    codec.  The two codec rows must be identical except for the tag
+    (codecs must not change content); the oracle recomputes the rollup
+    once per tag.  The on-disk byte sizes differ, of course — that
+    comparison lives in the shard files this op leaves behind, while
+    the RESULT stays deterministic so the driver can hash it.
+
+    Scale shape: one streaming pass per write (content-hash shard
+    names), one read_parquet + rollup per codec — all existing
+    machinery; nothing gathers."""
+    import numpy as np
+
+    out_z = _sink_dir("codec_zstd", sf_dir, out_dir and out_dir + "_z")
+    out_s = _sink_dir("codec_snappy", sf_dir, out_dir and out_dir + "_s")
+
+    src = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+    )
+    src.write_parquet(out_z, compression="zstd")
+    src.write_parquet(out_s, compression="snappy")
+
+    if not os.listdir(out_z):  # empty input wrote no shards
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "codec": pa.array([], pa.string()),
+                    "s_nationkey": pa.array([], pa.int64()),
+                    "n_suppliers": pa.array([], pa.int64()),
+                    "acctbal_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = money_cents(
+            batch.column("s_acctbal").to_numpy(zero_copy_only=False)
+        )
+        g = pa.table(
+            {
+                "s_nationkey": batch.column("s_nationkey"),
+                "n": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        ).group_by("s_nationkey").aggregate([("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["s_nationkey", "n", "cents"])
+
+    import ray.data.aggregate as agg
+
+    outs = []
+    for codec, path in (("snappy", out_s), ("zstd", out_z)):
+        rolled = (
+            ray.data.read_parquet(path)
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("s_nationkey")
+            .aggregate(
+                agg.Sum("n", alias_name="n_suppliers"),
+                agg.Sum("cents", alias_name="acctbal_cents"),
+            )
+            .map_batches(
+                lambda b, _c=codec: b.append_column(
+                    "codec", pa.array([_c] * b.num_rows, pa.string())
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+        outs.append(rolled)
+    return outs[0].union(outs[1])
+
+
+CODEC_ROUNDTRIP_SQL = """
+SELECT * FROM (
+  SELECT 'snappy' AS codec,
+         CAST(s_nationkey AS BIGINT) AS s_nationkey,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS acctbal_cents
+  FROM supplier GROUP BY 2
+  UNION ALL
+  SELECT 'zstd',
+         CAST(s_nationkey AS BIGINT),
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+  FROM supplier GROUP BY 2
+)
+ORDER BY codec, s_nationkey
+"""

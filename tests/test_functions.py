@@ -6537,3 +6537,32 @@ def test_survivorship_merge_brute(tmp_path):
     assert int(got.loc[1, "max_acctbal_cents"]) == 2550
     assert got.loc[9, "golden_name"] == "Zebra Holdings"
     assert int(got.loc[9, "n_members"]) == 1
+
+
+def test_codec_roundtrip_codecs_agree_and_empty(tmp_path):
+    import pandas as pd
+
+    from go_boilerpipe_ray.sources import formats
+
+    got = formats.codec_roundtrip(
+        SF, out_dir=str(tmp_path / "codec")
+    ).to_pandas()
+    z = got[got["codec"] == "zstd"].drop(columns="codec").reset_index(drop=True)
+    s = (
+        got[got["codec"] == "snappy"]
+        .drop(columns="codec")
+        .reset_index(drop=True)
+    )
+    z = z.sort_values("s_nationkey").reset_index(drop=True)
+    s = s.sort_values("s_nationkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(z, s)
+    assert len(z) > 0
+
+    # empty input: typed empty result, no crash
+    pd.read_parquet(f"{SF}/supplier.parquet").head(0).to_parquet(
+        tmp_path / "supplier.parquet"
+    )
+    empty = formats.codec_roundtrip(
+        str(tmp_path), out_dir=str(tmp_path / "codec2")
+    )
+    assert empty.count() == 0
