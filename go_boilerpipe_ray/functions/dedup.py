@@ -2812,6 +2812,9 @@ def blocking_recall_report(sf_dir: str) -> pa.Table:
             b = batch.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
             if len(a) and (a.max() >= 1 << 31 or b.max() >= 1 << 31):
                 raise OverflowError("pair key exceeds packed int64 range")
+            # normalize orientation: SNM orders pairs by sort-key rank,
+            # simhash by doc id — (min, max) makes the keys comparable
+            a, b = np.minimum(a, b), np.maximum(a, b)
             return pa.table(
                 {
                     "k": pa.array((a << 32) | b, pa.int64()),
@@ -2876,7 +2879,8 @@ WITH t AS ({SIMHASH_PAIRS_SQL}),
 c AS ({SNM_DUP_PAIRS_SQL}),
 j AS (
   SELECT count(*) AS n_hits
-  FROM t JOIN c ON t.id_a = c.doc_a AND t.id_b = c.doc_b
+  FROM t JOIN c ON least(t.id_a, t.id_b) = least(c.doc_a, c.doc_b)
+             AND greatest(t.id_a, t.id_b) = greatest(c.doc_a, c.doc_b)
 )
 SELECT CAST((SELECT count(*) FROM t) AS BIGINT) AS n_true,
        CAST((SELECT count(*) FROM c) AS BIGINT) AS n_candidates,
@@ -2955,23 +2959,17 @@ def survivorship_merge(sf_dir: str) -> pa.Table:
         ck, en, names, bal = ck[order], en[order], names[order], bal[order]
         b = run_bounds(ck)
         lo, hi = b[:-1], b[1:]
-        ent_per_key = np.maximum.reduceat(en, lo)  # map row carries entity
-        out_k, out_e, out_n, out_b = [], [], [], []
-        for i, (s, e) in enumerate(zip(lo, hi)):
-            if ent_per_key[i] < 0:
-                continue  # customer without a map row (none in practice)
-            for j in range(s, e):
-                if en[j] < 0:  # the attribute row
-                    out_k.append(int(ck[j]))
-                    out_e.append(int(ent_per_key[i]))
-                    out_n.append(names[j])
-                    out_b.append(int(bal[j]))
+        # per-run entity from the map row, repeated over the run; keep
+        # only attribute rows (en < 0) whose run has a map row — fully
+        # vectorized (no per-row Python loop; review finding)
+        ent_full = np.repeat(np.maximum.reduceat(en, lo), hi - lo)
+        keep = (en < 0) & (ent_full >= 0)
         return pa.table(
             {
-                "custkey": pa.array(out_k, pa.int64()),
-                "entity": pa.array(out_e, pa.int64()),
-                "name": pa.array(out_n, pa.string()),
-                "acctbal_cents": pa.array(out_b, pa.int64()),
+                "custkey": pa.array(ck[keep].astype(np.int64), pa.int64()),
+                "entity": pa.array(ent_full[keep].astype(np.int64), pa.int64()),
+                "name": pa.array(names[keep].tolist(), pa.string()),
+                "acctbal_cents": pa.array(bal[keep].astype(np.int64), pa.int64()),
             }
         )
 
@@ -2990,29 +2988,26 @@ def survivorship_merge(sf_dir: str) -> pa.Table:
         ck = part.column("custkey").to_numpy(zero_copy_only=False)
         names = np.asarray(part.column("name").to_pylist(), dtype=object)
         bal = part.column("acctbal_cents").to_numpy(zero_copy_only=False)
-        order = np.argsort(en, kind="stable")
+        # sort (entity, -name_len, name): the first row of each entity
+        # run is then the survivorship pick — one lexsort, no Python
+        # per-entity loop (review finding)
+        name_len = np.fromiter(
+            (len(s) for s in names), dtype=np.int64, count=len(names)
+        )
+        order = np.lexsort((names, -name_len, en))
         en, ck, names, bal = en[order], ck[order], names[order], bal[order]
         b = run_bounds(en)
         lo, hi = b[:-1], b[1:]
-        out = {"entity": [], "n_members": [], "rep_custkey": [],
-               "golden_name": [], "max_acctbal_cents": []}
-        for s, e in zip(lo, hi):
-            seg_names = names[s:e]
-            # longest name, ties lexicographically smallest
-            best = min(range(s, e), key=lambda j: (-len(names[j]), names[j]))
-            out["entity"].append(int(en[s]))
-            out["n_members"].append(int(e - s))
-            out["rep_custkey"].append(int(ck[s:e].min()))
-            out["golden_name"].append(names[best])
-            out["max_acctbal_cents"].append(int(bal[s:e].max()))
         return pa.table(
             {
-                "entity": pa.array(out["entity"], pa.int64()),
-                "n_members": pa.array(out["n_members"], pa.int64()),
-                "rep_custkey": pa.array(out["rep_custkey"], pa.int64()),
-                "golden_name": pa.array(out["golden_name"], pa.string()),
+                "entity": pa.array(en[lo].astype(np.int64), pa.int64()),
+                "n_members": pa.array((hi - lo).astype(np.int64), pa.int64()),
+                "rep_custkey": pa.array(
+                    np.minimum.reduceat(ck, lo).astype(np.int64), pa.int64()
+                ),
+                "golden_name": pa.array(names[lo].tolist(), pa.string()),
                 "max_acctbal_cents": pa.array(
-                    out["max_acctbal_cents"], pa.int64()
+                    np.maximum.reduceat(bal, lo).astype(np.int64), pa.int64()
                 ),
             }
         )

@@ -11222,10 +11222,11 @@ def spearman_rank_stats(sf_dir: str) -> pa.Table:
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
-        d = np.rint(
-            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100
-        ).astype(np.int64)
-        # Pack the pair into one int64 key (domain tiny; guard anyway).
+        d = money_cents(batch.column("l_discount").to_numpy(zero_copy_only=False))
+        # Pack the pair into one int64 key (domain tiny; guard it so an
+        # out-of-domain value raises instead of corrupting the histogram).
+        if len(d) and (q.min() < 0 or d.min() < 0 or d.max() >= 1000):
+            raise ValueError("spearman_rank_stats: value outside packed domain")
         packed = q * 1000 + d
         keys, cnt = np.unique(packed, return_counts=True)
         return pa.table(
@@ -11499,9 +11500,7 @@ def expectations_report(sf_dir: str) -> pa.Table:
 
     def li_rules(batch: pa.Table) -> pa.Table:
         q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
-        d = np.rint(
-            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100
-        ).astype(np.int64)
+        d = money_cents(batch.column("l_discount").to_numpy(zero_copy_only=False))
         return pa.concat_tables(
             [
                 fold("lineitem_qty_in_1_50", (q >= 1) & (q <= 50)),
@@ -11885,6 +11884,8 @@ def ab_test_report(sf_dir: str) -> pa.Table:
         rows = []
         for a, name in ((0, "A"), (1, "B")):
             sel = arm == a
+            if not sel.any():
+                continue  # the oracle emits no row for an absent arm
             rows.append(
                 (
                     name,
@@ -12286,7 +12287,10 @@ def spend_gini(sf_dir: str) -> pa.Table:
         s1 += (c * rank_base + c * (c + 1) // 2) * v
         s0 += c * v
         rank_base += c
-    gini = (2000 * s1 - 1000 * (n + 1) * s0) // (n * s0) if n and s0 else 0
+    # mirror the oracle's CASE exactly: gini only for n > 0 AND s0 > 0
+    # (numerator >= 0 by Chebyshev when sorted ascending, so Python's
+    # floor // and DuckDB's truncating // agree on the kept branch)
+    gini = (2000 * s1 - 1000 * (n + 1) * s0) // (n * s0) if n and s0 > 0 else 0
     for val in (n, s0, gini):
         if abs(val) >= 2**63:
             raise OverflowError("spend_gini: int64 overflow")
@@ -12372,6 +12376,12 @@ def cohort_revenue(sf_dir: str) -> pa.Table:
         lo, hi = b[:-1], b[1:]
         fy = np.repeat(np.minimum.reduceat(yr, lo), hi - lo)
         is_new = yr == fy
+        # float64 bincount sums are exact only below 2^53 per partition —
+        # raise loudly instead of drifting (codebase convention)
+        if len(cents) and max(
+            abs(int(cents.min())), abs(int(cents.max()))
+        ) * len(cents) >= 1 << 53:
+            raise OverflowError("cohort_revenue: partition sum exceeds 2^53")
         years, inv = np.unique(yr, return_inverse=True)
         k = len(years)
         out = {
@@ -12799,7 +12809,8 @@ class _Sum128(ray.data.aggregate.AggregateFnV2):
         # provably wrap-free, and the Python-int accumulation across
         # chunks is arbitrary-precision — exact for ANY block content
         # (a plain int64 col.sum() silently wraps on huge values).
-        mx = int(np.abs(col).max())
+        # python-int abs: np.abs(INT64_MIN) wraps negative on int64
+        mx = max(abs(int(col.min())), abs(int(col.max())))
         step = max(1, (1 << 62) // max(1, mx))
         s = 0
         for i in range(0, len(col), step):

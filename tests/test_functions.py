@@ -5921,8 +5921,10 @@ def test_spearman_rank_stats_derives_rho():
         f"{SF}/lineitem.parquet", columns=["l_quantity", "l_discount"]
     )
     row = spearman_rank_stats(SF).to_pandas().iloc[0]
+    from go_boilerpipe_ray.functions._util import money_cents
+
     rx = 2 * li["l_quantity"].rank(method="average").to_numpy()
-    disc = np.rint(li["l_discount"].to_numpy() * 100).astype("int64")
+    disc = money_cents(li["l_discount"].to_numpy())
     ry = 2 * pd.Series(disc).rank(method="average").to_numpy()
     assert int(row["n"]) == len(li)
     assert int(row["sum_rx"]) == int(rx.sum())
@@ -6566,3 +6568,30 @@ def test_codec_roundtrip_codecs_agree_and_empty(tmp_path):
         str(tmp_path), out_dir=str(tmp_path / "codec2")
     )
     assert empty.count() == 0
+
+
+def test_ab_test_report_single_arm(tmp_path):
+    # All users in one md5-parity arm: the other arm must emit NO row
+    # (the oracle's GROUP BY produces none) — review regression.
+    import hashlib
+
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import ab_test_report
+
+    def arm(u):
+        h = int.from_bytes(hashlib.md5(str(u).encode()).digest()[8:], "little")
+        return "A" if h % 2 == 0 else "B"
+
+    # find two users in the same arm
+    users = [u for u in range(1, 50) if arm(u) == "A"][:2]
+    pd.DataFrame(
+        {
+            "user_id": users,
+            "event_type": ["purchase", "view"],
+            "value": [1.0, 2.0],
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = ab_test_report(str(tmp_path)).to_pandas()
+    assert got["arm"].tolist() == ["A"]
+    assert int(got.iloc[0]["n_users"]) == 2
