@@ -13207,3 +13207,180 @@ SELECT event_type,
 FROM sc WHERE rn = 1
 ORDER BY event_type
 """
+
+
+# -- smoothed target encoding -------------------------------------------------------
+
+
+_TE_SMOOTH_M = 100  # pseudo-observations blended toward the global prior
+
+
+def target_encode_brands(sf_dir: str) -> pa.Table:
+    """Feature-engineering staple: smoothed target encoding of part
+    brand by return rate — encode(b) = (returns_b + m * prior) /
+    (n_b + m) with the global prior, all in exact integer permille
+    (prior itself is the floored global permille, so the whole oracle
+    is integer-reproducible).  Rare brands shrink toward the prior,
+    hot brands keep their own rate — the classic leakage-safe
+    categorical encoder.
+
+    Scale shape: lineitem folds to per-(partkey) partials?  No — the
+    brand is the dimension attribute, so part broadcasts once
+    (revenue_by_brand's plan) and batches fold straight to
+    <= |brands| cells; one tiny keyed rollup, then driver arithmetic
+    over the bounded brand table."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ._util import ensure_columns
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    dim_ref = ray.put(
+        (
+            part.column("p_partkey").combine_chunks(),
+            part.column("p_brand").combine_chunks(),
+        )
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, brands = ray.get(dim_ref)
+        idx = pc.index_in(batch.column("l_partkey"), value_set=keys)
+        valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(valid)
+        idx = idx.take(pa.array(keep, pa.int64()))
+        ret = (
+            pc.equal(batch.column("l_returnflag"), pa.scalar("R"))
+            .to_numpy(zero_copy_only=False)[keep]
+            .astype(np.int64)
+        )
+        t = pa.table(
+            {
+                "p_brand": pc.take(brands, idx),
+                "n": pa.array(np.ones(len(ret), np.int64), pa.int64()),
+                "r": pa.array(ret, pa.int64()),
+            }
+        )
+        g = t.group_by("p_brand").aggregate([("n", "sum"), ("r", "sum")])
+        return g.rename_columns(["p_brand", "n", "r"])
+
+    out = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_returnflag"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_brand")
+        .aggregate(Sum("n", alias_name="n"), Sum("r", alias_name="r"))
+        .to_pandas()
+    )
+    out = ensure_columns(out, ["p_brand", "n", "r"]).sort_values("p_brand")
+    if out.empty:
+        return pa.table(
+            {
+                "p_brand": pa.array([], pa.string()),
+                "n_items": pa.array([], pa.int64()),
+                "n_returned": pa.array([], pa.int64()),
+                "encoded_permille": pa.array([], pa.int64()),
+            }
+        )
+    n = out["n"].to_numpy().astype(np.int64)
+    r = out["r"].to_numpy().astype(np.int64)
+    prior_pm = 1000 * int(r.sum()) // int(n.sum())  # floored global prior
+    enc = (1000 * r + _TE_SMOOTH_M * prior_pm) // (n + _TE_SMOOTH_M)
+    return pa.table(
+        {
+            "p_brand": pa.array(out["p_brand"], pa.string()),
+            "n_items": pa.array(n, pa.int64()),
+            "n_returned": pa.array(r, pa.int64()),
+            "encoded_permille": pa.array(enc.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+TARGET_ENCODE_BRANDS_SQL = f"""
+WITH b AS (
+  SELECT p.p_brand,
+         count(*) AS n,
+         sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+),
+g AS (SELECT 1000 * sum(r) // sum(n) AS prior_pm FROM b)
+SELECT p_brand,
+       CAST(n AS BIGINT) AS n_items,
+       CAST(r AS BIGINT) AS n_returned,
+       CAST((1000 * r + {_TE_SMOOTH_M} * prior_pm) // (n + {_TE_SMOOTH_M})
+            AS BIGINT) AS encoded_permille
+FROM b, g
+ORDER BY p_brand
+"""
+
+
+# -- leave-one-out source ablation ---------------------------------------------------
+
+
+def source_ablation_report(sf_dir: str) -> pa.Table:
+    """Corpus-ablation diagnostic: for every source, the mean document
+    length the corpus would have WITHOUT that source — mean_excl =
+    (S - S_s) // (n - n_s) in floored integer chars.  The cheap
+    leave-one-out table that shows which source drags the quality
+    metric, computed from per-source sufficient statistics: one cell
+    rollup, then O(|sources|) driver arithmetic — no per-ablation
+    rescan of anything."""
+    from ray.data.aggregate import Sum
+
+    from ._util import ensure_columns
+    from .text import read_documents
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "n": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+                "s": pc.cast(batch.column("n_chars"), pa.int64()),
+            }
+        )
+        g = t.group_by("source").aggregate([("n", "sum"), ("s", "sum")])
+        return g.rename_columns(["source", "n", "s"])
+
+    out = (
+        read_documents(sf_dir, columns=["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .to_pandas()
+    )
+    out = ensure_columns(out, ["source", "n", "s"]).sort_values("source")
+    if out.empty:
+        return pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "mean_nchars_excl": pa.array([], pa.int64()),
+            }
+        )
+    n = out["n"].to_numpy().astype(np.int64)
+    s = out["s"].to_numpy().astype(np.int64)
+    tot_n, tot_s = int(n.sum()), int(s.sum())
+    rest_n = tot_n - n
+    excl = np.where(rest_n > 0, (tot_s - s) // np.maximum(rest_n, 1), 0)
+    return pa.table(
+        {
+            "source": pa.array(out["source"], pa.string()),
+            "n_docs": pa.array(n, pa.int64()),
+            "mean_nchars_excl": pa.array(excl.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SOURCE_ABLATION_REPORT_SQL = """
+WITH b AS (
+  SELECT source, count(*) AS n, sum(n_chars) AS s
+  FROM documents GROUP BY 1
+),
+g AS (SELECT sum(n) AS tn, sum(s) AS ts FROM b)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(CASE WHEN tn - n > 0 THEN (ts - s) // (tn - n) ELSE 0 END
+            AS BIGINT) AS mean_nchars_excl
+FROM b, g
+ORDER BY source
+"""

@@ -6595,3 +6595,40 @@ def test_ab_test_report_single_arm(tmp_path):
     got = ab_test_report(str(tmp_path)).to_pandas()
     assert got["arm"].tolist() == ["A"]
     assert int(got.iloc[0]["n_users"]) == 2
+
+
+def test_target_encode_brands_brute(tmp_path):
+    # brand X: 2 items 1 return; brand Y: 1 item 0 returns.
+    # prior = 1000*1//3 = 333. encode(X) = (1000 + 100*333)//102 = 336
+    # (shrinks toward prior), encode(Y) = (0 + 33300)//101 = 329.
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import target_encode_brands
+
+    pd.DataFrame(
+        {"p_partkey": [1, 2], "p_brand": ["X", "Y"]}
+    ).to_parquet(tmp_path / "part.parquet")
+    pd.DataFrame(
+        {"l_partkey": [1, 1, 2], "l_returnflag": ["R", "N", "A"]}
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    got = target_encode_brands(str(tmp_path)).to_pandas().set_index("p_brand")
+    assert int(got.loc["X", "encoded_permille"]) == (1000 + 100 * 333) // 102
+    assert int(got.loc["Y", "encoded_permille"]) == (100 * 333) // 101
+    assert int(got.loc["X", "n_returned"]) == 1
+
+
+def test_source_ablation_report_brute(tmp_path):
+    import pandas as pd
+
+    from go_boilerpipe_ray.functions.relational import source_ablation_report
+
+    pd.DataFrame(
+        {
+            "source": ["a", "a", "b"],
+            "n_chars": [100, 200, 600],
+            "lang": ["en"] * 3,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = source_ablation_report(str(tmp_path)).to_pandas().set_index("source")
+    assert int(got.loc["a", "mean_nchars_excl"]) == 600  # only b remains
+    assert int(got.loc["b", "mean_nchars_excl"]) == 150  # (100+200)//2
