@@ -997,3 +997,116 @@ SELECT * FROM (
 )
 ORDER BY codec, s_nationkey
 """
+
+
+def quarantine_split(sf_dir: str, out_dir: str | None = None) -> "ray.data.Dataset":
+    """Dead-letter routing: ONE streaming pass over events writes every
+    batch's rows to two sinks — clean (value present and non-negative)
+    vs quarantine (the rest) — then reads both sides back and emits a
+    (side, n_rows, value_cents) audit row per sink.  The
+    router-with-multi-sink shape every ingestion pipeline needs: no
+    second scan to separate failures, and the read-back proves the
+    split tiles the input (pinned by pytest; the oracle recomputes both
+    sides from the source).
+
+    Scale shape: the split happens inside map_batches (two content-hash
+    shard writes per batch, the established custom-sink idiom); the
+    audit rollups stream per side."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out = _sink_dir("quarantine", sf_dir, out_dir)
+    clean_dir = os.path.join(out, "clean")
+    quar_dir = os.path.join(out, "quarantine")
+    os.makedirs(clean_dir, exist_ok=True)
+    os.makedirs(quar_dir, exist_ok=True)
+
+    def route(batch: pa.Table) -> pa.Table:
+        val = batch.column("value")
+        ok = pc.and_kleene(
+            pc.is_valid(val), pc.greater_equal(val, pa.scalar(0.0))
+        )
+        ok = pc.fill_null(ok, False)
+        mask = ok.to_numpy(zero_copy_only=False)
+        written = []
+        for side_dir, side_mask in ((clean_dir, mask), (quar_dir, ~mask)):
+            part = batch.filter(pa.array(side_mask))
+            if part.num_rows == 0:
+                continue
+            sink = pa.BufferOutputStream()
+            pq.write_table(part, sink)
+            buf = sink.getvalue().to_pybytes()
+            name = _hl.md5(buf).hexdigest()
+            with open(os.path.join(side_dir, f"{name}.parquet"), "wb") as f:
+                f.write(buf)
+            written.append(part.num_rows)
+        return pa.table(
+            {"n": pa.array([int(sum(written))], pa.int64())}
+        )
+
+    ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    ).map_batches(route, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    sides = []
+    for side, path in (("clean", clean_dir), ("quarantine", quar_dir)):
+        if not os.listdir(path):
+            continue
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cents = money_cents(
+                pc.fill_null(batch.column("value"), 0.0).to_numpy(
+                    zero_copy_only=False
+                )
+            )
+            return pa.table(
+                {
+                    "n_rows": pa.array([batch.num_rows], pa.int64()),
+                    "value_cents": pa.array([int(cents.sum())], pa.int64()),
+                }
+            )
+
+        import ray.data.aggregate as agg
+
+        rolled = (
+            ray.data.read_parquet(path)
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .aggregate(agg.Sum("n_rows"), agg.Sum("value_cents"))
+        )
+        sides.append(
+            (
+                side,
+                int(rolled.get("sum(n_rows)") or 0),
+                int(rolled.get("sum(value_cents)") or 0),
+            )
+        )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "side": pa.array([s[0] for s in sides], pa.string()),
+                "n_rows": pa.array([s[1] for s in sides], pa.int64()),
+                "value_cents": pa.array([s[2] for s in sides], pa.int64()),
+            }
+        )
+    )
+
+
+QUARANTINE_SPLIT_SQL = """
+SELECT * FROM (
+  SELECT 'clean' AS side,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(COALESCE(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0)
+              AS BIGINT) AS value_cents
+  FROM events WHERE value IS NOT NULL AND value >= 0
+  UNION ALL
+  SELECT 'quarantine',
+         CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(CAST(floor(COALESCE(value, 0) * 100 + 0.5)
+                                AS BIGINT)), 0) AS BIGINT)
+  FROM events WHERE value IS NULL OR value < 0
+)
+WHERE n_rows > 0
+ORDER BY side
+"""

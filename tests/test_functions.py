@@ -6632,3 +6632,28 @@ def test_source_ablation_report_brute(tmp_path):
     got = source_ablation_report(str(tmp_path)).to_pandas().set_index("source")
     assert int(got.loc["a", "mean_nchars_excl"]) == 600  # only b remains
     assert int(got.loc["b", "mean_nchars_excl"]) == 150  # (100+200)//2
+
+
+def test_quarantine_split_tiles_input(tmp_path):
+    # 2 clean rows, 1 null and 1 negative quarantined: sides must tile
+    # the input and carry the right value sums.
+    import pandas as pd
+
+    from go_boilerpipe_ray.sources import formats
+
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "value": pd.array([1.0, 2.5, None, -3.0], dtype="float64"),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = (
+        formats.quarantine_split(str(tmp_path), out_dir=str(tmp_path / "q"))
+        .to_pandas()
+        .set_index("side")
+    )
+    assert int(got.loc["clean", "n_rows"]) == 2
+    assert int(got.loc["clean", "value_cents"]) == 350
+    assert int(got.loc["quarantine", "n_rows"]) == 2
+    assert int(got.loc["quarantine", "value_cents"]) == -300
+    assert int(got["n_rows"].sum()) == 4
