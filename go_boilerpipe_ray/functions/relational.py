@@ -13384,3 +13384,117 @@ SELECT source,
 FROM b, g
 ORDER BY source
 """
+
+
+# -- gap fill (date-spine densification + LOCF) ------------------------------
+
+
+def gap_fill(sf_dir: str) -> pa.Table:
+    """Time-series densification: per event_type, the full daily spine
+    from that type's first to last active day, with missing days
+    zero-filled (cnt) and last-observation-carried-forward (locf_cnt =
+    the most recent day's count that actually had events).  The gap-fill
+    idiom every downstream forecaster needs before it can difference or
+    window a series.
+
+    Scale shape: the raw stream collapses to (event_type, day, partial
+    count) inside map_batches, then ONE bounded groupby sums partials —
+    shuffle volume is #types × #days rows, not #events.  The spine
+    expansion runs on the rolled-up frame, which is bounded by design
+    (event-type vocabulary is small and the calendar range is fixed:
+    even 10 years × 10k types is 36M rows, and it only grows with the
+    CALENDAR, never with event volume).  LOCF per type is one
+    maximum.accumulate over the presence mask — no per-day Python."""
+    from ray.data.aggregate import Sum
+
+    from ._util import ensure_columns
+
+    DAY_US = 86_400 * 1_000_000
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64())
+        d = (t.to_numpy(zero_copy_only=False) // DAY_US) * DAY_US
+        tab = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "d": pa.array(d, pa.int64()),
+                "n": pa.array(np.ones(len(d), np.int64), pa.int64()),
+            }
+        )
+        g = tab.group_by(["event_type", "d"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "d", "n"])
+
+    rolled = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "d"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: #types × #days (calendar-bounded, see above)
+    )
+    rolled = ensure_columns(rolled, ["event_type", "d", "n"])
+
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "day": pa.array([], pa.timestamp("us")),
+            "cnt": pa.array([], pa.int64()),
+            "locf_cnt": pa.array([], pa.int64()),
+        }
+    )
+    if rolled.empty:
+        return empty
+
+    rolled = rolled.sort_values(["event_type", "d"])
+    types_out, days_out, cnt_out, locf_out = [], [], [], []
+    # Bounded loop: one iteration per event TYPE (vocabulary-sized),
+    # each body fully vectorized over that type's calendar.
+    for etype, grp in rolled.groupby("event_type", sort=True):
+        d = grp["d"].to_numpy().astype(np.int64)
+        n = grp["n"].to_numpy().astype(np.int64)
+        spine = np.arange(d[0], d[-1] + DAY_US, DAY_US, dtype=np.int64)
+        cnt = np.zeros(len(spine), np.int64)
+        pos = ((d - d[0]) // DAY_US).astype(np.int64)
+        cnt[pos] = n
+        present = np.zeros(len(spine), bool)
+        present[pos] = True
+        # LOCF: index of the most recent present day (day 0 is present
+        # by construction, so the accumulate never reads a gap).
+        last = np.maximum.accumulate(np.where(present, np.arange(len(spine)), 0))
+        types_out.append(np.full(len(spine), etype, dtype=object))
+        days_out.append(spine)
+        cnt_out.append(cnt)
+        locf_out.append(cnt[last])
+    return pa.table(
+        {
+            "event_type": pa.array(np.concatenate(types_out), pa.string()),
+            "day": pc.cast(
+                pa.array(np.concatenate(days_out), pa.int64()), pa.timestamp("us")
+            ),
+            "cnt": pa.array(np.concatenate(cnt_out), pa.int64()),
+            "locf_cnt": pa.array(np.concatenate(locf_out), pa.int64()),
+        }
+    )
+
+
+GAP_FILL_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+-- this DuckDB build rejects lateral/subquery args to generate_series,
+-- so the per-type day spine is a recursive CTE (depth = calendar days)
+spine AS (
+  SELECT event_type, lo AS day, hi FROM bounds
+  UNION ALL
+  SELECT event_type, day + INTERVAL 1 DAY, hi FROM spine WHERE day < hi
+)
+SELECT s.event_type, s.day,
+       COALESCE(d.c, 0) AS cnt,
+       LAST_VALUE(d.c IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_cnt
+FROM spine s
+LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day
+ORDER BY 1, 2
+"""

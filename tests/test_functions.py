@@ -6657,3 +6657,70 @@ def test_quarantine_split_tiles_input(tmp_path):
     assert int(got.loc["quarantine", "n_rows"]) == 2
     assert int(got.loc["quarantine", "value_cents"]) == -300
     assert int(got["n_rows"].sum()) == 4
+
+
+def test_gap_fill_locf_over_missing_days(ray_session, tmp_path):
+    """The sf tables are dense (no missing days), so the gap path needs a
+    sparse fixture: type A is active on days 1/4/5 of its range, type B
+    on 2/3 — gaps must appear with cnt=0 and locf carrying the last
+    ACTIVE day's count forward; each type's spine is clamped to its own
+    min/max day."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.relational import gap_fill
+
+    def d(day):
+        return pd.Timestamp(f"2024-03-{day:02d}")
+
+    rows = (
+        [("A", d(1))] * 3          # A day1: 3 events
+        + [("A", d(4))] * 1        # A days 2-3 are gaps
+        + [("A", d(5))] * 2
+        + [("B", d(2))] * 5        # B spine is 2..3 only
+        + [("B", d(3))] * 4
+    )
+    _write_pq(
+        tmp_path,
+        "events",
+        pa.table(
+            {
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+            }
+        ),
+    )
+    out = gap_fill(str(tmp_path)).to_pandas()
+    got = {
+        (r.event_type, r.day.day): (r.cnt, r.locf_cnt)
+        for r in out.itertuples()
+    }
+    assert got == {
+        ("A", 1): (3, 3),
+        ("A", 2): (0, 3),  # gap: zero-filled, locf carries day1's 3
+        ("A", 3): (0, 3),
+        ("A", 4): (1, 1),
+        ("A", 5): (2, 2),
+        ("B", 2): (5, 5),
+        ("B", 3): (4, 4),
+    }
+
+
+def test_gap_fill_empty_events(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.relational import gap_fill
+
+    _write_pq(
+        tmp_path,
+        "events",
+        pa.table(
+            {
+                "ts": pa.array([], pa.timestamp("us")),
+                "event_type": pa.array([], pa.string()),
+            }
+        ),
+    )
+    out = gap_fill(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.column_names == ["event_type", "day", "cnt", "locf_cnt"]
