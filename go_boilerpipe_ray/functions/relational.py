@@ -13498,3 +13498,152 @@ FROM spine s
 LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day
 ORDER BY 1, 2
 """
+
+
+# -- item-item similarity (co-purchase top-k neighbors) -----------------------
+
+
+def item_similarity_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Item-item collaborative filtering: for every part, its top-3
+    co-purchased neighbor parts by shared-order count (ties broken by
+    smaller neighbor id).  The "users who bought X also bought Y"
+    primitive, kept integer-exact (raw intersection counts, no float
+    similarity) so the oracle hashes bit-for-bit.
+
+    Scale shape: three keyed shuffles, none all-to-all on raw rows —
+    (1) order-keyed: per-order part lists expand to directed pairs with
+    a per-run triu sweep, pre-collapsed to (packed pair key, partial
+    count) with np.unique BEFORE leaving the task, so the wire carries
+    pair partials, not the quadratic expansion re-counted downstream;
+    (2) pair-keyed groupby sums partials into exact shared-order counts;
+    (3) src-keyed: one lexsort kernel per hash partition ranks every
+    part's neighbor list at once (partitioned_by_key — UDF calls bounded
+    by P, not by #parts).  Pair keys pack (src,dst) into ONE int64
+    (the sort-groupby ~10 µs/row finding: never group on two columns
+    when one packed key works).  Giant orders are the skew risk: a
+    k-item order emits k(k-1) pairs, bounded here by the order schema
+    (orders cap out at tens of lines); a marketplace-basket variant
+    would cap or sample per-order part lists first."""
+    from ._util import partitioned_by_key, run_bounds, wide_partitions
+
+    P = wide_partitions()
+    MASK = (1 << _TRI_SHIFT) - 1
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def order_pk(batch: pa.Table) -> pa.Table:
+        o = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        p = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        if p.size and int(p.max()) >= (1 << (_TRI_SHIFT - 1)):
+            raise OverflowError("partkey exceeds composite-key bound (2^31)")
+        u = np.unique(np.stack([o, p], axis=1), axis=0)
+        return pa.table(
+            {
+                "o": pa.array(u[:, 0], pa.int64()),
+                "p": pa.array(u[:, 1], pa.int64()),
+            }
+        )
+
+    def pair_partials(part: pa.Table) -> pa.Table:
+        o = part.column("o").to_numpy(zero_copy_only=False)
+        p = part.column("p").to_numpy(zero_copy_only=False)
+        if len(o) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"k": z, "n": z})
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        keep = np.r_[True, (o[1:] != o[:-1]) | (p[1:] != p[:-1])]
+        o, p = o[keep], p[keep]
+        b = run_bounds(o)
+        keys = []
+        for i in range(len(b) - 1):
+            pp = p[b[i] : b[i + 1]]
+            if len(pp) < 2:
+                continue
+            ii, jj = np.triu_indices(len(pp), k=1)
+            fwd = (pp[ii] << _TRI_SHIFT) | pp[jj]
+            rev = (pp[jj] << _TRI_SHIFT) | pp[ii]
+            keys.append(fwd)
+            keys.append(rev)
+        if not keys:
+            z = pa.array([], pa.int64())
+            return pa.table({"k": z, "n": z})
+        k, n = np.unique(np.concatenate(keys), return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    pairs = (
+        partitioned_by_key(
+            li.map_batches(order_pk, batch_format="pyarrow", zero_copy_batch=True),
+            "o",
+            pair_partials,
+            P=P,
+        )
+        .groupby("k")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="shared"))
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(k >> _TRI_SHIFT, pa.int64()),
+                "dst": pa.array(k & MASK, pa.int64()),
+                "shared": pc.cast(batch.column("shared"), pa.int64()),
+            }
+        )
+
+    def topk(part: pa.Table) -> pa.Table:
+        s = part.column("src").to_numpy(zero_copy_only=False)
+        d = part.column("dst").to_numpy(zero_copy_only=False)
+        c = part.column("shared").to_numpy(zero_copy_only=False)
+        if len(s) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table(
+                {"part_id": z, "neighbor_id": z, "shared_orders": z, "rank": z}
+            )
+        order = np.lexsort((d, -c, s))
+        s, d, c = s[order], d[order], c[order]
+        b = run_bounds(s)
+        starts = np.repeat(b[:-1], np.diff(b))
+        rank = np.arange(len(s), dtype=np.int64) - starts + 1
+        keep = rank <= 3
+        return pa.table(
+            {
+                "part_id": pa.array(s[keep], pa.int64()),
+                "neighbor_id": pa.array(d[keep], pa.int64()),
+                "shared_orders": pa.array(c[keep].astype(np.int64), pa.int64()),
+                "rank": pa.array(rank[keep], pa.int64()),
+            }
+        )
+
+    return partitioned_by_key(
+        pairs.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True),
+        "src",
+        topk,
+        P=P,
+    )
+
+
+ITEM_SIMILARITY_TOPK_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pairs AS (
+  SELECT a.p AS src, b.p AS dst, count(*) AS shared
+  FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT src, dst, shared,
+         row_number() OVER (PARTITION BY src ORDER BY shared DESC, dst) AS rk
+  FROM pairs
+)
+SELECT CAST(src AS BIGINT) AS part_id,
+       CAST(dst AS BIGINT) AS neighbor_id,
+       CAST(shared AS BIGINT) AS shared_orders,
+       CAST(rk AS BIGINT) AS rank
+FROM ranked WHERE rk <= 3
+ORDER BY 1, 4
+"""

@@ -6724,3 +6724,56 @@ def test_gap_fill_empty_events(ray_session, tmp_path):
     out = gap_fill(str(tmp_path))
     assert out.num_rows == 0
     assert out.column_names == ["event_type", "day", "cnt", "locf_cnt"]
+
+
+def test_item_similarity_topk_hand_case(ray_session, tmp_path):
+    """Orders {1:(10,11,12), 2:(10,11), 3:(10,11)} → 10's best neighbor is
+    11 (3 shared orders) then 12 (1); ties broken by smaller part id."""
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.relational import item_similarity_topk
+
+    o = [1, 1, 1, 2, 2, 3, 3]
+    p = [10, 11, 12, 10, 11, 10, 11]
+    _write_pq(
+        tmp_path,
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array(o, pa.int64()),
+                "l_partkey": pa.array(p, pa.int64()),
+            }
+        ),
+    )
+    out = item_similarity_topk(str(tmp_path)).to_pandas()
+    got = {
+        (r.part_id, r.rank): (r.neighbor_id, r.shared_orders)
+        for r in out.itertuples()
+    }
+    assert got == {
+        (10, 1): (11, 3),
+        (10, 2): (12, 1),
+        (11, 1): (10, 3),
+        (11, 2): (12, 1),
+        (12, 1): (10, 1),  # tie with 11 at 1 shared → smaller id wins
+        (12, 2): (11, 1),
+    }
+
+
+def test_item_similarity_topk_empty(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.relational import item_similarity_topk
+
+    _write_pq(
+        tmp_path,
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "l_partkey": pa.array([], pa.int64()),
+            }
+        ),
+    )
+    out = item_similarity_topk(str(tmp_path)).to_pandas()
+    assert len(out) == 0
