@@ -3063,3 +3063,333 @@ FROM j JOIN (SELECT entity, c_name FROM pick WHERE rn = 1) p
 GROUP BY j.entity
 ORDER BY j.entity
 """
+
+
+# -- AllPairs prefix-filtering similarity join (Bayardo et al., WWW'07) ------
+
+
+def allpairs_jaccard(sf_dir: str, threshold_pct: int = 70, k: int = 3) -> "ray.data.Dataset":
+    """Exact Jaccard similarity join by PREFIX FILTERING: every pair of
+    documents with shingle-set Jaccard >= threshold, found WITHOUT
+    indexing every shingle.  Tokens are totally ordered by ascending
+    global document frequency (ties by shingle hash); a document of n
+    distinct shingles indexes only its first n - ceil(tau*n) + 1 tokens
+    in that order (its "prefix").  The prefix-filtering lemma guarantees
+    any pair at or above tau collides on some token BOTH docs hold in
+    their prefixes, so candidates come only from prefix collisions —
+    on real corpora that skips the high-df tail (stopword shingles)
+    that makes a full inverted index quadratic.  Candidates are then
+    verified EXACTLY against the full shingle sets.
+
+    Distinct from ngram_jaccard_pairs (full inverted index, same
+    semantics): this is the at-scale algorithm when the df distribution
+    is heavy-tailed; both return identical pairs at equal thresholds.
+
+    Scale shape — four keyed shuffles, all partition-vectorized:
+      (1) shingle-keyed: df attached per run inside the partition
+          (co-location makes the count exact; no broadcast df table);
+      (2) doc-keyed: per-doc (df, shingle) sort picks the prefix;
+      (3) prefix-shingle-keyed: unique candidate pairs per partition
+          (triu per run, the module's pair idiom);
+      (4) the verify is minhash_lsh_pairs' verify="join" plan with
+          variable-length set payloads: each candidate splits into two
+          half-rows that pick up their doc's FULL sorted shingle set in
+          a doc-hash partition (varlen gather, no Python per row), then
+          reunite in a pair-hash partition where intersections for ALL
+          pairs are counted by one label+value lexsort (each set is
+          distinct-valued, so adjacent equal (pair, value) rows count
+          the intersection) — no per-pair Python loop.
+    Threshold is integer-exact: keep iff 100*inter >= pct*(na+nb-inter).
+    """
+    from ._util import partitioned_by_key, run_bounds
+
+    P = wide_partitions()
+    shingled = dup_corpus(sf_dir).map_batches(
+        lambda b: _shingle_batch(b, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()  # feeds stages 1 AND 4: fixed-width (id, hash) rows
+
+    # -- stage 1: attach global df inside shingle-hash partitions -------
+    def attach_df(part: pa.Table) -> pa.Table:
+        sh = part.column("shingle").to_numpy(zero_copy_only=False)
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+        ns = part.column("n_sh").to_numpy(zero_copy_only=False)
+        if len(sh) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "shingle": z, "n_sh": z, "df": z})
+        order = np.argsort(sh, kind="stable")
+        sh, ids, ns = sh[order], ids[order], ns[order]
+        b = run_bounds(sh)
+        df = np.repeat(np.diff(b), np.diff(b)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shingle": pa.array(sh, pa.int64()),
+                "n_sh": pa.array(ns, pa.int64()),
+                "df": pa.array(df, pa.int64()),
+            }
+        )
+
+    with_df = partitioned_by_key(shingled, "shingle", attach_df, P=P)
+
+    # -- stage 2: per-doc prefix selection (df asc, shingle asc) --------
+    def pick_prefix(part: pa.Table) -> pa.Table:
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = part.column("shingle").to_numpy(zero_copy_only=False)
+        ns = part.column("n_sh").to_numpy(zero_copy_only=False)
+        df = part.column("df").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"shingle": z, "doc_id": z})
+        order = np.lexsort((sh, df, ids))
+        ids, sh, ns = ids[order], sh[order], ns[order]
+        b = run_bounds(ids)
+        starts = np.repeat(b[:-1], np.diff(b))
+        pos = np.arange(len(ids), dtype=np.int64) - starts
+        # ceil(tau*n) with tau = pct/100, all-integer
+        lim = ns - (threshold_pct * ns + 99) // 100 + 1
+        keep = pos < lim
+        return pa.table(
+            {
+                "shingle": pa.array(sh[keep], pa.int64()),
+                "doc_id": pa.array(ids[keep], pa.int64()),
+            }
+        )
+
+    prefixes = partitioned_by_key(with_df, "doc_id", pick_prefix, P=P)
+
+    # -- stage 3: candidate pairs from prefix collisions ----------------
+    def prefix_pairs(part: pa.Table) -> pa.Table:
+        sh = part.column("shingle").to_numpy(zero_copy_only=False)
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(sh) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"id_a": z, "id_b": z})
+        order = np.lexsort((ids, sh))
+        sh, ids = sh[order], ids[order]
+        b = run_bounds(sh)
+        out_a, out_b = [], []
+        for s, e in zip(b[:-1], b[1:]):
+            g = e - s
+            if g < 2:
+                continue
+            ii, jj = np.triu_indices(g, 1)
+            out_a.append(ids[s + ii])
+            out_b.append(ids[s + jj])
+        if not out_a:
+            z = pa.array([], pa.int64())
+            return pa.table({"id_a": z, "id_b": z})
+        a, bb = np.concatenate(out_a), np.concatenate(out_b)
+        uniq = np.unique(np.stack([a, bb], axis=1), axis=0)
+        return pa.table(
+            {
+                "id_a": pa.array(uniq[:, 0], pa.int64()),
+                "id_b": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+
+    candidates = partitioned_by_key(prefixes, "shingle", prefix_pairs, P=P)
+
+    # -- stage 4: exact verify via set-carry repartition join ------------
+    def _empty_list(n: int) -> pa.ListArray:
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, dtype=np.int32)), pa.array([], pa.int64())
+        )
+
+    def doc_sets(part: pa.Table) -> pa.Table:
+        """Per-doc sorted distinct shingle arrays as ONE list column."""
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = part.column("shingle").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "set": _empty_list(0)}
+            )
+        order = np.lexsort((sh, ids))
+        ids, sh = ids[order], sh[order]
+        b = run_bounds(ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[b[:-1]], pa.int64()),
+                "set": pa.ListArray.from_arrays(
+                    pa.array(b.astype(np.int32)), pa.array(sh, pa.int64())
+                ),
+            }
+        )
+
+    sets_ds = partitioned_by_key(shingled, "doc_id", doc_sets, P=P)
+
+    def pair_halves(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").combine_chunks()
+        bb = batch.column("id_b").combine_chunks()
+        n = batch.num_rows
+        key = pa.concat_arrays([a, bb])
+        side = np.zeros(2 * n, dtype=np.int8)
+        side[n:] = 1
+        return pa.table(
+            {
+                "key": key,
+                "id_a": pa.concat_arrays([a, a]),
+                "id_b": pa.concat_arrays([bb, bb]),
+                "side": pa.array(side),
+                "set": _empty_list(2 * n),
+                "is_set": pa.array(np.zeros(2 * n, dtype=bool)),
+                "kp": pa.array(
+                    (key.to_numpy(zero_copy_only=False) % P).astype(np.int32)
+                ),
+            }
+        )
+
+    def set_role(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column("doc_id"),
+                "id_a": pa.array(np.zeros(n, dtype=np.int64)),
+                "id_b": pa.array(np.zeros(n, dtype=np.int64)),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "set": batch.column("set"),
+                "is_set": pa.array(np.ones(n, dtype=bool)),
+                "kp": pa.array((ids % P).astype(np.int32)),
+            }
+        )
+
+    halves = candidates.map_batches(
+        pair_halves, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        sets_ds.map_batches(set_role, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def attach_set(group: pa.Table) -> pa.Table:
+        """Varlen gather: every half-row picks up its key's full sorted
+        set via binary search + vectorized segment copy."""
+        is_set = group.column("is_set").to_numpy(zero_copy_only=False)
+        keys = group.column("key").to_numpy(zero_copy_only=False)
+        lst = group.column("set").combine_chunks()
+        offs = np.asarray(lst.offsets)
+        vals = np.asarray(lst.values) if len(lst.values) else np.array([], np.int64)
+        # set rows: (key, [start, end) into vals)
+        set_rows = np.flatnonzero(is_set)
+        skeys = keys[set_rows]
+        sstart, send = offs[set_rows], offs[set_rows + 1]
+        order = np.argsort(skeys)
+        skeys, sstart, send = skeys[order], sstart[order], send[order]
+        sel = np.flatnonzero(~is_set)
+        pkeys = keys[sel]
+        pos = np.clip(np.searchsorted(skeys, pkeys), 0, max(len(skeys) - 1, 0))
+        valid = (
+            (skeys[pos] == pkeys)
+            if len(skeys)
+            else np.zeros(len(pkeys), dtype=bool)
+        )
+        sel = sel[valid]
+        pos = pos[valid]
+        lens = (send[pos] - sstart[pos]).astype(np.int64)
+        total = int(lens.sum())
+        out_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=out_off[1:])
+        gather = (
+            np.arange(total, dtype=np.int64)
+            + np.repeat(sstart[pos].astype(np.int64) - out_off[:-1], lens)
+            if total
+            else np.array([], np.int64)
+        )
+        id_a = group.column("id_a").to_numpy(zero_copy_only=False)[sel]
+        id_b = group.column("id_b").to_numpy(zero_copy_only=False)[sel]
+        side = group.column("side").to_numpy(zero_copy_only=False)[sel]
+        return pa.table(
+            {
+                "id_a": pa.array(id_a, pa.int64()),
+                "id_b": pa.array(id_b, pa.int64()),
+                "side": pa.array(side),
+                "set": pa.ListArray.from_arrays(
+                    pa.array(out_off.astype(np.int32)),
+                    pa.array(vals[gather], pa.int64()),
+                ),
+                "pp": pa.array(((id_a * 1_000_003 + id_b) % P).astype(np.int32)),
+            }
+        )
+
+    attached = halves.groupby("kp").map_groups(attach_set, batch_format="pyarrow")
+
+    def combine_and_verify(group: pa.Table) -> pa.Table:
+        """Dedup duplicate halves (same pair via several prefix tokens),
+        align the two halves of each pair, then count ALL intersections
+        with one (pair-label, value) lexsort — adjacent equal values
+        under the same label are exactly the common shingles."""
+        a = group.column("id_a").to_numpy(zero_copy_only=False)
+        b = group.column("id_b").to_numpy(zero_copy_only=False)
+        sd = group.column("side").to_numpy(zero_copy_only=False)
+        lst = group.column("set").combine_chunks()
+        offs = np.asarray(lst.offsets)
+        vals = np.asarray(lst.values) if len(lst.values) else np.array([], np.int64)
+        order = np.lexsort((sd, b, a))
+        first = np.ones(len(order), dtype=bool)
+        ao, bo, so = a[order], b[order], sd[order]
+        first[1:] = (ao[1:] != ao[:-1]) | (bo[1:] != bo[:-1]) | (so[1:] != so[:-1])
+        rows = order[first]
+        ao, bo = ao[first], bo[first]
+        if len(rows) % 2 or not (
+            np.array_equal(ao[0::2], ao[1::2]) and np.array_equal(bo[0::2], bo[1::2])
+        ):
+            raise ValueError("pair halves misaligned in verify partition")
+        n_pairs = len(rows) // 2
+        if n_pairs == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"id_a": z, "id_b": z, "inter": z, "uni": z})
+        lens = (offs[rows + 1] - offs[rows]).astype(np.int64)
+        total = int(lens.sum())
+        out_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=out_off[1:])
+        gather = np.arange(total, dtype=np.int64) + np.repeat(
+            offs[rows].astype(np.int64) - out_off[:-1], lens
+        )
+        flat = vals[gather]
+        # label = pair index (row i belongs to pair i//2)
+        label = np.repeat(np.arange(len(rows), dtype=np.int64) // 2, lens)
+        o2 = np.lexsort((flat, label))
+        flat, label = flat[o2], label[o2]
+        eq = (label[1:] == label[:-1]) & (flat[1:] == flat[:-1])
+        inter = np.bincount(label[1:][eq], minlength=n_pairs).astype(np.int64)
+        na = lens[0::2]
+        nb = lens[1::2]
+        uni = na + nb - inter
+        keep = 100 * inter >= threshold_pct * uni
+        return pa.table(
+            {
+                "id_a": pa.array(ao[0::2][keep], pa.int64()),
+                "id_b": pa.array(bo[0::2][keep], pa.int64()),
+                "inter": pa.array(inter[keep], pa.int64()),
+                "uni": pa.array(uni[keep], pa.int64()),
+            }
+        )
+
+    return attached.groupby("pp").map_groups(
+        combine_and_verify, batch_format="pyarrow"
+    )
+
+
+ALLPAIRS_JACCARD_SQL = f"""
+WITH corpus AS ({DUP_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(ts) - 1)) AS r(i)
+  WHERE len(ts) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, c AS inter,
+       CAST(sa.n + sb.n - c AS BIGINT) AS uni
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE 100 * c >= 70 * (sa.n + sb.n - c)
+"""

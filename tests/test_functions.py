@@ -6777,3 +6777,60 @@ def test_item_similarity_topk_empty(ray_session, tmp_path):
     )
     out = item_similarity_topk(str(tmp_path)).to_pandas()
     assert len(out) == 0
+
+
+def test_allpairs_jaccard_matches_brute_force(ray_session, tmp_path):
+    """Prefix-filtering completeness: allpairs_jaccard must return
+    EXACTLY the pairs a brute-force all-pairs Jaccard over the same
+    shingle sets finds — including a near-miss pair below threshold and
+    overlapping-but-distinct docs."""
+    import itertools
+    import re
+
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.dedup import allpairs_jaccard, dup_corpus
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "the quick brown fox jumps over the lazy dog near the river shore",
+        "a completely different document about ray data pipelines and arrow",
+        "a completely different document about ray data pipelines and arrow batches",
+        "short text one two",
+    ]
+    _write_pq(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+    )
+
+    # Brute force over the SAME corpus the operator sees (dup_corpus
+    # injects exact + perturbed copies), string shingles, k=3.
+    rows = dup_corpus(str(tmp_path)).take_all()
+    sets = {}
+    for r in rows:
+        toks = re.findall(r"[a-z0-9]+", r["text"].lower())
+        sets[r["doc_id"]] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        uni = len(sa | sb)
+        if 100 * inter >= 70 * uni:
+            want.add((a, b, inter, uni))
+
+    out = allpairs_jaccard(str(tmp_path)).to_pandas()
+    got = {
+        (r.id_a, r.id_b, r.inter, r.uni) for r in out.itertuples()
+    }
+    assert got == want
+    assert len(want) > 0  # fixture must actually produce pairs
