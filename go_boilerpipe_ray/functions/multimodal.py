@@ -222,3 +222,65 @@ def resize_media_dataset(
         batch_size=batch_size,
         **kwargs,
     )
+
+
+def synth_dup_media_table(n: int, groups: int, payload_bytes: int = 2048, seed: int = 7) -> pa.Table:
+    """Media corpus with CONSTRUCTED duplicate structure: row i carries
+    base payload i % groups, so binary-level dedup must recover exactly
+    ``groups`` clusters with known membership — the oracle mirrors the
+    construction while the operator sees only opaque bytes."""
+    rng = np.random.RandomState(seed)
+    bases = [rng.bytes(payload_bytes) for _ in range(groups)]
+    return pa.table(
+        {
+            "i": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "media_ref": pa.array([f"media://dup/{i}" for i in range(n)], pa.string()),
+            "kind": pa.array(
+                ["image" if i % 3 else "audio" for i in range(n)], pa.string()
+            ),
+            "payload": pa.array([bases[i % groups] for i in range(n)], pa.binary()),
+        }
+    )
+
+
+def media_dedup_dataset(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact dedup of opaque binary media: content-hash each payload
+    inside map_batches (md5 of the raw bytes — the only per-row Python
+    is the hash call itself, the accepted pattern for binary digests),
+    then ONE hash-keyed groupby keeps the lowest id per content cluster.
+    The shuffle moves (16-byte hex hash, int id) rows, never payloads —
+    the same never-ship-the-blob discipline as dedup.exact_dedup on
+    text.  Output: one row per distinct payload (representative id +
+    multiplicity)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    def hash_payload(batch: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(p).hexdigest()
+            for p in batch.column("payload").to_pylist()
+        ]
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.string()),
+                "i": pc.cast(batch.column("i"), pa.int64()),
+            }
+        )
+
+    rolled = (
+        ds.map_batches(hash_payload, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Min("i", alias_name="rep_i"), Count(alias_name="n_copies"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "rep_i": pc.cast(batch.column("rep_i"), pa.int64()),
+                "n_copies": pc.cast(batch.column("n_copies"), pa.int64()),
+            }
+        )
+
+    return rolled.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

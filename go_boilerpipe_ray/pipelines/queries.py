@@ -242,3 +242,28 @@ SELECT m.media_ref, s.frame_idx
 FROM m CROSS JOIN steps s
 WHERE s.frame_idx < m.n_frames
 """
+
+
+def media_dedup(_sf_dir: str):
+    """Exact binary dedup over a media table with CONSTRUCTED duplicate
+    structure (row i holds base payload i % 40): the operator hashes the
+    opaque bytes and groups by content; the oracle mirrors the
+    construction — recovering it proves the binary path end-to-end."""
+    import ray.data
+
+    from ..functions.multimodal import media_dedup_dataset, synth_dup_media_table
+
+    ds = ray.data.from_arrow(synth_dup_media_table(200, 40))
+    return media_dedup_dataset(ds)
+
+
+# Mirrors synth_dup_media_table's i % 40 payload assignment: the Ray side
+# groups by md5 of the actual bytes; equality of the results proves the
+# hash path reconstructs the constructed clusters exactly.
+MEDIA_DEDUP_SQL = """
+SELECT CAST(min(i) AS BIGINT) AS rep_i,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM range(0, 200) t(i)
+GROUP BY i % 40
+ORDER BY rep_i
+"""
