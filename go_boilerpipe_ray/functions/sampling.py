@@ -506,3 +506,77 @@ SELECT lang, doc_id FROM (
   FROM documents
 ) WHERE rn <= 3 ORDER BY lang, doc_id
 """
+
+
+PRIORITY_K = 400
+
+
+def priority_sample_k(sf_dir: str, k: int = PRIORITY_K) -> pa.Table:
+    """Fixed-size weighted sample WITHOUT replacement (priority / bottom-k
+    sampling): each document gets an integer priority hash(id) // weight
+    (weight = n_chars, so longer docs get smaller priorities and higher
+    inclusion odds) and the global k smallest priorities win.  The
+    fixed-size complement of weighted_sample's Bernoulli design —
+    deterministic on any cluster, mergeable (bottom-k of bottom-k's is
+    the global bottom-k), the primitive behind distributed weighted
+    reservoirs.  (True A-ES priorities are u^(1/w); the integer-division
+    law keeps the oracle bit-exact while preserving the monotone
+    weight→inclusion property.)
+
+    Scale shape: per-block partial select_k inside map_batches, so the
+    driver merge sees k × #blocks fixed-width rows, never the corpus;
+    no shuffle at all."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        w = np.maximum(
+            batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64), 1
+        )
+        prio = (md5_u64(ids) >> np.uint64(1)).astype(np.int64) // w
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+                "prio": pa.array(prio, pa.int64()),
+            }
+        )
+        if t.num_rows <= k:
+            return t
+        idx = pc.select_k_unstable(
+            t, k, sort_keys=[("prio", "ascending"), ("doc_id", "ascending")]
+        )
+        return t.take(idx)
+
+    merged = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # bounded: k rows per input block
+    if merged.empty:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+                "prio": pa.array([], pa.int64()),
+            }
+        )
+    merged = merged.sort_values(["prio", "doc_id"]).head(k)
+    return pa.table(
+        {
+            "doc_id": pa.array(merged["doc_id"].to_numpy(), pa.int64()),
+            "n_chars": pa.array(merged["n_chars"].to_numpy(), pa.int64()),
+            "prio": pa.array(merged["prio"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+PRIORITY_SAMPLE_K_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(CAST(md5_number_lower(doc_id::VARCHAR) >> 1 AS BIGINT)
+            // greatest(n_chars, 1) AS BIGINT) AS prio
+FROM documents
+ORDER BY prio, doc_id
+LIMIT {PRIORITY_K}
+"""
