@@ -13647,3 +13647,296 @@ SELECT CAST(src AS BIGINT) AS part_id,
 FROM ranked WHERE rk <= 3
 ORDER BY 1, 4
 """
+
+
+# -- BFS depth profile over the co-purchase graph -----------------------------
+
+_BFS_MAX_DEPTH = 4
+
+
+def copurchase_bfs_depth(
+    sf_dir: str, max_depth: int = _BFS_MAX_DEPTH, loop_threshold: int = 2_000_000
+) -> pa.Table:
+    """Breadth-first reach profile: how many parts sit at hop distance
+    0..max_depth from the seed part (global min partkey) in the
+    co-purchase graph, plus a -1 row for parts unreachable within the
+    horizon — the frontier-expansion member of the graph family
+    (components = label spreading, kcore = monotone peel, this =
+    level-synchronous BFS).
+
+    Scale shape: the edge build is the copurchase_triangles plan (order-
+    keyed triu expansion, edge-keyed dedup).  Then the VOLUME ROUTER
+    precedent (connected components / kcore): under ``loop_threshold``
+    edges the sparse deduped edge set gathers to ONE vectorized CSR-BFS
+    kernel; above it the same level-synchronous sweep runs distributed —
+    per round, the frontier meets the directed edge list in a keyed
+    repartition join, neighbor candidates dedup under a node-keyed
+    shuffle, and an anti-join against the visited set admits only new
+    nodes (bounded rounds = max_depth, each round materialized with a
+    lineage cut).  The visited set lives as a DATASET end-to-end — never
+    a driver-side structure — so the loop arm holds at any node count."""
+    from ._util import cut_lineage, wide_partitions
+
+    P = wide_partitions()
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def order_pk(batch: pa.Table) -> pa.Table:
+        o = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        p = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        if p.size and int(p.max()) >= (1 << (_TRI_SHIFT - 1)):
+            raise OverflowError("partkey exceeds composite-key bound (2^31)")
+        u = np.unique(np.stack([o, p], axis=1), axis=0)
+        return pa.table(
+            {
+                "o": pa.array(u[:, 0], pa.int64()),
+                "p": pa.array(u[:, 1], pa.int64()),
+                "pk": pa.array((u[:, 0] % P).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def order_pairs(group: pa.Table) -> pa.Table:
+        o = group.column("o").to_numpy(zero_copy_only=False)
+        p = group.column("p").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        bounds = np.flatnonzero(np.r_[True, o[1:] != o[:-1], True])
+        keys: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            pp = np.unique(p[s:e])
+            if len(pp) < 2:
+                continue
+            ii, jj = np.triu_indices(len(pp), 1)
+            keys.append((pp[ii] << _TRI_SHIFT) | pp[jj])
+        if not keys:
+            z = pa.array([], pa.int64())
+            return pa.table({"k": z, "epk": pa.array([], pa.int32())})
+        k = np.unique(np.concatenate(keys))
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "epk": pa.array((k % P).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def dedup_edges(group: pa.Table) -> pa.Table:
+        k = np.unique(group.column("k").to_numpy(zero_copy_only=False))
+        return pa.table({"k": pa.array(k, pa.int64())})
+
+    edges_ds = (
+        li.map_batches(order_pk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .map_groups(order_pairs, batch_format="pyarrow")
+        .groupby("epk")
+        .map_groups(dedup_edges, batch_format="pyarrow")
+        .materialize()
+    )
+    seed_raw = li.min("l_partkey")
+
+    def hist_table(depths_by_node: dict[int, int], n_nodes_total: int) -> pa.Table:
+        reach = np.fromiter(depths_by_node.values(), dtype=np.int64, count=len(depths_by_node))
+        ds_, cnt = np.unique(reach, return_counts=True)
+        ds_list = list(ds_)
+        cnt_list = [int(c) for c in cnt]
+        unreached = n_nodes_total - len(depths_by_node)
+        if unreached > 0:
+            ds_list = [-1] + ds_list
+            cnt_list = [unreached] + cnt_list
+        return pa.table(
+            {
+                "depth": pa.array(np.asarray(ds_list, np.int64), pa.int64()),
+                "n_nodes": pa.array(np.asarray(cnt_list, np.int64), pa.int64()),
+            }
+        )
+
+    if seed_raw is None:
+        return pa.table(
+            {"depth": pa.array([], pa.int64()), "n_nodes": pa.array([], pa.int64())}
+        )
+    seed = int(seed_raw)
+    n_edges = edges_ds.count()
+
+    if n_edges <= loop_threshold:
+        # gather arm: CSR BFS in one vectorized kernel
+        if n_edges:
+            ek = np.concatenate(
+                [
+                    b.column("k").to_numpy(zero_copy_only=False)
+                    for b in edges_ds.iter_batches(
+                        batch_format="pyarrow", batch_size=None
+                    )
+                ]
+            )
+            u = ek >> _TRI_SHIFT
+            v = ek & ((1 << _TRI_SHIFT) - 1)
+        else:
+            u = v = np.array([], np.int64)
+        nodes = np.unique(np.concatenate([u, v, [seed]]))
+        src = np.concatenate([u, v])
+        dst = np.concatenate([v, u])
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        order = np.argsort(si, kind="stable")
+        si, di = si[order], di[order]
+        indptr = np.searchsorted(si, np.arange(len(nodes) + 1))
+        dist = np.full(len(nodes), -1, np.int64)
+        dist[np.searchsorted(nodes, seed)] = 0
+        frontier = np.array([np.searchsorted(nodes, seed)], np.int64)
+        for depth in range(1, max_depth + 1):
+            if not len(frontier):
+                break
+            # gather all neighbors of the frontier (varlen segment copy)
+            lens = indptr[frontier + 1] - indptr[frontier]
+            total = int(lens.sum())
+            if not total:
+                break
+            out_off = np.zeros(len(lens) + 1, np.int64)
+            np.cumsum(lens, out=out_off[1:])
+            gather = np.arange(total, dtype=np.int64) + np.repeat(
+                indptr[frontier] - out_off[:-1], lens
+            )
+            nbrs = np.unique(di[gather])
+            new = nbrs[dist[nbrs] < 0]
+            dist[new] = depth
+            frontier = new
+        reached = {int(nodes[i]): int(d) for i, d in enumerate(dist) if d >= 0}
+        return hist_table(reached, len(nodes))
+
+    # loop arm: level-synchronous distributed BFS
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        u = k >> _TRI_SHIFT
+        v = k & ((1 << _TRI_SHIFT) - 1)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([u, v]), pa.int64()),
+                "dst": pa.array(np.concatenate([v, u]), pa.int64()),
+            }
+        )
+
+    directed = edges_ds.map_batches(
+        both_dirs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    visited = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([seed], pa.int64()),
+                "depth": pa.array([0], pa.int64()),
+            }
+        )
+    ).materialize()
+    frontier_ds = visited
+    from ._util import partitioned_by_key
+
+    def uniq_nodes(part: pa.Table) -> pa.Table:
+        n = np.unique(part.column("node").to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(n, pa.int64())})
+
+    for depth in range(1, max_depth + 1):
+        nbrs = repartition_join(
+            frontier_ds,
+            directed,
+            "node",
+            "src",
+            [("node", pa.int64())],
+            [("dst", pa.int64())],
+        ).map_batches(
+            lambda b: pa.table({"node": b.column("dst")}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        nbrs = partitioned_by_key(nbrs, "node", uniq_nodes, P=P)
+        new = repartition_join(
+            nbrs,
+            visited,
+            "node",
+            "node",
+            [("node", pa.int64())],
+            [],
+            how="anti",
+        ).map_batches(
+            lambda b, d=depth: pa.table(
+                {
+                    "node": b.column("node"),
+                    "depth": pa.array(
+                        np.full(b.num_rows, d, np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        if new.count() == 0:
+            break
+        frontier_ds = cut_lineage(new)
+        visited = cut_lineage(visited.union(new).materialize())
+
+    # bounded rollup: ≤ max_depth+2 distinct depths
+    counts = visited.groupby("depth").aggregate(
+        ray.data.aggregate.Count(alias_name="n_nodes")
+    ).to_pandas()
+    n_nodes_total = int(
+        directed.map_batches(
+            lambda b: pa.table({"node": b.column("src")}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .union(
+            ray.data.from_arrow(
+                pa.table({"node": pa.array([seed], pa.int64())})
+            )
+        )
+        .groupby("node")
+        .count()
+        .count()
+    )
+    reached_total = int(counts["n_nodes"].sum())
+    depths = counts["depth"].to_numpy().astype(np.int64)
+    ns = counts["n_nodes"].to_numpy().astype(np.int64)
+    if n_nodes_total - reached_total > 0:
+        depths = np.r_[np.int64(-1), depths]
+        ns = np.r_[np.int64(n_nodes_total - reached_total), ns]
+    order = np.argsort(depths)
+    return pa.table(
+        {
+            "depth": pa.array(depths[order], pa.int64()),
+            "n_nodes": pa.array(ns[order], pa.int64()),
+        }
+    )
+
+
+COPURCHASE_BFS_DEPTH_SQL = f"""
+WITH RECURSIVE op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+),
+seed AS (SELECT min(p) AS s FROM op),
+bfs AS (
+  SELECT s AS node, 0 AS depth FROM seed
+  UNION
+  SELECT e.v, bfs.depth + 1
+  FROM bfs JOIN edges e ON e.u = bfs.node
+  WHERE bfs.depth < {_BFS_MAX_DEPTH}
+),
+d AS (SELECT node, CAST(min(depth) AS BIGINT) AS depth FROM bfs GROUP BY node),
+-- universe = every node with an edge PLUS the seed (covers an isolated
+-- seed part that never co-occurs with another part)
+-- NOTE: inside a WITH RECURSIVE list a bare "a UNION b" CTE is parsed
+-- as a recursive definition (and does NOT dedup across the branches);
+-- the DISTINCT-over-UNION-ALL subquery form keeps it a plain union.
+allnodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM edges
+    UNION ALL
+    SELECT s AS node FROM seed WHERE s IS NOT NULL
+  )
+),
+labeled AS (
+  SELECT COALESCE(d.depth, -1) AS depth
+  FROM allnodes a LEFT JOIN d ON d.node = a.node
+)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes
+FROM labeled GROUP BY depth ORDER BY depth
+"""

@@ -6834,3 +6834,50 @@ def test_allpairs_jaccard_matches_brute_force(ray_session, tmp_path):
     }
     assert got == want
     assert len(want) > 0  # fixture must actually produce pairs
+
+
+def test_copurchase_bfs_depth_both_arms_chain(ray_session, tmp_path):
+    """Chain graph 1-2-3-4-5-6-7 (each order links two parts): seed is
+    part 1, so depths are 0..4 and parts 6,7 are beyond the horizon
+    (depth -1).  The gather arm and the distributed loop arm
+    (loop_threshold=0) must agree exactly."""
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.relational import copurchase_bfs_depth
+
+    o = [1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6]
+    p = [1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7]
+    _write_pq(
+        tmp_path,
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array(o, pa.int64()),
+                "l_partkey": pa.array(p, pa.int64()),
+            }
+        ),
+    )
+    want = {(-1): 2, 0: 1, 1: 1, 2: 1, 3: 1, 4: 1}
+    gather = copurchase_bfs_depth(str(tmp_path)).to_pandas()
+    loop = copurchase_bfs_depth(str(tmp_path), loop_threshold=0).to_pandas()
+    assert {r.depth: r.n_nodes for r in gather.itertuples()} == want
+    assert {r.depth: r.n_nodes for r in loop.itertuples()} == want
+
+
+def test_copurchase_bfs_depth_empty(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.relational import copurchase_bfs_depth
+
+    _write_pq(
+        tmp_path,
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "l_partkey": pa.array([], pa.int64()),
+            }
+        ),
+    )
+    out = copurchase_bfs_depth(str(tmp_path))
+    assert out.num_rows == 0
