@@ -6881,3 +6881,22 @@ def test_copurchase_bfs_depth_empty(ray_session, tmp_path):
     )
     out = copurchase_bfs_depth(str(tmp_path))
     assert out.num_rows == 0
+
+
+def test_allpairs_jaccard_empty_corpus(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.dedup import allpairs_jaccard
+
+    _write_pq(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        ),
+    )
+    out = allpairs_jaccard(str(tmp_path)).to_pandas()
+    assert len(out) == 0
