@@ -5906,26 +5906,13 @@ ORDER BY price_cents, p_partkey
 _TRI_SHIFT = 32  # composite edge key u<<32|v: partkeys must stay < 2^31
 
 
-def copurchase_triangles(sf_dir: str) -> pa.Table:
-    """Triangles in the part co-purchase graph (parts sharing an order
-    are adjacent) — the distributed triangle count, the canonical
-    "joins explode unless you orient" graph exercise.
-
-    Plan: (1) one keyed shuffle by ORDER builds per-order part pairs
-    (per-run triu expansion, the dedup.partition_pairs idiom);
-    (2) one keyed shuffle by composite edge key dedups to the distinct
-    edge set; (3) degrees are a bounded per-node rollup (part is the
-    dimension side — broadcast once; at extreme part cardinality this
-    becomes a repartition join instead); edges are then ORIENTED
-    low-degree→high-degree, which bounds every out-neighborhood by
-    O(√m) so wedge generation cannot explode on hot parts;
-    (4) one final keyed shuffle co-locates wedges with candidate edges
-    by composite key and counts matches with np.isin — each triangle
-    is found exactly once (its lowest-degree vertex generates the
-    wedge).  Output: one exact row."""
-    from ._util import wide_partitions
-
-    P = wide_partitions()
+def _copurchase_edges(sf_dir: str, P: int) -> "ray.data.Dataset":
+    """THE deduped co-purchase edge set (packed u<<32|v keys, u < v),
+    shared by every part-graph operator (triangles, k-core, BFS): one
+    order-keyed shuffle expands per-order distinct part lists to triu
+    pairs, one edge-keyed shuffle dedups.  Materialized — the edge set
+    is the graph's sparse core, far smaller than lineitem, and every
+    caller reads it at least twice."""
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def order_pk(batch: pa.Table) -> pa.Table:
@@ -5950,8 +5937,7 @@ def copurchase_triangles(sf_dir: str) -> pa.Table:
         bounds = np.flatnonzero(np.r_[True, o[1:] != o[:-1], True])
         keys: list[np.ndarray] = []
         for s, e in zip(bounds[:-1], bounds[1:]):
-            g = e - s
-            if g < 2:
+            if e - s < 2:
                 continue
             pp = np.unique(p[s:e])
             if len(pp) < 2:
@@ -5959,8 +5945,9 @@ def copurchase_triangles(sf_dir: str) -> pa.Table:
             ii, jj = np.triu_indices(len(pp), 1)
             keys.append((pp[ii] << _TRI_SHIFT) | pp[jj])
         if not keys:
-            return pa.table({"k": pa.array([], pa.int64()),
-                             "epk": pa.array([], pa.int32())})
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "epk": pa.array([], pa.int32())}
+            )
         k = np.unique(np.concatenate(keys))
         return pa.table(
             {
@@ -5973,14 +5960,36 @@ def copurchase_triangles(sf_dir: str) -> pa.Table:
         k = np.unique(group.column("k").to_numpy(zero_copy_only=False))
         return pa.table({"k": pa.array(k, pa.int64())})
 
-    edges = (
+    return (
         li.map_batches(order_pk, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("pk")
         .map_groups(order_pairs, batch_format="pyarrow")
         .groupby("epk")
         .map_groups(dedup_edges, batch_format="pyarrow")
-    ).materialize()  # reused twice below (degrees + final match); edge
-    # set is the graph's sparse core, far smaller than lineitem
+    ).materialize()
+
+
+def copurchase_triangles(sf_dir: str) -> pa.Table:
+    """Triangles in the part co-purchase graph (parts sharing an order
+    are adjacent) — the distributed triangle count, the canonical
+    "joins explode unless you orient" graph exercise.
+
+    Plan: (1) one keyed shuffle by ORDER builds per-order part pairs
+    (per-run triu expansion, the dedup.partition_pairs idiom);
+    (2) one keyed shuffle by composite edge key dedups to the distinct
+    edge set; (3) degrees are a bounded per-node rollup (part is the
+    dimension side — broadcast once; at extreme part cardinality this
+    becomes a repartition join instead); edges are then ORIENTED
+    low-degree→high-degree, which bounds every out-neighborhood by
+    O(√m) so wedge generation cannot explode on hot parts;
+    (4) one final keyed shuffle co-locates wedges with candidate edges
+    by composite key and counts matches with np.isin — each triangle
+    is found exactly once (its lowest-degree vertex generates the
+    wedge).  Output: one exact row."""
+    from ._util import wide_partitions
+
+    P = wide_partitions()
+    edges = _copurchase_edges(sf_dir, P)  # reused twice (degrees + match)
 
     def deg_partial(batch: pa.Table) -> pa.Table:
         k = batch.column("k").to_numpy(zero_copy_only=False)
@@ -12590,58 +12599,7 @@ def kcore_decompose(sf_dir: str, loop_threshold: int = 2_000_000) -> pa.Table:
     from ._util import wide_partitions
 
     P = wide_partitions()
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def order_pk(batch: pa.Table) -> pa.Table:
-        o = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
-        p = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        if p.size and int(p.max()) >= (1 << (_TRI_SHIFT - 1)):
-            raise OverflowError("partkey exceeds composite-key bound (2^31)")
-        u = np.unique(np.stack([o, p], axis=1), axis=0)
-        return pa.table(
-            {
-                "o": pa.array(u[:, 0], pa.int64()),
-                "p": pa.array(u[:, 1], pa.int64()),
-                "pk": pa.array((u[:, 0] % P).astype(np.int32), pa.int32()),
-            }
-        )
-
-    def order_pairs(group: pa.Table) -> pa.Table:
-        o = group.column("o").to_numpy(zero_copy_only=False)
-        p = group.column("p").to_numpy(zero_copy_only=False)
-        order = np.lexsort((p, o))
-        o, p = o[order], p[order]
-        bounds = np.flatnonzero(np.r_[True, o[1:] != o[:-1], True])
-        keys: list[np.ndarray] = []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            pp = np.unique(p[s:e])
-            if len(pp) < 2:
-                continue
-            ii, jj = np.triu_indices(len(pp), 1)
-            keys.append((pp[ii] << _TRI_SHIFT) | pp[jj])
-        if not keys:
-            return pa.table(
-                {"k": pa.array([], pa.int64()), "epk": pa.array([], pa.int32())}
-            )
-        k = np.unique(np.concatenate(keys))
-        return pa.table(
-            {
-                "k": pa.array(k, pa.int64()),
-                "epk": pa.array((k % P).astype(np.int32), pa.int32()),
-            }
-        )
-
-    def dedup_edges(group: pa.Table) -> pa.Table:
-        k = np.unique(group.column("k").to_numpy(zero_copy_only=False))
-        return pa.table({"k": pa.array(k, pa.int64())})
-
-    edges_ds = (
-        li.map_batches(order_pk, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("pk")
-        .map_groups(order_pairs, batch_format="pyarrow")
-        .groupby("epk")
-        .map_groups(dedup_edges, batch_format="pyarrow")
-    )
+    edges_ds = _copurchase_edges(sf_dir, P)
     n_edges = edges_ds.count()
     if n_edges > loop_threshold:  # loop arm: keyed peel rounds
         return _kcore_loop(edges_ds)
@@ -13560,10 +13518,10 @@ def item_similarity_topk(sf_dir: str) -> "ray.data.Dataset":
             if len(pp) < 2:
                 continue
             ii, jj = np.triu_indices(len(pp), k=1)
-            fwd = (pp[ii] << _TRI_SHIFT) | pp[jj]
-            rev = (pp[jj] << _TRI_SHIFT) | pp[ii]
-            keys.append(fwd)
-            keys.append(rev)
+            # canonical a<b keys only — shared counts are symmetric, so
+            # the reverse direction is reconstructed AFTER the pair
+            # groupby (in unpack), halving stage-2 shuffle volume.
+            keys.append((pp[ii] << _TRI_SHIFT) | pp[jj])
         if not keys:
             z = pa.array([], pa.int64())
             return pa.table({"k": z, "n": z})
@@ -13587,12 +13545,19 @@ def item_similarity_topk(sf_dir: str) -> "ray.data.Dataset":
     )
 
     def unpack(batch: pa.Table) -> pa.Table:
+        """Mirror each canonical a<b pair into both directions — rows
+        here are already collapsed to distinct pairs."""
         k = batch.column("k").to_numpy(zero_copy_only=False)
+        a = k >> _TRI_SHIFT
+        b = k & MASK
+        s = pc.cast(batch.column("shared"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
         return pa.table(
             {
-                "src": pa.array(k >> _TRI_SHIFT, pa.int64()),
-                "dst": pa.array(k & MASK, pa.int64()),
-                "shared": pc.cast(batch.column("shared"), pa.int64()),
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+                "shared": pa.array(np.concatenate([s, s]), pa.int64()),
             }
         )
 
@@ -13679,72 +13644,21 @@ def copurchase_bfs_depth(
 
     P = wide_partitions()
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def order_pk(batch: pa.Table) -> pa.Table:
-        o = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
-        p = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        if p.size and int(p.max()) >= (1 << (_TRI_SHIFT - 1)):
-            raise OverflowError("partkey exceeds composite-key bound (2^31)")
-        u = np.unique(np.stack([o, p], axis=1), axis=0)
-        return pa.table(
-            {
-                "o": pa.array(u[:, 0], pa.int64()),
-                "p": pa.array(u[:, 1], pa.int64()),
-                "pk": pa.array((u[:, 0] % P).astype(np.int32), pa.int32()),
-            }
-        )
-
-    def order_pairs(group: pa.Table) -> pa.Table:
-        o = group.column("o").to_numpy(zero_copy_only=False)
-        p = group.column("p").to_numpy(zero_copy_only=False)
-        order = np.lexsort((p, o))
-        o, p = o[order], p[order]
-        bounds = np.flatnonzero(np.r_[True, o[1:] != o[:-1], True])
-        keys: list[np.ndarray] = []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            pp = np.unique(p[s:e])
-            if len(pp) < 2:
-                continue
-            ii, jj = np.triu_indices(len(pp), 1)
-            keys.append((pp[ii] << _TRI_SHIFT) | pp[jj])
-        if not keys:
-            z = pa.array([], pa.int64())
-            return pa.table({"k": z, "epk": pa.array([], pa.int32())})
-        k = np.unique(np.concatenate(keys))
-        return pa.table(
-            {
-                "k": pa.array(k, pa.int64()),
-                "epk": pa.array((k % P).astype(np.int32), pa.int32()),
-            }
-        )
-
-    def dedup_edges(group: pa.Table) -> pa.Table:
-        k = np.unique(group.column("k").to_numpy(zero_copy_only=False))
-        return pa.table({"k": pa.array(k, pa.int64())})
-
-    edges_ds = (
-        li.map_batches(order_pk, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("pk")
-        .map_groups(order_pairs, batch_format="pyarrow")
-        .groupby("epk")
-        .map_groups(dedup_edges, batch_format="pyarrow")
-        .materialize()
-    )
+    edges_ds = _copurchase_edges(sf_dir, P)
     seed_raw = li.min("l_partkey")
 
-    def hist_table(depths_by_node: dict[int, int], n_nodes_total: int) -> pa.Table:
-        reach = np.fromiter(depths_by_node.values(), dtype=np.int64, count=len(depths_by_node))
-        ds_, cnt = np.unique(reach, return_counts=True)
-        ds_list = list(ds_)
-        cnt_list = [int(c) for c in cnt]
-        unreached = n_nodes_total - len(depths_by_node)
+    def hist_table(reach: "np.ndarray", n_nodes_total: int) -> pa.Table:
+        """Depth histogram from the reached-depth values directly — no
+        per-node Python dict (the gather arm can hold ~10^6 nodes)."""
+        ds_, cnt = np.unique(reach.astype(np.int64), return_counts=True)
+        unreached = n_nodes_total - len(reach)
         if unreached > 0:
-            ds_list = [-1] + ds_list
-            cnt_list = [unreached] + cnt_list
+            ds_ = np.r_[np.int64(-1), ds_]
+            cnt = np.r_[np.int64(unreached), cnt]
         return pa.table(
             {
-                "depth": pa.array(np.asarray(ds_list, np.int64), pa.int64()),
-                "n_nodes": pa.array(np.asarray(cnt_list, np.int64), pa.int64()),
+                "depth": pa.array(ds_.astype(np.int64), pa.int64()),
+                "n_nodes": pa.array(cnt.astype(np.int64), pa.int64()),
             }
         )
 
@@ -13798,8 +13712,7 @@ def copurchase_bfs_depth(
             new = nbrs[dist[nbrs] < 0]
             dist[new] = depth
             frontier = new
-        reached = {int(nodes[i]): int(d) for i, d in enumerate(dist) if d >= 0}
-        return hist_table(reached, len(nodes))
+        return hist_table(dist[dist >= 0], len(nodes))
 
     # loop arm: level-synchronous distributed BFS
     def both_dirs(batch: pa.Table) -> pa.Table:
@@ -13874,11 +13787,20 @@ def copurchase_bfs_depth(
     counts = visited.groupby("depth").aggregate(
         ray.data.aggregate.Count(alias_name="n_nodes")
     ).to_pandas()
+    def endpoint_partial(batch: pa.Table) -> pa.Table:
+        """Distinct endpoints per edge batch: the node-keyed distinct
+        count then shuffles the pre-deduped endpoint set (edges_ds
+        batches are epk-partitioned so local uniquing collapses hard),
+        not 2×|edges| raw rows."""
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        n = np.unique(
+            np.concatenate([k >> _TRI_SHIFT, k & ((1 << _TRI_SHIFT) - 1)])
+        )
+        return pa.table({"node": pa.array(n, pa.int64())})
+
     n_nodes_total = int(
-        directed.map_batches(
-            lambda b: pa.table({"node": b.column("src")}),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+        edges_ds.map_batches(
+            endpoint_partial, batch_format="pyarrow", zero_copy_batch=True
         )
         .union(
             ray.data.from_arrow(

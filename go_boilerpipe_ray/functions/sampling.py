@@ -551,7 +551,11 @@ def priority_sample_k(sf_dir: str, k: int = PRIORITY_K) -> pa.Table:
         return t.take(idx)
 
     merged = ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
+        partial,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,  # per BLOCK, not per 1024-row batch — otherwise
+        # the driver merge receives ~k/1024 of the corpus, not k×#blocks
     ).to_pandas()  # bounded: k rows per input block
     if merged.empty:
         return pa.table(
