@@ -265,3 +265,37 @@ def test_lance_api_contract(monkeypatch, tmp_path):
 
     article.write_spans(FakeDS(), str(tmp_path / "out.lance"))
     assert calls["write"] == str(tmp_path / "out.lance")
+
+
+def test_extract_survives_actor_death(corpus_paths, tmp_path, ray_session):
+    """Fault tolerance on the hot path (the north rule's resumable-
+    restart story at task granularity): an extraction actor whose
+    process DIES mid-batch (os._exit, as a preempted node would) is
+    restarted by Ray and its batch retried — the pipeline completes
+    with output identical to an undisturbed run.  Lineage-based retry
+    is what makes checkpoint-free recovery work inside one job; the
+    manifest (test_resume) covers cross-job resume."""
+    import os as _os
+
+    from go_boilerpipe_ray.stages.extract import ExtractDocuments
+
+    path, table = corpus_paths["f2"]
+    marker = str(tmp_path / "killed_once")
+
+    class KillOnceExtract(ExtractDocuments):
+        def __call__(self, batch):
+            if not _os.path.exists(marker):
+                with open(marker, "w") as f:
+                    f.write("x")
+                _os._exit(1)  # hard process death, not an exception
+            return super().__call__(batch)
+
+    ds = read_spans(path).map_batches(
+        KillOnceExtract,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=2,
+    )
+    _assert_matches(_collect(ds), _expected(table))
+    assert _os.path.exists(marker)  # the death really happened
