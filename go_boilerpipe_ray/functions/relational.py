@@ -13862,3 +13862,115 @@ labeled AS (
 SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes
 FROM labeled GROUP BY depth ORDER BY depth
 """
+
+
+# -- exact heavy hitters via sketch-then-confirm ------------------------------
+
+_HEAVY_PERMILLE = 7  # heavy = more than 7 per mille of all events
+_HEAVY_K = 4096  # per-block summary size (candidate-completeness knob)
+
+
+def heavy_users_exact(sf_dir: str, permille: int = _HEAVY_PERMILLE, k: int = _HEAVY_K) -> pa.Table:
+    """EXACT heavy hitters at sketch cost: users holding more than
+    ``permille``/1000 of all events, computed WITHOUT a full
+    user-keyed groupby — the two-pass space-saving pattern
+    (pass 1: bounded per-block summaries nominate candidates;
+    pass 2: exact counts for the candidate set only).
+
+    Completeness is provable, not heuristic: a per-block summary keeps
+    the block's top-k exact counts, so any dropped key has block count
+    <= n_b/(k+1) (k+1 keys at least that large would exceed the block);
+    summing summaries therefore under-counts any key by at most
+    n/(k+1) total, and every key with true count > permille*n/1000 has
+    summary estimate >= threshold - n/(k+1) — the candidate cut keeps
+    all of them.  Pass 2 broadcasts the candidate id array once
+    (ray.put) and computes exact counts only for members; the final
+    filter uses the true counts, so the output is EXACT (the same
+    sketch-nominate / exact-confirm shape as
+    dedup_incremental_confirmed's Bloom pass).
+
+    Scale shape: pass 1 is shuffle-free (per-BLOCK summaries, driver
+    merge sees <= k x #blocks fixed-width rows); pass 2's shuffle
+    carries only candidate rows' partial counts — at 10^9 users and
+    k=4096 the full user-keyed groupby never happens."""
+    ev = _read(sf_dir, "events", ["user_id"])
+    total = ev.count()
+    if total == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()), "n_events": pa.array([], pa.int64())}
+        )
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ids, cnt = np.unique(u, return_counts=True)
+        if len(ids) > k:
+            keep = np.argpartition(cnt, len(cnt) - k)[-k:]
+            ids, cnt = ids[keep], cnt[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(ids, pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    summaries = ev.map_batches(
+        block_summary,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,  # per BLOCK — the summary bound is per block
+    ).to_pandas()  # bounded: <= k rows per block
+    est = summaries.groupby("user_id")["c"].sum()
+    # keep x iff est(x) + n/(k+1) could still clear the threshold
+    slack = total // (k + 1) + 1
+    cand = est.index.to_numpy()[
+        1000 * (est.to_numpy() + slack) > permille * total
+    ].astype(np.int64)
+    if len(cand) == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()), "n_events": pa.array([], pa.int64())}
+        )
+    cand_ref = ray.put(np.sort(cand))
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cands, u)
+        pos_c = np.clip(pos, 0, len(cands) - 1)
+        hit = cands[pos_c] == u
+        ids, cnt = np.unique(u[hit], return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(ids, pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rolled = (
+        ev.map_batches(
+            exact_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("user_id")
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="n_events"))
+        .to_pandas()  # bounded: one row per CANDIDATE
+    )
+    keep = 1000 * rolled["n_events"].to_numpy() > permille * total
+    out = rolled[keep].sort_values("user_id")
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"].to_numpy().astype(np.int64), pa.int64()),
+            "n_events": pa.array(
+                out["n_events"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+HEAVY_USERS_EXACT_SQL = f"""
+WITH t AS (SELECT count(*) AS n FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events, t
+GROUP BY user_id, t.n
+HAVING 1000 * count(*) > {_HEAVY_PERMILLE} * t.n
+ORDER BY user_id
+"""

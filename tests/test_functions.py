@@ -6900,3 +6900,37 @@ def test_allpairs_jaccard_empty_corpus(ray_session, tmp_path):
     )
     out = allpairs_jaccard(str(tmp_path)).to_pandas()
     assert len(out) == 0
+
+
+def test_heavy_users_exact_survives_summary_truncation(ray_session, tmp_path):
+    """Force the per-block summary to truncate below the heavy set
+    (k=2, three heavy users): the slack bound must keep the dropped
+    user in the candidate set and the exact confirm pass must return
+    precisely the true heavy hitters with true counts."""
+    import numpy as np
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.relational import heavy_users_exact
+
+    counts = {1: 40, 2: 30, 3: 20, 4: 6, 5: 4}  # total 100
+    users = np.repeat(
+        np.array(list(counts), np.int64), np.array(list(counts.values()))
+    )
+    _write_pq(
+        tmp_path, "events", pa.table({"user_id": pa.array(users, pa.int64())})
+    )
+    out = heavy_users_exact(str(tmp_path), permille=100, k=2).to_pandas()
+    got = {r.user_id: r.n_events for r in out.itertuples()}
+    assert got == {1: 40, 2: 30, 3: 20}  # >10% of 100 events
+
+
+def test_heavy_users_exact_empty(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.relational import heavy_users_exact
+
+    _write_pq(
+        tmp_path, "events", pa.table({"user_id": pa.array([], pa.int64())})
+    )
+    out = heavy_users_exact(str(tmp_path))
+    assert out.num_rows == 0
