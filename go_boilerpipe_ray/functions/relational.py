@@ -13974,3 +13974,97 @@ GROUP BY user_id, t.n
 HAVING 1000 * count(*) > {_HEAVY_PERMILLE} * t.n
 ORDER BY user_id
 """
+
+
+# -- deterministic half-sample stability (resampling family) ------------------
+
+_HALFSAMPLE_B = 32
+
+
+def halfsample_stability(sf_dir: str) -> pa.Table:
+    """Uncertainty estimation at corpus scale: 32 DETERMINISTIC half-
+    samples of the documents table (replicate b keeps doc_id iff bit b
+    of md5(doc_id) is set), each reporting its member count and mean
+    n_chars — the spread across replicates is the subsampling-stability
+    readout a curation pipeline checks before trusting a corpus-level
+    statistic.  Hash-bit membership makes every replicate reproducible
+    on any cluster and the whole family costs ONE pass: one md5 per
+    row yields all 32 memberships (bit unpack), so per-batch partials
+    are a (32, 2) fold — not 32 scans, not 32 shuffles.
+
+    Output: (replicate, n_docs, mean_nchars_micro) with the mean in
+    integer micro-units (sum*1e6 // n), bit-exact against the SQL
+    mirror.  Scale shape: shuffle volume is 32 partial cells per batch;
+    the rollup is bounded by B=32 at any corpus size."""
+    from ._util import md5_u64, read_parquet_clean
+
+    B = _HALFSAMPLE_B
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = md5_u64(ids)
+        reps = np.arange(B, dtype=np.int64)
+        # membership matrix (n, B): bit b of each row's hash
+        mem = ((h[:, None] >> reps[None, :].astype(np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        n = mem.sum(axis=0)
+        s = (mem * nc[:, None]).sum(axis=0)
+        return pa.table(
+            {
+                "replicate": pa.array(reps, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+            }
+        )
+
+    rolled = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("replicate")
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n"),
+            ray.data.aggregate.Sum("s", alias_name="s"),
+        )
+        .to_pandas()  # bounded: exactly B rows
+    )
+    if rolled.empty:
+        return pa.table(
+            {
+                "replicate": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "mean_nchars_micro": pa.array([], pa.int64()),
+            }
+        )
+    # SQL's JOIN emits no row for a memberless replicate; match it.
+    rolled = rolled[rolled["n"] > 0].sort_values("replicate")
+    n = rolled["n"].to_numpy().astype(np.int64)
+    s = rolled["s"].to_numpy().astype(np.int64)
+    mean_micro = np.where(n > 0, (s * 1_000_000) // np.maximum(n, 1), 0)
+    return pa.table(
+        {
+            "replicate": pa.array(rolled["replicate"].to_numpy().astype(np.int64), pa.int64()),
+            "n_docs": pa.array(n, pa.int64()),
+            "mean_nchars_micro": pa.array(mean_micro.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+HALFSAMPLE_STABILITY_SQL = f"""
+WITH reps AS (SELECT CAST(r.range AS BIGINT) AS replicate FROM range({_HALFSAMPLE_B}) r),
+m AS (
+  SELECT reps.replicate,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(d.n_chars) AS BIGINT) AS s
+  FROM documents d
+  JOIN reps ON (md5_number_lower(d.doc_id::VARCHAR) >> reps.replicate) & 1 = 1
+  GROUP BY 1
+)
+SELECT replicate, n_docs,
+       CAST(CASE WHEN n_docs > 0 THEN (s * 1000000) // n_docs ELSE 0 END
+            AS BIGINT) AS mean_nchars_micro
+FROM m ORDER BY replicate
+"""

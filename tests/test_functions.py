@@ -6934,3 +6934,41 @@ def test_heavy_users_exact_empty(ray_session, tmp_path):
     )
     out = heavy_users_exact(str(tmp_path))
     assert out.num_rows == 0
+
+
+def test_halfsample_stability_law(ray_session, tmp_path):
+    """Replicate membership is bit b of md5(doc_id): per-replicate
+    (count, mean) must equal a brute-force recomputation, and a tiny
+    corpus where some replicates are memberless must drop those rows
+    (SQL-JOIN parity)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions._util import md5_u64
+    from go_boilerpipe_ray.functions.relational import halfsample_stability
+
+    ids = np.arange(5, dtype=np.int64)
+    nchars = np.array([10, 20, 30, 40, 50], np.int64)
+    _write_pq(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": pa.array(nchars, pa.int64()),
+            }
+        ),
+    )
+    out = halfsample_stability(str(tmp_path)).to_pandas()
+    h = md5_u64(ids)
+    want = {}
+    for b in range(32):
+        sel = ((h >> np.uint64(b)) & np.uint64(1)).astype(bool)
+        if sel.sum():
+            n = int(sel.sum())
+            s = int(nchars[sel].sum())
+            want[b] = (n, s * 1_000_000 // n)
+    got = {
+        r.replicate: (r.n_docs, r.mean_nchars_micro) for r in out.itertuples()
+    }
+    assert got == want
