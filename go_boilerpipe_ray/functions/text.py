@@ -4925,3 +4925,145 @@ SELECT CAST(start // 4096 AS BIGINT) AS shard_id,
        CAST(max(doc_id) AS BIGINT) AS last_doc
 FROM s GROUP BY 1 ORDER BY 1
 """
+
+
+# -- t-closeness (third of the privacy triad) ---------------------------------
+
+T_CLOSENESS_PERMILLE = 300  # violating groups: EMD to global > 0.3
+
+
+def t_closeness(sf_dir: str, t_permille: int = T_CLOSENESS_PERMILLE) -> pa.Table:
+    """Privacy-governance audit, the step after k_anonymity and
+    l_diversity: a group can be large AND diverse yet still leak if its
+    sensitive-value DISTRIBUTION differs sharply from the table's (the
+    classic salary-skew example).  Sensitive attribute = lang,
+    quasi-identifier = (source, len_bucket) — the same scheme as the
+    other two audits.  For categorical values under uniform ground
+    distance, Earth Mover's Distance = L1/2, so the violation test is
+    fully integer: EMD(g) > t/1000  ⇔
+    1000 · Σ_v |c_gv·n − c_v·n_g|  >  2t · n · n_g
+    (both sides are the EMD cross-multiplied by 2·n·n_g).
+
+    Scale shape: batches fold to (source, len_bucket, lang) partial
+    cells; ONE keyed shuffle merges them.  The audit arithmetic runs on
+    the merged CELL table — bounded by #groups × #langs, never by rows
+    — with an explicit int64 guard (c_gv·n is the largest term; at
+    n > ~3e9 switch the bounded driver fold to Python ints, cf.
+    sum128_total).  Output: violating groups only."""
+    from ray.data.aggregate import Sum
+
+    from ._util import ensure_columns
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t_ = pa.table(
+            {
+                "source": batch.column("source"),
+                "len_bucket": pc.cast(
+                    pc.divide(batch.column("n_chars"), pa.scalar(100, pa.int64())),
+                    pa.int64(),
+                ),
+                "lang": batch.column("lang"),
+                "c": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+        g = t_.group_by(["source", "len_bucket", "lang"]).aggregate([("c", "sum")])
+        return g.rename_columns(["source", "len_bucket", "lang", "c"])
+
+    cells = (
+        read_documents(sf_dir, columns=["source", "n_chars", "lang"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "len_bucket", "lang"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # bounded: #quasi-id groups × #langs cells
+    )
+    cells = ensure_columns(cells, ["source", "len_bucket", "lang", "c"])
+
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "len_bucket": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "emd_permille": pa.array([], pa.int64()),
+        }
+    )
+    if cells.empty:
+        return empty
+
+    src = cells["source"].to_numpy()
+    lb = cells["len_bucket"].to_numpy().astype(np.int64)
+    lang = cells["lang"].to_numpy()
+    c = cells["c"].to_numpy().astype(np.int64)
+    gkey, ginv = np.unique(
+        np.char.add(np.char.add(src.astype(str), "\x00"), lb.astype(str)),
+        return_inverse=True,
+    )
+    lkey, linv = np.unique(lang.astype(str), return_inverse=True)
+    mat = np.zeros((len(gkey), len(lkey)), np.int64)
+    mat[ginv, linv] = c
+    n = int(c.sum())
+    # largest intermediate is 1000·dscaled ≤ 2000·n·n_g ≤ 2000·n²;
+    # n up to ~6e7 keeps it inside int64 (beyond that switch the
+    # bounded driver fold to Python ints, cf. sum128_total)
+    if n > 60_000_000:
+        raise OverflowError(
+            "t_closeness: corpus size would overflow the int64 fold — "
+            "switch the bounded driver arithmetic to Python ints"
+        )
+    ng = mat.sum(axis=1)
+    cv = mat.sum(axis=0)
+    dscaled = np.abs(mat * n - cv[None, :] * ng[:, None]).sum(axis=1)
+    keep = 1000 * dscaled > 2 * t_permille * n * ng
+    if not keep.any():
+        return empty
+    # decode group keys back to (source, len_bucket)
+    first_row = np.zeros(len(gkey), np.int64)
+    first_row[ginv] = np.arange(len(ginv))  # any representative row per group
+    sel = np.flatnonzero(keep)
+    out_src = src[first_row[sel]]
+    out_lb = lb[first_row[sel]]
+    emd_pm = (1000 * dscaled[sel]) // (2 * n * ng[sel])
+    order = np.lexsort((out_lb, out_src))
+    return pa.table(
+        {
+            "source": pa.array(out_src[order].astype(str), pa.string()),
+            "len_bucket": pa.array(out_lb[order], pa.int64()),
+            "n_docs": pa.array(ng[sel][order], pa.int64()),
+            "emd_permille": pa.array(emd_pm[order].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+T_CLOSENESS_SQL = f"""
+WITH cells AS (
+  SELECT source, n_chars // 100 AS len_bucket, lang,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2, 3
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+gdist AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cv FROM cells GROUP BY 1),
+grp AS (
+  SELECT source, len_bucket, CAST(sum(c) AS BIGINT) AS ng
+  FROM cells GROUP BY 1, 2
+),
+pairs AS (
+  SELECT g.source, g.len_bucket, g.ng, gl.lang, gl.cv,
+         COALESCE(c.c, 0) AS cgv, t.n
+  FROM grp g CROSS JOIN gdist gl CROSS JOIN tot t
+  LEFT JOIN cells c ON c.source = g.source
+    AND c.len_bucket = g.len_bucket AND c.lang = gl.lang
+),
+d AS (
+  SELECT source, len_bucket, ng, n,
+         sum(abs(CAST(cgv AS HUGEINT) * n - CAST(cv AS HUGEINT) * ng))
+           AS dscaled
+  FROM pairs GROUP BY 1, 2, 3, 4
+)
+SELECT source,
+       CAST(len_bucket AS BIGINT) AS len_bucket,
+       CAST(ng AS BIGINT) AS n_docs,
+       CAST((1000 * dscaled) // (2 * CAST(n AS HUGEINT) * ng) AS BIGINT)
+         AS emd_permille
+FROM d
+WHERE 1000 * dscaled > 2 * {T_CLOSENESS_PERMILLE} * CAST(n AS HUGEINT) * ng
+ORDER BY 1, 2
+"""

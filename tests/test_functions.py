@@ -6972,3 +6972,41 @@ def test_halfsample_stability_law(ray_session, tmp_path):
         r.replicate: (r.n_docs, r.mean_nchars_micro) for r in out.itertuples()
     }
     assert got == want
+
+
+def test_t_closeness_hand_case(ray_session, tmp_path):
+    """Two groups over a 50/50 global lang split: a perfectly balanced
+    group has EMD 0 (not reported); an all-'a' group has EMD 1/2
+    (reported at 500 permille)."""
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions.text import t_closeness
+
+    # group s1/bucket0: 2 'a' + 2 'b' (balanced); s2/bucket0: 4 'a'
+    rows = [("s1", "a")] * 2 + [("s1", "b")] * 2 + [("s2", "a")] * 4
+    # global: a=6, b=2 → p=(0.75, 0.25); s1 dist (0.5, 0.5):
+    # EMD = 0.25 < 0.3 → not reported; s2 dist (1, 0): EMD = 0.25!?
+    # |1-0.75|+|0-0.25| = 0.5 → EMD 0.25 — also below.  Make s2 bigger:
+    rows += [("s2", "a")] * 4  # global a=10 b=2 → p=(10/12, 2/12)
+    # s1 (0.5,0.5): L1 = |0.5-10/12|+|0.5-2/12| = 2/3 → EMD 1/3 > 0.3 ✓
+    # s2 (1,0):    L1 = |1-10/12|+|0-2/12| = 1/3 → EMD 1/6 < 0.3 ✗
+    _write_pq(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "source": pa.array([r[0] for r in rows], pa.string()),
+                "lang": pa.array([r[1] for r in rows], pa.string()),
+                "n_chars": pa.array([50] * len(rows), pa.int64()),
+            }
+        ),
+    )
+    out = t_closeness(str(tmp_path)).to_pandas()
+    got = {
+        (r.source, r.len_bucket): (r.n_docs, r.emd_permille)
+        for r in out.itertuples()
+    }
+    # s1: dscaled = |2*12-10*4| + |2*12-2*4| = 16+16 = 32;
+    # emd_permille = 1000*32 // (2*12*4) = 333
+    assert got == {("s1", 0): (4, 333)}
