@@ -13889,27 +13889,40 @@ def heavy_users_exact(sf_dir: str, permille: int = _HEAVY_PERMILLE, k: int = _HE
     sketch-nominate / exact-confirm shape as
     dedup_incremental_confirmed's Bloom pass).
 
-    Scale shape: pass 1 is shuffle-free (per-BLOCK summaries, driver
-    merge sees <= k x #blocks fixed-width rows); pass 2's shuffle
-    carries only candidate rows' partial counts — at 10^9 users and
-    k=4096 the full user-keyed groupby never happens."""
-    ev = _read(sf_dir, "events", ["user_id"])
-    total = ev.count()
-    if total == 0:
-        return pa.table(
-            {"user_id": pa.array([], pa.int64()), "n_events": pa.array([], pa.int64())}
+    Scale shape: TWO scans total — pass 1 is shuffle-free (per-BLOCK
+    summaries, driver merge sees <= (k+1) x #blocks fixed-width rows;
+    each summary carries a -1-sentinel row with the block's
+    pre-truncation total, so n needs no separate count scan); pass 2's
+    shuffle carries only candidate rows' partial counts — at 10^9
+    users and k=4096 the full user-keyed groupby never happens."""
+    # Completeness PRECONDITION: the threshold must exceed the worst-
+    # case total undercount n/(k+1), i.e. permille·(k+1) > 1000 — below
+    # that, a heavy key can be evicted from EVERY block summary (each
+    # block count <= n_b/(k+1)) and no slack can nominate an absent key.
+    if permille * (k + 1) <= 1000:
+        raise ValueError(
+            "heavy_users_exact: permille*(k+1) must exceed 1000 for the "
+            "candidate set to be provably complete"
         )
+    ev = _read(sf_dir, "events", ["user_id"])
 
     def block_summary(batch: pa.Table) -> pa.Table:
         u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        if u.size and int(u.min()) < 0:
+            raise ValueError("heavy_users_exact: user_id must be >= 0 "
+                             "(-1 is the block-total sentinel)")
         ids, cnt = np.unique(u, return_counts=True)
         if len(ids) > k:
             keep = np.argpartition(cnt, len(cnt) - k)[-k:]
             ids, cnt = ids[keep], cnt[keep]
+        # sentinel row: the block's PRE-truncation total, so the driver
+        # learns n from the summaries themselves — no separate count scan
         return pa.table(
             {
-                "user_id": pa.array(ids, pa.int64()),
-                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+                "user_id": pa.array(np.r_[ids, np.int64(-1)], pa.int64()),
+                "c": pa.array(
+                    np.r_[cnt.astype(np.int64), np.int64(u.size)], pa.int64()
+                ),
             }
         )
 
@@ -13918,8 +13931,17 @@ def heavy_users_exact(sf_dir: str, permille: int = _HEAVY_PERMILLE, k: int = _HE
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=None,  # per BLOCK — the summary bound is per block
-    ).to_pandas()  # bounded: <= k rows per block
+    ).to_pandas()  # bounded: <= k+1 rows per block
+    if summaries.empty:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()), "n_events": pa.array([], pa.int64())}
+        )
     est = summaries.groupby("user_id")["c"].sum()
+    total = int(est.pop(-1)) if -1 in est.index else 0
+    if total == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()), "n_events": pa.array([], pa.int64())}
+        )
     # keep x iff est(x) + n/(k+1) could still clear the threshold
     slack = total // (k + 1) + 1
     cand = est.index.to_numpy()[
@@ -13996,12 +14018,10 @@ def halfsample_stability(sf_dir: str) -> pa.Table:
     integer micro-units (sum*1e6 // n), bit-exact against the SQL
     mirror.  Scale shape: shuffle volume is 32 partial cells per batch;
     the rollup is bounded by B=32 at any corpus size."""
-    from ._util import md5_u64, read_parquet_clean
+    from ._util import md5_u64
 
     B = _HALFSAMPLE_B
-    ds = read_parquet_clean(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
-    )
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -14043,7 +14063,15 @@ def halfsample_stability(sf_dir: str) -> pa.Table:
     rolled = rolled[rolled["n"] > 0].sort_values("replicate")
     n = rolled["n"].to_numpy().astype(np.int64)
     s = rolled["s"].to_numpy().astype(np.int64)
-    mean_micro = np.where(n > 0, (s * 1_000_000) // np.maximum(n, 1), 0)
+    # s*1e6 must stay inside int64 (numpy wraps silently; the DuckDB
+    # mirror errors loudly) — the 32-row rollup switches to Python ints
+    # beyond ~9.2e12 total chars per replicate
+    if len(s) and int(s.max()) > (2**63 - 1) // 1_000_000:
+        mean_micro = np.array(
+            [int(si) * 1_000_000 // int(ni) for si, ni in zip(s, n)], np.int64
+        )
+    else:
+        mean_micro = (s * 1_000_000) // n
     return pa.table(
         {
             "replicate": pa.array(rolled["replicate"].to_numpy().astype(np.int64), pa.int64()),
@@ -14064,7 +14092,9 @@ m AS (
   GROUP BY 1
 )
 SELECT replicate, n_docs,
-       CAST(CASE WHEN n_docs > 0 THEN (s * 1000000) // n_docs ELSE 0 END
+       CAST(CASE WHEN n_docs > 0
+                 THEN (CAST(s AS HUGEINT) * 1000000) // n_docs
+                 ELSE 0 END
             AS BIGINT) AS mean_nchars_micro
 FROM m ORDER BY replicate
 """

@@ -6903,25 +6903,35 @@ def test_allpairs_jaccard_empty_corpus(ray_session, tmp_path):
 
 
 def test_heavy_users_exact_survives_summary_truncation(ray_session, tmp_path):
-    """Force the per-block summary to truncate below the heavy set
-    (k=2, three heavy users): the slack bound must keep the dropped
-    user in the candidate set and the exact confirm pass must return
-    precisely the true heavy hitters with true counts."""
+    """Valid-regime truncation (permille*(k+1) = 1200 > 1000): with k=2
+    and five interleaved users every block's summary truncates, yet the
+    exact confirm pass must return precisely the brute-force heavy set
+    regardless of how Ray splits the file into blocks.  Parameters that
+    VIOLATE the completeness precondition must be rejected loudly — a
+    heavy key evicted from every block summary could never be
+    nominated, silently breaking the EXACT contract."""
     import numpy as np
+    import pytest as _pytest
     import pyarrow as pa
 
     from go_boilerpipe_ray.functions.relational import heavy_users_exact
 
-    counts = {1: 40, 2: 30, 3: 20, 4: 6, 5: 4}  # total 100
+    counts = {1: 45, 2: 25, 3: 15, 4: 10, 5: 5}  # total 100
     users = np.repeat(
         np.array(list(counts), np.int64), np.array(list(counts.values()))
     )
+    # deterministic shuffle: every block sees several users, so k=2
+    # summaries truncate in ANY block layout
+    users = users[np.random.RandomState(7).permutation(len(users))]
     _write_pq(
         tmp_path, "events", pa.table({"user_id": pa.array(users, pa.int64())})
     )
-    out = heavy_users_exact(str(tmp_path), permille=100, k=2).to_pandas()
+    out = heavy_users_exact(str(tmp_path), permille=400, k=2).to_pandas()
     got = {r.user_id: r.n_events for r in out.itertuples()}
-    assert got == {1: 40, 2: 30, 3: 20}  # >10% of 100 events
+    assert got == {1: 45}  # the only user above 40% of 100 events
+
+    with _pytest.raises(ValueError, match="provably complete"):
+        heavy_users_exact(str(tmp_path), permille=100, k=2)
 
 
 def test_heavy_users_exact_empty(ray_session, tmp_path):
