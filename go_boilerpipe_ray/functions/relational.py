@@ -14098,3 +14098,82 @@ SELECT replicate, n_docs,
             AS BIGINT) AS mean_nchars_micro
 FROM m ORDER BY replicate
 """
+
+
+# -- global clustering coefficient --------------------------------------------
+
+
+def copurchase_clustering_coeff(sf_dir: str) -> pa.Table:
+    """Global clustering coefficient of the part co-purchase graph:
+    C = 3·triangles / wedges, reported as exact integer ppm — the
+    one-number density diagnostic read next to the triangle count and
+    the k-core profile.  Triangles reuse copurchase_triangles
+    wholesale; wedges are a bounded per-node rollup over the SAME
+    shared edge set (Σ deg·(deg−1)/2), so the marginal cost over the
+    triangle count is one degree aggregation.  Integer exact: ppm =
+    3_000_000·t // w (0 when the graph has no wedges)."""
+    from ._util import wide_partitions
+
+    P = wide_partitions()
+    tri = int(copurchase_triangles(sf_dir).column("n_triangles")[0].as_py())
+    edges = _copurchase_edges(sf_dir, P)
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([k >> _TRI_SHIFT, k & ((1 << _TRI_SHIFT) - 1)])
+        n, c = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(n, pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="deg"))
+        .to_pandas()  # bounded: one row per part
+    )
+    if deg.empty:
+        wedges = 0
+    else:
+        d = deg["deg"].to_numpy().astype(np.int64)
+        wedges = int((d * (d - 1) // 2).sum())
+    ppm = 3_000_000 * tri // wedges if wedges else 0
+    return pa.table(
+        {
+            "n_triangles": pa.array([tri], pa.int64()),
+            "n_wedges": pa.array([wedges], pa.int64()),
+            "clustering_ppm": pa.array([ppm], pa.int64()),
+        }
+    )
+
+
+COPURCHASE_CLUSTERING_COEFF_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a
+  JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT DISTINCT u, v FROM pairs),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS t
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+  GROUP BY node
+),
+w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges FROM deg)
+SELECT tri.t AS n_triangles,
+       COALESCE(w.wedges, 0) AS n_wedges,
+       CAST(CASE WHEN COALESCE(w.wedges, 0) > 0
+                 THEN (3000000 * CAST(tri.t AS HUGEINT)) // w.wedges
+                 ELSE 0 END AS BIGINT) AS clustering_ppm
+FROM tri, w
+"""
