@@ -449,3 +449,68 @@ def test_snm_dup_pairs_property(case):
             if i + dd < len(feats) and feats[i][2] == feats[i + dd][2]:
                 want.add((feats[i][1], feats[i + dd][1], dd))
     assert got == want
+
+
+# -- AllPairs prefix-filtering differential (end-to-end, few examples:
+#    each case runs real Ray pipelines) ---------------------------------------
+
+_ap_words = st.lists(
+    st.lists(
+        st.sampled_from(
+            ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+        ),
+        min_size=3,
+        max_size=10,
+    ).map(" ".join),
+    min_size=2,
+    max_size=5,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=_ap_words)
+def test_allpairs_jaccard_matches_bruteforce_random(tmp_path_factory, texts):
+    """Prefix-filtering completeness on RANDOM corpora: the operator's
+    pair set must equal brute-force Jaccard over the same shingle sets
+    (dup_corpus-expanded) for arbitrary short word documents — guards
+    the df-order prefix lemma, the candidate dedup and the set-carry
+    verify against corpus shapes the fixed test can't anticipate."""
+    import itertools
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_boilerpipe_ray.functions.dedup import allpairs_jaccard, dup_corpus
+
+    d = tmp_path_factory.mktemp("ap")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(list(texts), pa.string()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    rows = dup_corpus(str(d)).take_all()
+    sets = {}
+    for r in rows:
+        toks = re.findall(r"[a-z0-9]+", r["text"].lower())
+        sets[r["doc_id"]] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        uni = len(sa | sb)
+        if 100 * inter >= 70 * uni:
+            want.add((a, b, inter, uni))
+    got = {
+        (r["id_a"], r["id_b"], r["inter"], r["uni"])
+        for r in allpairs_jaccard(str(d)).take_all()
+    }
+    assert got == want
