@@ -514,3 +514,85 @@ def test_allpairs_jaccard_matches_bruteforce_random(tmp_path_factory, texts):
         for r in allpairs_jaccard(str(d)).take_all()
     }
     assert got == want
+
+
+# -- combiner laws for the session-9 partials ---------------------------------
+
+_hs_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=100_000),
+              st.integers(min_value=0, max_value=5_000)),
+    min_size=0, max_size=80, unique_by=lambda t: t[0],
+)
+
+
+@given(_hs_rows, st.integers(min_value=1, max_value=4))
+@settings(max_examples=60, deadline=None)
+def test_halfsample_partial_combiner_law(rows, k):
+    """The per-batch (replicate, n, s) fold is a homomorphism: summing
+    chunk partials must equal the partial of the whole table — the law
+    the groupby-Sum rollup silently assumes."""
+    import numpy as np
+    import pyarrow as pa
+
+    from go_boilerpipe_ray.functions._util import md5_u64
+
+    def partial(ids, nc):
+        h = md5_u64(ids)
+        reps = np.arange(32, dtype=np.int64)
+        mem = (
+            (h[:, None] >> reps[None, :].astype(np.uint64)) & np.uint64(1)
+        ).astype(np.int64)
+        return mem.sum(axis=0), (mem * nc[:, None]).sum(axis=0)
+
+    ids = np.array([r[0] for r in rows], np.int64)
+    nc = np.array([r[1] for r in rows], np.int64)
+    want_n, want_s = partial(ids, nc)
+    got_n = np.zeros(32, np.int64)
+    got_s = np.zeros(32, np.int64)
+    step = len(rows) // k + 1
+    for i in range(k):
+        n_i, s_i = partial(ids[i * step : (i + 1) * step], nc[i * step : (i + 1) * step])
+        got_n += n_i
+        got_s += s_i
+    assert np.array_equal(got_n, want_n) and np.array_equal(got_s, want_s)
+
+
+_hh_rows = st.lists(
+    st.integers(min_value=0, max_value=50), min_size=0, max_size=120
+)
+
+
+@given(_hh_rows, st.integers(min_value=1, max_value=5),
+       st.integers(min_value=2, max_value=8))
+@settings(max_examples=60, deadline=None)
+def test_heavy_hitters_candidate_completeness_law(users, k_chunks, k):
+    """The documented completeness bound, exercised directly on the
+    summary math: for ANY split into blocks and any key with true count
+    above total//(k+1) + slack cut, the per-block top-k summaries plus
+    the slack must nominate it.  (The operator enforces
+    permille*(k+1) > 1000; this pins the underlying inequality the
+    guard relies on.)"""
+    import numpy as np
+
+    u = np.array(users, np.int64)
+    total = len(u)
+    if total == 0:
+        return
+    step = total // k_chunks + 1
+    est = {}
+    for i in range(k_chunks):
+        chunk = u[i * step : (i + 1) * step]
+        if not len(chunk):
+            continue
+        ids, cnt = np.unique(chunk, return_counts=True)
+        if len(ids) > k:
+            keep = np.argpartition(cnt, len(cnt) - k)[-k:]
+            ids, cnt = ids[keep], cnt[keep]
+        for x, c in zip(ids, cnt):
+            est[int(x)] = est.get(int(x), 0) + int(c)
+    slack = total // (k + 1) + 1
+    true_counts = {int(x): int(c) for x, c in zip(*np.unique(u, return_counts=True))}
+    for x, f in true_counts.items():
+        if f > total // (k + 1):  # the provable-nomination regime
+            assert est.get(x, 0) + slack > f - 1  # x is present & nominated
+            assert x in est  # never evicted from every block
