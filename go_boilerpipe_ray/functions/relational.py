@@ -13533,15 +13533,37 @@ def item_similarity_topk(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    pairs = (
+    def sum_pairs(part: pa.Table) -> pa.Table:
+        """Per-partition pair-count rollup: distinct-pair cardinality is
+        far above the ~1e5 groups where Ray's sort-based groupby costs
+        ~10 µs/row (the session-6 finding), so the sum runs as ONE
+        np.unique + reduceat kernel per hash partition instead."""
+        k = part.column("k").to_numpy(zero_copy_only=False)
+        n = part.column("n").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"k": z, "shared": z})
+        order = np.argsort(k, kind="stable")
+        k, n = k[order], n[order]
+        b = run_bounds(k)
+        sums = np.add.reduceat(n, b[:-1])
+        return pa.table(
+            {
+                "k": pa.array(k[b[:-1]], pa.int64()),
+                "shared": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    pairs = partitioned_by_key(
         partitioned_by_key(
             li.map_batches(order_pk, batch_format="pyarrow", zero_copy_batch=True),
             "o",
             pair_partials,
             P=P,
-        )
-        .groupby("k")
-        .aggregate(ray.data.aggregate.Sum("n", alias_name="shared"))
+        ),
+        "k",
+        sum_pairs,
+        P=P,
     )
 
     def unpack(batch: pa.Table) -> pa.Table:
