@@ -13821,17 +13821,18 @@ def copurchase_bfs_depth(
         return pa.table({"node": pa.array(n, pa.int64())})
 
     n_nodes_total = int(
-        edges_ds.map_batches(
-            endpoint_partial, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .union(
-            ray.data.from_arrow(
-                pa.table({"node": pa.array([seed], pa.int64())})
-            )
-        )
-        .groupby("node")
-        .count()
-        .count()
+        partitioned_by_key(
+            edges_ds.map_batches(
+                endpoint_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).union(
+                ray.data.from_arrow(
+                    pa.table({"node": pa.array([seed], pa.int64())})
+                )
+            ),
+            "node",
+            uniq_nodes,  # one np.unique kernel per hash partition — not a
+            P=P,  # sort groupby over node cardinality (the 10 µs/row rule)
+        ).count()
     )
     reached_total = int(counts["n_nodes"].sum())
     depths = counts["depth"].to_numpy().astype(np.int64)
