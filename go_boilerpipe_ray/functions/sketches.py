@@ -1080,3 +1080,199 @@ UNION ALL SELECT 'hll', est FROM hll
 UNION ALL SELECT 'kmv', est FROM kmv
 ORDER BY estimator
 """
+
+
+# -- shard skip index (zone map + deterministic bloom, both oracled) ----------
+
+SKIP_SHARDS = 16
+SKIP_BLOOM_M = 8192
+SKIP_PROBES = 25
+
+
+def shard_skip_report(sf_dir: str) -> pa.Table:
+    """Data-skipping planner report: for a deterministic probe set of
+    user ids, how many of the 16 time-bucketed event shards must be
+    read under (a) exact membership, (b) a per-shard user_id zone map
+    (min/max), (c) a per-shard 2-hash Bloom filter.  Neither index may
+    false-negative (exact <= zone AND exact <= bloom); zone and bloom
+    are NOT ordered against each other — a planner reads the
+    intersection.  The Bloom is md5-derived (bit positions md5(u) % m and
+    (md5(u) >> 20) % m), so even the Bloom verdict is bit-exact in the
+    SQL mirror — rare for a sketch operator.
+
+    Scale shape: shard key = epoch-day % 16 derived vectorized; ONE
+    pass emits three kinds of bounded partials per batch — (shard,
+    min_u, max_u) zone cells, distinct (shard, bloom-bit) pairs
+    (<= 16·m rows total at ANY corpus size), and distinct
+    (probe, shard) exact hits against the broadcast probe array — each
+    rolled up by a small keyed shuffle.  Probes are md5-picked from
+    [0, max_user], so some are absent (the case skipping exists for)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    DAY_US = 86_400 * 1_000_000
+    S, M, NP = SKIP_SHARDS, SKIP_BLOOM_M, SKIP_PROBES
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_shards_exact": pa.array([], pa.int64()),
+            "n_shards_zone": pa.array([], pa.int64()),
+            "n_shards_bloom": pa.array([], pa.int64()),
+        }
+    )
+    max_user_raw = ev.max("user_id")
+    if max_user_raw is None:
+        return empty
+    max_user = int(max_user_raw)
+    probes = np.unique(
+        (md5_u64(np.arange(NP, dtype=np.int64)) % np.uint64(max_user + 1)).astype(
+            np.int64
+        )
+    )
+    probes_ref = ray.put(probes)
+
+    def h1(u: "np.ndarray") -> "np.ndarray":
+        return (md5_u64(u) % np.uint64(M)).astype(np.int64)
+
+    def h2(u: "np.ndarray") -> "np.ndarray":
+        return ((md5_u64(u) >> np.uint64(20)) % np.uint64(M)).astype(np.int64)
+
+    def shard_of(batch: pa.Table) -> "np.ndarray":
+        t = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64())
+        return (t.to_numpy(zero_copy_only=False) // DAY_US) % S
+
+    def zone_partial(batch: pa.Table) -> pa.Table:
+        s = shard_of(batch)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(s, kind="stable")
+        s, u = s[order], u[order]
+        b = np.flatnonzero(np.r_[True, s[1:] != s[:-1], True])
+        lo = np.minimum.reduceat(u, b[:-1])
+        hi = np.maximum.reduceat(u, b[:-1])
+        return pa.table(
+            {
+                "shard": pa.array(s[b[:-1]], pa.int64()),
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+            }
+        )
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        s = shard_of(batch)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        bits = np.concatenate([s * M + h1(u), s * M + h2(u)])
+        return pa.table({"sb": pa.array(np.unique(bits), pa.int64())})
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        ps = ray.get(probes_ref)
+        s = shard_of(batch)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ps, u), 0, len(ps) - 1)
+        hit = ps[pos] == u
+        pairs = np.unique(pos[hit] * S + s[hit])
+        return pa.table({"pshard": pa.array(pairs, pa.int64())})
+
+    zones = (
+        ev.map_batches(zone_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+        .to_pandas()  # bounded: <= 16 rows
+    )
+    bloom_bits = set(
+        int(r["sb"])
+        for r in ev.map_batches(
+            bloom_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("sb")
+        .count()
+        .iter_rows()
+    )  # bounded: <= 16·M distinct set bits at ANY corpus size
+    exact_pairs = set(
+        int(r["pshard"])
+        for r in ev.map_batches(
+            exact_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("pshard")
+        .count()
+        .iter_rows()
+    )  # bounded: <= probes × shards
+
+    lo_by = dict(zip(zones["shard"].astype(int), zones["lo"].astype(int)))
+    hi_by = dict(zip(zones["shard"].astype(int), zones["hi"].astype(int)))
+    shards = sorted(lo_by)
+    p1, p2 = h1(probes), h2(probes)
+    n_exact, n_zone, n_bloom = [], [], []
+    for i, u in enumerate(probes):
+        e = z = bl = 0
+        for s_ in shards:
+            if (i * S + s_) in exact_pairs:
+                e += 1
+            if lo_by[s_] <= int(u) <= hi_by[s_]:
+                z += 1
+            if (s_ * M + int(p1[i])) in bloom_bits and (
+                s_ * M + int(p2[i])
+            ) in bloom_bits:
+                bl += 1
+        n_exact.append(e)
+        n_zone.append(z)
+        n_bloom.append(bl)
+    return pa.table(
+        {
+            "user_id": pa.array(probes, pa.int64()),
+            "n_shards_exact": pa.array(np.asarray(n_exact, np.int64), pa.int64()),
+            "n_shards_zone": pa.array(np.asarray(n_zone, np.int64), pa.int64()),
+            "n_shards_bloom": pa.array(np.asarray(n_bloom, np.int64), pa.int64()),
+        }
+    )
+
+
+SHARD_SKIP_REPORT_SQL = f"""
+WITH e AS (
+  SELECT user_id,
+         (epoch_us(ts) // {86_400 * 1_000_000}) % {SKIP_SHARDS} AS shard
+  FROM events
+),
+mx AS (SELECT max(user_id) AS mu FROM e),
+probes AS (
+  SELECT DISTINCT CAST(
+    md5_number_lower(r.range::VARCHAR) % (mx.mu + 1) AS BIGINT
+  ) AS user_id
+  FROM range({SKIP_PROBES}) r, mx
+),
+zones AS (
+  SELECT shard, min(user_id) AS lo, max(user_id) AS hi FROM e GROUP BY 1
+),
+bloom AS (
+  SELECT DISTINCT shard,
+         CAST(md5_number_lower(user_id::VARCHAR) % {SKIP_BLOOM_M} AS BIGINT)
+           AS b1,
+         CAST((md5_number_lower(user_id::VARCHAR) >> 20) % {SKIP_BLOOM_M}
+              AS BIGINT) AS b2
+  FROM e
+),
+bloombits AS (
+  SELECT shard, b1 AS bit FROM bloom
+  UNION SELECT shard, b2 AS bit FROM bloom
+)
+SELECT p.user_id,
+       CAST(count(DISTINCT CASE WHEN ex.user_id IS NOT NULL
+                            THEN z.shard END) AS BIGINT) AS n_shards_exact,
+       CAST(count(DISTINCT CASE WHEN p.user_id BETWEEN z.lo AND z.hi
+                            THEN z.shard END) AS BIGINT) AS n_shards_zone,
+       CAST(count(DISTINCT CASE WHEN bb1.bit IS NOT NULL AND bb2.bit IS NOT NULL
+                            THEN z.shard END) AS BIGINT) AS n_shards_bloom
+FROM probes p
+CROSS JOIN zones z
+LEFT JOIN (SELECT DISTINCT user_id, shard FROM e) ex
+  ON ex.user_id = p.user_id AND ex.shard = z.shard
+LEFT JOIN bloombits bb1
+  ON bb1.shard = z.shard
+  AND bb1.bit = CAST(md5_number_lower(p.user_id::VARCHAR) % {SKIP_BLOOM_M} AS BIGINT)
+LEFT JOIN bloombits bb2
+  ON bb2.shard = z.shard
+  AND bb2.bit = CAST((md5_number_lower(p.user_id::VARCHAR) >> 20) % {SKIP_BLOOM_M} AS BIGINT)
+GROUP BY 1
+ORDER BY 1
+"""

@@ -7020,3 +7020,24 @@ def test_t_closeness_hand_case(ray_session, tmp_path):
     # s1: dscaled = |2*12-10*4| + |2*12-2*4| = 16+16 = 32;
     # emd_permille = 1000*32 // (2*12*4) = 333
     assert got == {("s1", 0): (4, 333)}
+
+
+def test_shard_skip_report_no_false_negatives(ray_session):
+    """Neither skip index may false-negative: every probe's exact shard
+    count is bounded by BOTH its zone count and its bloom count, and at
+    least one probe must be prunable (bloom or zone below the 16-shard
+    ceiling) for the report to mean anything."""
+    from go_boilerpipe_ray.functions.sketches import (
+        SKIP_SHARDS,
+        shard_skip_report,
+    )
+
+    out = shard_skip_report(SF).to_pandas()
+    assert len(out) > 0
+    assert (out["n_shards_exact"] <= out["n_shards_zone"]).all()
+    assert (out["n_shards_exact"] <= out["n_shards_bloom"]).all()
+    assert (out["n_shards_bloom"] <= SKIP_SHARDS).all()
+    assert (
+        (out["n_shards_bloom"] < SKIP_SHARDS)
+        | (out["n_shards_zone"] < SKIP_SHARDS)
+    ).any()
