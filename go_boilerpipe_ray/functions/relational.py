@@ -12584,8 +12584,11 @@ def kcore_decompose(sf_dir: str, loop_threshold: int = 2_000_000) -> pa.Table:
     spreading, pagerank = fixed-point iteration, this = monotone
     subgraph refinement).  Output: (core_k, n_nodes) — how many parts
     survive at each peeling depth, the density profile recommender
-    pipelines read before mining cliques.  Rows-only (iterative
-    deletion has no SQL mirror); a hand-graph pytest pins the peeling
+    pipelines read before mining cliques.  Oracle-checked: the peel is
+    a monotone fixpoint, so KCORE_DECOMPOSE_SQL simulates it with a
+    round-stamped recursive CTE (per-k simultaneous removal — same
+    iteration-in-SQL trick as DEDUP_COMPONENTS_SQL's min-label
+    closure); a hand-graph pytest additionally pins the peeling
     against a sequential reference.
 
     Scale shape: the edge build is fully distributed (order-keyed triu
@@ -12665,6 +12668,67 @@ def _kcore_peel(u: "np.ndarray", v: "np.ndarray") -> dict[int, int]:
             core[alive_node] = k - 1
             break
     return {int(nodes[i]): int(core[i]) for i in range(len(nodes))}
+
+
+# The peel is a monotone fixpoint per level k (alive' = {v alive :
+# deg_alive(v) >= k} converges to the k-core), so it IS SQL-expressible
+# as a round-stamped recursive CTE: every iteration re-emits each still-
+# shrinking level's full alive set with round+1; a level leaves the
+# working table the moment it reaches its fixpoint (n_nxt == n_cur), and
+# a level whose alive set dies out entirely emits one node=-1 sentinel
+# row so its last REAL round is not mistaken for a fixpoint.  Final
+# coreness(v) = max k whose converged alive set still contains v —
+# exactly _kcore_peel's "removed at level k -> core k-1" numbering.
+# Levels only need 1..max(degree); termination is guaranteed because
+# every emitted round strictly shrinks some level's alive set.
+KCORE_DECOMPOSE_SQL = """
+WITH RECURSIVE
+op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+),
+deg AS (SELECT u AS node, count(*) AS d FROM edges GROUP BY u),
+ks AS (
+  SELECT t.range AS k FROM range(1, 1000000) t
+  WHERE t.range <= (SELECT max(d) FROM deg)
+),
+peel(k, round, node) AS (
+  SELECT ks.k, 0, deg.node FROM ks CROSS JOIN deg
+  UNION ALL
+  SELECT k, round, node FROM (
+    WITH cur AS (SELECT k, round, node FROM peel WHERE node >= 0),
+    da AS (
+      SELECT c.k, c.round, c.node, count(c2.node) AS dal
+      FROM cur c
+      JOIN edges e ON e.u = c.node
+      LEFT JOIN cur c2 ON c2.k = c.k AND c2.node = e.v
+      GROUP BY c.k, c.round, c.node
+    ),
+    nxt AS (SELECT k, round + 1 AS round, node FROM da WHERE dal >= k),
+    cnt AS (
+      SELECT cur.k AS k, count(*) AS n_cur, max(cur.round) AS r
+      FROM cur GROUP BY cur.k
+    ),
+    ncnt AS (SELECT nxt.k AS k, count(*) AS n_nxt FROM nxt GROUP BY nxt.k)
+    SELECT n.k, n.round, n.node
+    FROM nxt n JOIN cnt ON cnt.k = n.k JOIN ncnt ON ncnt.k = n.k
+    WHERE ncnt.n_nxt < cnt.n_cur
+    UNION ALL
+    SELECT cnt.k, cnt.r + 1, -1
+    FROM cnt LEFT JOIN ncnt ON ncnt.k = cnt.k
+    WHERE COALESCE(ncnt.n_nxt, 0) = 0
+  )
+),
+last AS (SELECT k, max(round) AS mr FROM peel GROUP BY k),
+kcore AS (
+  SELECT p.k, p.node FROM peel p JOIN last l ON l.k = p.k AND l.mr = p.round
+  WHERE p.node >= 0
+),
+core AS (SELECT node, max(k) AS core_k FROM kcore GROUP BY node)
+SELECT CAST(core_k AS BIGINT) AS core_k, CAST(count(*) AS BIGINT) AS n_nodes
+FROM core GROUP BY core_k ORDER BY core_k
+"""
 
 
 # -- bigram next-event predictor evaluation ----------------------------------------
