@@ -504,19 +504,63 @@ SELECT user_id, event_id, value FROM (
 # -- broadcast anti-join -------------------------------------------------------
 
 
-def customers_without_events(sf_dir: str) -> "ray.data.Dataset":
-    """Customers with no event activity: the small side (distinct event
+# Broadcast the distinct event-user set only while it fits comfortably
+# on the driver / in every map task's heap: 4M int64 keys = 32 MB.
+# Above that the plan switches to the shuffle anti-join — the same
+# estimate-then-pick-a-plan discipline as minhash_lsh_pairs'
+# carry-vs-join switch.  The gate reads ONE HLL pass over
+# events.user_id (register rollup, tiny shuffle), never a full count.
+_ANTI_BROADCAST_KEY_BUDGET = 4_000_000
+
+
+def customers_without_events(
+    sf_dir: str, broadcast_key_budget: int = _ANTI_BROADCAST_KEY_BUDGET
+) -> "ray.data.Dataset":
+    """Customers with no event activity — a cost-switched anti-join.
+
+    Plan A (distinct users <= budget): the small side (distinct event
     user ids) is reduced first, shipped once via ray.put, and the big
-    side filters against it locally — an anti-join with no shuffle of the
-    probe table (the same broadcast discipline the resume manifest
-    uses)."""
+    side filters against it locally — an anti-join with no shuffle of
+    the probe table (the same broadcast discipline the resume manifest
+    uses).
+
+    Plan B (distinct users > budget): at a web-scale keyspace the
+    "small side" is GBs on the driver, so the same semantics run as
+    repartition_join(how="anti") — both sides hash-shuffle once on the
+    key and each partition answers membership with a sorted probe;
+    nothing materializes anywhere.  The build side pre-dedups per batch
+    before shuffling (events >> distinct users).  The arm is picked by
+    an HLL cardinality estimate (one register-rollup pass), and both
+    arms are pinned equal by pytest."""
+    from .sketches import hll_estimate, hll_registers
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    est_users = hll_estimate(hll_registers(sf_dir))
+    if est_users > broadcast_key_budget:
+        def batch_distinct(batch: pa.Table) -> pa.Table:
+            u = np.unique(batch.column("user_id").to_numpy(zero_copy_only=False))
+            return pa.table({"user_id": pa.array(u, pa.int64())})
+
+        build = _read(sf_dir, "events", ["user_id"]).map_batches(
+            batch_distinct, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return repartition_join(
+            cust,
+            build,
+            "c_custkey",
+            "user_id",
+            [("c_custkey", pa.int64()), ("c_name", pa.string())],
+            [],
+            how="anti",
+        )
+
     user_ids = (
         _read(sf_dir, "events", ["user_id"])
         .groupby("user_id")
         .count()
         .select_columns(["user_id"])
         .take_all()
-    )  # bounded: distinct users, not events
+    )  # bounded by the budget gate above: distinct users, not events
     active = ray.put(np.sort(np.array([r["user_id"] for r in user_ids], np.int64)))
 
     def anti(batch: pa.Table) -> pa.Table:
@@ -528,8 +572,7 @@ def customers_without_events(sf_dir: str) -> "ray.data.Dataset":
         return batch.filter(pa.array(act[pos] != keys))
 
     return (
-        _read(sf_dir, "customer", ["c_custkey", "c_name"])
-        .map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+        cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 

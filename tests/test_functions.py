@@ -705,6 +705,22 @@ def test_customers_without_events_anti_join():
     assert kept == allc - active
 
 
+def test_customers_without_events_plan_switch():
+    """Both anti-join arms (broadcast vs repartition shuffle) must give
+    identical rows; budget=0 forces the HLL gate onto the shuffle arm."""
+    from go_boilerpipe_ray.functions.relational import customers_without_events
+
+    broadcast = sorted(
+        (r["c_custkey"], r["c_name"])
+        for r in customers_without_events(SF).take_all()
+    )
+    shuffled = sorted(
+        (r["c_custkey"], r["c_name"])
+        for r in customers_without_events(SF, broadcast_key_budget=0).take_all()
+    )
+    assert broadcast == shuffled and broadcast
+
+
 def test_range_join_window_semantics():
     import duckdb
 
