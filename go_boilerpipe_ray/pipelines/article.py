@@ -182,22 +182,40 @@ def _reassemble_part(part: pa.Table) -> pa.Table:
     Fragment rows may arrive in any order; spans are globally ordered by
     their ``offset`` field, so a plain concat + in-kernel sort
     reassembles the document (the "groupby doc_id, sort by offset" path
-    of the north rule)."""
+    of the north rule).
+
+    The regroup is pure Arrow: dictionary-encode doc_id (one int code
+    per doc), integer-argsort the codes into contiguous runs, gather the
+    fragment lists once, then rebuild the per-doc list column from the
+    flattened span values + reduceat'd run lengths — no per-fragment
+    Python objects on this path (the former ``to_pylist`` + extend loop
+    built one dict per span)."""
     import numpy as np
+    import pyarrow.compute as pc
 
     global _REASSEMBLE_EXTRACTOR
     if _REASSEMBLE_EXTRACTOR is None:
         _REASSEMBLE_EXTRACTOR = ExtractDocuments()
-    ids = np.asarray(part.column("doc_id").to_pylist(), dtype=object)
-    uniq, inv = np.unique(ids, return_inverse=True)
-    spans_per_doc: list[list[dict]] = [[] for _ in uniq]
-    for code, frag in zip(inv, part.column("spans").to_pylist()):
-        spans_per_doc[code].extend(frag)
-    batch = pa.Table.from_pydict(
-        {"doc_id": list(uniq), "spans": spans_per_doc},
-        schema=pa.schema(
-            [("doc_id", pa.string()), ("spans", part.schema.field("spans").type)]
-        ),
+    spans_type = part.schema.field("spans").type
+    if part.num_rows == 0:
+        return _REASSEMBLE_EXTRACTOR(part.select(["doc_id", "spans"]))
+    ids = part.column("doc_id").combine_chunks()
+    spans = part.column("spans").combine_chunks()
+    codes = pc.dictionary_encode(ids).indices.to_numpy(zero_copy_only=False)
+    order = np.argsort(codes, kind="stable")
+    take = pa.array(order, pa.int64())
+    ids = ids.take(take)
+    spans = spans.take(take)
+    codes = codes[order]
+    starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+    frag_lens = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+    doc_lens = np.add.reduceat(frag_lens.astype(np.int64), starts)
+    offsets = np.concatenate([[0], np.cumsum(doc_lens)])
+    regrouped = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pc.list_flatten(spans)
+    ).cast(spans_type)
+    batch = pa.table(
+        {"doc_id": ids.take(pa.array(starts, pa.int64())), "spans": regrouped}
     )
     return _REASSEMBLE_EXTRACTOR(batch)
 
