@@ -192,6 +192,9 @@ def main() -> None:
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=args.cpus, include_dashboard=False)
+    from go_boilerpipe_ray.functions._util import install_empty_block_schema_filter
+
+    install_empty_block_schema_filter()
 
     corpus_dir, n_docs = ensure_bench_corpus(args.sf_dir, _replicas(args.sf_dir))
 

@@ -15,6 +15,40 @@ def _strip_schema_metadata(batch):
     return batch.replace_schema_metadata(None)
 
 
+_EMPTY_SCHEMA_FILTER_INSTALLED = False
+
+
+def install_empty_block_schema_filter() -> None:
+    """Drop Ray's "RefBundle with a different schema ... new schema: ."
+    warning for SCHEMALESS EMPTY bundles only.  A map_groups task whose
+    sorted input partition is empty yields zero batches (the group-UDF
+    wrapper iterates group boundaries and never calls the kernel —
+    ray/data/grouped_data.py:_apply_udf_to_groups), so Ray emits an
+    empty RefBundle with no schema and the executor warns on the
+    mismatch.  Downstream operators skip empty bundles, so the message
+    is benign noise at small sf (empty hash partitions); a REAL schema
+    divergence between two non-empty bundles prints a non-empty new
+    schema and still warns.  Idempotent; called by bench.py and
+    tools/selfcheck.py."""
+    global _EMPTY_SCHEMA_FILTER_INSTALLED
+    if _EMPTY_SCHEMA_FILTER_INSTALLED:
+        return
+    import logging
+
+    class _EmptyNewSchemaFilter(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not (
+                "RefBundle with a different schema" in msg
+                and "new schema: . This may" in msg
+            )
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptyNewSchemaFilter())
+    _EMPTY_SCHEMA_FILTER_INSTALLED = True
+
+
 def read_parquet_clean(path: str, **kwargs):
     """``ray.data.read_parquet`` that drops writer schema metadata.
 

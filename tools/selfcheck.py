@@ -62,6 +62,9 @@ def main() -> int:
         ray.init(address="local", num_cpus=8, include_dashboard=False)
 
     sys.path.insert(0, "/root/repo")
+    from go_boilerpipe_ray.functions._util import install_empty_block_schema_filter
+
+    install_empty_block_schema_filter()
     import __ray_entry__ as entrymod
 
     con = duckdb.connect()
