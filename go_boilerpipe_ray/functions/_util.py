@@ -28,8 +28,13 @@ def install_empty_block_schema_filter() -> None:
     mismatch.  Downstream operators skip empty bundles, so the message
     is benign noise at small sf (empty hash partitions); a REAL schema
     divergence between two non-empty bundles prints a non-empty new
-    schema and still warns.  Idempotent; called by bench.py and
-    tools/selfcheck.py."""
+    schema and still warns.  Known trade-offs, accepted: (a) a
+    hypothetical non-empty ZERO-COLUMN bundle renders the same empty
+    schema string and would be silenced too (no operator here emits
+    one); (b) the match is pinned to Ray 2.49's message wording — if a
+    Ray upgrade rewords it, the filter becomes a no-op and the benign
+    noise returns (fail-open, never hides new warnings).  Idempotent;
+    called by bench.py and tools/selfcheck.py."""
     global _EMPTY_SCHEMA_FILTER_INSTALLED
     if _EMPTY_SCHEMA_FILTER_INSTALLED:
         return
@@ -153,6 +158,22 @@ def partitioned_by_key(ds, key_col: str, kernel, P: int | None = None):
         .groupby("pk")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def batch_distinct_int64(column: str):
+    """Per-batch distinct int64 values of ``column`` — the standard
+    build-side pre-dedup before a keyed shuffle (shrinks wire volume
+    roughly rows/distinct× per block).  Shared by
+    distinct_estimators_report and customers_without_events' shuffle
+    anti arm."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(batch: "pa.Table") -> "pa.Table":
+        u = np.unique(batch.column(column).to_numpy(zero_copy_only=False))
+        return pa.table({column: pa.array(u, pa.int64())})
+
+    return fn
 
 
 def blake2_u63(strs) -> "np.ndarray":

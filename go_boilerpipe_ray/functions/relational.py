@@ -530,19 +530,27 @@ def customers_without_events(
     key and each partition answers membership with a sorted probe;
     nothing materializes anywhere.  The build side pre-dedups per batch
     before shuffling (events >> distinct users).  The arm is picked by
-    an HLL cardinality estimate (one register-rollup pass), and both
-    arms are pinned equal by pytest."""
+    an HLL cardinality estimate (one register-rollup pass) — consulted
+    ONLY when the near-free gate is inconclusive: parquet footer
+    metadata gives the events ROW count without touching data, and
+    rows <= budget proves distinct users <= budget, so the common
+    small/medium case never pays the extra HLL scan.  Both arms are
+    pinned equal by pytest."""
+    import pyarrow.parquet as pq
+
+    from ._util import batch_distinct_int64
     from .sketches import hll_estimate, hll_registers
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    est_users = hll_estimate(hll_registers(sf_dir))
-    if est_users > broadcast_key_budget:
-        def batch_distinct(batch: pa.Table) -> pa.Table:
-            u = np.unique(batch.column("user_id").to_numpy(zero_copy_only=False))
-            return pa.table({"user_id": pa.array(u, pa.int64())})
-
+    n_event_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    use_shuffle = n_event_rows > broadcast_key_budget and (
+        hll_estimate(hll_registers(sf_dir)) > broadcast_key_budget
+    )
+    if use_shuffle:
         build = _read(sf_dir, "events", ["user_id"]).map_batches(
-            batch_distinct, batch_format="pyarrow", zero_copy_batch=True
+            batch_distinct_int64("user_id"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
         return repartition_join(
             cust,
@@ -12732,9 +12740,13 @@ edges AS (
   FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
 ),
 deg AS (SELECT u AS node, count(*) AS d FROM edges GROUP BY u),
-ks AS (
-  SELECT t.range AS k FROM range(1, 1000000) t
-  WHERE t.range <= (SELECT max(d) FROM deg)
+-- peel levels 1..max(degree), generated recursively: range() only
+-- accepts constant bounds in DuckDB 1.0, and a hardcoded cap would
+-- silently truncate core numbers past it.
+ks(k) AS (
+  SELECT 1 WHERE EXISTS (SELECT 1 FROM deg)
+  UNION ALL
+  SELECT k + 1 FROM ks WHERE k < (SELECT max(d) FROM deg)
 ),
 peel(k, round, node) AS (
   SELECT ks.k, 0, deg.node FROM ks CROSS JOIN deg

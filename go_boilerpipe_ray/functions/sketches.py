@@ -990,13 +990,11 @@ def distinct_estimators_report(sf_dir: str) -> pa.Table:
     point); HLL = 512-register max-merge; KMV = k-min merge.  The
     oracle recomputes all three, HLL's float estimate included (both
     sides sum 512 double terms; rtol 1e-9 absorbs ordering ulps)."""
-    from ._util import ensure_columns
+    from ._util import batch_distinct_int64, ensure_columns
 
     ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
 
-    def uniq_partial(batch: pa.Table) -> pa.Table:
-        u = np.unique(batch.column("user_id").to_numpy(zero_copy_only=False))
-        return pa.table({"user_id": pa.array(u, pa.int64())})
+    uniq_partial = batch_distinct_int64("user_id")
 
     exact = (
         ds.map_batches(uniq_partial, batch_format="pyarrow", zero_copy_batch=True)
