@@ -1335,6 +1335,249 @@ SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
 """
 
 
+# -- density-guarded dup clustering (DBSCAN over the hamming graph) ----------
+
+DBSCAN_MINPTS = 2  # core = at least this many hamming-<=3 neighbors
+
+
+def dedup_dbscan_clusters(
+    sf_dir: str, minpts: int = DBSCAN_MINPTS
+) -> "ray.data.Dataset":
+    """Density-guarded duplicate clusters: DBSCAN semantics over the
+    EXACT simhash hamming-ball neighbor graph (eps = the pigeonhole
+    pair radius, neighbour counts exclude self).
+
+    Why it exists next to ``dedup_components``: plain connected
+    components over-merge through TRANSITIVE CHAINS — a, b, c where
+    a~b and b~c but a is far from c still collapse into one cluster,
+    and on web corpora one promiscuous near-boilerplate page chains
+    thousands of unrelated docs together.  The density guard breaks
+    those bridges: only CORE docs (>= ``minpts`` neighbors) propagate
+    cluster membership; degree-1 chain links become border points that
+    attach to exactly one cluster and connect nothing.
+
+    Semantics (deterministic DBSCAN variant): core iff
+    |N(v)| >= minpts; clusters = connected components of the
+    core-core edge subgraph, labelled by min core doc_id; border =
+    non-core doc with >= 1 core neighbor, assigned min cluster label
+    among its core neighbors (textbook DBSCAN is first-come
+    order-dependent here — min-label is the order-free choice, and
+    the oracle mirrors it); everything else is noise and is omitted.
+    Output: (doc_id, cluster, role in {core, border}).
+
+    Scale shape: the pair graph (far smaller than the corpus) is
+    materialized once and reused; degrees are one keyed count; the
+    two core-flag taggings are repartition joins (left, null right =
+    non-core); components run the existing volume-routed
+    min-label/pointer-doubling loop; the border attach is one more
+    repartition join plus a keyed min.  Nothing touches the driver
+    but scalars."""
+    from .relational import repartition_join  # type: ignore
+
+    pairs = (
+        simhash_pairs(sf_dir)
+        .select_columns(["id_a", "id_b"])
+        .materialize()  # reused 4x below; pairs table, not the corpus
+    )
+
+    def directed(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").combine_chunks()
+        b = batch.column("id_b").combine_chunks()
+        return pa.table({"node": pa.concat_arrays([a, b])})
+
+    def core_mark(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("count()").to_numpy(zero_copy_only=False)
+        nodes = pc.cast(batch.column("node"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[cnt >= minpts]
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "is_core": pa.array(np.ones(len(nodes), np.int64), pa.int64()),
+            }
+        )
+
+    core = (
+        pairs.map_batches(directed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .count()
+        .map_batches(core_mark, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()  # joined against twice
+    )
+
+    tagged_a = repartition_join(
+        pairs,
+        core,
+        "id_a",
+        "node",
+        [("id_a", pa.int64()), ("id_b", pa.int64())],
+        [("is_core", pa.int64())],
+        how="left",
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "id_a": b.column("id_a"),
+                "id_b": b.column("id_b"),
+                "a_core": pc.coalesce(b.column("is_core"), pa.scalar(0, pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    tagged = repartition_join(
+        tagged_a,
+        core,
+        "id_b",
+        "node",
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("a_core", pa.int64())],
+        [("is_core", pa.int64())],
+        how="left",
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "id_a": b.column("id_a"),
+                "id_b": b.column("id_b"),
+                "a_core": b.column("a_core"),
+                "b_core": pc.coalesce(b.column("is_core"), pa.scalar(0, pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()  # feeds both the core-core and the border branches
+
+    def both_core(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(batch.column("a_core"), 1), pc.equal(batch.column("b_core"), 1)
+        )
+        return batch.filter(keep).select(["id_a", "id_b"])
+
+    core_edges = tagged.map_batches(
+        both_core, batch_format="pyarrow", zero_copy_batch=True
+    )
+    comp = connected_components(core_edges).materialize()  # (doc_id, component)
+
+    # Isolated cores (no core neighbor) are their own single-doc cluster:
+    # they never enter core_edges, so add them back as self-components.
+    def self_comp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("node"), pa.int64()),
+                "component": pc.cast(batch.column("node"), pa.int64()),
+            }
+        )
+
+    iso = repartition_join(
+        core,
+        comp,
+        "node",
+        "doc_id",
+        [("node", pa.int64())],
+        [],
+        how="anti",
+    ).map_batches(self_comp, batch_format="pyarrow", zero_copy_batch=True)
+    comp_all = comp.union(iso).materialize()  # every core: (doc_id, component)
+
+    # Border attach: (non-core endpoint, core endpoint) directed rows,
+    # join the core side to its cluster, keep min cluster per border doc.
+    def border_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        ac = batch.column("a_core").to_numpy(zero_copy_only=False)
+        bc = batch.column("b_core").to_numpy(zero_copy_only=False)
+        a_border = (ac == 0) & (bc == 1)  # a attaches to b's cluster
+        b_border = (bc == 0) & (ac == 1)
+        return pa.table(
+            {
+                "border_id": pa.array(
+                    np.concatenate([a[a_border], b[b_border]]), pa.int64()
+                ),
+                "core_id": pa.array(
+                    np.concatenate([b[a_border], a[b_border]]), pa.int64()
+                ),
+            }
+        )
+
+    border = (
+        repartition_join(
+            tagged.map_batches(
+                border_rows, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            comp_all,
+            "core_id",
+            "doc_id",
+            [("border_id", pa.int64())],
+            [("component", pa.int64())],
+            how="inner",
+        )
+        .groupby("border_id")
+        .min("component")
+    )
+
+    def finish_border(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("border_id"), pa.int64()),
+                "cluster": pc.cast(batch.column("min(component)"), pa.int64()),
+                "role": pa.array(["border"] * batch.num_rows, pa.string()),
+            }
+        )
+
+    def finish_core(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "cluster": pc.cast(batch.column("component"), pa.int64()),
+                "role": pa.array(["core"] * batch.num_rows, pa.string()),
+            }
+        )
+
+    return comp_all.map_batches(
+        finish_core, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        border.map_batches(
+            finish_border, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+
+# Oracle: same deterministic DBSCAN variant in SQL — degree-filtered
+# cores, min-label closure over CORE-CORE edges only, min-cluster
+# border attach; noise omitted.
+DEDUP_DBSCAN_SQL = f"""
+WITH RECURSIVE pairs AS ({SIMHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+deg AS (SELECT u AS node, count(*) AS d FROM edges GROUP BY u),
+core AS (SELECT node FROM deg WHERE d >= {DBSCAN_MINPTS}),
+cedges AS (
+  SELECT e.u, e.v FROM edges e
+  JOIN core a ON a.node = e.u
+  JOIN core b ON b.node = e.v
+),
+reach(node, label) AS (
+  SELECT node, node FROM core
+  UNION
+  SELECT e.v AS node, r.label
+  FROM reach r JOIN cedges e ON e.u = r.node
+  WHERE r.label < e.v
+),
+comp AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+border AS (
+  SELECT e.u AS node, min(c.cluster) AS cluster
+  FROM edges e
+  JOIN comp c ON c.node = e.v
+  LEFT JOIN core cu ON cu.node = e.u
+  WHERE cu.node IS NULL
+  GROUP BY e.u
+)
+SELECT node AS doc_id, cluster, 'core' AS role FROM comp
+UNION ALL
+SELECT node AS doc_id, cluster, 'border' AS role FROM border
+"""
+
+
 # -- incremental dedup (new ingest vs a prior corpus) ------------------------
 
 

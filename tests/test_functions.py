@@ -620,6 +620,59 @@ def test_dedup_components_cluster_structure():
             assert c <= d - COPY_OFFSET
 
 
+def test_dedup_dbscan_matches_sequential_reference():
+    """Differential: the distributed DBSCAN (core flags via repartition
+    joins, components over core-core edges, min-label border attach)
+    must equal a sequential pure-Python DBSCAN over the same exact
+    hamming-pair graph — covering core, border, and noise roles."""
+    from go_boilerpipe_ray.functions.dedup import (
+        DBSCAN_MINPTS,
+        dedup_dbscan_clusters,
+        simhash_pairs,
+    )
+
+    pair_rows = simhash_pairs(SF).take_all()
+    adj: dict[int, set[int]] = {}
+    for r in pair_rows:
+        adj.setdefault(r["id_a"], set()).add(r["id_b"])
+        adj.setdefault(r["id_b"], set()).add(r["id_a"])
+    cores = {n for n, nb in adj.items() if len(nb) >= DBSCAN_MINPTS}
+    # components of the core-core subgraph, labelled by min core id
+    label: dict[int, int] = {}
+    for start in cores:
+        if start in label:
+            continue
+        seen, stack = {start}, [start]
+        while stack:
+            v = stack.pop()
+            for w in adj[v]:
+                if w in cores and w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        lab = min(seen)
+        for v in seen:
+            label[v] = lab
+    expected = {(n, label[n], "core") for n in cores}
+    n_noise = 0
+    for n, nb in adj.items():
+        if n in cores:
+            continue
+        core_nb = [label[w] for w in nb if w in cores]
+        if core_nb:
+            expected.add((n, min(core_nb), "border"))
+        else:
+            n_noise += 1
+    got = {
+        (r["doc_id"], r["cluster"], r["role"])
+        for r in dedup_dbscan_clusters(SF).take_all()
+    }
+    assert got == expected and got
+    # the density guard must actually drop something (noise exists in
+    # the dup corpus: isolated near-dup PAIRS are noise at minpts=2)
+    assert n_noise > 0
+    assert len(got) == len(adj) - n_noise
+
+
 def test_asof_join_matches_window_semantics():
     import duckdb
 
