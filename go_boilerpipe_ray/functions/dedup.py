@@ -1340,8 +1340,72 @@ SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
 DBSCAN_MINPTS = 2  # core = at least this many hamming-<=3 neighbors
 
 
+def _dbscan_fold_kernel(batch: pa.Table, minpts: int) -> pa.Table:
+    """In-memory DBSCAN over ONE gathered pair table — the small-graph
+    arm of dedup_dbscan_clusters' volume router.  Fully vectorized:
+    degrees by bincount over dense node indices, core-core components
+    via _cc_fold_kernel, isolated cores patched to self-labels with one
+    searchsorted, border attach as a lexsort + run-head sweep (first
+    row per border node IS its min cluster)."""
+    a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(a) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "role": pa.array([], pa.string()),
+            }
+        )
+    ids = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(ids, a)
+    bi = np.searchsorted(ids, b)
+    deg = np.bincount(np.concatenate([ai, bi]), minlength=len(ids))
+    is_core = deg >= minpts
+    cc = is_core[ai] & is_core[bi]
+    comp = _cc_fold_kernel(
+        pa.table(
+            {"id_a": pa.array(a[cc], pa.int64()), "id_b": pa.array(b[cc], pa.int64())}
+        )
+    )
+    cn = comp.column("doc_id").to_numpy(zero_copy_only=False)  # sorted
+    cl = comp.column("component").to_numpy(zero_copy_only=False)
+    core_ids = ids[is_core]
+    cluster = core_ids.copy()  # isolated cores default to self-label
+    if len(cn):
+        pos = np.searchsorted(cn, core_ids)
+        safe = np.minimum(pos, len(cn) - 1)
+        hit = cn[safe] == core_ids
+        cluster[hit] = cl[safe[hit]]
+    # border candidates: directed (non-core node idx, core neighbour id)
+    m_ab = ~is_core[ai] & is_core[bi]
+    m_ba = ~is_core[bi] & is_core[ai]
+    bu = np.concatenate([ai[m_ab], bi[m_ba]])
+    bv = np.concatenate([b[m_ab], a[m_ba]])
+    bcl = cluster[np.searchsorted(core_ids, bv)]
+    order = np.lexsort((bcl, bu))
+    bu, bcl = bu[order], bcl[order]
+    head = np.r_[True, bu[1:] != bu[:-1]] if len(bu) else np.zeros(0, bool)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                np.concatenate([core_ids, ids[bu[head]]]), pa.int64()
+            ),
+            "cluster": pa.array(
+                np.concatenate([cluster, bcl[head]]), pa.int64()
+            ),
+            "role": pa.array(
+                ["core"] * len(core_ids) + ["border"] * int(head.sum()),
+                pa.string(),
+            ),
+        }
+    )
+
+
 def dedup_dbscan_clusters(
-    sf_dir: str, minpts: int = DBSCAN_MINPTS
+    sf_dir: str,
+    minpts: int = DBSCAN_MINPTS,
+    small_pair_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Density-guarded duplicate clusters: DBSCAN semantics over the
     EXACT simhash hamming-ball neighbor graph (eps = the pigeonhole
@@ -1365,13 +1429,22 @@ def dedup_dbscan_clusters(
     the oracle mirrors it); everything else is noise and is omitted.
     Output: (doc_id, cluster, role in {core, border}).
 
-    Scale shape: the pair graph (far smaller than the corpus) is
-    materialized once and reused; degrees are one keyed count; the
-    two core-flag taggings are repartition joins (left, null right =
-    non-core); components run the existing volume-routed
-    min-label/pointer-doubling loop; the border attach is one more
-    repartition join plus a keyed min.  Nothing touches the driver
-    but scalars."""
+    Scale shape — VOLUME ROUTER, same precedent as
+    connected_components: the pair graph is orders of magnitude
+    smaller than the corpus that produced it, and the distributed arm
+    pays three keyed shuffles (two core-flag repartition joins + the
+    border attach) that are pure scheduling overhead on a small graph
+    (measured 9.7 s -> 6.7 s at sf0.1, 7.3 s -> 3.5 s at sf0.01 —
+    what remains is the simhash + pair generation).  At or below
+    ``small_pair_limit`` rows (default 2M = 32 MB of int64 pairs) the
+    gathered single-task kernel (_dbscan_fold_kernel — never the
+    driver) computes everything vectorized; above it the distributed
+    arm runs: degrees are one keyed count, core-flag taggings are
+    repartition joins (left, null right = non-core), components run
+    the volume-routed min-label/pointer-doubling loop, and the border
+    attach is one more repartition join plus a keyed min.  Both arms
+    pinned equal by pytest (small_pair_limit=0 forces the shuffles).
+    Nothing touches the driver but scalars."""
     from .relational import repartition_join  # type: ignore
 
     pairs = (
@@ -1379,6 +1452,14 @@ def dedup_dbscan_clusters(
         .select_columns(["id_a", "id_b"])
         .materialize()  # reused 4x below; pairs table, not the corpus
     )
+    if int(pairs.count()) <= small_pair_limit:
+        return pairs.repartition(1).map_batches(
+            _dbscan_fold_kernel,
+            fn_kwargs={"minpts": minpts},
+            batch_format="pyarrow",
+            batch_size=None,  # the whole (single) block in one call
+            zero_copy_batch=True,
+        )
 
     def directed(batch: pa.Table) -> pa.Table:
         a = batch.column("id_a").combine_chunks()

@@ -671,6 +671,13 @@ def test_dedup_dbscan_matches_sequential_reference():
     # the dup corpus: isolated near-dup PAIRS are noise at minpts=2)
     assert n_noise > 0
     assert len(got) == len(adj) - n_noise
+    # volume-router arms: small_pair_limit=0 forces the distributed
+    # shuffle arm; it must agree with the gathered kernel exactly.
+    shuffled = {
+        (r["doc_id"], r["cluster"], r["role"])
+        for r in dedup_dbscan_clusters(SF, small_pair_limit=0).take_all()
+    }
+    assert shuffled == expected
 
 
 def test_asof_join_matches_window_semantics():
