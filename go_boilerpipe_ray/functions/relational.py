@@ -12635,11 +12635,11 @@ def kcore_decompose(sf_dir: str, loop_threshold: int = 2_000_000) -> pa.Table:
     spreading, pagerank = fixed-point iteration, this = monotone
     subgraph refinement).  Output: (core_k, n_nodes) — how many parts
     survive at each peeling depth, the density profile recommender
-    pipelines read before mining cliques.  Oracle-checked: the peel is
-    a monotone fixpoint, so KCORE_DECOMPOSE_SQL simulates it with a
-    round-stamped recursive CTE (per-k simultaneous removal — same
-    iteration-in-SQL trick as DEDUP_COMPONENTS_SQL's min-label
-    closure); a hand-graph pytest additionally pins the peeling
+    pipelines read before mining cliques.  Oracle-checked:
+    KCORE_DECOMPOSE_SQL runs the h-index fixpoint characterization of
+    coreness (Lu et al. 2016) as a recursive CTE — one edges-x-labels
+    join + window rank per round, monotone convergence, DuckDB-native
+    termination; a hand-graph pytest additionally pins the peeling
     against a sequential reference.
 
     Scale shape: the edge build is fully distributed (order-keyed triu
@@ -12721,17 +12721,20 @@ def _kcore_peel(u: "np.ndarray", v: "np.ndarray") -> dict[int, int]:
     return {int(nodes[i]): int(core[i]) for i in range(len(nodes))}
 
 
-# The peel is a monotone fixpoint per level k (alive' = {v alive :
-# deg_alive(v) >= k} converges to the k-core), so it IS SQL-expressible
-# as a round-stamped recursive CTE: every iteration re-emits each still-
-# shrinking level's full alive set with round+1; a level leaves the
-# working table the moment it reaches its fixpoint (n_nxt == n_cur), and
-# a level whose alive set dies out entirely emits one node=-1 sentinel
-# row so its last REAL round is not mistaken for a fixpoint.  Final
-# coreness(v) = max k whose converged alive set still contains v —
-# exactly _kcore_peel's "removed at level k -> core k-1" numbering.
-# Levels only need 1..max(degree); termination is guaranteed because
-# every emitted round strictly shrinks some level's alive set.
+# The oracle uses the H-INDEX FIXPOINT characterization of coreness
+# (Lu, Zhou, Zhang, Stanley 2016, "The H-index of a network node and
+# its relation to degree and coreness"): c_0(v) = degree(v);
+# c_{t+1}(v) = H-index of {c_t(u) : u ~ v} (the largest h such that at
+# least h neighbors have value >= h) converges monotonically DOWN to
+# the exact core number.  One recursive-CTE round = one edges-x-labels
+# join + a per-node descending window rank; the working table re-emits
+# the full label state each round and goes empty at the fixpoint (the
+# EXISTS guard), so termination is DuckDB's own.  This replaces a
+# per-level peel simulation whose working set was Theta(sum_v d_v^2)
+# per round — on the dense sf0.1 co-purchase graph (20k nodes, 2.4M
+# directed edges, avg degree 120) that formulation exhausted 78 GB of
+# spill; this one runs in ~9 s.  Numbering matches _kcore_peel exactly
+# (fuzz-pinned on 60 random graphs + both testdata scales).
 KCORE_DECOMPOSE_SQL = """
 WITH RECURSIVE
 op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -12740,49 +12743,32 @@ edges AS (
   FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
 ),
 deg AS (SELECT u AS node, count(*) AS d FROM edges GROUP BY u),
--- peel levels 1..max(degree), generated recursively: range() only
--- accepts constant bounds in DuckDB 1.0, and a hardcoded cap would
--- silently truncate core numbers past it.
-ks(k) AS (
-  SELECT 1 WHERE EXISTS (SELECT 1 FROM deg)
+hidx(round, node, val) AS (
+  SELECT 0, node, d FROM deg
   UNION ALL
-  SELECT k + 1 FROM ks WHERE k < (SELECT max(d) FROM deg)
-),
-peel(k, round, node) AS (
-  SELECT ks.k, 0, deg.node FROM ks CROSS JOIN deg
-  UNION ALL
-  SELECT k, round, node FROM (
-    WITH cur AS (SELECT k, round, node FROM peel WHERE node >= 0),
-    da AS (
-      SELECT c.k, c.round, c.node, count(c2.node) AS dal
-      FROM cur c
-      JOIN edges e ON e.u = c.node
-      LEFT JOIN cur c2 ON c2.k = c.k AND c2.node = e.v
-      GROUP BY c.k, c.round, c.node
+  SELECT round + 1, node, val FROM (
+    WITH cur AS (SELECT round, node, val FROM hidx),
+    ranked AS (
+      SELECT e.u AS node, c.val,
+             row_number() OVER (PARTITION BY e.u ORDER BY c.val DESC) AS rn
+      FROM edges e JOIN cur c ON c.node = e.v
     ),
-    nxt AS (SELECT k, round + 1 AS round, node FROM da WHERE dal >= k),
-    cnt AS (
-      SELECT cur.k AS k, count(*) AS n_cur, max(cur.round) AS r
-      FROM cur GROUP BY cur.k
+    nxt AS (
+      SELECT node,
+             CAST(max(CASE WHEN val >= rn THEN rn ELSE 0 END) AS BIGINT) AS val
+      FROM ranked GROUP BY node
     ),
-    ncnt AS (SELECT nxt.k AS k, count(*) AS n_nxt FROM nxt GROUP BY nxt.k)
-    SELECT n.k, n.round, n.node
-    FROM nxt n JOIN cnt ON cnt.k = n.k JOIN ncnt ON ncnt.k = n.k
-    WHERE ncnt.n_nxt < cnt.n_cur
-    UNION ALL
-    SELECT cnt.k, cnt.r + 1, -1
-    FROM cnt LEFT JOIN ncnt ON ncnt.k = cnt.k
-    WHERE COALESCE(ncnt.n_nxt, 0) = 0
+    merged AS (
+      SELECT c.round, n.node, n.val, c.val AS old
+      FROM nxt n JOIN cur c ON c.node = n.node
+    )
+    SELECT m.round, m.node, m.val FROM merged m
+    WHERE EXISTS (SELECT 1 FROM merged x WHERE x.val <> x.old)
   )
-),
-last AS (SELECT k, max(round) AS mr FROM peel GROUP BY k),
-kcore AS (
-  SELECT p.k, p.node FROM peel p JOIN last l ON l.k = p.k AND l.mr = p.round
-  WHERE p.node >= 0
-),
-core AS (SELECT node, max(k) AS core_k FROM kcore GROUP BY node)
-SELECT CAST(core_k AS BIGINT) AS core_k, CAST(count(*) AS BIGINT) AS n_nodes
-FROM core GROUP BY core_k ORDER BY core_k
+)
+SELECT CAST(val AS BIGINT) AS core_k, CAST(count(*) AS BIGINT) AS n_nodes
+FROM (SELECT node, min(val) AS val FROM hidx GROUP BY node)
+GROUP BY val ORDER BY core_k
 """
 
 
