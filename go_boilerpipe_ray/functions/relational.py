@@ -12734,7 +12734,8 @@ def _kcore_peel(u: "np.ndarray", v: "np.ndarray") -> dict[int, int]:
 # per round — on the dense sf0.1 co-purchase graph (20k nodes, 2.4M
 # directed edges, avg degree 120) that formulation exhausted 78 GB of
 # spill; this one runs in ~9 s.  Numbering matches _kcore_peel exactly
-# (fuzz-pinned on 60 random graphs + both testdata scales).
+# (pinned by test_kcore_oracle_hindex_matches_peel_on_random_graphs +
+# selfcheck at all three testdata scales).
 KCORE_DECOMPOSE_SQL = """
 WITH RECURSIVE
 op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

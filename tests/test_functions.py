@@ -620,6 +620,66 @@ def test_dedup_components_cluster_structure():
             assert c <= d - COPY_OFFSET
 
 
+def test_kcore_oracle_hindex_matches_peel_on_random_graphs():
+    """The h-index-fixpoint recursive CTE (KCORE_DECOMPOSE_SQL) must
+    equal the sequential peel on random co-purchase-shaped graphs —
+    the committed, reproducible form of the fuzz that pinned the
+    oracle rewrite (its correctness silently depends on the monotone
+    non-increase of the h-index iteration; this test is what breaks
+    if a future edit violates that)."""
+    import collections
+
+    import duckdb
+    import numpy as np
+
+    from go_boilerpipe_ray.functions.relational import (
+        KCORE_DECOMPOSE_SQL,
+        _kcore_peel,
+    )
+
+    rng = np.random.default_rng(20260820)
+    nontrivial = 0
+    for _ in range(20):
+        n_orders = int(rng.integers(3, 25))
+        n_parts = int(rng.integers(3, 20))
+        rows = []
+        for o in range(n_orders):
+            k = int(rng.integers(1, min(6, n_parts + 1)))
+            for p in rng.choice(n_parts, size=k, replace=False):
+                rows.append((int(o), int(p)))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE lineitem(l_orderkey BIGINT, l_partkey BIGINT)")
+        con.executemany("INSERT INTO lineitem VALUES (?, ?)", rows)
+        sql_rows = sorted(
+            (int(a), int(b)) for a, b in con.execute(KCORE_DECOMPOSE_SQL).fetchall()
+        )
+        by_order: dict[int, set[int]] = collections.defaultdict(set)
+        for o, p in set(rows):
+            by_order[o].add(p)
+        seen: set[tuple[int, int]] = set()
+        uu: list[int] = []
+        vv: list[int] = []
+        for ps in by_order.values():
+            for a in ps:
+                for b in ps:
+                    if a != b and (a, b) not in seen and (b, a) not in seen:
+                        seen.add((a, b))
+                        uu.append(a)
+                        vv.append(b)
+        if not uu:
+            assert sql_rows == []
+            continue
+        cores = _kcore_peel(np.array(uu, np.int64), np.array(vv, np.int64))
+        ref_rows = sorted(
+            (int(k), int(c))
+            for k, c in collections.Counter(cores.values()).items()
+        )
+        assert ref_rows == sql_rows
+        if len(ref_rows) > 1:
+            nontrivial += 1
+    assert nontrivial >= 5  # the draws must actually exercise multi-core graphs
+
+
 def test_dedup_dbscan_matches_sequential_reference():
     """Differential: the distributed DBSCAN (core flags via repartition
     joins, components over core-core edges, min-label border attach)
